@@ -550,7 +550,7 @@ def mentions_us_state(text: str) -> bool:
 # --------------------------------------------------------------------------
 
 _SCRIPT_STYLE_RE = re.compile(
-    r"<(script|style|nav|header|footer|aside)\b[^>]*>.*?</\1>",
+    r"<(script|style|nav|header|footer|aside|head|title)\b[^>]*>.*?</\1>",
     re.IGNORECASE | re.DOTALL,
 )
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)

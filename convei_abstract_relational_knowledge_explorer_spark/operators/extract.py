@@ -1,0 +1,77 @@
+"""Stage 1 — web_pages → documents (extraction).
+
+Spark-first shape: one Arrow-batched ``mapInPandas`` pass computing the
+extracted text (html → text kernel when the ``text`` field is NULL — the
+reference analog of TSV field decoding, /root/reference/file_scanner.py:
+91-122), plus JVM-side derived columns (doc_id, year) so Catalyst keeps
+pruning/pushdown around the UDF.
+
+documents schema:
+  doc_id: long (xxhash64(url) — deterministic, resume-stable; replaces the
+          reference's autoincrement PKs, /root/reference/models.py:64)
+  url, lang: string
+  warc_ts: timestamp, year: int (partition column at scale)
+  text: string   (byte-identical per url — the input_hint invariant)
+  title / abstract / affiliations: string (first line / middle / last block,
+          mirroring the synthetic payload contract and the reference's
+          title/abstract/author_affiliations columns, models.py:66-82)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.textkernels import extract_text_from_html
+
+EXTRACT_SCHEMA = "url string, text string"
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        text = batch["text"].copy()
+        missing = text.isna()
+        if missing.any():
+            text.loc[missing] = batch.loc[missing, "html"].map(
+                extract_text_from_html
+            )
+        yield pd.DataFrame({"url": batch["url"], "text": text})
+
+
+def extract_documents(web_pages: DataFrame, lang: str | None = None) -> DataFrame:
+    """web_pages → documents.  Pure DataFrame plan; no driver-side loops."""
+    pages = web_pages
+    if lang is not None:
+        pages = pages.filter(F.col("lang") == lang)
+
+    extracted = pages.select("url", "html", "text").mapInPandas(
+        _extract_batches, schema=EXTRACT_SCHEMA
+    )
+
+    # Re-join the narrow extraction result onto the (url-keyed) page metadata
+    # so the html bytes don't travel through the rest of the plan.
+    meta = pages.select("url", "warc_ts", "lang")
+    docs = extracted.join(meta, "url")
+
+    # title = first line; affiliations = last line when it contains a
+    # bracketed author group; abstract = everything in between.
+    lines = F.split(F.col("text"), "\n")
+    n = F.size(lines)
+    last = F.element_at(lines, -1)
+    has_affil = last.contains("[") & last.contains("]") & (n >= F.lit(3))
+    return docs.select(
+        F.xxhash64("url").alias("doc_id"),
+        "url",
+        "lang",
+        "warc_ts",
+        F.year("warc_ts").alias("year"),
+        "text",
+        F.element_at(lines, 1).alias("title"),
+        F.array_join(
+            F.slice(lines, 2, F.when(has_affil, n - 2).otherwise(n - 1)), " "
+        ).alias("abstract"),
+        F.when(has_affil, last).alias("affiliations"),
+    )

@@ -1,0 +1,108 @@
+"""Stage 3 — triple emission: mentions → (subj, pred, obj) rows.
+
+The parity surface of BASELINE.json: the distinct (subj, pred, obj) set is
+compared against the reference's emitted edge tables (P/R >= 0.95).
+
+Predicate mapping (reference edge table → pred):
+  publication_to_satellite      → MENTIONS_SATELLITE
+      (/root/reference/analyze_sat_and_data_types_in_abstracts.py:74-97)
+  publication_to_data_type      → MENTIONS_DATA_TYPE  (same file)
+  satellite_type column         → HAS_MISSION
+      (/root/reference/fast_regex_mission_id.py:252-269)
+  publication_study_locations   → STUDY_LOCATION
+      (/root/reference/populate_study_locations.py:79-109)
+  publication_author_locations  → AUTHOR_LOCATED_IN
+      (/root/reference/populate_author_locations.py:281-324)
+  raw_topic_to_publication      → HAS_TOPIC
+      (/root/reference/topic_discovery_pipeline.py:634-656; our miner is
+      the deterministic TF-IDF substitute — excluded from the parity set)
+
+Output schema:
+  (subj string, pred string, obj string, doc_id long, surface string,
+   method string, author string, year int)
+subj = url (stable natural key); provenance columns mirror the reference's
+matched_text / match_method (/root/reference/models.py:434-435).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from . import mentions as M
+from .linking import link_affiliations
+
+PARITY_PREDS = (
+    "MENTIONS_SATELLITE",
+    "MENTIONS_DATA_TYPE",
+    "HAS_MISSION",
+    "STUDY_LOCATION",
+    "AUTHOR_LOCATED_IN",
+)
+
+_KIND_TO_PRED = {
+    "satellite": "MENTIONS_SATELLITE",
+    "data_type": "MENTIONS_DATA_TYPE",
+    "mission": "HAS_MISSION",
+    "study_location": "STUDY_LOCATION",
+}
+
+
+def _shape(mentions: DataFrame, docs: DataFrame, pred_map: dict[str, str]) -> DataFrame:
+    pred = F.col("kind")
+    for kind, name in pred_map.items():
+        pred = F.when(F.col("kind") == kind, name).otherwise(pred)
+    keys = docs.select("doc_id", "url", "year")
+    return mentions.join(keys, "doc_id").select(
+        F.col("url").alias("subj"),
+        pred.alias("pred"),
+        F.col("entity").alias("obj"),
+        "doc_id",
+        "surface",
+        "method",
+        F.lit(None).cast("string").alias("author"),
+        "year",
+    )
+
+
+def emit_triples(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """documents → triples (all mention families unioned).
+
+    One declarative plan: Catalyst shares the docs scan across branches;
+    the union is append-only and each branch is independently parallel.
+    """
+    sat_terms = M.dictionary_terms(spark, "satellite")
+    dt_terms = M.dictionary_terms(spark, "data_type")
+
+    mention_union = (
+        M.substring_mentions(docs, sat_terms)
+        .unionByName(M.substring_mentions(docs, dt_terms))
+        .unionByName(M.mission_mentions(docs))
+        .unionByName(M.study_location_mentions(docs))
+    )
+    base = _shape(mention_union, docs, _KIND_TO_PRED)
+
+    segments = M.affiliation_segments(docs)
+    linked = link_affiliations(segments).filter(F.col("location").isNotNull())
+    keys = docs.select("doc_id", "url", "year")
+    author_triples = linked.join(keys, "doc_id").select(
+        F.col("url").alias("subj"),
+        F.lit("AUTHOR_LOCATED_IN").alias("pred"),
+        F.col("location").alias("obj"),
+        "doc_id",
+        F.col("affiliation_text").alias("surface"),
+        "method",
+        F.col("author_name").alias("author"),
+        "year",
+    )
+
+    return base.unionByName(author_triples)
+
+
+def parity_triples(triples: DataFrame) -> DataFrame:
+    """The distinct (subj, pred, obj) set compared against the reference."""
+    return (
+        triples.filter(F.col("pred").isin(*PARITY_PREDS))
+        .select("subj", "pred", "obj")
+        .distinct()
+    )

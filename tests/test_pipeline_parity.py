@@ -1,0 +1,79 @@
+"""End-to-end triple parity: Spark pipeline vs reference-logic golden.
+
+The golden (tests/golden/expected_triples.json) was produced by
+tools/gen_goldens.py running the REFERENCE's own mention/linking functions
+over the same deterministic synthetic corpus.  Gate: P/R >= 0.95
+(BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from convei_abstract_relational_knowledge_explorer_spark.functions.textkernels import (
+    extract_text_from_html,
+)
+from convei_abstract_relational_knowledge_explorer_spark.operators.extract import (
+    extract_documents,
+)
+from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+    emit_triples,
+    parity_triples,
+)
+from convei_abstract_relational_knowledge_explorer_spark.sources.synthetic import (
+    make_page,
+    web_pages,
+)
+
+GOLDEN = Path(__file__).parent / "golden"
+
+
+def test_html_extraction_byte_identical_per_url():
+    """input_hint invariant: extracted text is byte-identical to the payload."""
+    for i in range(300):
+        page = make_page(i)
+        assert extract_text_from_html(page["html"]) == page["_payload"], (
+            f"extraction mismatch at doc {i}"
+        )
+
+
+def test_extract_documents_fields(spark):
+    docs = extract_documents(web_pages(spark, 40, partitions=4))
+    rows = {r["url"]: r for r in docs.collect()}
+    assert len(rows) == 40
+    for i in range(40):
+        page = make_page(i)
+        row = rows[page["url"]]
+        lines = page["_payload"].split("\n")
+        assert row["text"] == page["_payload"]  # byte-identical per url
+        assert row["title"] == lines[0]
+        assert row["affiliations"] == lines[-1]
+        assert row["abstract"] == " ".join(lines[1:-1])
+        assert row["year"] == page["warc_ts"].year
+        assert row["doc_id"] is not None
+
+
+def test_triple_parity_p_r(spark):
+    golden = json.loads((GOLDEN / "expected_triples.json").read_text())
+    expected = {tuple(t) for t in golden["triples"]}
+    n = golden["n_corpus"]
+
+    docs = extract_documents(web_pages(spark, n, partitions=4))
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in parity_triples(emit_triples(spark, docs)).collect()
+    }
+
+    tp = len(got & expected)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(expected) if expected else 0.0
+    print(f"\ntriple parity: P={precision:.4f} R={recall:.4f} "
+          f"(got={len(got)}, expected={len(expected)}, tp={tp})")
+    if precision < 1.0 or recall < 1.0:
+        fp = sorted(got - expected)[:10]
+        fn = sorted(expected - got)[:10]
+        print("sample false-positives:", fp)
+        print("sample false-negatives:", fn)
+    assert precision >= 0.95, f"precision {precision:.4f} < 0.95"
+    assert recall >= 0.95, f"recall {recall:.4f} < 0.95"

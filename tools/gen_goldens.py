@@ -28,6 +28,7 @@ REPO = Path(__file__).resolve().parent.parent
 REF = Path("/root/reference")
 OUT = REPO / "tests" / "golden"
 
+sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 import fixture_inputs as FI  # noqa: E402
 
@@ -245,6 +246,90 @@ def main() -> None:
     dump(
         "power_normalize",
         [[v, [float(x) for x in avt["power_normalize"](v)]] for v in FI.VECTOR_SAMPLES],
+    )
+
+    # ---- end-to-end expected triples over the synthetic corpus ---------------
+    # Reference logic executed in-process per doc:
+    #   MENTIONS_SATELLITE / MENTIONS_DATA_TYPE: substring scan
+    #     (analyze_sat_and_data_types_in_abstracts.py:74-85)
+    #   HAS_MISSION: detect_satellite_types (fast_regex_mission_id.py:252-269)
+    #   STUDY_LOCATION: build_rows_for_publication (populate_study_locations.py:79-109)
+    #   AUTHOR_LOCATED_IN: match_location_id over parse_affiliation_segments
+    #     (populate_author_locations.py:281-324)
+    # rapidfuzz is unavailable: the fuzzy leg uses OUR WRatio (documented
+    # delta; alias/direct/us-heuristic legs are the reference's own code).
+    from convei_abstract_relational_knowledge_explorer_spark.functions.fuzzy import (
+        extract_one as our_extract_one,
+    )
+    from convei_abstract_relational_knowledge_explorer_spark.sources.synthetic import (
+        make_page,
+    )
+
+    class _OurProcess:
+        @staticmethod
+        def extractOne(query, choices, scorer=None, score_cutoff=None):
+            hit = our_extract_one(query, list(choices), float(score_cutoff))
+            return (hit[0], hit[1], 0) if hit else None
+
+    pal_fz = load_nodes(
+        REF / "populate_author_locations.py",
+        {
+            "split_segments_outside_brackets", "parse_affiliation_segments",
+            "normalize_lookup_text", "match_location_id",
+            "US_STATE_NAMES", "US_STATE_ABBREVIATIONS",
+            "US_STATE_NAME_REGEX", "US_STATE_ABBREVIATION_REGEX",
+            "LOCATION_ALIASES",
+        },
+        extra={"process": _OurProcess, "fuzz": _NoFuzz},
+    )
+
+    simple = load_nodes(
+        REF / "insert_simple_data.py", {"satellite_values", "data_type_values"}
+    )
+    sats_lc = [(s, s.lower()) for s in simple["satellite_values"]]
+    dts_lc = [(d, d.lower()) for d in simple["data_type_values"]]
+
+    n_corpus = 150
+    triples: set[tuple[str, str, str]] = set()
+    for i in range(n_corpus):
+        page = make_page(i)
+        url = page["url"]
+        lines = page["_payload"].split("\n")
+        title = lines[0]
+        last = lines[-1]
+        has_affil = "[" in last and "]" in last and len(lines) >= 3
+        abstract = " ".join(lines[1 : len(lines) - 1 if has_affil else len(lines)])
+        affiliations = last if has_affil else None
+
+        hay = abstract.lower()
+        for name, name_lc in sats_lc:
+            if name_lc in hay:
+                triples.add((url, "MENTIONS_SATELLITE", name))
+        for name, name_lc in dts_lc:
+            if name_lc in hay:
+                triples.add((url, "MENTIONS_DATA_TYPE", name))
+
+        labels = frm["detect_satellite_types"](title, abstract)
+        if labels:
+            for label in labels.split(","):
+                triples.add((url, "HAS_MISSION", label))
+
+        for row in psl["build_rows_for_publication"](i, abstract, matchers):
+            triples.add((url, "STUDY_LOCATION", countries[row["location_id"] - 1]))
+
+        if affiliations:
+            for seg in pal_fz["parse_affiliation_segments"](affiliations):
+                loc_id, _method = pal_fz["match_location_id"](
+                    seg["affiliation_text"], name_to_id, names, us_id, 80
+                )
+                if loc_id is not None:
+                    triples.add(
+                        (url, "AUTHOR_LOCATED_IN", countries[loc_id - 1])
+                    )
+
+    dump(
+        "expected_triples",
+        {"n_corpus": n_corpus, "triples": sorted(triples)},
     )
 
     print("all goldens written")
