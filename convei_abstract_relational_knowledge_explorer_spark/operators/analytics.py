@@ -1,0 +1,181 @@
+"""Stage 6 — graph/report analytics over the triple/edge tables.
+
+Each operator is the Spark-first re-expression of a reference report
+(SURVEY.md §2 C/D/E rows); all are single declarative plans.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+
+def cooccurrence_pairs(
+    edges: DataFrame,
+    doc_col: str = "doc_id",
+    entity_col: str = "obj",
+) -> DataFrame:
+    """Upper-triangular co-occurrence pair counts (C1 + D1).
+
+    Parity: self equi-join on doc with residual ``a <= b`` then
+    count(distinct doc) per pair
+    (/root/reference/analyze_satellites_used_together.py:56-70).
+    Spark shape: hash/sort-merge join on the equi key; the ``<=`` stays a
+    residual predicate; partial aggregation is free.
+    """
+    a = edges.select(F.col(doc_col).alias("doc"), F.col(entity_col).alias("ea"))
+    b = edges.select(F.col(doc_col).alias("doc"), F.col(entity_col).alias("eb"))
+    return (
+        a.join(b, "doc")
+        .filter(F.col("ea") <= F.col("eb"))
+        .groupBy("ea", "eb")
+        .agg(F.countDistinct("doc").alias("n_docs"))
+    )
+
+
+def year_entity_vectors(
+    weighted_edges: DataFrame,
+    doc_col: str = "doc_id",
+    year_col: str = "year",
+    entity_col: str = "entity",
+    weight_col: str = "weight",
+    power: float = 4.0,
+) -> DataFrame:
+    """Per-year power-normalized entity weight vectors (D5 + I1).
+
+    Reference shape: ORDER BY doc then flush-per-doc with power_normalize,
+    accumulated into a per-year vector
+    (/root/reference/analyze_subject_vector_by_year.py:141-201,
+    /root/reference/affiliation_vector_transform.py:6-29).
+
+    Spark shape: the manual sort/flush IS hash aggregation — one window to
+    normalize within doc, one groupBy to sum per (year, entity).  The
+    all-zero edge case (sum of clipped weights == 0 → contribute 0)
+    matches the reference's zero-vector return.
+    """
+    clipped = F.pow(F.greatest(F.col(weight_col), F.lit(0.0)), F.lit(power))
+    w = Window.partitionBy(doc_col)
+    normalized = weighted_edges.select(
+        F.col(year_col).alias("year"),
+        F.col(entity_col).alias("entity"),
+        F.when(
+            F.sum(clipped).over(w) > 0.0, clipped / F.sum(clipped).over(w)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("nw"),
+    )
+    return normalized.groupBy("year", "entity").agg(
+        F.sum("nw").alias("weight")
+    )
+
+
+def column_normalize(
+    year_vectors: DataFrame,
+    year_col: str = "year",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Each year's weights sum to 1 (D14,
+    /root/reference/analyze_subject_vector_by_year.py:273-280)."""
+    w = Window.partitionBy(year_col)
+    total = F.sum(weight_col).over(w)
+    return year_vectors.withColumn(
+        "share",
+        F.when(total > 0.0, F.col(weight_col) / total).otherwise(F.lit(0.0)),
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_col: str | None = None,
+    ascending: bool = False,
+) -> DataFrame:
+    """row_number window + rank filter (E1/E2/E3).
+
+    Parity: /root/reference/report_top_affiliations_by_affiliation_type.py:
+    102-122 (ORDER BY score DESC, text ASC).  Catalyst's
+    InferWindowGroupLimit turns the rank-filter into per-partition top-k.
+    """
+    order = [
+        F.asc(order_col) if ascending else F.desc(order_col),
+    ]
+    if tiebreak_col is not None:
+        order.append(F.asc(tiebreak_col))
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def copublishing_matrix(
+    author_vectors: DataFrame,
+    doc_col: str = "doc_id",
+    author_col: str = "author",
+    entity_col: str = "entity",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Pairwise author-type co-publishing weights without enumerating pairs
+    (D6/D7).
+
+    Preserves the reference's algebraic identity
+    M += (Σv)(Σv)ᵀ − Σ vvᵀ over authors within a doc
+    (/root/reference/analyze_affiliation_type_copublishing.py:109-120) —
+    the O(a·k) rewrite Catalyst would never find on its own:
+
+      sum-term  : S[doc, e]   = Σ_authors v[e]
+      diag-term : Q[doc,e,e'] = Σ_authors v[e]·v[e']
+      result    : M[e, e']    = Σ_docs ( S[e]·S[e'] − Q[e,e'] )
+
+    Expressed as two joins on the (small) per-doc marginals — no a² blowup.
+    """
+    # per-(doc, author, entity) weights assumed pre-aggregated
+    per_author = author_vectors.groupBy(doc_col, author_col, entity_col).agg(
+        F.sum(weight_col).alias("w")
+    )
+    # S[doc, e]
+    doc_sums = per_author.groupBy(doc_col, entity_col).agg(
+        F.sum("w").alias("s")
+    )
+    # S·Sᵀ per doc
+    ssq = (
+        doc_sums.alias("x")
+        .join(doc_sums.alias("y"), doc_col)
+        .select(
+            F.col(f"x.{entity_col}").alias("ea"),
+            F.col(f"y.{entity_col}").alias("eb"),
+            (F.col("x.s") * F.col("y.s")).alias("prod"),
+        )
+    )
+    # Σ vvᵀ per doc (join within author)
+    vvt = (
+        per_author.alias("x")
+        .join(per_author.alias("y"), [doc_col, author_col])
+        .select(
+            F.col(f"x.{entity_col}").alias("ea"),
+            F.col(f"y.{entity_col}").alias("eb"),
+            (F.col("x.w") * F.col("y.w")).alias("prod"),
+        )
+    )
+    plus = ssq.groupBy("ea", "eb").agg(F.sum("prod").alias("p"))
+    minus = vvt.groupBy("ea", "eb").agg(F.sum("prod").alias("q"))
+    return (
+        plus.join(minus, ["ea", "eb"], "left")
+        .select(
+            "ea",
+            "eb",
+            (F.col("p") - F.coalesce(F.col("q"), F.lit(0.0))).alias("weight"),
+        )
+    )
+
+
+def cumulative_by_year(
+    counts: DataFrame, year_col: str = "year", value_col: str = "n"
+) -> DataFrame:
+    """Running total over years (I7,
+    /root/reference/plot_publication_geography_figures.py:243)."""
+    w = Window.orderBy(year_col).rowsBetween(Window.unboundedPreceding, 0)
+    return counts.withColumn("cumulative", F.sum(value_col).over(w))

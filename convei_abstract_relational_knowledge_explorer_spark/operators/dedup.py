@@ -1,0 +1,334 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup
+— each expressed as declarative DataFrame plans designed for the 100 TB
+shape (hash-partitioned groupBys, band-bucketed self-joins instead of
+O(n²) cross joins).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# ---------------------------------------------------------------------------
+# exact dedup — normalize → hash → groupBy
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (after H1 normalization) documents.
+
+    One shuffle on the 128-bit fingerprint; at 10^12 docs the fingerprint
+    groupBy is the canonical map-side-combine pattern.
+    """
+    fp = F.md5(
+        F.expr(
+            f"array_join(regexp_extract_all(lower({text_col}),"
+            f" '[a-z0-9]+(?:-[a-z0-9]+)*', 0), ' ')"
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             k: int = 3) -> DataFrame:
+    """(doc_id, shingle) word k-shingles over H1 tokens, JVM-native."""
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+(?:-[a-z0-9]+)*', 0)"
+    )
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(_toks, i, {k}))))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select("doc_id", F.explode(grams).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — min over per-seed xxhash64 of shingles.
+
+    All JVM: one projection computing ``num_hashes`` seeded hashes, one
+    groupBy(doc) with array-wise min aggregation.
+    """
+    hashes = F.array(
+        *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
+    )
+    return (
+        shingle_df.select("doc_id", hashes.alias("hs"))
+        .groupBy("doc_id")
+        .agg(
+            F.array(
+                *[F.min(F.element_at("hs", i + 1)) for i in range(num_hashes)]
+            ).alias("sig")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: equal band-slice → candidate pair (a < b).
+
+    The self-join is keyed on (band, band_hash) — a proper equi shuffle
+    join, never a cross join; ~n·bands rows shuffle.
+    """
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate pairs verified by exact Jaccard over shingle sets.
+
+    verify-join: candidates ⋈ shingles (both sides) → intersection size via
+    groupBy; union size from per-doc counts; no full pairwise pass.
+    """
+    sh = shingles(docs, id_col, text_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+
+    # intersection size: candidates joined with both shingle sides on the
+    # shingle value — two equi joins, one groupBy
+    inter = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingle")
+            ),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """(doc_id, simhash: long) — sign of per-bit weighted sums of token hashes.
+
+    JVM-native: explode tokens, per-bit ±1 contributions from xxhash64 bit
+    tests, groupBy(doc) sums, reassemble the sign bits.
+    """
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+(?:-[a-z0-9]+)*', 0)"
+    )
+    tok_df = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+    h = F.xxhash64("tok")
+    contribs = tok_df.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    sums = contribs.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)]
+    )
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks.
+
+    Pigeonhole: distance <= 3 ⇒ at least one of four 16-bit chunks equal —
+    the self-join is keyed on (chunk_index, chunk_value), never O(n²).
+    """
+    sigs = simhash(docs, id_col, text_col)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("ci"),
+                        F.shiftright("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.ci", "ch.cv")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Cosine near-dup via random-hyperplane LSH bucketing + in-bucket verify.
+
+    Sign-of-projection buckets (deterministic hyperplanes from xxhash64 of
+    (dim index, plane index)) make the self-join an equi join; exact cosine
+    verifies candidates.  The brute-force fallback lives in
+    operators/similarity.py.
+    """
+    # deterministic pseudo-hyperplanes: sign pattern from xxhash64(i, p)
+    planes = int(n_buckets).bit_length() - 1 if n_buckets > 1 else 1
+    proj = []
+    for p in range(planes):
+        # projection_p = sum_i vec[i] * sign(hash(i, p))
+        proj.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.expr(
+                        f"transform(sequence(0, size({vec_col}) - 1),"
+                        f" i -> if(pmod(xxhash64(i, {p}), 2) = 0, 1.0D, -1.0D))"
+                    ),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    bucket = None
+    for p, pr in enumerate(proj):
+        bit = F.when(pr >= 0, F.lit(1)).otherwise(F.lit(0))
+        term = F.shiftleft(bit.cast("long"), p)
+        bucket = term if bucket is None else bucket + term
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        bucket.alias("bucket"),
+        norm.alias("norm"),
+    ).filter(F.col("norm") > 0)
+
+    a, b = vecs.alias("a"), vecs.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.vec"), F.col("b.vec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

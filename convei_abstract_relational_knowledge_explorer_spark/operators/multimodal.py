@@ -1,0 +1,113 @@
+"""Multimodal column plumbing — binary payloads with typed metadata.
+
+Images/audio/video ride as opaque ``binary`` columns plus a metadata
+struct.  The *Spark-side* plumbing (schema, partition sizing, Arrow batch
+shape, UDF signatures) is real and tested; the codec step is stubbed
+behind deterministic fakes because no media libraries exist in this
+container (clearly marked below).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+)
+
+
+def synthetic_media(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for i in batch["id"]:
+                i = int(i)
+                payload = hashlib.sha256(f"media:{i}".encode()).digest() * 8
+                kind = ["image", "audio", "video"][i % 3]
+                rows.append(
+                    (
+                        i,
+                        kind,
+                        payload,
+                        (64 + i % 512, 64 + (i * 7) % 512, 1000 + i % 60000,
+                         "fake/v1"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+_FEATURE_SCHEMA = "media_id long, feature array<float>, n_bytes int"
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction.
+
+    STUB: a real deployment would decode payload bytes with PIL/ffmpeg
+    here.  Those libraries are not in this container, so the "decoder" is
+    a deterministic byte-histogram — the batch shape, schema, and
+    memory profile match the real thing.
+    """
+    import numpy as np
+
+    for batch in batches:
+        feats = []
+        sizes = []
+        for payload in batch["payload"]:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            hist = np.bincount(arr % 16, minlength=16).astype("float32")
+            total = hist.sum()
+            feats.append((hist / total if total else hist).tolist())
+            sizes.append(len(payload))
+        yield pd.DataFrame(
+            {
+                "media_id": batch["media_id"],
+                "feature": feats,
+                "n_bytes": sizes,
+            }
+        )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """media → (media_id, feature: array<float>, n_bytes)."""
+    return media.select("media_id", "payload").mapInPandas(
+        _feature_batches, schema=_FEATURE_SCHEMA
+    )
+
+
+def decode_image(_payload: bytes):
+    """Real image decode — requires PIL, absent in this container."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv, not available in this sandbox; "
+        "extract_features uses a deterministic fake decoder instead"
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """(media_id, frame_ts_ms) sampling plan from metadata only (no decode).
+
+    JVM-native: sequence() over the duration — shows how frame fan-out
+    partitions before any decoder runs.
+    """
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms)
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

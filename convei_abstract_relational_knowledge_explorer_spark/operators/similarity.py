@@ -1,0 +1,208 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k (the exactness baseline; crossJoin(broadcast)
+  + TakeOrderedAndProject — the Spark shape of the reference's single-probe
+  scan, /root/reference/multitopic_tracer.py:42-108)
+- IVF-style bucketed ANN (deterministic seed centroids; probe only the
+  closest cells — the scale path)
+- all-pairs kNN graph via bucketed join (the J6 FAISS-kNN substitute,
+  /root/reference/topic_analysis.py:97-140)
+
+Norms are computed once per vector in a narrow projection and zero-norm
+vectors filtered up front (cosine undefined) — cheaper and ANSI-safe.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v):
+    return F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def _normed(df: DataFrame, id_col: str, vec_col: str, id_out: str) -> DataFrame:
+    """(id_out, vec, norm) with zero-norm rows dropped."""
+    return df.select(
+        F.col(id_col).alias(id_out),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("norm"),
+    ).filter(F.col("norm") > 0)
+
+
+def brute_force_top_k(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k for each query row.
+
+    ``crossJoin(broadcast(query))`` + window top-k.  With a single query
+    Catalyst compiles the tail to TakeOrderedAndProject; with a query batch
+    the window-rank filter becomes per-group top-k (InferWindowGroupLimit).
+    """
+    target = _normed(embeddings, id_col, vec_col, "vec_id")
+    probes = _normed(query, query_id_col, vec_col, "query_id").select(
+        "query_id", F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    scored = target.crossJoin(F.broadcast(probes)).select(
+        "query_id",
+        "vec_id",
+        (
+            _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic seed centroids + one assignment pass.
+
+    Centroids = the ``n_cells`` vectors with smallest xxhash64(id) —
+    deterministic, no RNG, no iteration.  Returns
+    (centroids(cell, cvec, cnorm), assignments(vec_id, cell)).
+    """
+    vecs = _normed(embeddings, id_col, vec_col, "vec_id")
+    seeds = (
+        vecs.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h")
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy("h")).alias("cell"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+    sim = vecs.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cell",
+        (_dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm"))).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    assign = (
+        sim.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cell")
+    )
+    return seeds, assign
+
+
+def ivf_top_k(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: probe only the n_probe closest IVF cells per query.
+
+    The scan side shrinks by ~n_probe/n_cells; the join is equi on cell —
+    the 100 TB path where brute force is off the table.
+    """
+    seeds, assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    vecs = _normed(embeddings, id_col, vec_col, "vec_id").join(assign, "vec_id")
+
+    probes = _normed(query, query_id_col, vec_col, "query_id").select(
+        "query_id", F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    qcells = probes.crossJoin(F.broadcast(seeds)).select(
+        "query_id",
+        "qvec",
+        "qnorm",
+        "cell",
+        (
+            _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
+        ).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+    probe_cells = (
+        qcells.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "qvec", "qnorm", "cell")
+    )
+
+    scored = vecs.join(probe_cells, "cell").select(
+        "query_id",
+        "vec_id",
+        (
+            _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs kNN edge list (src < dst, weight = cosine).
+
+    The J6 substitute: vectors meet only within their IVF cell (the cell is
+    the equi join key), then per-node window top-k; edges deduped with
+    src < dst like the reference's edge buffer
+    (/root/reference/topic_analysis.py:124-131).
+    """
+    _, assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    vecs = _normed(embeddings, id_col, vec_col, "vec_id").join(assign, "vec_id")
+    a, b = vecs.alias("a"), vecs.alias("b")
+    sim = (
+        a.join(b, "cell")
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            (
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("weight"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
+    knn = sim.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    return (
+        knn.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("weight").alias("weight"))
+    )

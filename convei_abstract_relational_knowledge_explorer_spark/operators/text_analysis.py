@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (n-gram heuristic), quality scoring, token counting, and
+rolling-hash document fingerprinting — all JVM-native column expressions
+(whole-stage codegen; no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import _dictdata as D
+
+TOKEN_PATTERN = "[a-z0-9]+(?:-[a-z0-9]+)*"
+
+# Tiny per-language stopword marker sets for the n-gram/marker heuristic.
+# Public common function words; en list intersects the reference's
+# STOPWORDS (/root/reference/topic_discovery_pipeline.py:92-334).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "this"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "für", "ein", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "avec", "pour", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "con", "para", "una", "por"],
+}
+
+
+def _tokens(text_col: str):
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len, n_distinct_tokens)."""
+    toks = _tokens(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("avg_token_len"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def language_scores(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, lang_score) — marker-token voting heuristic."""
+    toks = _tokens(text_col)
+    score_cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(
+            F.filter(toks, lambda t: F.array_contains(marker_arr, t))
+        )
+        score_cols.append(
+            F.struct(
+                (hits / F.greatest(F.size(toks), F.lit(1)))
+                .cast("double")
+                .alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*score_cols))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        best["lang"].alias("lang_pred"),
+        F.round(best["score"], 6).alias("lang_score"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, stopword_ratio, punct_ratio, mean_line_len, quality).
+
+    The classic web-text quality trio: stopword density (signal of real
+    prose), punctuation density, and line-length shape.
+    """
+    toks = _tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in sorted(D.STOPWORDS)[:120]])
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_toks
+    )
+    n_chars = F.greatest(F.length(text_col), F.lit(1))
+    punct_ratio = (
+        F.length(F.regexp_replace(text_col, "[^.,;:!?]", "")) / n_chars
+    )
+    lines = F.split(F.col(text_col), "\n")
+    mean_line_len = n_chars / F.greatest(F.size(lines), F.lit(1))
+    quality = (
+        F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.5
+        + F.when((punct_ratio > 0.001) & (punct_ratio < 0.1), 0.3).otherwise(0.0)
+        + F.when(mean_line_len > 40, 0.2).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(mean_line_len, 6).alias("mean_line_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def rolling_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", window: int = 8) -> DataFrame:
+    """(doc_id, fingerprint) — min-sampled rolling window hash over tokens.
+
+    Winnowing-style: hash every ``window``-token run, keep the minimum —
+    robust to small edits, all JVM.
+    """
+    toks = _tokens(text_col)
+    runs = F.expr(
+        f"transform(sequence(1, greatest(size(_t) - {window - 1}, 1)),"
+        f" i -> xxhash64(concat_ws(' ', slice(_t, i, {window}))))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select("doc_id", F.array_min(runs).alias("fingerprint"))
+    )

@@ -1,0 +1,138 @@
+"""Topic mining — deterministic TF-IDF n-gram substitute for YAKE (J3).
+
+The reference mines topics with YAKE + heuristic filters
+(/root/reference/topic_discovery_pipeline.py:491-540).  yake is not
+available here, so per the north_star we substitute a deterministic
+TF-IDF + n-gram miner while keeping the reference's *filter semantics*
+byte-parity (BAD_START / BAD_VERB / STOPWORDS / corpus-generic /
+truncated-head, all golden-tested in tests/test_kernels.py):
+
+  1. tokenize JVM-side with the H1 grammar (regexp_extract_all — stays in
+     whole-stage codegen),
+  2. document-frequency legs (D8,
+     /root/reference/topic_discovery_pipeline.py:353-390) as groupBy aggs,
+  3. candidate phrases = contiguous 1..3-grams via sequence/transform
+     (pure SQL, no Python),
+  4. score = tf * idf, idf = ln(n_docs / df); top-k per doc by window.
+
+Everything is one declarative plan — two shuffles (phrase DF agg, final
+top-k window), both keyed well for 1000-executor scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+from ..functions import _dictdata as D
+
+TOKEN_PATTERN = "[a-z0-9]+(?:-[a-z0-9]+)*"
+
+
+def tokens_col(text_col: str):
+    """JVM-side H1 tokenization (parity: clean_text token grammar)."""
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+
+
+def generic_terms(docs: DataFrame, text_col: str = "abstract",
+                  df_threshold: float = 0.15, min_token_len: int = 2) -> DataFrame:
+    """Corpus-generic tokens by document frequency (D8 legs).
+
+    Parity: /root/reference/topic_discovery_pipeline.py:353-390 — distinct
+    tokens per doc, count docs per token, keep count >= threshold * n_docs.
+    """
+    toks = docs.select(
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("token")
+    ).filter(F.length("token") >= min_token_len)
+    df_counts = toks.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    return df_counts.filter(F.col("df") >= df_threshold * n_docs)
+
+
+def candidate_phrases(docs: DataFrame, text_col: str = "abstract",
+                      max_n: int = 3) -> DataFrame:
+    """(doc_id, phrase, n_tokens) for contiguous 1..max_n-grams, SQL-native."""
+    base = docs.select("doc_id", tokens_col(text_col).alias("toks"))
+    grams = [
+        F.expr(
+            f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),"
+            f" i -> concat_ws(' ', slice(toks, i, {n})))"
+        ).alias(f"g{n}")
+        for n in range(1, max_n + 1)
+    ]
+    return (
+        base.select("doc_id", F.explode(F.flatten(F.array(*grams))).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+
+
+def mine_topics(
+    docs: DataFrame,
+    text_col: str = "abstract",
+    top_k: int = 8,
+    df_threshold: float = 0.15,
+) -> DataFrame:
+    """documents → (doc_id, topic, score) HAS_TOPIC candidates."""
+    phrases = candidate_phrases(docs, text_col)
+
+    # ---- reference filter heuristics, expressed as JVM predicates --------
+    toks = F.split(F.col("phrase"), " ")
+    first_tok, last_tok = F.element_at(toks, 1), F.element_at(toks, -1)
+    stop_lit = F.array(*[F.lit(s) for s in sorted(D.STOPWORDS)])
+    bad_start = F.array(*[F.lit(s) for s in sorted(D.BAD_START)])
+    bad_verb = F.array(*[F.lit(s) for s in sorted(D.BAD_VERB)])
+    trunc = F.array(*[F.lit(s) for s in sorted(D.TRUNC_HEADS)])
+
+    filtered = phrases.filter(
+        ~F.array_contains(bad_start, first_tok)
+        & ~F.array_contains(bad_verb, last_tok)
+        & ~F.arrays_overlap(toks, stop_lit)
+        # truncated head phrase: <=3 tokens ending in a TRUNC_HEADS word
+        & ~((F.size(toks) <= 3) & F.array_contains(trunc, last_tok))
+        & (F.length("phrase") >= 3)
+    )
+
+    # ---- tf / df / idf ----------------------------------------------------
+    tf = filtered.groupBy("doc_id", "phrase").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("phrase").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+
+    # drop corpus-generic phrases (all-token-generic rule approximated at
+    # phrase granularity: a phrase seen in >= threshold of docs is generic)
+    scored = (
+        tf.join(df_counts, "phrase")
+        .filter(F.col("df") < df_threshold * n_docs)
+        .select(
+            "doc_id",
+            F.col("phrase").alias("topic"),
+            (
+                F.col("tf")
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+                # prefer multi-word phrases, like YAKE's n-gram bias
+                * F.sqrt(F.size(F.split(F.col("phrase"), " ")).cast("double"))
+            ).alias("score"),
+        )
+    )
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("topic"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .drop("rank")
+    )
+
+
+def topic_triples(docs: DataFrame, topics: DataFrame) -> DataFrame:
+    """(subj=url, HAS_TOPIC, obj=topic) with provenance columns."""
+    keys = docs.select("doc_id", "url", "year")
+    return topics.join(keys, "doc_id").select(
+        F.col("url").alias("subj"),
+        F.lit("HAS_TOPIC").alias("pred"),
+        F.col("topic").alias("obj"),
+        "doc_id",
+        F.col("topic").alias("surface"),
+        F.lit("tfidf-ngram").alias("method"),
+        F.lit(None).cast("string").alias("author"),
+        "year",
+    )

@@ -1,0 +1,202 @@
+"""End-to-end KG pipeline: web_pages → documents → triples → nodes/edges.
+
+Stage graph (SURVEY.md §7.1), each stage materialized as parquet (the
+sandbox stand-in for Iceberg tables — same layout levers: partition by
+entity_type/year, bucket-ready canonical ids) and checkpointed in a
+``_progress`` table so a killed run resumes per-stage (the Spark analog of
+the reference's process-where-NULL idiom, SURVEY.md §2.B3/C2).
+
+Metrics: every stage appends (stage, rows_out, seconds) to ``_metrics`` —
+the reference's printed counters
+(/root/reference/populate_author_locations.py:407-410) as a table.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.components import components_with_singletons
+from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+from ..operators.extract import extract_documents
+from ..operators.topics import mine_topics, topic_triples
+from ..operators.triples import emit_triples
+
+STAGES = ("documents", "triples", "topics", "nodes", "edges")
+
+
+class Checkpointer:
+    """Per-stage parquet checkpoints with a JSON progress ledger."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.out = Path(out_dir)
+        self.out.mkdir(parents=True, exist_ok=True)
+        self.progress_path = self.out / "_progress.json"
+        self.metrics_path = self.out / "_metrics.json"
+        self.progress = (
+            json.loads(self.progress_path.read_text())
+            if self.progress_path.exists()
+            else {}
+        )
+        self.metrics = (
+            json.loads(self.metrics_path.read_text())
+            if self.metrics_path.exists()
+            else []
+        )
+
+    def done(self, stage: str) -> bool:
+        path = self.out / stage
+        return (
+            self.progress.get(stage, {}).get("status") == "complete"
+            and (path / "_SUCCESS").exists()
+        )
+
+    def load(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(str(self.out / stage))
+
+    def run(self, stage: str, build, partition_by: list[str] | None = None) -> DataFrame:
+        """Build + materialize a stage unless already complete (resume)."""
+        if self.done(stage):
+            return self.load(stage)
+        start = time.time()
+        df = build()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(self.out / stage))
+        out_df = self.load(stage)
+        rows = out_df.count()
+        seconds = time.time() - start
+        self.progress[stage] = {"status": "complete", "rows": rows}
+        self.metrics.append(
+            {"stage": stage, "rows_out": rows, "seconds": round(seconds, 3)}
+        )
+        self.progress_path.write_text(json.dumps(self.progress, indent=1))
+        self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
+        return out_df
+
+
+def canonicalize_entities(spark: SparkSession, triples: DataFrame) -> DataFrame:
+    """Merge duplicate entity surfaces → canonical nodes (stage 4+5).
+
+    1. blocking key = normalized surface (broadcast-dictionary alias
+       resolution already happened inside the cascade),
+    2. MinHash-LSH candidate pairs over entity-name shingles (catches
+       near-identical topic phrases),
+    3. connected components over the union of exact-normalized and LSH
+       edges → canonical_id = min member id.
+
+    Returns (entity_type, name, entity_id, canonical_id).
+    """
+    entities = (
+        triples.select(
+            F.col("pred").alias("entity_type"), F.col("obj").alias("name")
+        )
+        .distinct()
+        .withColumn("entity_id", F.xxhash64("entity_type", "name"))
+    )
+
+    # exact-normalized edges: same (type, normalized name) → pair.
+    # JVM expression (not the Python kernel): blocking only needs a
+    # deterministic key, and lower() == casefold() on entity names here.
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("name"), "[^a-z0-9]+", " "), "\\s+", " "
+        )
+    )
+    normed = entities.withColumn("norm", norm)
+    exact_pairs = (
+        normed.alias("a")
+        .join(normed.alias("b"), ["entity_type", "norm"])
+        .filter(F.col("a.entity_id") < F.col("b.entity_id"))
+        .select(
+            F.col("a.entity_id").alias("src"), F.col("b.entity_id").alias("dst")
+        )
+    )
+
+    # LSH near-dup edges over topic-like names (3+ tokens)
+    topicish = entities.filter(F.size(F.split("name", " ")) >= 3)
+    near_pairs = spark.createDataFrame([], "src long, dst long")
+    if topicish.limit(1).count() > 0:
+        sh = shingles(
+            topicish.select(F.col("entity_id").alias("doc_id"), "name"),
+            id_col="doc_id",
+            text_col="name",
+            k=2,
+        )
+        sigs = minhash_signatures(sh, num_hashes=16)
+        near_pairs = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+
+    cc = components_with_singletons(
+        entities.select(F.col("entity_id").alias("node")),
+        exact_pairs.unionByName(near_pairs),
+    )
+    return entities.join(
+        cc, entities.entity_id == cc.node, "left"
+    ).select(
+        "entity_type",
+        "name",
+        "entity_id",
+        F.coalesce("component", "entity_id").alias("canonical_id"),
+    )
+
+
+def build_graph(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    with_topics: bool = True,
+) -> dict[str, DataFrame]:
+    """Run all stages with per-stage checkpointing; returns the tables."""
+    ck = Checkpointer(spark, out_dir)
+
+    docs = ck.run(
+        "documents", lambda: extract_documents(pages), partition_by=["year"]
+    )
+    triples = ck.run("triples", lambda: emit_triples(spark, docs))
+    if with_topics:
+        topics = ck.run(
+            "topics",
+            lambda: topic_triples(docs, mine_topics(docs)),
+        )
+        all_triples = triples.unionByName(topics)
+    else:
+        all_triples = triples
+
+    nodes = ck.run(
+        "nodes",
+        lambda: canonicalize_entities(spark, all_triples),
+        partition_by=["entity_type"],
+    )
+
+    def build_edges() -> DataFrame:
+        ent = nodes.select(
+            F.col("entity_type").alias("pred"),
+            F.col("name").alias("obj"),
+            "canonical_id",
+        )
+        return (
+            all_triples.join(ent, ["pred", "obj"])
+            .groupBy("pred", "canonical_id")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count("*").alias("n_mentions"),
+                F.sort_array(F.collect_set("year")).alias("years"),
+            )
+        )
+
+    edges = ck.run("edges", build_edges, partition_by=["pred"])
+
+    return {
+        "documents": docs,
+        "triples": all_triples,
+        "nodes": nodes,
+        "edges": edges,
+    }

@@ -1,0 +1,279 @@
+"""Operator correctness tests (local Spark, deterministic inputs)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from convei_abstract_relational_knowledge_explorer_spark.operators import (
+    analytics,
+    components,
+    dedup,
+    similarity,
+    text_analysis,
+)
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7), (8, 9), (9, 10), (10, 8)],
+        "src long, dst long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in components.connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (5, 5), (6, 5),
+        (8, 8), (9, 8), (10, 8),
+    }
+
+
+def test_connected_components_long_chain(spark):
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    got = components.connected_components(edges).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert {r["node"] for r in got} == set(range(0, n + 1))
+
+
+def test_components_with_singletons(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    edges = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    got = {
+        (r["node"], r["component"])
+        for r in components.components_with_singletons(nodes, edges).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 2), (3, 2), (4, 4), (5, 5)}
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence / year vectors / top-k
+# ---------------------------------------------------------------------------
+
+
+def test_cooccurrence_upper_triangular(spark):
+    edges = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "c"), (3, "a")],
+        "doc_id long, obj string",
+    )
+    got = {
+        (r["ea"], r["eb"]): r["n_docs"]
+        for r in analytics.cooccurrence_pairs(edges).collect()
+    }
+    assert got == {
+        ("a", "a"): 3,
+        ("a", "b"): 2,
+        ("a", "c"): 1,
+        ("b", "b"): 2,
+        ("b", "c"): 1,
+        ("c", "c"): 1,
+    }
+
+
+def test_year_vectors_power_normalize(spark):
+    rows = [
+        (1, 2020, "x", 1.0),
+        (1, 2020, "y", 1.0),
+        (2, 2020, "x", -0.5),  # all-clipped doc contributes zeros
+        (3, 2021, "y", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, year int, entity string, weight double")
+    got = {
+        (r["year"], r["entity"]): r["weight"]
+        for r in analytics.year_entity_vectors(df).collect()
+    }
+    assert got[(2020, "x")] == pytest.approx(0.5)
+    assert got[(2020, "y")] == pytest.approx(0.5)
+    assert got[(2021, "y")] == pytest.approx(1.0)
+    # doc 2: clipped to zero -> contributes 0 (reference zero-vector case)
+    assert sum(v for (y, _), v in got.items() if y == 2020) == pytest.approx(1.0)
+
+
+def test_top_k_per_group(spark):
+    rows = [("g1", "a", 3.0), ("g1", "b", 2.0), ("g1", "c", 1.0), ("g2", "d", 9.0)]
+    df = spark.createDataFrame(rows, "grp string, item string, score double")
+    got = analytics.top_k_per_group(df, ["grp"], "score", 2, "item").collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], []).append((r["rank"], r["item"]))
+    assert sorted(by_grp["g1"]) == [(1, "a"), (2, "b")]
+    assert sorted(by_grp["g2"]) == [(1, "d")]
+
+
+def test_copublishing_outer_product_identity(spark):
+    # doc 1: authors u (x:1), v (x:1, y:2)
+    rows = [
+        (1, "u", "x", 1.0),
+        (1, "v", "x", 1.0),
+        (1, "v", "y", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, author string, entity string, weight double"
+    )
+    got = {
+        (r["ea"], r["eb"]): r["weight"]
+        for r in analytics.copublishing_matrix(df).collect()
+    }
+    # S = [x:2, y:2]; SSt = [[4,4],[4,4]]; sum vvt = u:[[1,0],[0,0]] +
+    # v:[[1,2],[2,4]] => M = [[2,2],[2,0]]
+    assert got[("x", "x")] == pytest.approx(2.0)
+    assert got[("x", "y")] == pytest.approx(2.0)
+    assert got[("y", "x")] == pytest.approx(2.0)
+    assert got[("y", "y")] == pytest.approx(0.0)
+
+
+def test_cumulative_by_year(spark):
+    df = spark.createDataFrame(
+        [(2019, 5), (2020, 3), (2021, 2)], "year int, n int"
+    )
+    got = {r["year"]: r["cumulative"] for r in analytics.cumulative_by_year(df).collect()}
+    assert got == {2019: 5, 2020: 8, 2021: 10}
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def _doc_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_duplicates(spark):
+    docs = _doc_df(
+        spark,
+        ["Hello World!", "hello,   world", "different text", "HELLO WORLD"],
+    )
+    got = dedup.exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0]["members"] == [0, 1, 3]
+    assert got[0]["keeper"] == 0
+
+
+def test_minhash_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("lazy", "sleepy")
+    far = "completely unrelated content about spark dataframes and shuffles"
+    docs = _doc_df(spark, [base, near, far])
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_simhash_near_duplicates(spark):
+    base = " ".join(f"token{i}" for i in range(60))
+    near = base.replace("token5 ", "token5x ")
+    far = " ".join(f"other{i}" for i in range(60))
+    docs = _doc_df(spark, [base, near, far])
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=6).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_duplicates(df, threshold=0.99).collect()
+    }
+    assert got == {(0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def test_brute_force_top_k(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.05, 0.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    got = similarity.brute_force_top_k(emb, q, k=2).collect()
+    assert [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])] == [0, 1]
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, rows[17][1])], "query_id long, embedding array<float>"
+    )
+    exact = {r["vec_id"] for r in similarity.brute_force_top_k(emb, q, k=5).collect()}
+    approx = {
+        r["vec_id"]
+        for r in similarity.ivf_top_k(emb, q, k=5, n_cells=8, n_probe=4).collect()
+    }
+    assert 17 in approx  # the identical vector must be found
+    assert len(exact & approx) >= 2  # reasonable recall on a tiny set
+
+
+def test_knn_graph_shape(spark):
+    rows = [(i, [float((i >> j) & 1) for j in range(6)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    edges = similarity.knn_graph(emb, k=3, n_cells=4).collect()
+    assert len(edges) > 0
+    assert all(r["src"] < r["dst"] for r in edges)
+    assert all(-1.0001 <= r["weight"] <= 1.0001 for r in edges)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_token_stats_and_quality(spark):
+    docs = _doc_df(spark, ["The quick brown fox. It runs!", ""])
+    stats = {r["doc_id"]: r for r in text_analysis.token_stats(docs).collect()}
+    assert stats[0]["n_tokens"] == 6
+    assert stats[1]["n_tokens"] == 0
+    q = {r["doc_id"]: r for r in text_analysis.quality_scores(docs).collect()}
+    assert 0.0 <= q[0]["quality"] <= 1.0
+    assert q[0]["stopword_ratio"] > 0
+
+
+def test_language_scores(spark):
+    docs = _doc_df(
+        spark,
+        [
+            "the cat and the dog went to the park with a ball",
+            "der Hund und die Katze sind nicht mit der Maus",
+        ],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in text_analysis.language_scores(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+
+
+def test_rolling_fingerprints_stable(spark):
+    docs = _doc_df(spark, ["alpha beta gamma delta " * 5, "alpha beta gamma delta " * 5])
+    got = [r["fingerprint"] for r in text_analysis.rolling_fingerprints(docs).collect()]
+    assert got[0] == got[1]
