@@ -1,0 +1,91 @@
+"""Pre-flight of the driver's correctness gate: every queries() entry runs
+at sf0.01 and, when an oracle exists, matches DuckDB on row count, column
+names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(value):
+    if value is None:
+        return None
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan"
+        return round(value, 4)
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, int):
+        return value
+    return str(value)
+
+
+def _rowset(cols, rows):
+    return sorted(
+        tuple(_canon(row[c]) for c in cols) for row in rows
+    )
+
+
+QUERIES = sorted(entrymod.queries().items())
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name,fn", QUERIES, ids=[n for n, _ in QUERIES])
+def test_query_against_oracle(spark, name, fn):
+    sdf = fn(spark, SF_DIR)
+    spark_rows = [r.asDict() for r in sdf.collect()]
+    assert spark_rows is not None  # query executes
+
+    sql = ORACLES.get(name)
+    if sql is None:
+        assert len(spark_rows) >= 0
+        return
+
+    con = _duck()
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    duck_rows = [dict(zip(cols, row)) for row in res.fetchall()]
+
+    assert sorted(cols) == sorted(sdf.columns), (
+        f"{name}: column mismatch spark={sorted(sdf.columns)} duck={sorted(cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rowcount spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    key_cols = sorted(cols)
+    sset = _rowset(key_cols, spark_rows)
+    dset = _rowset(key_cols, duck_rows)
+    if sset != dset:
+        diff = [
+            (a, b) for a, b in zip(sset, dset) if a != b
+        ][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["ea", "eb", "n_docs"]
