@@ -1,0 +1,128 @@
+"""Benchmark harness — headline queries + KG pipeline throughput.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys (informational): docs_per_hour for the end-to-end KG pipeline
+over a synthetic web_pages corpus, per-query seconds.
+
+Scaling evidence (north_rule): run `python bench.py --scaling` to execute
+the same pipeline at local[8] and local[32] and report throughput at both
+plus efficiency; results land in BENCH/BASELINE.md via tools/run_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+
+def _build_spark(cpus: int):
+    from convei_abstract_relational_knowledge_explorer_spark.session import (
+        get_spark,
+    )
+
+    return get_spark(
+        app_name=f"convei-bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        start = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - start, 3)
+        _ = n
+    return timings
+
+
+def run_pipeline(spark, n_docs: int) -> dict[str, float]:
+    """End-to-end KG build on a generated corpus; returns docs/hour."""
+    import shutil
+    import tempfile
+
+    from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
+        build_graph,
+    )
+    from convei_abstract_relational_knowledge_explorer_spark.sources.synthetic import (
+        web_pages,
+    )
+
+    out = tempfile.mkdtemp(prefix="convei_bench_")
+    try:
+        pages = web_pages(spark, n_docs)
+        start = time.time()
+        tables = build_graph(spark, pages, out, with_topics=True)
+        n_triples = tables["triples"].count()
+        seconds = time.time() - start
+        return {
+            "pipeline_seconds": round(seconds, 3),
+            "docs_per_hour": round(n_docs / seconds * 3600.0, 1),
+            "n_triples": n_triples,
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for n in (8, 32):
+            spark = _build_spark(n)
+            results[n] = run_pipeline(spark, N_BENCH_DOCS)
+            spark.stop()
+        eff = (
+            results[32]["docs_per_hour"] / results[8]["docs_per_hour"]
+        ) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_8_to_32",
+                    "value": round(eff, 4),
+                    "unit": "ratio",
+                    "docs_per_hour": {
+                        str(k): v["docs_per_hour"] for k, v in results.items()
+                    },
+                    "n_docs": N_BENCH_DOCS,
+                }
+            )
+        )
+        return
+
+    spark = _build_spark(cpus)
+    t0 = time.time()
+    timings = run_queries(spark, sf_dir)
+    pipe = run_pipeline(spark, N_BENCH_DOCS)
+    total = round(time.time() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pipeline": pipe,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 
 from ..functions.textkernels import extract_text_from_html
 
-EXTRACT_SCHEMA = "url string, text string"
+EXTRACT_SCHEMA = "url string, warc_ts timestamp, lang string, text string"
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -38,23 +38,30 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             text.loc[missing] = batch.loc[missing, "html"].map(
                 extract_text_from_html
             )
-        yield pd.DataFrame({"url": batch["url"], "text": text})
+        yield pd.DataFrame(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "lang": batch["lang"],
+                "text": text,
+            }
+        )
 
 
 def extract_documents(web_pages: DataFrame, lang: str | None = None) -> DataFrame:
-    """web_pages → documents.  Pure DataFrame plan; no driver-side loops."""
+    """web_pages → documents.  Pure DataFrame plan; no driver-side loops.
+
+    The metadata columns ride through the Arrow UDF so the html bytes are
+    dropped inside the extraction pass — no re-join, no shuffle, and the
+    same plan runs unmodified on a streaming DataFrame.
+    """
     pages = web_pages
     if lang is not None:
         pages = pages.filter(F.col("lang") == lang)
 
-    extracted = pages.select("url", "html", "text").mapInPandas(
+    docs = pages.select("url", "warc_ts", "lang", "html", "text").mapInPandas(
         _extract_batches, schema=EXTRACT_SCHEMA
     )
-
-    # Re-join the narrow extraction result onto the (url-keyed) page metadata
-    # so the html bytes don't travel through the rest of the plan.
-    meta = pages.select("url", "warc_ts", "lang")
-    docs = extracted.join(meta, "url")
 
     # title = first line; affiliations = last line when it contains a
     # bracketed author group; abstract = everything in between.

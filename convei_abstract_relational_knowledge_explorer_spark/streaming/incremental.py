@@ -1,0 +1,86 @@
+"""Incremental / streaming ingestion paths.
+
+The reference has NO streaming operators (SURVEY.md §2.K) — its
+incremental idiom is batch "process-where-NULL" + idempotent upserts
+(/root/reference/embed_entries.py:87-101).  Two Spark mappings:
+
+1. ``pending_batches`` — incremental batch: anti-join the source against
+   the progress ledger (the direct translation of the reference idiom;
+   this is what the checkpointed pipeline uses).
+2. ``stream_extract`` / ``windowed_event_counts`` — Structured Streaming
+   for a live web_pages feed: readStream → the same extraction kernel →
+   watermarked tumbling-window aggregation.  The transformation code is
+   IDENTICAL to the batch path (extract_documents works on streaming
+   DataFrames too) — the unified-API property that makes the batch
+   pipeline streaming-ready at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.extract import extract_documents
+
+
+def pending_batches(
+    source: DataFrame, progress: DataFrame, key: str = "url"
+) -> DataFrame:
+    """Rows not yet processed: source ANTI JOIN progress on the key.
+
+    The Spark translation of the reference's ``WHERE col IS NULL``
+    resumability predicate (B3/C2 in SURVEY.md §2).
+    """
+    return source.join(progress.select(key).distinct(), key, "left_anti")
+
+
+def stream_web_pages(
+    spark: SparkSession, source_dir: str, schema: str
+) -> DataFrame:
+    """File-source stream of web_pages parquet drops (one dir = one feed)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+
+def stream_extract(pages_stream: DataFrame) -> DataFrame:
+    """Streaming documents: the SAME extract_documents plan over a stream."""
+    return extract_documents(pages_stream)
+
+
+def windowed_document_counts(
+    docs_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window doc counts per language with late-data watermark."""
+    return (
+        docs_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.col("w.start").alias("window_start"), "lang", "n_docs")
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    table_name: str = "stream_counts",
+    timeout_s: int = 60,
+):
+    """Drive the stream into an in-memory sink until idle (test harness)."""
+    stream = stream_web_pages(spark, source_dir, schema)
+    docs = stream_extract(stream)
+    counts = windowed_document_counts(docs)
+    query = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return spark.table(table_name)
