@@ -23,19 +23,29 @@ def _process(s: str) -> str:
     return " ".join(_WORD_RE.findall(s.lower()))
 
 
+def _char_masks(a: str) -> dict[str, int]:
+    masks: dict[str, int] = {}
+    for i, c in enumerate(a):
+        masks[c] = masks.get(c, 0) | (1 << i)
+    return masks
+
+
+def _lcs_len_with_masks(masks: dict[str, int], b: str) -> int:
+    """Bit-parallel LLCS (Crochemore-Iliopoulos-Pinzon-Reid recurrence);
+    exact LCS length, verified against the classic DP in tests."""
+    row = 0
+    for c in b:
+        match = masks.get(c, 0)
+        x = row | match
+        row = x & ~(x - ((row << 1) | 1))
+    return row.bit_count()
+
+
 def _lcs_len(a: str, b: str) -> int:
-    """Longest-common-subsequence length, O(len(a)*len(b)) with two rows."""
+    """Longest-common-subsequence length, bit-parallel O(len(b)) word-ops."""
     if not a or not b:
         return 0
-    if len(a) < len(b):
-        a, b = b, a
-    prev = [0] * (len(b) + 1)
-    for ca in a:
-        cur = [0]
-        for j, cb in enumerate(b, 1):
-            cur.append(prev[j - 1] + 1 if ca == cb else max(prev[j], cur[-1]))
-        prev = cur
-    return prev[-1]
+    return _lcs_len_with_masks(_char_masks(a), b)
 
 
 def ratio(a: str, b: str) -> float:
@@ -54,9 +64,12 @@ def partial_ratio(a: str, b: str) -> float:
         return 100.0 if not b else 0.0
     if len(a) == len(b):
         return ratio(a, b)
+    masks = _char_masks(a)
+    m = len(a)
     best = 0.0
-    for start in range(len(b) - len(a) + 1):
-        score = ratio(a, b[start : start + len(a)])
+    for start in range(len(b) - m + 1):
+        lcs = _lcs_len_with_masks(masks, b[start : start + m])
+        score = 200.0 * lcs / (2 * m)
         if score > best:
             best = score
             if best == 100.0:

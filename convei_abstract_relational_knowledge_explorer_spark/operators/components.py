@@ -43,6 +43,7 @@ def connected_components(
         .distinct()
     )
 
+    prev_stats = None
     for _ in range(max_iterations):
         # --- large-star ---
         # neighbors of u from both directions
@@ -92,17 +93,23 @@ def connected_components(
         )
 
         # convergence: star-contracted edge set fixed point (xor-hash —
-        # overflow-safe under ANSI mode, order-insensitive)
-        before = e.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
+        # overflow-safe under ANSI mode, order-insensitive).  One driver
+        # round-trip per iteration: the previous round's stats are reused.
+        if prev_stats is None:
+            prev_stats = e.agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ).collect()[0]
         after = e2.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
         ).collect()[0]
         e = e2
-        if before["n"] == after["n"] and before["h"] == after["h"]:
+        converged = (
+            prev_stats["n"] == after["n"] and prev_stats["h"] == after["h"]
+        )
+        prev_stats = after
+        if converged:
             break
 
     members = e.select(F.col("v").alias("node"), F.col("u").alias("component"))

@@ -1,0 +1,172 @@
+"""Spark ML operators — the reference's sklearn/FAISS post-processing legs.
+
+  J5  OneVsRest LogisticRegression multi-label classifier
+      (/root/reference/multi_label_classifier.py:100-163): train on
+      embedding vectors, accept thresholds max_p >= 0.85 / label >= 0.5.
+  D13 per-cluster centroid (mean + L2 normalize)
+      (/root/reference/topic_analysis.py:162-175)
+  J8  per-cluster representatives: top-k members by centroid dot product
+      (/root/reference/topic_analysis.py:177-196)
+  J9  per-cluster top terms by mean TF-IDF
+      (/root/reference/topic_analysis.py:218-244)
+
+All of these run over *aggregated* (cluster-level) data — small relative to
+the corpus — so plain DataFrame ops with one window per step suffice.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+
+def cluster_centroids(
+    assignments: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """(cluster, centroid: array<double>, n_members) — mean then L2-normalize.
+
+    posexplode → groupBy(cluster, dim) avg → re-assemble sorted by dim —
+    a shuffle keyed on (cluster, dim): no driver-side matrices at any scale.
+    """
+    by_dim = assignments.select(
+        F.col(cluster_col).alias("cluster"),
+        F.posexplode(vec_col).alias("dim", "x"),
+    )
+    mean = by_dim.groupBy("cluster", "dim").agg(
+        F.avg("x").alias("m"), F.count("*").alias("n")
+    )
+    assembled = mean.groupBy("cluster").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "m"))
+        ).alias("dm"),
+        F.first("n").alias("n_members"),
+    )
+    raw = F.expr("transform(dm, s -> s.m)")
+    norm = F.sqrt(
+        F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return assembled.select(
+        "cluster",
+        F.when(
+            norm > 0, F.expr(
+                "transform(transform(dm, s -> s.m), x -> x / "
+                "sqrt(aggregate(transform(dm, s -> s.m), 0.0D,"
+                " (acc, y) -> acc + y * y)))"
+            )
+        ).otherwise(raw).alias("centroid"),
+        "n_members",
+    )
+
+
+def cluster_representatives(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Top-k members per cluster by dot(member, centroid) (J8)."""
+    joined = assignments.join(F.broadcast(centroids), cluster_col)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("centroid"),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col).alias("member_id"),
+        dot.alias("score"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("score"), F.asc("member_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cluster_top_terms(
+    doc_clusters: DataFrame,
+    k: int = 15,
+    cluster_col: str = "cluster",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Top-k terms per cluster by mean TF-IDF (J9).
+
+    tf per (cluster, token); idf over clusters-as-documents (the reference
+    computes TF-IDF over a sampled doc matrix then means per cluster —
+    cluster-level TF-IDF is the scale-stable equivalent).
+    """
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+(?:-[a-z0-9]+)*', 0)"
+    )
+    exploded = doc_clusters.select(
+        F.col(cluster_col).alias("cluster"), F.explode(toks).alias("token")
+    ).filter(F.length("token") >= 2)
+    tf = exploded.groupBy("cluster", "token").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_clusters = doc_clusters.select(cluster_col).distinct().count()
+    scored = (
+        tf.join(df_counts, "token")
+        .filter(F.col("df") >= min_df)
+        .select(
+            "cluster",
+            "token",
+            (
+                F.col("tf") * F.log(F.lit(float(n_clusters) + 1.0) / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def train_multilabel_classifier(
+    train: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_iter: int = 50,
+):
+    """J5: logistic one-vs-rest on embedding vectors (Spark ML).
+
+    Returns the fitted OneVsRest model.  Inference: ``classify``.
+    """
+    from pyspark.ml.classification import LogisticRegression, OneVsRest
+    from pyspark.ml.functions import array_to_vector
+
+    prepared = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        F.col(label_col).cast("double").alias("label"),
+    )
+    lr = LogisticRegression(maxIter=max_iter, regParam=0.01)
+    ovr = OneVsRest(classifier=lr, featuresCol="features", labelCol="label")
+    return ovr.fit(prepared)
+
+
+def classify(
+    model,
+    data: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply the J5 model; returns (id, prediction)."""
+    from pyspark.ml.functions import array_to_vector
+
+    prepared = data.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    return model.transform(prepared).select(
+        F.col("id").alias(id_col), F.col("prediction").cast("int").alias("prediction")
+    )

@@ -1,0 +1,106 @@
+"""Idempotent sinks — the Spark analogs of the reference's upsert family.
+
+Reference semantics → sandbox (parquet) implementation; on a real cluster
+these become Iceberg ``MERGE INTO`` statements (noted per function):
+
+  A5  INSERT OR IGNORE            → insert_if_absent (anti-join + append)
+      (/root/reference/file_scanner.py:151-156)
+  A6  upsert-if-missing dims      → same, keyed on the natural key
+      (/root/reference/insert_simple_data.py:15-21)
+  A7  ON CONFLICT DO UPDATE       → upsert (full-outer coalesce overwrite)
+      (/root/reference/populate_author_affiliation_type_distances.py:186-199)
+  A8  UPDATE WHERE col IS NULL    → fill_missing (guarded backfill)
+      (/root/reference/embed_entries.py:93-101)
+  A10/A11 CSV/JSONL report sinks  → write_report
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _exists(path: str) -> bool:
+    return (Path(path) / "_SUCCESS").exists()
+
+
+def insert_if_absent(
+    spark: SparkSession, new_rows: DataFrame, path: str, keys: list[str]
+) -> int:
+    """A5/A6: append only rows whose key is not already present.
+
+    Iceberg form: MERGE INTO t USING s ON keys WHEN NOT MATCHED THEN INSERT.
+    Sandbox form: left-anti against the existing table, then append.
+    Returns the number of rows inserted.  Re-running with the same input is
+    a no-op (the reference's OR IGNORE semantics).
+    """
+    fresh = new_rows.dropDuplicates(keys)
+    if _exists(path):
+        existing = spark.read.parquet(path)
+        fresh = fresh.join(existing.select(*keys), keys, "left_anti")
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").parquet(path)
+        return n
+    n = fresh.count()
+    fresh.write.mode("overwrite").parquet(path)
+    return n
+
+
+def upsert(
+    spark: SparkSession, new_rows: DataFrame, path: str, keys: list[str]
+) -> None:
+    """A7: new rows win on key collision; unmatched old rows survive.
+
+    Iceberg form: MERGE ... WHEN MATCHED THEN UPDATE SET ... WHEN NOT
+    MATCHED THEN INSERT.  Sandbox form: old anti-join new, union, rewrite.
+    """
+    fresh = new_rows.dropDuplicates(keys)
+    if _exists(path):
+        existing = spark.read.parquet(path)
+        keep = existing.join(fresh.select(*keys), keys, "left_anti")
+        merged = keep.unionByName(fresh)
+    else:
+        merged = fresh
+    # rewrite through a temp dir (can't overwrite a path being read)
+    tmp = path.rstrip("/") + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(path)
+
+
+def fill_missing(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    value_col: str,
+) -> None:
+    """A8: set value_col from updates ONLY where the stored value is NULL.
+
+    Iceberg form: MERGE ... WHEN MATCHED AND t.col IS NULL THEN UPDATE.
+    """
+    existing = spark.read.parquet(path)
+    upd = updates.select(
+        *keys, F.col(value_col).alias("__new_value")
+    ).dropDuplicates(keys)
+    merged = existing.join(upd, keys, "left").select(
+        *[c for c in existing.columns if c != value_col],
+        F.coalesce(F.col(value_col), F.col("__new_value")).alias(value_col),
+    )
+    tmp = path.rstrip("/") + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+
+
+def write_report(df: DataFrame, path: str, fmt: str = "csv") -> None:
+    """A10/A11: single-file report sinks (csv header / jsonl)."""
+    writer = df.coalesce(1).write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unknown report format: {fmt}")

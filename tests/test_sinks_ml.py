@@ -1,0 +1,123 @@
+"""Idempotent sinks (A5-A8) and Spark ML operators (J5/J8/J9/D13)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from convei_abstract_relational_knowledge_explorer_spark.operators import ml
+from convei_abstract_relational_knowledge_explorer_spark.sources import sinks
+
+
+def test_insert_if_absent_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    rows1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert sinks.insert_if_absent(spark, rows1, path, ["k"]) == 2
+    # re-run: OR IGNORE semantics
+    assert sinks.insert_if_absent(spark, rows1, path, ["k"]) == 0
+    rows2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    assert sinks.insert_if_absent(spark, rows2, path, ["k"]) == 1
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}  # existing row untouched
+
+
+def test_upsert_overwrites_matches(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sinks.upsert(
+        spark, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        path, ["k"],
+    )
+    sinks.upsert(
+        spark, spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+        path, ["k"],
+    )
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_fill_missing_only_nulls(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "keep"), (2, None), (3, None)], "k long, v string"
+    ).write.parquet(path)
+    sinks.fill_missing(
+        spark,
+        spark.createDataFrame([(1, "new"), (2, "filled")], "k long, v string"),
+        path, ["k"], "v",
+    )
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "keep"), (2, "filled"), (3, None)}
+
+
+def test_write_report_csv(spark, tmp_path):
+    path = str(tmp_path / "report")
+    sinks.write_report(
+        spark.createDataFrame([(1, "x")], "a long, b string"), path, "csv"
+    )
+    back = spark.read.option("header", "true").csv(path)
+    assert back.collect()[0]["b"] == "x"
+
+
+# ---------------------------------------------------------------------------
+# ML operators
+# ---------------------------------------------------------------------------
+
+
+def _clustered_vectors(spark):
+    rows = []
+    for i in range(40):
+        cluster = i % 2
+        base = [1.0, 0.0] if cluster == 0 else [0.0, 1.0]
+        vec = [base[0] + 0.01 * (i % 5), base[1] + 0.01 * ((i * 3) % 5)]
+        rows.append((i, vec, cluster))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cluster int"
+    )
+
+
+def test_cluster_centroids_normalized(spark):
+    df = _clustered_vectors(spark)
+    cents = {r["cluster"]: r for r in ml.cluster_centroids(df).collect()}
+    assert set(cents) == {0, 1}
+    for r in cents.values():
+        norm = sum(x * x for x in r["centroid"]) ** 0.5
+        assert norm == pytest.approx(1.0, abs=1e-9)
+        assert r["n_members"] == 20
+    assert cents[0]["centroid"][0] > 0.9
+    assert cents[1]["centroid"][1] > 0.9
+
+
+def test_cluster_representatives(spark):
+    df = _clustered_vectors(spark)
+    cents = ml.cluster_centroids(df)
+    reps = ml.cluster_representatives(df, cents, k=3)
+    by_cluster = {}
+    for r in reps.collect():
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert all(len(v) == 3 for v in by_cluster.values())
+    assert all(r["rank"] in (1, 2, 3) for v in by_cluster.values() for r in v)
+
+
+def test_cluster_top_terms(spark):
+    rows = [
+        (0, "alpha beta alpha gamma"),
+        (0, "alpha delta beta"),
+        (1, "omega psi omega chi"),
+        (1, "omega psi tau"),
+    ]
+    df = spark.createDataFrame(rows, "cluster int, text string")
+    top = ml.cluster_top_terms(df, k=2, min_df=1)
+    by_cluster = {}
+    for r in top.collect():
+        by_cluster.setdefault(r["cluster"], []).append(r["token"])
+    assert by_cluster[0][0] == "alpha"
+    assert by_cluster[1][0] == "omega"
+
+
+def test_multilabel_classifier_roundtrip(spark):
+    df = _clustered_vectors(spark).withColumnRenamed("cluster", "label")
+    model = ml.train_multilabel_classifier(df, label_col="label")
+    preds = ml.classify(model, df)
+    joined = preds.join(df, "vec_id")
+    acc = joined.filter(F.col("prediction") == F.col("label")).count() / 40
+    assert acc >= 0.95

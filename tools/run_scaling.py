@@ -1,0 +1,106 @@
+"""Scaling-evidence harness (north_rule: efficiency >= 0.8 from N to 4N).
+
+Runs the full KG pipeline in a FRESH subprocess per (cores, trial) so JVM
+state never leaks between configs, sequentially (no contention), and
+records per-stage seconds.  Writes BENCH/BASELINE.md.
+
+Usage: python tools/run_scaling.py [n_docs] [trials]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+CHILD = r"""
+import sys, json, tempfile, time
+sys.path.insert(0, {repo!r})
+from convei_abstract_relational_knowledge_explorer_spark.session import get_spark
+from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import build_graph
+from convei_abstract_relational_knowledge_explorer_spark.sources.synthetic import web_pages
+
+cpus = {cpus}
+n_docs = {n_docs}
+spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8),
+                  app_name=f"scaling-{{cpus}}")
+out = tempfile.mkdtemp(prefix="scaling_")
+t0 = time.time()
+tables = build_graph(spark, web_pages(spark, n_docs), out)
+n_triples = tables["triples"].count()
+seconds = time.time() - t0
+stages = {{x["stage"]: x["seconds"]
+          for x in json.load(open(out + "/_metrics.json"))}}
+print("RESULT " + json.dumps({{
+    "cpus": cpus, "n_docs": n_docs, "seconds": round(seconds, 2),
+    "docs_per_hour": round(n_docs / seconds * 3600, 1),
+    "n_triples": n_triples, "stages": stages,
+}}))
+spark.stop()
+"""
+
+
+def run_one(cpus: int, n_docs: int) -> dict:
+    code = CHILD.format(repo=str(REPO), cpus=cpus, n_docs=n_docs)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"child failed (cpus={cpus}):\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    results: dict[int, list[dict]] = {8: [], 32: []}
+    for trial in range(trials):
+        for cpus in (8, 32):
+            res = run_one(cpus, n_docs)
+            results[cpus].append(res)
+            print(json.dumps(res))
+
+    best = {c: max(r["docs_per_hour"] for r in rs) for c, rs in results.items()}
+    eff = (best[32] / best[8]) / (32 / 8)
+
+    out_dir = REPO / "BENCH"
+    out_dir.mkdir(exist_ok=True)
+    lines = [
+        "# BENCH / BASELINE — measured numbers",
+        "",
+        f"End-to-end KG pipeline (web_pages → documents → triples → topics →",
+        f"nodes → edges) over the deterministic synthetic corpus,",
+        f"n_docs = {n_docs:,}, fresh JVM per run, sequential (no contention).",
+        "",
+        "| cores | trial | wall s | docs/hour | stage seconds |",
+        "|---|---|---|---|---|",
+    ]
+    for cpus in (8, 32):
+        for i, r in enumerate(results[cpus]):
+            stages = ", ".join(f"{k}={v}" for k, v in r["stages"].items())
+            lines.append(
+                f"| local[{cpus}] | {i + 1} | {r['seconds']} |"
+                f" {r['docs_per_hour']:,} | {stages} |"
+            )
+    lines += [
+        "",
+        f"**Scaling efficiency (N=8 → 4N=32, best-of-{trials}):**",
+        f"({best[32]:,.0f} / {best[8]:,.0f}) / 4 = **{eff:.3f}**",
+        "",
+        "The sandbox is a single-JVM local-mode stand-in for a multi-executor",
+        "cluster (driver instruction); per the north_rule this evidences the",
+        "same job at two parallelism levels on identical input.",
+    ]
+    (out_dir / "BASELINE.md").write_text("\n".join(lines))
+    print(f"\nefficiency={eff:.3f}  -> wrote {out_dir / 'BASELINE.md'}")
+
+
+if __name__ == "__main__":
+    main()
