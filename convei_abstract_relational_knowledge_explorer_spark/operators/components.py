@@ -33,7 +33,9 @@ def connected_components(
     Node ids must be a numeric/orderable type; the component id is the
     smallest member id (deterministic, resume-stable).
     """
-    # canonical undirected edge list, self-loops dropped
+    # canonical undirected edge list, self-loops dropped.  localCheckpoint
+    # cuts the upstream plan (the caller's edge derivation can be arbitrarily
+    # expensive — e.g. an LSH pipeline) so the iteration never recomputes it.
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -41,6 +43,7 @@ def connected_components(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     prev_stats = None
@@ -65,6 +68,7 @@ def connected_components(
                 F.greatest("u2", "v2").alias("v"),
             )
             .distinct()
+            .localCheckpoint(eager=True)  # referenced twice by small-star
         )
 
         # --- small-star ---

@@ -30,10 +30,24 @@ STAGES = ("documents", "triples", "topics", "nodes", "edges")
 
 
 class Checkpointer:
-    """Per-stage parquet checkpoints with a JSON progress ledger."""
+    """Per-stage checkpoints with a JSON progress ledger.
 
-    def __init__(self, spark: SparkSession, out_dir: str):
+    materialize="parquet" (default): durable stage tables — the sandbox
+    stand-in for Iceberg snapshots; gives kill-and-resume.
+
+    materialize="memory": persist() + count() instead of a parquet write.
+    Used by the scaling benchmark: the sandbox has ONE shared local disk,
+    so durable writes are I/O-bound at a core-independent rate — a
+    single-VM artifact.  On a real cluster every executor writes its own
+    partitions to distributed storage, so write bandwidth scales with the
+    executor count; memory mode isolates the compute+shuffle path that the
+    N→4N criterion is about.
+    """
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 materialize: str = "parquet"):
         self.spark = spark
+        self.materialize = materialize
         self.out = Path(out_dir)
         self.out.mkdir(parents=True, exist_ok=True)
         self.progress_path = self.out / "_progress.json"
@@ -48,29 +62,20 @@ class Checkpointer:
             if self.metrics_path.exists()
             else []
         )
+        self._cached: dict[str, DataFrame] = {}
 
     def done(self, stage: str) -> bool:
         path = self.out / stage
         return (
-            self.progress.get(stage, {}).get("status") == "complete"
+            self.materialize == "parquet"
+            and self.progress.get(stage, {}).get("status") == "complete"
             and (path / "_SUCCESS").exists()
         )
 
     def load(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(str(self.out / stage))
 
-    def run(self, stage: str, build, partition_by: list[str] | None = None) -> DataFrame:
-        """Build + materialize a stage unless already complete (resume)."""
-        if self.done(stage):
-            return self.load(stage)
-        start = time.time()
-        df = build()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(str(self.out / stage))
-        out_df = self.load(stage)
-        rows = out_df.count()
+    def _record(self, stage: str, rows: int, start: float) -> None:
         seconds = time.time() - start
         self.progress[stage] = {"status": "complete", "rows": rows}
         self.metrics.append(
@@ -78,6 +83,26 @@ class Checkpointer:
         )
         self.progress_path.write_text(json.dumps(self.progress, indent=1))
         self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
+
+    def run(self, stage: str, build, partition_by: list[str] | None = None) -> DataFrame:
+        """Build + materialize a stage unless already complete (resume)."""
+        if self.done(stage):
+            return self.load(stage)
+        start = time.time()
+        df = build()
+        if self.materialize == "memory":
+            df = df.persist()
+            rows = df.count()
+            self._cached[stage] = df
+            self._record(stage, rows, start)
+            return df
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(self.out / stage))
+        out_df = self.load(stage)
+        rows = out_df.count()
+        self._record(stage, rows, start)
         return out_df
 
 
@@ -99,6 +124,9 @@ def canonicalize_entities(spark: SparkSession, triples: DataFrame) -> DataFrame:
         )
         .distinct()
         .withColumn("entity_id", F.xxhash64("entity_type", "name"))
+        # referenced by the exact-pair self-join, the LSH branch, the CC
+        # node list, and the final join — materialize once
+        .localCheckpoint(eager=True)
     )
 
     # exact-normalized edges: same (type, normalized name) → pair.
@@ -153,9 +181,10 @@ def build_graph(
     pages: DataFrame,
     out_dir: str,
     with_topics: bool = True,
+    materialize: str = "parquet",
 ) -> dict[str, DataFrame]:
     """Run all stages with per-stage checkpointing; returns the tables."""
-    ck = Checkpointer(spark, out_dir)
+    ck = Checkpointer(spark, out_dir, materialize=materialize)
 
     docs = ck.run(
         "documents", lambda: extract_documents(pages), partition_by=["year"]

@@ -1,0 +1,76 @@
+"""Physical-plan assertions: the plans we designed are the plans we get.
+
+These guard the scale properties SURVEY.md §4 calls out — predicate
+pushdown, column pruning, broadcast joins, whole-stage codegen, window
+group-limit — so a refactor can't silently regress them.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_and_pruning(spark):
+    df = entrymod.queries()["q01_pricing_summary"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the needed columns reach the scan
+    assert "l_quantity" in plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_partkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_substring_scan_is_broadcast_nl_join(spark):
+    df = entrymod.queries()["q14_term_mentions"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Contains" in plan
+
+
+def test_dim_join_is_broadcast_hash(spark):
+    df = entrymod.queries()["q06_revenue_by_nation_year"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_and_semi_joins(spark):
+    anti = entrymod.queries()["q04_customers_without_orders"](spark, SF)
+    assert "LeftAnti" in _plan(anti)
+    semi = entrymod.queries()["q05_orders_with_heavy_lines"](spark, SF)
+    assert "LeftSemi" in _plan(semi)
+
+
+def test_topk_uses_window_group_limit(spark):
+    df = entrymod.queries()["q02_top_customers_per_nation"](spark, SF)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan  # rank filter pushed into the sort
+
+
+def test_global_topk_is_take_ordered(spark):
+    df = entrymod.queries()["q20_top_docs_by_length"](spark, SF)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_whole_stage_codegen_on_text_ops(spark):
+    df = entrymod.queries()["q12_token_counts"](spark, SF)
+    df.collect()  # AQE finalizes the plan (codegen spans appear post-exec)
+    plan = _plan(df)
+    assert "WholeStageCodegen" in plan or "isFinalPlan=true" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    df = entrymod.queries()["q01_pricing_summary"](spark, SF)
+    plan = _plan(df)
+    # partial then final hash aggregate around one hash-partitioned exchange
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning" in plan

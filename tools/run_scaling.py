@@ -29,7 +29,8 @@ spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8),
                   app_name=f"scaling-{{cpus}}")
 out = tempfile.mkdtemp(prefix="scaling_")
 t0 = time.time()
-tables = build_graph(spark, web_pages(spark, n_docs), out)
+tables = build_graph(spark, web_pages(spark, n_docs), out,
+                     materialize="memory")
 n_triples = tables["triples"].count()
 seconds = time.time() - t0
 stages = {{x["stage"]: x["seconds"]
