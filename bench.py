@@ -81,26 +81,13 @@ def main() -> None:
     sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
 
     if "--scaling" in sys.argv:
-        results = {}
-        for n in (8, 32):
-            spark = _build_spark(n)
-            results[n] = run_pipeline(spark, N_BENCH_DOCS)
-            spark.stop()
-        eff = (
-            results[32]["docs_per_hour"] / results[8]["docs_per_hour"]
-        ) / (32 / 8)
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling_efficiency_8_to_32",
-                    "value": round(eff, 4),
-                    "unit": "ratio",
-                    "docs_per_hour": {
-                        str(k): v["docs_per_hour"] for k, v in results.items()
-                    },
-                    "n_docs": N_BENCH_DOCS,
-                }
-            )
+        # delegate to the fresh-subprocess harness (tools/run_scaling.py)
+        # so JVM state never leaks between the two parallelism levels
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, "tools/run_scaling.py", str(N_BENCH_DOCS), "1"],
+            check=True,
         )
         return
 

@@ -1,0 +1,146 @@
+"""Deterministic document embeddings + similarity tables.
+
+The reference's embedding legs (J1 sentence-transformers, J2 OpenAI —
+/root/reference/publication_embedder.py:75-94,
+/root/reference/embed_entries.py:27-52) call network models; the sandbox
+substitute is a hashed TF vector with the SAME data contract: one
+L2-normalized float vector per text, stored as array<float>.
+
+Everything here is JVM-native (explode → groupBy → array assembly) — no
+Python in the hot path, unlike the reference's batch loops.
+
+Downstream shapes reproduced:
+  C10 similarity cross join vs a small dim side
+      (/root/reference/populate_author_affiliation_type_distances.py:104-130)
+  I5  weighted score product of two similarity legs
+      (/root/reference/calculate_weighted_base_topic_publication_similarities.py:121-133)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TOKEN_PATTERN = "[a-z0-9]+(?:-[a-z0-9]+)*"
+
+
+def hashed_doc_embeddings(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, embedding: array<double>) — hashed TF, L2-normalized.
+
+    explode tokens → bucket = pmod(xxhash64(token), dim) → counts →
+    assemble a dense array sorted by bucket.  Two shuffles, both keyed on
+    high-cardinality columns; no driver matrices, no Python.
+    """
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+    buckets = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .select("doc_id", F.pmod(F.xxhash64("tok"), F.lit(dim)).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    assembled = buckets.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "tf"))).alias("bt")
+    )
+    # dense vector: fill the gaps between observed buckets with zeros
+    dense = F.expr(
+        f"transform(sequence(0, {dim - 1}), i -> "
+        f"coalesce(element_at(map_from_entries(bt), cast(i as bigint)), 0.0D))"
+    )
+    raw = assembled.select("doc_id", dense.alias("raw"))
+    norm = F.sqrt(
+        F.aggregate(F.col("raw"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return raw.select(
+        "doc_id",
+        norm.alias("_n"),
+        "raw",
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("_n") > 0,
+            F.transform(F.col("raw"), lambda x: x / F.col("_n")),
+        )
+        .otherwise(F.col("raw"))
+        .alias("embedding"),
+    )
+
+
+def similarity_to_dims(
+    embeddings: DataFrame,
+    dims: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    dim_id_col: str = "dim_id",
+    dim_vec_col: str = "embedding",
+) -> DataFrame:
+    """C10: every doc × every dim row → cosine similarity.
+
+    The dim side (affiliation types / base topics) is tiny → broadcast
+    nested-loop cross join; the fact side never shuffles.
+    Output: (doc_id, dim_id, similarity).
+    """
+    dim_rows = F.broadcast(
+        dims.select(
+            F.col(dim_id_col).alias("dim_id"),
+            F.col(dim_vec_col).alias("dvec"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("dvec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nx = F.sqrt(F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    ))
+    ny = F.sqrt(F.aggregate(
+        F.col("dvec"), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    ))
+    return (
+        embeddings.select(F.col(id_col).alias("doc_id"), F.col(vec_col))
+        .crossJoin(dim_rows)
+        .select(
+            "doc_id",
+            "dim_id",
+            F.when((nx > 0) & (ny > 0), dot / (nx * ny))
+            .otherwise(F.lit(0.0))
+            .alias("similarity"),
+        )
+    )
+
+
+def weighted_score_product(
+    leg_a: DataFrame,
+    leg_b: DataFrame,
+    id_col: str = "doc_id",
+    score_a: str = "similarity",
+    score_b: str = "similarity",
+) -> DataFrame:
+    """I5: join two similarity legs on the doc and multiply their scores
+    (the reference's weighted base-topic × affiliation-type product)."""
+    a = leg_a.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("dim_id").alias("dim_a"),
+        F.col(score_a).alias("sa"),
+    )
+    b = leg_b.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("dim_id").alias("dim_b"),
+        F.col(score_b).alias("sb"),
+    )
+    return a.join(b, "doc_id").select(
+        "doc_id",
+        "dim_a",
+        "dim_b",
+        (F.col("sa") * F.col("sb")).alias("weighted_score"),
+    )

@@ -1,0 +1,115 @@
+"""Report surface — the reference's CSV/JSONL outputs, Spark-side.
+
+Reproduces the report families of SURVEY.md §2 A10/A11/D9/D10/E5 over the
+materialized KG tables:
+
+  satellite_pair_matrix   upper-triangular co-occurrence matrix CSV
+      (/root/reference/analyze_satellites_used_together.py:77-95)
+  mentions_per_year       per-(year, entity) counts + first/last year
+      (/root/reference/build_reports.py:199-258)
+  entities_per_doc_stats  mean/median entities-per-doc by year
+      (/root/reference/build_reports.py:264-293)
+  top_entities_per_year   rank-within-year (most_common analog)
+      (/root/reference/build_reports.py:296-305)
+  topics_jsonl            explorer feed rows
+      (/root/reference/explorer.html:862; topic summaries
+       /root/reference/topic_analysis.py:246-257)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+from ..operators.analytics import cooccurrence_pairs, top_k_per_group
+
+
+def satellite_pair_matrix(triples: DataFrame) -> DataFrame:
+    """Upper-triangular pair counts for MENTIONS_SATELLITE edges, wide form.
+
+    The reference writes a labels × labels matrix with blanks under the
+    diagonal; the Spark form is the tidy pair table plus a pivot — the
+    pivot column set (satellite names) is small and bounded.
+    """
+    sats = triples.filter(F.col("pred") == "MENTIONS_SATELLITE").select(
+        "doc_id", "obj"
+    )
+    pairs = cooccurrence_pairs(sats, "doc_id", "obj")
+    return (
+        pairs.groupBy("ea")
+        .pivot("eb")
+        .agg(F.first("n_docs"))
+        .withColumnRenamed("ea", "satellite")
+    )
+
+
+def mentions_per_year(triples: DataFrame, pred: str) -> DataFrame:
+    """(entity, year, n_docs) + per-entity first/last year (D9)."""
+    base = triples.filter(F.col("pred") == pred)
+    per_year = base.groupBy("obj", "year").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    span = base.groupBy("obj").agg(
+        F.min("year").alias("first_year"), F.max("year").alias("last_year")
+    )
+    return per_year.join(span, "obj").select(
+        F.col("obj").alias("entity"), "year", "n_docs", "first_year", "last_year"
+    )
+
+
+def entities_per_doc_stats(triples: DataFrame, pred: str) -> DataFrame:
+    """mean/median entities-per-doc by year (D10)."""
+    per_doc = (
+        triples.filter(F.col("pred") == pred)
+        .groupBy("doc_id", "year")
+        .agg(F.countDistinct("obj").alias("n_entities"))
+    )
+    return per_doc.groupBy("year").agg(
+        F.round(F.avg("n_entities"), 6).alias("mean_entities"),
+        F.expr("percentile(n_entities, 0.5)").alias("median_entities"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def top_entities_per_year(triples: DataFrame, pred: str, k: int = 10) -> DataFrame:
+    """Rank entities within each year by distinct-doc count (E5)."""
+    counts = (
+        triples.filter(F.col("pred") == pred)
+        .groupBy("year", "obj")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    return top_k_per_group(counts, ["year"], "n_docs", k, "obj").select(
+        "year", F.col("obj").alias("entity"), "n_docs", "rank"
+    )
+
+
+def topics_jsonl(triples: DataFrame, nodes: DataFrame, k_examples: int = 5) -> DataFrame:
+    """Explorer feed: one row per canonical topic with size + sample docs."""
+    topic_nodes = nodes.filter(F.col("entity_type") == "HAS_TOPIC").select(
+        F.col("name").alias("obj"), "canonical_id"
+    )
+    topic_edges = (
+        triples.filter(F.col("pred") == "HAS_TOPIC")
+        .join(topic_nodes, "obj")
+    )
+    sizes = topic_edges.groupBy("canonical_id").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sort_array(F.collect_set("obj")).alias("surface_forms"),
+    )
+    w = Window.partitionBy("canonical_id").orderBy("subj")
+    examples = (
+        topic_edges.select("canonical_id", "subj")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_examples)
+        .groupBy("canonical_id")
+        .agg(F.sort_array(F.collect_list("subj")).alias("example_urls"))
+    )
+    return sizes.join(examples, "canonical_id").select(
+        "canonical_id",
+        F.element_at("surface_forms", 1).alias("topic"),
+        "n_docs",
+        "surface_forms",
+        "example_urls",
+    )

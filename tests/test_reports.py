@@ -1,0 +1,63 @@
+"""Report surface over a small built graph."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from convei_abstract_relational_knowledge_explorer_spark.plans import reports
+from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
+    build_graph,
+)
+from convei_abstract_relational_knowledge_explorer_spark.sources.synthetic import (
+    web_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def graph(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("graph"))
+    return build_graph(spark, web_pages(spark, 60, partitions=3), out)
+
+
+def test_satellite_pair_matrix(graph):
+    wide = reports.satellite_pair_matrix(graph["triples"])
+    rows = wide.collect()
+    assert len(rows) > 0
+    assert "satellite" in wide.columns
+    assert len(wide.columns) > 2  # pivoted satellite columns
+
+
+def test_mentions_per_year(graph):
+    df = reports.mentions_per_year(graph["triples"], "MENTIONS_SATELLITE")
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["first_year"] <= r["year"] <= r["last_year"]
+
+
+def test_entities_per_doc_stats(graph):
+    df = reports.entities_per_doc_stats(graph["triples"], "STUDY_LOCATION")
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["mean_entities"] >= 1.0 for r in rows)
+    assert all(r["median_entities"] >= 1.0 for r in rows)
+
+
+def test_top_entities_per_year(graph):
+    df = reports.top_entities_per_year(graph["triples"], "STUDY_LOCATION", k=3)
+    by_year = {}
+    for r in df.collect():
+        by_year.setdefault(r["year"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_year.values())
+    assert all(len(v) <= 3 for v in by_year.values())
+
+
+def test_topics_jsonl(graph):
+    df = reports.topics_jsonl(graph["triples"], graph["nodes"])
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_docs"] >= 1
+        assert len(r["example_urls"]) >= 1
+        assert r["topic"] in r["surface_forms"]
