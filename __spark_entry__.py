@@ -74,10 +74,10 @@ def _q01_pricing_summary(spark, sf):
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -93,7 +93,7 @@ def _q02_top_customers_per_nation(spark, sf):
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", "c_custkey", "c_name")
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
     top = analytics.top_k_per_group(rev, ["n_name"], "revenue", 3, "c_custkey")
     return top.select("n_name", "c_custkey", "c_name", "revenue", "rank")
@@ -138,7 +138,7 @@ def _q06_revenue_by_nation_year(spark, sf):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").alias("order_year"))
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -248,7 +248,7 @@ def _q17_hourly_event_windows(spark, sf):
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum("value"), 2).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -428,7 +428,7 @@ def _q30_copublishing(spark, sf):
     return m.select(
         F.col("ea").alias("type_a"),
         F.col("eb").alias("type_b"),
-        F.round("weight", 4).alias("weight"),
+        F.round("weight", 2).alias("weight"),
     )
 
 
@@ -480,9 +480,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 4) AS sum_qty,
-                   round(sum(l_extendedprice), 4) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                    round(avg(l_discount), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
@@ -492,10 +492,10 @@ def oracle_sql() -> dict[str, str]:
         "q02_top_customers_per_nation": """
             SELECT n_name, c_custkey, c_name, revenue, rank FROM (
                 SELECT n_name, c_custkey, c_name,
-                       round(sum(o_totalprice), 4) AS revenue,
+                       round(sum(o_totalprice), 2) AS revenue,
                        row_number() OVER (
                            PARTITION BY n_name
-                           ORDER BY round(sum(o_totalprice), 4) DESC, c_custkey
+                           ORDER BY round(sum(o_totalprice), 2) DESC, c_custkey
                        ) AS rank
                 FROM orders
                 JOIN customer ON o_custkey = c_custkey
@@ -525,7 +525,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q06_revenue_by_nation_year": """
             SELECT n_name, year(o_orderdate) AS order_year,
-                   round(sum(o_totalprice), 4) AS revenue,
+                   round(sum(o_totalprice), 2) AS revenue,
                    count(DISTINCT o_orderkey) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -598,7 +598,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q17_hourly_event_windows": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
-                   count(*) AS n, round(sum(value), 4) AS total_value
+                   count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
         """,
         "q18_sessionization": """
@@ -725,7 +725,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             )
             SELECT plus.ea AS type_a, plus.eb AS type_b,
-                   round(p - coalesce(q, 0), 4) AS weight
+                   round(p - coalesce(q, 0), 2) AS weight
             FROM plus LEFT JOIN minus
               ON plus.ea = minus.ea AND plus.eb = minus.eb
         """,
