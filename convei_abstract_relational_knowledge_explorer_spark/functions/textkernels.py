@@ -410,6 +410,9 @@ class LocationMatcher:
     location: str          # canonical location name
     matched_text: str      # surface form recorded in provenance
     method: str            # "alias" | "direct"
+    first_token: str = ""  # prefilter key: first token of the normalized
+                           # surface — the word-bounded pattern can only
+                           # match if this token occurs in the text
 
 
 def build_study_location_matchers(
@@ -431,16 +434,23 @@ def build_study_location_matchers(
         target = known.get(canonical.casefold())
         if target is None:
             continue
+        norm = normalize_mention_text(alias)
         matchers.append(
             LocationMatcher(
-                _word_bounded(normalize_mention_text(alias)), target, alias, "alias"
+                _word_bounded(norm), target, alias, "alias",
+                norm.split(" ", 1)[0] if norm else "",
             )
         )
     for loc in locations:
         norm = normalize_mention_text(loc)
         if not norm:
             continue
-        matchers.append(LocationMatcher(_word_bounded(norm), loc, loc, "direct"))
+        matchers.append(
+            LocationMatcher(
+                _word_bounded(norm), loc, loc, "direct",
+                norm.split(" ", 1)[0],
+            )
+        )
     matchers.sort(key=lambda m: len(m.matched_text), reverse=True)
     return matchers
 
@@ -457,9 +467,16 @@ def match_study_locations(
     normalized = normalize_mention_text(text)
     if not normalized:
         return []
+    # token prefilter: the normalized text is space-separated alnum tokens,
+    # and every matcher pattern is word-bounded, so a matcher can only hit
+    # if its first surface token appears as a token of the text.  The regex
+    # still verifies — semantics are exactly the reference's.
+    text_tokens = set(normalized.split(" "))
     seen: set[tuple[str, str]] = set()
     out: list[tuple[str, str, str]] = []
     for m in matchers:
+        if m.first_token and m.first_token not in text_tokens:
+            continue
         if m.pattern.search(normalized):
             key = (m.location, m.matched_text)
             if key in seen:
