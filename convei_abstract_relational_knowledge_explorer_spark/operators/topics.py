@@ -125,13 +125,18 @@ def mine_topics(
 
     # ---- tf / df / idf ----------------------------------------------------
     tf = filtered.groupBy("doc_id", "phrase").agg(F.count("*").alias("tf"))
-    df_counts = tf.groupBy("phrase").agg(F.count("*").alias("df"))
     n_docs = docs.count()
+
+    # document frequency as a window count over the per-(doc, phrase) rows:
+    # same shuffle as a groupBy(phrase) but with NO join back — avoids the
+    # bistable AQE broadcast-vs-shuffle choice on a ~borderline-sized
+    # df_counts side (observed as bimodal stage times)
+    df_w = F.count("*").over(Window.partitionBy("phrase"))
 
     # drop corpus-generic phrases (all-token-generic rule approximated at
     # phrase granularity: a phrase seen in >= threshold of docs is generic)
     scored = (
-        tf.join(df_counts, "phrase")
+        tf.withColumn("df", df_w)
         .filter(F.col("df") < df_threshold * n_docs)
         .select(
             "doc_id",
