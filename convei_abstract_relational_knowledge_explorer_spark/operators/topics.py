@@ -124,30 +124,36 @@ def mine_topics(
     )
 
     # ---- tf / df / idf ----------------------------------------------------
+    # Skew note: a handful of corpus-generic phrases occur in nearly every
+    # document.  A window count partitioned by phrase would put all their
+    # rows in single partitions (AQE cannot split windows) — measured as a
+    # scale-flat stage.  Instead:
+    #   1. df via groupBy(phrase): partial aggregation combines the hot
+    #      phrases map-side — skew-free by construction,
+    #   2. the generic phrases (df >= threshold) are FEW → broadcast them
+    #      and left-anti tf before any further shuffle, so the hot rows
+    #      never travel,
+    #   3. the remaining tf ⋈ df join is bounded per key (< threshold) and
+    #      explicitly shuffle-hash (no bistable AQE broadcast flip); AQE
+    #      skew-join splitting covers the residual tail.
     tf = filtered.groupBy("doc_id", "phrase").agg(F.count("*").alias("tf"))
     n_docs = docs.count()
+    df_counts = tf.groupBy("phrase").agg(F.count("*").alias("df"))
+    generic = df_counts.filter(F.col("df") >= df_threshold * n_docs).select(
+        "phrase"
+    )
+    rare = df_counts.filter(F.col("df") < df_threshold * n_docs)
+    tf_kept = tf.join(F.broadcast(generic), "phrase", "left_anti")
 
-    # document frequency as a window count over the per-(doc, phrase) rows:
-    # same shuffle as a groupBy(phrase) but with NO join back — avoids the
-    # bistable AQE broadcast-vs-shuffle choice on a ~borderline-sized
-    # df_counts side (observed as bimodal stage times)
-    df_w = F.count("*").over(Window.partitionBy("phrase"))
-
-    # drop corpus-generic phrases (all-token-generic rule approximated at
-    # phrase granularity: a phrase seen in >= threshold of docs is generic)
-    scored = (
-        tf.withColumn("df", df_w)
-        .filter(F.col("df") < df_threshold * n_docs)
-        .select(
-            "doc_id",
-            F.col("phrase").alias("topic"),
-            (
-                F.col("tf")
-                * F.log(F.lit(float(n_docs)) / F.col("df"))
-                # prefer multi-word phrases, like YAKE's n-gram bias
-                * F.sqrt(F.size(F.split(F.col("phrase"), " ")).cast("double"))
-            ).alias("score"),
-        )
+    scored = tf_kept.join(rare.hint("shuffle_hash"), "phrase").select(
+        "doc_id",
+        F.col("phrase").alias("topic"),
+        (
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.col("df"))
+            # prefer multi-word phrases, like YAKE's n-gram bias
+            * F.sqrt(F.size(F.split(F.col("phrase"), " ")).cast("double"))
+        ).alias("score"),
     )
 
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("topic"))
