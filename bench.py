@@ -49,6 +49,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def run_pipeline(spark, n_docs: int) -> dict[str, float]:
     """End-to-end KG build on a generated corpus; returns docs/hour."""
+    import os
     import shutil
     import tempfile
 
@@ -59,7 +60,8 @@ def run_pipeline(spark, n_docs: int) -> dict[str, float]:
         web_pages,
     )
 
-    out = tempfile.mkdtemp(prefix="convei_bench_")
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix="convei_bench_", dir=tmp_root)
     try:
         pages = web_pages(spark, n_docs)
         start = time.time()
