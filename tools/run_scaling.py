@@ -148,6 +148,8 @@ def main() -> None:
         "  is hours long and that floor is <0.01% of wall time; the",
         "  compute-path efficiency is the number that predicts cluster",
         "  behavior there.",
+        "- Host noise: identical back-to-back runs vary ±20-40% on this VM;",
+        "  best-of-N throughput is reported for that reason.",
     ]
     (out_dir / "BASELINE.md").write_text("\n".join(lines))
     print(f"\nefficiency={eff:.3f} kernel_efficiency={keff:.3f}"
