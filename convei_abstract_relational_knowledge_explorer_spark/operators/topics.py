@@ -164,6 +164,54 @@ def mine_topics(
     )
 
 
+def dedup_topics_within_doc(topics: DataFrame, thresh: float = 90.0) -> DataFrame:
+    """Within-doc fuzzy phrase dedup (G6).
+
+    Parity target: ``dedup_token_set``
+    (/root/reference/topic_discovery_pipeline.py:421-472) — iterate
+    candidates best-score-first; when token_set_ratio >= thresh against a
+    kept phrase, prefer the SHORTER tokenization (replace) else drop.
+    Runs as ``applyInPandas`` per doc over the already top-k'd candidates
+    (<= top_k rows per group), so the quadratic scan is tiny and the
+    shuffle is one groupBy(doc_id).
+    """
+    import pandas as pd
+
+    from ..functions.fuzzy import token_set_ratio
+
+    def dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        # reference sorts ascending (YAKE lower=better); our score is
+        # higher=better, so sort descending
+        rows = pdf.sort_values("score", ascending=False)
+        kept: list[tuple[str, float, int]] = []  # (topic, score, n_tokens)
+        for topic, score in zip(rows["topic"], rows["score"]):
+            n_toks = len(topic.split())
+            replace_idx = None
+            drop = False
+            for i, (k_topic, _, k_len) in enumerate(kept):
+                if token_set_ratio(topic, k_topic) >= thresh:
+                    if n_toks < k_len:
+                        replace_idx = i
+                    else:
+                        drop = True
+                    break
+            if replace_idx is not None:
+                kept[replace_idx] = (topic, score, n_toks)
+            elif not drop:
+                kept.append((topic, score, n_toks))
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].iloc[0],
+                "topic": [k[0] for k in kept],
+                "score": [k[1] for k in kept],
+            }
+        )
+
+    return topics.groupBy("doc_id").applyInPandas(
+        dedup, schema="doc_id long, topic string, score double"
+    )
+
+
 def topic_triples(docs: DataFrame, topics: DataFrame) -> DataFrame:
     """(subj=url, HAS_TOPIC, obj=topic) with provenance columns."""
     keys = docs.select("doc_id", "url", "year")

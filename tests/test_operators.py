@@ -277,3 +277,24 @@ def test_rolling_fingerprints_stable(spark):
     docs = _doc_df(spark, ["alpha beta gamma delta " * 5, "alpha beta gamma delta " * 5])
     got = [r["fingerprint"] for r in text_analysis.rolling_fingerprints(docs).collect()]
     assert got[0] == got[1]
+
+
+def test_dedup_topics_within_doc(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.topics import (
+        dedup_topics_within_doc,
+    )
+
+    rows = [
+        (1, "land cover change", 5.0),
+        (1, "cover change land", 4.0),   # permutation -> token_set 100, same len, dropped
+        (1, "land cover", 3.0),           # subset -> 100, SHORTER: replaces keeper
+        (1, "soil moisture", 2.0),
+        (2, "urban heat island", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, topic string, score double")
+    got = {(r["doc_id"], r["topic"]) for r in dedup_topics_within_doc(df).collect()}
+    assert (1, "cover change land") not in got
+    assert (1, "land cover") in got          # shorter form won
+    assert (1, "land cover change") not in got
+    assert (1, "soil moisture") in got
+    assert (2, "urban heat island") in got
