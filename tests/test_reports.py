@@ -61,3 +61,16 @@ def test_topics_jsonl(graph):
         assert r["n_docs"] >= 1
         assert len(r["example_urls"]) >= 1
         assert r["topic"] in r["surface_forms"]
+
+
+def test_documents_partition_pruning(spark, graph, tmp_path_factory):
+    """Year filters prune partitions of the materialized documents table."""
+    docs = graph["documents"]
+    some_year = docs.select("year").first()["year"]
+    filtered = docs.filter(F.col("year") == some_year)
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    section = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert str(some_year) in section  # the equality filter reached the scan
