@@ -214,3 +214,70 @@ def affiliation_segments(docs: DataFrame) -> DataFrame:
         .filter(F.col("affiliations").isNotNull() & (F.col("affiliations") != ""))
         .mapInPandas(_segment_batches, schema=_SEGMENT_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# fused Python pass — missions + study locations + affiliation segments in
+# ONE scan of the doc text (one Arrow round-trip instead of three; at the
+# 100 TB design point this is the difference between reading the corpus
+# once and three times)
+# ---------------------------------------------------------------------------
+
+_FUSED_SCHEMA = (
+    "doc_id long, kind string, entity string, surface string, method string, "
+    "affiliation_index int, author_name string, author_index int, "
+    "raw_author_group string"
+)
+
+
+def _fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    matchers = _study_matchers()
+    for batch in batches:
+        rows = []
+        for doc_id, title, abstract, affil in zip(
+            batch["doc_id"], batch["title"], batch["abstract"],
+            batch["affiliations"],
+        ):
+            title = title or ""
+            abstract = abstract or ""
+            combined = (title + " " + abstract) if (title or abstract) else ""
+            for label in K.detect_mission_labels(combined):
+                rows.append(
+                    (doc_id, "mission", label, label, "regex-bank",
+                     None, None, None, None)
+                )
+            for loc, surface, method in K.match_study_locations(
+                abstract, matchers
+            ):
+                rows.append(
+                    (doc_id, "study_location", loc, surface, method,
+                     None, None, None, None)
+                )
+            if affil:
+                for seg in K.parse_affiliation_segments(affil):
+                    authors = seg.authors or [""]
+                    for author_index, author in enumerate(authors):
+                        rows.append(
+                            (
+                                doc_id, "affiliation_segment",
+                                seg.affiliation_text, seg.affiliation_text,
+                                "segment", seg.affiliation_index, author,
+                                author_index if author else None,
+                                seg.raw_author_group,
+                            )
+                        )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "kind", "entity", "surface", "method",
+                "affiliation_index", "author_name", "author_index",
+                "raw_author_group",
+            ],
+        )
+
+
+def fused_python_mentions(docs: DataFrame) -> DataFrame:
+    """All three Python mention families from a single pass over the docs."""
+    return docs.select(
+        "doc_id", "title", "abstract", "affiliations"
+    ).mapInPandas(_fused_batches, schema=_FUSED_SCHEMA)

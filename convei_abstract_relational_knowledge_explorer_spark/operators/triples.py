@@ -68,21 +68,36 @@ def _shape(mentions: DataFrame, docs: DataFrame, pred_map: dict[str, str]) -> Da
 def emit_triples(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """documents → triples (all mention families unioned).
 
-    One declarative plan: Catalyst shares the docs scan across branches;
-    the union is append-only and each branch is independently parallel.
+    The three Python mention families (mission regex bank, study
+    locations, affiliation segmenting) run as ONE fused Arrow pass over
+    the doc text, materialized once (localCheckpoint) and split by kind —
+    the corpus is read once, not three times.  The dictionary substring
+    scans stay pure-JVM broadcast contains-joins on the same docs scan.
     """
     sat_terms = M.dictionary_terms(spark, "satellite")
     dt_terms = M.dictionary_terms(spark, "data_type")
 
+    fused = M.fused_python_mentions(docs).localCheckpoint(eager=False)
+
+    py_mentions = fused.filter(F.col("kind") != "affiliation_segment").select(
+        "doc_id", "kind", "surface", "entity", "method",
+        F.lit(None).cast("string").alias("extra"),
+    )
     mention_union = (
         M.substring_mentions(docs, sat_terms)
         .unionByName(M.substring_mentions(docs, dt_terms))
-        .unionByName(M.mission_mentions(docs))
-        .unionByName(M.study_location_mentions(docs))
+        .unionByName(py_mentions)
     )
     base = _shape(mention_union, docs, _KIND_TO_PRED)
 
-    segments = M.affiliation_segments(docs)
+    segments = fused.filter(F.col("kind") == "affiliation_segment").select(
+        "doc_id",
+        "affiliation_index",
+        "author_name",
+        "author_index",
+        "raw_author_group",
+        F.col("entity").alias("affiliation_text"),
+    )
     linked = link_affiliations(segments).filter(F.col("location").isNotNull())
     keys = docs.select("doc_id", "url", "year")
     author_triples = linked.join(keys, "doc_id").select(
