@@ -548,9 +548,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders GROUP BY 1
             )
             SELECT order_year, n,
-                   sum(n) OVER (ORDER BY order_year
+                   CAST(sum(n) OVER (ORDER BY order_year
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS cumulative
+                   ) AS BIGINT) AS cumulative
             FROM counts
         """,
         "q09_quantity_stats": """
@@ -612,7 +612,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
             )
-            SELECT user_id, sum(new_session) AS n_sessions
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
             FROM marked GROUP BY 1
         """,
         "q19_powernorm_year_vectors": """

@@ -29,17 +29,24 @@ def _duck():
 
 
 def _canon(value):
+    """Type-tagged canonical form.
+
+    The driver's value hash is type-sensitive: a Spark ``long`` 2286 and a
+    DuckDB HUGEINT-degraded-to-double 2286.0 hash DIFFERENTLY (round-1 q08/q18
+    red rows).  Tag the Python type into the canonical string so a local green
+    predicts a driver green.
+    """
     if value is None:
-        return None
+        return "∅"
+    if isinstance(value, bool):
+        return f"b{value}"
     if isinstance(value, float):
         if math.isnan(value):
-            return "nan"
-        return round(value, 4)
-    if isinstance(value, bool):
-        return value
+            return "fnan"
+        return f"f{round(value, 4)}"
     if isinstance(value, int):
-        return value
-    return str(value)
+        return f"i{value}"
+    return f"s{value}"
 
 
 def _rowset(cols, rows):
@@ -64,9 +71,11 @@ def test_query_against_oracle(spark, name, fn):
         return
 
     con = _duck()
-    res = con.execute(sql)
-    cols = [d[0] for d in res.description]
-    duck_rows = [dict(zip(cols, row)) for row in res.fetchall()]
+    # Fetch through Arrow (like the driver does) so DuckDB HUGEINT degrades
+    # to float64 locally exactly as it does in the driver's comparison.
+    tbl = con.execute(sql).arrow()
+    cols = tbl.column_names
+    duck_rows = tbl.to_pylist()
 
     assert sorted(cols) == sorted(sdf.columns), (
         f"{name}: column mismatch spark={sorted(sdf.columns)} duck={sorted(cols)}"
