@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 from convei_abstract_relational_knowledge_explorer_spark.operators import (
     analytics,
     dedup,
+    sampling,
     similarity,
     text_analysis,
 )
@@ -350,20 +351,42 @@ def _q23_label_centroid_sim(spark, sf):
 
 
 def _q24_minhash_candidates(spark, sf):
+    """MinHash+LSH candidate pairs with the portable md5 hash family —
+    the full pipeline (shingle → 16 minhashes → 8 bands → bucket join) is
+    replicated verbatim in the DuckDB oracle."""
     d = _t(spark, sf, "documents")
     sh = dedup.shingles(d, "doc_id", "text", k=2)
-    sigs = dedup.minhash_signatures(sh, num_hashes=16)
-    return dedup.lsh_candidate_pairs(sigs, bands=8, rows_per_band=2)
+    sigs = dedup.minhash_signatures(sh, num_hashes=16, hash_fn="md5")
+    return dedup.lsh_candidate_pairs(
+        sigs, bands=8, rows_per_band=2, bucket_fn="concat"
+    )
 
 
 def _q25_simhash_near_dups(spark, sf):
+    """SimHash near-dups with the portable md5 hash (60 sign bits) —
+    oracle replays per-bit voting + pigeonhole chunk blocking in SQL."""
     d = _t(spark, sf, "documents")
-    return dedup.simhash_near_duplicates(d, max_hamming=10)
+    return dedup.simhash_near_duplicates(d, max_hamming=10, hash_fn="md5")
 
 
 def _q26_knn_components(spark, sf):
+    """Scale path: IVF-bucketed ANN kNN graph (adaptive √n cells,
+    multi-probe 2) + large-star/small-star CC.  Approximate by design —
+    the exact twin q26b below carries the oracle."""
     emb = _t(spark, sf, "embeddings")
-    edges = similarity.knn_graph(emb, k=5, n_cells=8)
+    edges = similarity.knn_graph(emb, k=5, n_cells=None, n_probe=2)
+    strong = edges.filter(F.col("weight") > 0.2)
+    cc = connected_components(strong)
+    return cc.groupBy("component").agg(F.count("*").alias("n_members"))
+
+
+def _q26b_knn_components_exact(spark, sf):
+    """Exact twin of q26 on a bounded slice: brute-force kNN graph +
+    connected components, oracled by DuckDB list_cosine_similarity +
+    recursive-CTE label propagation (reference shape:
+    /root/reference/topic_analysis.py:97-153)."""
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 1000)
+    edges = similarity.brute_force_knn_graph(emb, k=5)
     strong = edges.filter(F.col("weight") > 0.2)
     cc = connected_components(strong)
     return cc.groupBy("component").agg(F.count("*").alias("n_members"))
@@ -432,6 +455,16 @@ def _q30_copublishing(spark, sf):
     )
 
 
+def _q31_hash_sample(spark, sf):
+    """F4 seeded-sampling analog: content-addressed 10% sample (portable
+    md5 hash-mod) — reproducible across any partitioning; the rand(seed)
+    variant is unit-tested (tests/test_operators.py)."""
+    d = _t(spark, sf, "documents")
+    return sampling.sample_by_hash(d, "doc_id", percent=10).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -460,10 +493,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_minhash_candidates": _q24_minhash_candidates,
         "q25_simhash_near_dups": _q25_simhash_near_dups,
         "q26_knn_components": _q26_knn_components,
+        "q26b_knn_components_exact": _q26b_knn_components_exact,
         "q27_media_features": _q27_media_features,
         "q28_language_id": _q28_language_id,
         "q29_ngram_jaccard_pairs": _q29_ngram_jaccard_pairs,
         "q30_copublishing": _q30_copublishing,
+        "q31_hash_sample": _q31_hash_sample,
     }
 
 
@@ -477,6 +512,10 @@ _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+(?:-[a-z0-9]+)*')"
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{s}'" for s in STOP)
     term_values = ", ".join(f"('{t}')" for t in TERMS)
+    lang_values = ", ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{m}'" for m in markers))
+        for lang, markers in sorted(text_analysis._LANG_MARKERS.items())
+    )
     return {
         "q01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -674,10 +713,143 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS dim_count
             FROM cent GROUP BY 1
         """,
-        # q24/q25/q26/q27/q28 are intentionally rows-only checks:
-        # engine-specific hashing (xxhash64 minhash/simhash), an iterative
-        # CC loop, Arrow feature extraction over binary media, and the
-        # struct-argmax language vote are not portably SQL-expressible.
+        # q24/q25 replay the full MinHash-LSH / SimHash pipelines in SQL via
+        # the portable md5 hash family (dedup.porthash64 ≡
+        # CAST('0x' || substr(md5(x),1,15) AS BIGINT)).  q26 (IVF ANN) stays
+        # rows-only by design; its exact twin q26b carries the oracle.
+        # q27 (Arrow media features over synthesized binary) is rows-only.
+        "q24_minhash_candidates": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                           '[a-z0-9]+(?:-[a-z0-9]+)*') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', t[i], t[i + 1]) AS shingle
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(1,
+                         greatest(len(t) - 1, 1))) AS i) g
+                WHERE len(t) > 0
+            ), mh AS (
+                SELECT doc_id, s.seed,
+                       min(CAST('0x' || substr(md5(shingle || chr(31)
+                               || CAST(s.seed AS VARCHAR)), 1, 15) AS BIGINT)
+                       ) AS h
+                FROM sh CROSS JOIN
+                     (SELECT unnest(generate_series(0, 15)) AS seed) s
+                GROUP BY 1, 2
+            ), sig AS (
+                SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY 1
+            ), banded AS (
+                SELECT doc_id, b.band,
+                       array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2],
+                                       ':') AS bucket
+                FROM sig CROSS JOIN
+                     (SELECT unnest(generate_series(0, 7)) AS band) b
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+        """,
+        "q25_simhash_near_dups": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                           '[a-z0-9]+(?:-[a-z0-9]+)*')) AS tok
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+                FROM toks
+            ), bitsum AS (
+                SELECT doc_id, b.i,
+                       sum(CASE WHEN (hv >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM h CROSS JOIN
+                     (SELECT unnest(generate_series(0, 59)) AS i) b
+                GROUP BY 1, 2
+            ), sig AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i)
+                                     ELSE 0 END) AS BIGINT) AS simhash
+                FROM bitsum GROUP BY 1
+            ), chunks AS (
+                SELECT doc_id, simhash, c.ci,
+                       (simhash >> (c.ci * 16)) & 65535 AS cv
+                FROM sig CROSS JOIN
+                     (SELECT unnest(generate_series(0, 3)) AS ci) c
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.simhash AS sa, b.simhash AS sb
+                FROM chunks a JOIN chunks b
+                  ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+            FROM pairs WHERE bit_count(xor(sa, sb)) <= 10
+        """,
+        "q26b_knn_components_exact": """
+            WITH RECURSIVE v AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings WHERE vec_id < 1000
+            ), n AS (
+                SELECT vec_id, e,
+                       sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+                FROM v
+            ), sims AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       list_cosine_similarity(a.e, b.e) AS w
+                FROM n a JOIN n b ON a.vec_id <> b.vec_id
+                WHERE a.nrm > 0 AND b.nrm > 0
+            ), knn AS (
+                SELECT src, dst, w FROM (
+                    SELECT src, dst, w,
+                           row_number() OVER (PARTITION BY src
+                               ORDER BY w DESC, dst ASC) AS r
+                    FROM sims
+                ) WHERE r <= 5
+            ), strong AS (
+                SELECT least(src, dst) AS u, greatest(src, dst) AS v2
+                FROM knn GROUP BY 1, 2
+                HAVING max(w) > 0.2
+            ), sym AS (
+                SELECT u, v2 FROM strong
+                UNION ALL SELECT v2, u FROM strong
+            ), nodes AS (
+                SELECT DISTINCT u AS node FROM sym
+            ), reach(node, r) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT s.v2, reach.r FROM reach JOIN sym s ON reach.node = s.u
+            ), cc AS (
+                SELECT node, min(r) AS component FROM reach GROUP BY 1
+            )
+            SELECT component, count(*) AS n_members FROM cc GROUP BY 1
+        """,
+        "q28_language_id": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ), scores AS (
+                SELECT doc_id, l.lang,
+                       len(list_filter(t, x -> list_contains(l.m, x))) * 1.0
+                         / greatest(len(t), 1) AS score
+                FROM toks CROSS JOIN (VALUES {lang_values}) l(lang, m)
+            ), ranked AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, lang DESC) AS rn
+                FROM scores
+            )
+            SELECT doc_id, lang AS lang_pred FROM ranked WHERE rn = 1
+        """,
+        "q31_hash_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                       || chr(31) || 'sample'), 1, 15) AS BIGINT) % 100 < 10
+        """,
         "q29_ngram_jaccard_pairs": """
             WITH toks AS (
                 SELECT doc_id,

@@ -64,17 +64,35 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def porthash64(col, seed: int | None = None):
+    """Portable 60-bit hash: first 15 hex chars of md5 as a long.
+
+    Identical expression exists in ANSI SQL / DuckDB
+    (``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``), which lets the
+    LSH / SimHash operators be oracle-checked end to end.  The production
+    default stays ``xxhash64`` (cheaper; no cross-engine parity needed).
+    """
+    s = col if seed is None else F.concat_ws("\x1f", col, F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
-    shingle_df: DataFrame, num_hashes: int = 32
+    shingle_df: DataFrame, num_hashes: int = 32, hash_fn: str = "xxhash64"
 ) -> DataFrame:
-    """(doc_id, sig: array<long>) — min over per-seed xxhash64 of shingles.
+    """(doc_id, sig: array<long>) — min over per-seed hashes of shingles.
 
     All JVM: one projection computing ``num_hashes`` seeded hashes, one
-    groupBy(doc) with array-wise min aggregation.
+    groupBy(doc) with array-wise min aggregation.  ``hash_fn="md5"`` uses
+    the portable :func:`porthash64` family for oracle parity.
     """
-    hashes = F.array(
-        *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
-    )
+    if hash_fn == "md5":
+        hashes = F.array(
+            *[porthash64(F.col("shingle"), i) for i in range(num_hashes)]
+        )
+    else:
+        hashes = F.array(
+            *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
+        )
     return (
         shingle_df.select("doc_id", hashes.alias("hs"))
         .groupBy("doc_id")
@@ -87,13 +105,24 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    bucket_fn: str = "xxhash64",
 ) -> DataFrame:
     """Banded LSH: equal band-slice → candidate pair (a < b).
 
     The self-join is keyed on (band, band_hash) — a proper equi shuffle
-    join, never a cross join; ~n·bands rows shuffle.
+    join, never a cross join; ~n·bands rows shuffle.  ``bucket_fn="concat"``
+    keys the join on the ':'-joined slice string instead of its xxhash64 —
+    identical grouping, portable to the SQL oracle.
     """
+    def _bucket(b):
+        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        if bucket_fn == "concat":
+            return F.concat_ws(":", F.transform(sl, lambda x: x.cast("string")))
+        return F.xxhash64(sl).cast("string")
+
     banded = signatures.select(
         "doc_id",
         F.explode(
@@ -101,9 +130,7 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
+                        _bucket(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -175,17 +202,18 @@ def minhash_near_duplicates(
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
+            bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
     """(doc_id, simhash: long) — sign of per-bit weighted sums of token hashes.
 
-    JVM-native: explode tokens, per-bit ±1 contributions from xxhash64 bit
-    tests, groupBy(doc) sums, reassemble the sign bits.
+    JVM-native: explode tokens, per-bit ±1 contributions from token-hash bit
+    tests, groupBy(doc) sums, reassemble the sign bits.  ``hash_fn="md5"``
+    (use with ``bits<=60``) swaps in :func:`porthash64` for oracle parity.
     """
     toks = F.expr(
         f"regexp_extract_all(lower({text_col}), '[a-z0-9]+(?:-[a-z0-9]+)*', 0)"
     )
     tok_df = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
-    h = F.xxhash64("tok")
+    h = porthash64(F.col("tok")) if hash_fn == "md5" else F.xxhash64("tok")
     contribs = tok_df.select(
         "doc_id",
         *[
@@ -213,13 +241,15 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks.
 
     Pigeonhole: distance <= 3 ⇒ at least one of four 16-bit chunks equal —
     the self-join is keyed on (chunk_index, chunk_value), never O(n²).
     """
-    sigs = simhash(docs, id_col, text_col)
+    bits = 60 if hash_fn == "md5" else 64
+    sigs = simhash(docs, id_col, text_col, bits=bits, hash_fn=hash_fn)
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -265,7 +295,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_buckets: int = 8,
+    n_buckets: int | None = 8,
 ) -> DataFrame:
     """Cosine near-dup via random-hyperplane LSH bucketing + in-bucket verify.
 
@@ -273,7 +303,16 @@ def embedding_near_duplicates(
     (dim index, plane index)) make the self-join an equi join; exact cosine
     verifies candidates.  The brute-force fallback lives in
     operators/similarity.py.
+
+    ``n_buckets=None`` scales the hyperplane count with log2(n) (one count
+    job) so the expected in-bucket population — and hence the O((n/2^p)²)
+    verify join — stays flat as the corpus grows 100×.
     """
+    if n_buckets is None:
+        n = embeddings.count()
+        # target ~sqrt(n) vectors per bucket: p = ceil(log2(sqrt(n)))
+        p = max(3, (max(n, 2) - 1).bit_length() // 2 + 1)
+        n_buckets = 1 << p
     # deterministic pseudo-hyperplanes: sign pattern from xxhash64(i, p)
     planes = int(n_buckets).bit_length() - 1 if n_buckets > 1 else 1
     proj = []

@@ -170,3 +170,64 @@ def classify(
     return model.transform(prepared).select(
         F.col("id").alias(id_col), F.col("prediction").cast("int").alias("prediction")
     )
+
+
+def classify_with_probs(
+    model,
+    data: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    accept_max_p: float = 0.85,
+    accept_label_p: float = 0.5,
+) -> DataFrame:
+    """J5 with the reference's accept gates
+    (/root/reference/multi_label_classifier.py:155-162): per-class OvR
+    sigmoid scores normalized to sum 1 (sklearn OneVsRestClassifier
+    predict_proba semantics), keep a row only when max probability >=
+    ``accept_max_p``, and emit every label with probability >=
+    ``accept_label_p`` as the sorted ','-joined set (satellite_type analog).
+
+    JVM-native: the binary models' coefficients are inlined as literal
+    arrays, so scoring is one codegen'd projection — no per-class
+    ``transform`` pass, no Python in the hot path.
+    """
+    x = F.col(vec_col).cast("array<double>")
+    raw = []
+    for m in model.models:
+        w = F.array(*[F.lit(float(c)) for c in m.coefficients])
+        z = F.aggregate(
+            F.zip_with(x, w, lambda a, b: a * b),
+            F.lit(float(m.intercept)),
+            lambda acc, v: acc + v,
+        )
+        raw.append(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+    total = raw[0]
+    for s in raw[1:]:
+        total = total + s
+    total = F.greatest(total, F.lit(1e-12))
+    probs = F.array(*[s / total for s in raw])
+
+    scored = data.select(
+        F.col(id_col).alias(id_col),
+        probs.alias("probs"),
+    )
+    max_p = F.array_max("probs")
+    accepted = F.filter(
+        F.transform(
+            F.col("probs"),
+            lambda p, i: F.struct(p.alias("p"), i.alias("label")),
+        ),
+        lambda s: s["p"] >= accept_label_p,
+    )
+    return (
+        scored.select(
+            id_col,
+            F.round(max_p, 6).alias("max_p"),
+            F.transform(accepted, lambda s: s["label"]).alias("labels"),
+        )
+        .filter((F.col("max_p") >= accept_max_p) & (F.size("labels") > 0))
+        .withColumn(
+            "satellite_type",
+            F.concat_ws(",", F.transform("labels", lambda x_: x_.cast("string"))),
+        )
+    )

@@ -1,0 +1,62 @@
+"""Sampling operators (SURVEY.md §2 F4).
+
+The reference samples with ``ORDER BY random() LIMIT n``
+(/root/reference/sample_author_affiliation_vectors.py:108-125) — fine on a
+single SQLite node, but a global random sort is a full shuffle at 100 TB.
+Two Spark-first forms:
+
+- :func:`sample_seeded` — seeded Bernoulli / top-n sampling via
+  ``rand(seed)``; reproducible across runs on the same partitioning, the
+  direct analog of the reference's random() sample.
+- :func:`sample_by_hash` — deterministic hash-mod sampling (md5-based
+  :func:`~.dedup.porthash64`), row-content-addressed so it is reproducible
+  across ANY partitioning/cluster size and exactly replayable in ANSI SQL
+  (the oracle-checkable form).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .dedup import porthash64
+
+
+def sample_seeded(
+    df: DataFrame,
+    fraction: float | None = None,
+    n: int | None = None,
+    seed: int = 42,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Seeded random sample: Bernoulli fraction or global top-n by rand(seed).
+
+    ``fraction`` uses ``df.sample`` (no shuffle, per-partition Bernoulli).
+    ``n`` reproduces the reference's ``ORDER BY random() LIMIT n`` as a
+    TakeOrderedAndProject on ``rand(seed)`` — one pass, no full sort
+    materialization.  ``order_col`` breaks rand ties deterministically.
+    """
+    if fraction is not None:
+        return df.sample(fraction=fraction, seed=seed)
+    if n is None:
+        raise ValueError("pass fraction= or n=")
+    keys = [F.rand(seed)] + ([F.col(order_col)] if order_col else [])
+    return df.orderBy(*keys).limit(n)
+
+
+def sample_by_hash(
+    df: DataFrame,
+    key_col: str,
+    percent: int,
+    modulus: int = 100,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic content-addressed sample: keep rows whose
+    ``porthash64(key, salt) % modulus < percent``.
+
+    Partitioning-independent and engine-portable (same md5 expression runs
+    in DuckDB), so resume/backfill jobs always re-select the same rows —
+    the property the reference loses with random().
+    """
+    h = porthash64(F.col(key_col).cast("string"), salt)
+    return df.filter(F.pmod(h, F.lit(modulus)) < percent)

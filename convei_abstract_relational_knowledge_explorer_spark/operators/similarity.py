@@ -76,17 +76,69 @@ def brute_force_top_k(
     )
 
 
+def brute_force_knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs kNN edge list (src < dst, weight = max cosine).
+
+    O(n²) crossJoin(broadcast) — the correctness baseline that oracles the
+    IVF :func:`knn_graph`; only for bounded slices (the caller filters ids).
+    """
+    vecs = _normed(embeddings, id_col, vec_col, "vec_id")
+    a = vecs.select(
+        F.col("vec_id").alias("src"), F.col("vec").alias("avec"),
+        F.col("norm").alias("anorm"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("dst"), F.col("vec").alias("bvec"),
+        F.col("norm").alias("bnorm"),
+    )
+    sim = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (_dot(F.col("avec"), F.col("bvec")) / (F.col("anorm") * F.col("bnorm"))).alias("weight"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
+    knn = sim.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    return (
+        knn.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("weight").alias("weight"))
+    )
+
+
+def adaptive_cells(n: int, floor: int = 16) -> int:
+    """IVF cell count ∝ √n so in-cell work stays O(n^1.5) total at any scale."""
+    import math
+
+    return max(floor, int(math.isqrt(max(n, 1))))
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic seed centroids + one assignment pass.
 
     Centroids = the ``n_cells`` vectors with smallest xxhash64(id) —
     deterministic, no RNG, no iteration.  Returns
-    (centroids(cell, cvec, cnorm), assignments(vec_id, cell)).
+    (centroids(cell, cvec, cnorm), assignments(vec_id, cell, r)) where
+    ``r`` ranks the vector's closest cells 1..n_probe (multi-probe: r=1 is
+    the home cell; r>1 rows let the probe side cross cell boundaries).
     """
     vecs = _normed(embeddings, id_col, vec_col, "vec_id")
     seeds = (
@@ -109,8 +161,8 @@ def ivf_assign(
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     assign = (
         sim.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "cell")
+        .filter(F.col("r") <= n_probe)
+        .select("vec_id", "cell", "r")
     )
     return seeds, assign
 
@@ -131,7 +183,9 @@ def ivf_top_k(
     the 100 TB path where brute force is off the table.
     """
     seeds, assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
-    vecs = _normed(embeddings, id_col, vec_col, "vec_id").join(assign, "vec_id")
+    vecs = _normed(embeddings, id_col, vec_col, "vec_id").join(
+        assign.select("vec_id", "cell"), "vec_id"
+    )
 
     probes = _normed(query, query_id_col, vec_col, "query_id").select(
         "query_id", F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
@@ -169,20 +223,34 @@ def ivf_top_k(
 def knn_graph(
     embeddings: DataFrame,
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 2,
 ) -> DataFrame:
     """Approximate all-pairs kNN edge list (src < dst, weight = cosine).
 
-    The J6 substitute: vectors meet only within their IVF cell (the cell is
-    the equi join key), then per-node window top-k; edges deduped with
+    The J6 substitute: vectors meet only within shared IVF cells (the cell
+    is the equi join key), then per-node window top-k; edges deduped with
     src < dst like the reference's edge buffer
     (/root/reference/topic_analysis.py:124-131).
+
+    Scale levers: ``n_cells=None`` picks √n cells (one count job) so the
+    in-cell self-join stays O(n^1.5) rows total at any corpus size, and the
+    probe side visits its ``n_probe`` closest cells so near-neighbors split
+    across a cell boundary are still found.
     """
-    _, assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
-    vecs = _normed(embeddings, id_col, vec_col, "vec_id").join(assign, "vec_id")
-    a, b = vecs.alias("a"), vecs.alias("b")
+    if n_cells is None:
+        n_cells = adaptive_cells(embeddings.count())
+    _, assign = ivf_assign(embeddings, n_cells, id_col, vec_col, n_probe=n_probe)
+    vecs = _normed(embeddings, id_col, vec_col, "vec_id")
+    # index side: home cell only; probe side: n_probe closest cells —
+    # every candidate pair still meets exactly like FAISS multi-probe.
+    idx = vecs.join(
+        assign.filter(F.col("r") == 1).select("vec_id", "cell"), "vec_id"
+    )
+    probe = vecs.join(assign.select("vec_id", "cell"), "vec_id")
+    a, b = probe.alias("a"), idx.alias("b")
     sim = (
         a.join(b, "cell")
         .filter(F.col("a.vec_id") != F.col("b.vec_id"))
@@ -194,6 +262,8 @@ def knn_graph(
                 / (F.col("a.norm") * F.col("b.norm"))
             ).alias("weight"),
         )
+        .groupBy("src", "dst")
+        .agg(F.max("weight").alias("weight"))
     )
     w = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
     knn = sim.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)

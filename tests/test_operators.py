@@ -298,3 +298,32 @@ def test_dedup_topics_within_doc(spark):
     assert (1, "land cover change") not in got
     assert (1, "soil moisture") in got
     assert (2, "urban heat island") in got
+
+
+def test_sample_seeded_reproducible(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sorted(r["doc_id"] for r in sampling.sample_seeded(df, n=50, seed=7,
+                                                           order_col="doc_id").collect())
+    b = sorted(r["doc_id"] for r in sampling.sample_seeded(df, n=50, seed=7,
+                                                           order_col="doc_id").collect())
+    c = sorted(r["doc_id"] for r in sampling.sample_seeded(df, n=50, seed=8,
+                                                           order_col="doc_id").collect())
+    assert a == b and len(a) == 50
+    assert a != c  # different seed, different sample
+
+    frac = sampling.sample_seeded(df, fraction=0.1, seed=7).count()
+    assert 100 <= frac <= 320  # Bernoulli around 200
+
+
+def test_sample_by_hash_deterministic_and_unbiased(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators import sampling
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s1 = sampling.sample_by_hash(df, "doc_id", percent=10)
+    s2 = sampling.sample_by_hash(df.repartition(13), "doc_id", percent=10)
+    got1 = sorted(r["doc_id"] for r in s1.collect())
+    got2 = sorted(r["doc_id"] for r in s2.collect())
+    assert got1 == got2  # partitioning-independent
+    assert 350 <= len(got1) <= 650  # ~10%

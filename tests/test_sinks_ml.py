@@ -121,3 +121,25 @@ def test_multilabel_classifier_roundtrip(spark):
     joined = preds.join(df, "vec_id")
     acc = joined.filter(F.col("prediction") == F.col("label")).count() / 40
     assert acc >= 0.95
+
+
+def test_classifier_accept_thresholds_reject_low_confidence(spark):
+    """J5 parity: the reference gates on max predict_proba >= 0.85 and keeps
+    labels with p >= 0.5 (/root/reference/multi_label_classifier.py:155-162).
+    An ambiguous midpoint vector must be rejected; confident ones accepted."""
+    df = _clustered_vectors(spark).withColumnRenamed("cluster", "label")
+    model = ml.train_multilabel_classifier(df, label_col="label")
+    probe = spark.createDataFrame(
+        [
+            (100, [1.0, 0.0]),   # squarely class 0
+            (101, [0.0, 1.0]),   # squarely class 1
+            (102, [0.5, 0.5]),   # ambiguous midpoint -> rejected
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in ml.classify_with_probs(model, probe).collect()}
+    assert 100 in out and out[100]["labels"] == [0]
+    assert 101 in out and out[101]["labels"] == [1]
+    assert 102 not in out  # max_p < 0.85 gate
+    assert all(r["max_p"] >= 0.85 for r in out.values())
+    assert out[100]["satellite_type"] == "0"
