@@ -36,7 +36,8 @@ def tokens_col(text_col: str):
 
 
 def generic_terms(docs: DataFrame, text_col: str = "abstract",
-                  df_threshold: float = 0.15, min_token_len: int = 2) -> DataFrame:
+                  df_threshold: float = 0.15, min_token_len: int = 2,
+                  n_docs: int | None = None) -> DataFrame:
     """Corpus-generic tokens by document frequency (D8 legs).
 
     Parity: /root/reference/topic_discovery_pipeline.py:353-390 — distinct
@@ -46,7 +47,8 @@ def generic_terms(docs: DataFrame, text_col: str = "abstract",
         F.explode(F.array_distinct(tokens_col(text_col))).alias("token")
     ).filter(F.length("token") >= min_token_len)
     df_counts = toks.groupBy("token").agg(F.count("*").alias("df"))
-    n_docs = docs.count()
+    if n_docs is None:  # callers with a materialized stage pass the count in
+        n_docs = docs.count()
     return df_counts.filter(F.col("df") >= df_threshold * n_docs)
 
 
@@ -116,8 +118,13 @@ def mine_topics(
     text_col: str = "abstract",
     top_k: int = 8,
     df_threshold: float = 0.15,
+    n_docs: int | None = None,
 ) -> DataFrame:
-    """documents → (doc_id, topic, score) HAS_TOPIC candidates."""
+    """documents → (doc_id, topic, score) HAS_TOPIC candidates.
+
+    ``n_docs``: pass the already-known stage row count to skip the extra
+    count job (one full corpus scan at 100 TB; VERDICT r01 "what's wrong" #4).
+    """
     # reference filter heuristics run inside the n-gram lambda (pre-explode)
     filtered = candidate_phrases(docs, text_col, prefiltered=True).filter(
         F.length("phrase") >= 3
@@ -137,7 +144,8 @@ def mine_topics(
     #      explicitly shuffle-hash (no bistable AQE broadcast flip); AQE
     #      skew-join splitting covers the residual tail.
     tf = filtered.groupBy("doc_id", "phrase").agg(F.count("*").alias("tf"))
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()
     df_counts = tf.groupBy("phrase").agg(F.count("*").alias("df"))
     generic = df_counts.filter(F.col("df") >= df_threshold * n_docs).select(
         "phrase"

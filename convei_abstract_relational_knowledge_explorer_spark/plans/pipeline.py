@@ -20,13 +20,26 @@ from pathlib import Path
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.affiliations import (
+    affiliation_type_distances,
+    clean_affiliations,
+)
 from ..operators.components import components_with_singletons
 from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
 from ..operators.extract import extract_documents
+from ..operators.mentions import affiliation_segments
 from ..operators.topics import mine_topics, topic_triples
 from ..operators.triples import emit_triples
 
-STAGES = ("documents", "triples", "topics", "nodes", "edges")
+STAGES = (
+    "documents",
+    "triples",
+    "topics",
+    "cleaned_affiliations",
+    "affiliation_type_distances",
+    "nodes",
+    "edges",
+)
 
 
 class Checkpointer:
@@ -105,6 +118,68 @@ class Checkpointer:
         self._record(stage, rows, start)
         return out_df
 
+    def run_partitioned(
+        self,
+        stage: str,
+        build_part,
+        values: list,
+        partition_col: str = "year",
+        build_full=None,
+    ) -> DataFrame:
+        """Per-PARTITION checkpoints (north_rule: "resumable from
+        per-partition checkpoints"): each partition value is built and
+        written independently (``<stage>/<partition_col>=<v>/``) and
+        recorded in the ledger, so a run killed mid-stage resumes at the
+        first incomplete partition instead of rebuilding the whole stage —
+        the Iceberg-snapshot-per-partition analog.
+
+        ``build_part(v)`` returns that partition's rows (the
+        ``partition_col`` column is dropped before the write and recovered
+        by partition discovery on read).  In memory mode (scaling harness)
+        falls back to one unpartitioned pass.
+        """
+        if self.materialize == "memory":
+            if build_full is None:
+                raise ValueError("memory mode needs build_full")
+            return self.run(stage, build_full)
+        if self.done(stage):
+            return self.load(stage)
+        state = self.progress.setdefault(
+            stage, {"status": "partial", "parts": {}}
+        )
+        parts: dict = state.setdefault("parts", {})
+        start = time.time()
+        for v in values:
+            if str(v) in parts:
+                continue
+            part_start = time.time()
+            pdf = build_part(v).drop(partition_col)
+            pdf.write.mode("overwrite").parquet(
+                str(self.out / stage / f"{partition_col}={v}")
+            )
+            parts[str(v)] = {
+                "seconds": round(time.time() - part_start, 3)
+            }
+            self.progress_path.write_text(json.dumps(self.progress, indent=1))
+        # root-level marker so done() sees the whole stage (Spark ignores
+        # underscore-prefixed files during partition discovery)
+        (self.out / stage / "_SUCCESS").touch()
+        out_df = self.load(stage)
+        rows = out_df.count()
+        state["status"] = "complete"
+        state["rows"] = rows
+        self.metrics.append(
+            {
+                "stage": stage,
+                "rows_out": rows,
+                "seconds": round(time.time() - start, 3),
+                "partitions": {k: v["seconds"] for k, v in parts.items()},
+            }
+        )
+        self.progress_path.write_text(json.dumps(self.progress, indent=1))
+        self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
+        return out_df
+
 
 def canonicalize_entities(spark: SparkSession, triples: DataFrame) -> DataFrame:
     """Merge duplicate entity surfaces → canonical nodes (stage 4+5).
@@ -181,23 +256,54 @@ def build_graph(
     pages: DataFrame,
     out_dir: str,
     with_topics: bool = True,
+    with_affiliations: bool = True,
     materialize: str = "parquet",
 ) -> dict[str, DataFrame]:
-    """Run all stages with per-stage checkpointing; returns the tables."""
+    """Run all stages with checkpointing; returns the tables.
+
+    The triples stage (the expensive Arrow mention pass) checkpoints
+    PER YEAR PARTITION — a killed 10-hour run resumes at the first
+    unfinished year.  Corpus-level stages (topics df/idf, nodes CC) are
+    per-stage: splitting them would change their statistics.
+    """
     ck = Checkpointer(spark, out_dir, materialize=materialize)
 
     docs = ck.run(
         "documents", lambda: extract_documents(pages), partition_by=["year"]
     )
-    triples = ck.run("triples", lambda: emit_triples(spark, docs))
+    n_docs = ck.progress.get("documents", {}).get("rows")
+
+    years = [r["year"] for r in docs.select("year").distinct().collect()]
+    triples = ck.run_partitioned(
+        "triples",
+        lambda y: emit_triples(spark, docs.filter(F.col("year") == y)),
+        sorted(years),
+        partition_col="year",
+        build_full=lambda: emit_triples(spark, docs),
+    )
     if with_topics:
         topics = ck.run(
             "topics",
-            lambda: topic_triples(docs, mine_topics(docs)),
+            lambda: topic_triples(docs, mine_topics(docs, n_docs=n_docs)),
         )
         all_triples = triples.unionByName(topics)
     else:
         all_triples = triples
+
+    extra_tables = {}
+    if with_affiliations:
+        cleaned = ck.run(
+            "cleaned_affiliations",
+            lambda: clean_affiliations(affiliation_segments(docs)),
+        )
+        dists = ck.run(
+            "affiliation_type_distances",
+            lambda: affiliation_type_distances(spark, cleaned),
+        )
+        extra_tables = {
+            "cleaned_affiliations": cleaned,
+            "affiliation_type_distances": dists,
+        }
 
     nodes = ck.run(
         "nodes",
@@ -228,4 +334,5 @@ def build_graph(
         "triples": all_triples,
         "nodes": nodes,
         "edges": edges,
+        **extra_tables,
     }

@@ -22,20 +22,25 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-from ..operators.analytics import cooccurrence_pairs, top_k_per_group
+from ..operators.analytics import top_k_per_group
+from ..operators.skew import salted_cooccurrence
 
 
-def satellite_pair_matrix(triples: DataFrame) -> DataFrame:
+def satellite_pair_matrix(triples: DataFrame, n_salts: int = 16) -> DataFrame:
     """Upper-triangular pair counts for MENTIONS_SATELLITE edges, wide form.
 
     The reference writes a labels × labels matrix with blanks under the
     diagonal; the Spark form is the tidy pair table plus a pivot — the
     pivot column set (satellite names) is small and bounded.
+
+    Uses the skew-salted co-occurrence: head pairs like (Landsat, Landsat)
+    or (US, US) cover a large share of all docs, so the per-pair distinct
+    count runs two-phase over ``n_salts`` reducers instead of pinning one.
     """
     sats = triples.filter(F.col("pred") == "MENTIONS_SATELLITE").select(
         "doc_id", "obj"
     )
-    pairs = cooccurrence_pairs(sats, "doc_id", "obj")
+    pairs = salted_cooccurrence(sats, "doc_id", "obj", n_salts=n_salts)
     return (
         pairs.groupBy("ea")
         .pivot("eb")

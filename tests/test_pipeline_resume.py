@@ -78,3 +78,92 @@ def test_checkpointer_skips_complete_stage(spark, tmp_path):
     ck.run("stage_a", build)
     ck.run("stage_a", build)
     assert calls["n"] == 1
+
+
+def test_run_partitioned_resumes_at_failed_partition(spark, tmp_path):
+    """north_rule per-partition checkpoints: a stage killed mid-way resumes
+    at the first unfinished partition; finished ones are never rebuilt."""
+    out = str(tmp_path / "pk")
+    built: list[int] = []
+
+    def build_part(y, fail_on=None):
+        if y == fail_on:
+            raise RuntimeError("simulated executor loss")
+        built.append(y)
+        return (
+            spark.range(10)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.lit(y).alias("year"),
+                (F.col("id") * y).alias("v"),
+            )
+        )
+
+    ck = Checkpointer(spark, out)
+    try:
+        ck.run_partitioned(
+            "triples",
+            lambda y: build_part(y, fail_on=2021),
+            [2019, 2020, 2021, 2022],
+            build_full=lambda: None,
+        )
+        raise AssertionError("expected simulated failure")
+    except RuntimeError:
+        pass
+    assert built == [2019, 2020]
+
+    # fresh Checkpointer = fresh process; resume completes the rest only
+    ck2 = Checkpointer(spark, out)
+    df = ck2.run_partitioned(
+        "triples",
+        lambda y: build_part(y, fail_on=None),
+        [2019, 2020, 2021, 2022],
+        build_full=lambda: None,
+    )
+    assert built == [2019, 2020, 2021, 2022]  # 2019/2020 NOT rebuilt
+    assert df.count() == 40
+    assert {r["year"] for r in df.select("year").distinct().collect()} == {
+        2019, 2020, 2021, 2022,
+    }
+    # per-partition lineage recorded
+    progress = json.loads((tmp_path / "pk" / "_progress.json").read_text())
+    assert set(progress["triples"]["parts"]) == {"2019", "2020", "2021", "2022"}
+
+    # a third run is a no-op
+    ck3 = Checkpointer(spark, out)
+    ck3.run_partitioned(
+        "triples",
+        lambda y: build_part(y, fail_on=None),
+        [2019, 2020, 2021, 2022],
+        build_full=lambda: None,
+    )
+    assert built == [2019, 2020, 2021, 2022]
+
+
+def test_affiliation_stages_materialize_and_resume(spark, tmp_path):
+    out = str(tmp_path / "aff")
+    pages = web_pages(spark, 60, partitions=2)
+    tables = build_graph(spark, pages, out, with_topics=False)
+
+    cleaned = tables["cleaned_affiliations"]
+    assert "cleaned_affiliation" in cleaned.columns and "place" in cleaned.columns
+    assert cleaned.count() > 0
+    dists = tables["affiliation_type_distances"]
+    assert dists.count() > 0
+    types = {r["affiliation_type"] for r in dists.select("affiliation_type").distinct().collect()}
+    assert types <= {"academic", "government", "private", "nonprofit",
+                     "intergovernmental"}
+    # similarity bounded, top-k per (doc, index) <= 5
+    assert dists.filter((F.col("semantic_similarity") < -1.0001)
+                        | (F.col("semantic_similarity") > 1.0001)).count() == 0
+
+    metrics = json.loads((tmp_path / "aff" / "_metrics.json").read_text())
+    stages = [m["stage"] for m in metrics]
+    assert "cleaned_affiliations" in stages
+    assert "affiliation_type_distances" in stages
+
+    # resume is a no-op for the affiliation stages
+    n_metrics = len(metrics)
+    build_graph(spark, pages, out, with_topics=False)
+    metrics2 = json.loads((tmp_path / "aff" / "_metrics.json").read_text())
+    assert len(metrics2) == n_metrics
