@@ -132,6 +132,43 @@ def cluster_top_terms(
     )
 
 
+def kmeans_clusters(
+    embeddings: DataFrame,
+    k: int | None = None,
+    min_cluster_size: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    max_iter: int = 20,
+) -> DataFrame:
+    """J11: KMeans clustering over an embedding column (Spark ML).
+
+    The reference's HDBSCAN-with-KMeans-fallback
+    (/root/reference/multitopic_tracer.py:111-128) collects neighbor
+    vectors to the driver; Spark ML KMeans is the distributed form —
+    Lloyd iterations as map-side partial sums, no driver matrices.
+    ``k=None`` reproduces the reference's fallback sizing
+    ``min(4, max(2, n // min_cluster_size))``; density-based HDBSCAN has
+    no scalable Spark analog (documented substitute, SURVEY.md §2 J11).
+    Returns (id_col, cluster).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    prepared = embeddings.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    if k is None:
+        n = prepared.count()
+        k = min(4, max(2, n // max(1, min_cluster_size)))
+    model = KMeans(k=int(k), seed=seed, maxIter=max_iter).fit(prepared)
+    return model.transform(prepared).select(
+        F.col("id").alias(id_col),
+        F.col("prediction").cast("int").alias("cluster"),
+    )
+
+
 def train_multilabel_classifier(
     train: DataFrame,
     vec_col: str = "embedding",

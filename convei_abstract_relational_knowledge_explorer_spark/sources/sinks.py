@@ -71,6 +71,45 @@ def upsert(
     final.write.mode("overwrite").parquet(path)
 
 
+def upsert_partitioned(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str,
+) -> None:
+    """A7 at scale: merge + rewrite ONLY the partitions new rows touch.
+
+    The plain :func:`upsert` rewrites the whole table — fine for dims,
+    wrong for a 100 TB fact table.  Here the anti-join reads just the
+    touched partitions (partition-pruned scan) and Spark's dynamic
+    partition overwrite replaces just those directories — the physical
+    effect of an Iceberg ``MERGE INTO`` on a partitioned table: untouched
+    partitions are never read or rewritten.
+    """
+    fresh = new_rows.dropDuplicates(keys)
+    if not _exists(path):
+        fresh.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+        return
+    touched = [
+        r[0] for r in fresh.select(partition_col).distinct().collect()
+    ]
+    existing = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    keep = existing.join(fresh.select(*keys), keys, "left_anti")
+    # materialize before overwriting the directories being read
+    merged = keep.unionByName(fresh.select(*existing.columns)).localCheckpoint(
+        eager=True
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
 def fill_missing(
     spark: SparkSession,
     updates: DataFrame,

@@ -143,3 +143,54 @@ def test_classifier_accept_thresholds_reject_low_confidence(spark):
     assert 102 not in out  # max_p < 0.85 gate
     assert all(r["max_p"] >= 0.85 for r in out.values())
     assert out[100]["satellite_type"] == "0"
+
+
+def test_kmeans_clusters_separates_obvious_groups(spark):
+    """J11: Spark ML KMeans with the reference's fallback k sizing
+    (/root/reference/multitopic_tracer.py:122-128)."""
+    df = _clustered_vectors(spark)
+    out = ml.kmeans_clusters(df, min_cluster_size=10)  # n=40 -> k=min(4, 40//10)=4
+    got = out.join(df, "vec_id").collect()
+    # the two base groups never share a KMeans cluster
+    by_label: dict[int, set[int]] = {}
+    for r in got:
+        by_label.setdefault(r["cluster"], set()).add(r["vec_id"] % 2)
+    for members in by_label.values():
+        assert len(members) == 1  # each KMeans cluster is label-pure
+    assert out.select("cluster").distinct().count() >= 2
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    """A7 at scale (VERDICT r01 "what's wrong" #5): untouched partitions'
+    files must be byte-identical after the merge."""
+    import os
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 2019, "a"), (2, 2019, "b"), (3, 2020, "c"), (4, 2021, "d")],
+        "k long, year int, v string",
+    )
+    sinks.upsert_partitioned(spark, base, path, ["k"], "year")
+
+    def files_of(year):
+        d = os.path.join(path, f"year={year}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before_2019, before_2021 = files_of(2019), files_of(2021)
+
+    # update one 2020 row + insert a new 2020 row
+    sinks.upsert_partitioned(
+        spark,
+        spark.createDataFrame([(3, 2020, "C"), (5, 2020, "e")],
+                              "k long, year int, v string"),
+        path, ["k"], "year",
+    )
+    got = {(r["k"], r["year"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 2019, "a"), (2, 2019, "b"), (3, 2020, "C"),
+                   (4, 2021, "d"), (5, 2020, "e")}
+    # untouched partitions: same files, same mtimes
+    assert files_of(2019) == before_2019
+    assert files_of(2021) == before_2021
