@@ -53,7 +53,10 @@ def generic_terms(docs: DataFrame, text_col: str = "abstract",
 
 
 def _sql_set(values) -> str:
-    return "array(" + ", ".join(f"'{v}'" for v in sorted(values)) + ")"
+    """IN-list literal: Catalyst converts large IN to InSet (hash-set, O(1)
+    per probe) — measurably faster than array_contains' linear scan over a
+    literal array when the set has hundreds of members."""
+    return "(" + ", ".join(f"'{v}'" for v in sorted(values)) + ")"
 
 
 def candidate_phrases(docs: DataFrame, text_col: str = "abstract",
@@ -75,16 +78,16 @@ def candidate_phrases(docs: DataFrame, text_col: str = "abstract",
             "doc_id",
             "toks",
             F.expr(
-                f"transform(toks, t -> array_contains({_sql_set(D.STOPWORDS)}, t))"
+                f"transform(toks, t -> t in {_sql_set(D.STOPWORDS)})"
             ).alias("m_stop"),
             F.expr(
-                f"transform(toks, t -> array_contains({_sql_set(D.BAD_START)}, t))"
+                f"transform(toks, t -> t in {_sql_set(D.BAD_START)})"
             ).alias("m_bs"),
             F.expr(
-                f"transform(toks, t -> array_contains({_sql_set(D.BAD_VERB)}, t))"
+                f"transform(toks, t -> t in {_sql_set(D.BAD_VERB)})"
             ).alias("m_bv"),
             F.expr(
-                f"transform(toks, t -> array_contains({_sql_set(D.TRUNC_HEADS)}, t))"
+                f"transform(toks, t -> t in {_sql_set(D.TRUNC_HEADS)})"
             ).alias("m_tr"),
         )
     grams = []

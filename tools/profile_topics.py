@@ -30,7 +30,7 @@ spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8),
                   extra_conf={{"spark.local.dir": local_dir}})
 
 out = tempfile.mkdtemp(prefix="prof_docs_", dir="/dev/shm")
-extract_documents(web_pages(spark, n_docs)).write.partitionBy("year").parquet(out)
+extract_documents(web_pages(spark, n_docs)).write.mode("overwrite").partitionBy("year").parquet(out)
 docs = spark.read.parquet(out)
 docs.count()  # warm
 
