@@ -65,6 +65,9 @@ print("RESULT " + json.dumps({{
     "n_triples": n_triples, "stages": stages,
 }}))
 spark.stop()
+import shutil
+for d in (local_dir, warm, out):
+    shutil.rmtree(d, ignore_errors=True)
 """
 
 
