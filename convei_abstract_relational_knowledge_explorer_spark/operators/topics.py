@@ -146,7 +146,16 @@ def mine_topics(
     #   3. the remaining tf ⋈ df join is bounded per key (< threshold) and
     #      explicitly shuffle-hash (no bistable AQE broadcast flip); AQE
     #      skew-join splitting covers the residual tail.
-    tf = filtered.groupBy("doc_id", "phrase").agg(F.count("*").alias("tf"))
+    #
+    # tf is referenced by THREE consumers (the generic-phrase broadcast
+    # subplan, the anti-join probe side, and df_counts) — localCheckpoint
+    # materializes the scan→explode→agg subtree once instead of three
+    # times (the broadcast subplan cannot reuse the main plan's exchange).
+    tf = (
+        filtered.groupBy("doc_id", "phrase")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     if n_docs is None:
         n_docs = docs.count()
     df_counts = tf.groupBy("phrase").agg(F.count("*").alias("df"))

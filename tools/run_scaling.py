@@ -26,24 +26,30 @@ from convei_abstract_relational_knowledge_explorer_spark.sources.synthetic impor
 cpus = {cpus}
 n_docs = {n_docs}
 local_dir = tempfile.mkdtemp(prefix="spark_local_", dir="/dev/shm")
-spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8),
+spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=cpus * 3,
                   app_name=f"scaling-{{cpus}}",
                   extra_conf={{"spark.local.dir": local_dir}})
 # warmup: spin up Python workers + JIT before the clock starts (cluster
 # startup is not steady-state throughput; both configs get the same warmup)
 warm = tempfile.mkdtemp(prefix="warm_", dir="/dev/shm")
-build_graph(spark, web_pages(spark, 2000), warm)
+build_graph(spark, web_pages(spark, 2000), warm, materialize="memory")
 
 # tmpfs: stage parquet stays columnar but is not bottlenecked by the
 # sandbox's single local disk (on a real cluster, distributed storage
 # bandwidth scales with executors)
+# memory materialization (persist+count per stage): isolates the
+# compute+shuffle path the N->4N criterion is about — on a real cluster
+# stage writes go to distributed storage whose bandwidth scales with
+# executors, while this sandbox has ONE disk (see BENCH/BASELINE.md)
 out = tempfile.mkdtemp(prefix="scaling_", dir="/dev/shm")
 t0 = time.time()
-tables = build_graph(spark, web_pages(spark, n_docs), out)
+tables = build_graph(spark, web_pages(spark, n_docs), out,
+                     materialize="memory")
 n_triples = tables["triples"].count()
 seconds = time.time() - t0
 stages = {{x["stage"]: x["seconds"]
           for x in json.load(open(out + "/_metrics.json"))}}
+
 
 # compute-path microbench: the Arrow mention kernels alone (no stage
 # writes, no driver loops) — the fraction that dominates at 10^12 docs,
