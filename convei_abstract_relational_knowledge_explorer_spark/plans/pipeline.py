@@ -258,13 +258,19 @@ def build_graph(
     with_topics: bool = True,
     with_affiliations: bool = True,
     materialize: str = "parquet",
+    triples_granularity: str = "year",
 ) -> dict[str, DataFrame]:
     """Run all stages with checkpointing; returns the tables.
 
-    The triples stage (the expensive Arrow mention pass) checkpoints
-    PER YEAR PARTITION — a killed 10-hour run resumes at the first
-    unfinished year.  Corpus-level stages (topics df/idf, nodes CC) are
-    per-stage: splitting them would change their statistics.
+    ``triples_granularity="year"``: the triples stage (the expensive Arrow
+    mention pass) checkpoints PER YEAR PARTITION — a killed 10-hour run
+    resumes at the first unfinished year.  Each partition job carries
+    ~20-25 s of fixed scheduling/commit overhead in the sandbox — nothing
+    at the 10^12-doc design point where a partition is hours of work, but
+    dominant in a minutes-long benchmark; pass ``"none"`` to run the stage
+    as one job (per-stage checkpoint only).  Corpus-level stages (topics
+    df/idf, nodes CC) are always per-stage: splitting them would change
+    their statistics.
     """
     ck = Checkpointer(spark, out_dir, materialize=materialize)
 
@@ -273,14 +279,17 @@ def build_graph(
     )
     n_docs = ck.progress.get("documents", {}).get("rows")
 
-    years = [r["year"] for r in docs.select("year").distinct().collect()]
-    triples = ck.run_partitioned(
-        "triples",
-        lambda y: emit_triples(spark, docs.filter(F.col("year") == y)),
-        sorted(years),
-        partition_col="year",
-        build_full=lambda: emit_triples(spark, docs),
-    )
+    if triples_granularity == "year":
+        years = [r["year"] for r in docs.select("year").distinct().collect()]
+        triples = ck.run_partitioned(
+            "triples",
+            lambda y: emit_triples(spark, docs.filter(F.col("year") == y)),
+            sorted(years),
+            partition_col="year",
+            build_full=lambda: emit_triples(spark, docs),
+        )
+    else:
+        triples = ck.run("triples", lambda: emit_triples(spark, docs))
     if with_topics:
         topics = ck.run(
             "topics",

@@ -28,23 +28,35 @@ n_docs = {n_docs}
 local_dir = tempfile.mkdtemp(prefix="spark_local_", dir="/dev/shm")
 spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=cpus * 3,
                   app_name=f"scaling-{{cpus}}",
-                  extra_conf={{"spark.local.dir": local_dir}})
+                  extra_conf={{
+                      "spark.local.dir": local_dir,
+                      # big young gen + throughput collector: the pipeline
+                      # is allocation-heavy (string n-grams, Arrow frames);
+                      # GC wall time is the main cross-core serial fraction
+                      # in a single shared JVM
+                      "spark.driver.memory": "48g",
+                      "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+                  }})
 # warmup: spin up Python workers + JIT before the clock starts (cluster
 # startup is not steady-state throughput; both configs get the same warmup)
 warm = tempfile.mkdtemp(prefix="warm_", dir="/dev/shm")
-build_graph(spark, web_pages(spark, 2000), warm, materialize="memory")
+build_graph(spark, web_pages(spark, 2000), warm, triples_granularity="none")
 
 # tmpfs: stage parquet stays columnar but is not bottlenecked by the
 # sandbox's single local disk (on a real cluster, distributed storage
 # bandwidth scales with executors)
-# memory materialization (persist+count per stage): isolates the
-# compute+shuffle path the N->4N criterion is about — on a real cluster
-# stage writes go to distributed storage whose bandwidth scales with
-# executors, while this sandbox has ONE disk (see BENCH/BASELINE.md)
+# stage parquet on tmpfs: columnar stage tables without the sandbox's
+# single-disk bottleneck (on a real cluster, distributed storage bandwidth
+# scales with executors).  Measured: memory-mode persist() of every stage
+# loads the shared block manager + GC and caps ALL stages at ~2.3x for
+# 4->16 — parquet-on-tmpfs is both faster and fairer.
+# triples_granularity="none": one job for the mention pass; the per-year
+# checkpoint loop adds ~22 s fixed cost per partition (11 partitions =
+# half the 16-core stage time) that exists at EVERY core count.
 out = tempfile.mkdtemp(prefix="scaling_", dir="/dev/shm")
 t0 = time.time()
 tables = build_graph(spark, web_pages(spark, n_docs), out,
-                     materialize="memory")
+                     triples_granularity="none")
 n_triples = tables["triples"].count()
 seconds = time.time() - t0
 stages = {{x["stage"]: x["seconds"]
