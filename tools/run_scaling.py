@@ -28,15 +28,10 @@ n_docs = {n_docs}
 local_dir = tempfile.mkdtemp(prefix="spark_local_", dir="/dev/shm")
 spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=cpus * 3,
                   app_name=f"scaling-{{cpus}}",
-                  extra_conf={{
-                      "spark.local.dir": local_dir,
-                      # big young gen + throughput collector: the pipeline
-                      # is allocation-heavy (string n-grams, Arrow frames);
-                      # GC wall time is the main cross-core serial fraction
-                      # in a single shared JVM
-                      "spark.driver.memory": "48g",
-                      "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
-                  }})
+                  extra_conf={{"spark.local.dir": local_dir}})
+# NOTE (config study, BENCH/BASELINE.md): 48g + ParallelGC was tried and
+# REGRESSED small stages ~2x at 16 cores (long stop-the-world full GCs);
+# G1 + 24g default is the best measured configuration.
 # warmup: spin up Python workers + JIT before the clock starts (cluster
 # startup is not steady-state throughput; both configs get the same warmup)
 warm = tempfile.mkdtemp(prefix="warm_", dir="/dev/shm")
