@@ -393,10 +393,16 @@ def _q26b_knn_components_exact(spark, sf):
 
 
 def _q27_media_features(spark, sf):
+    """Multimodal plumbing with a FULL oracle: the payloads are seeded
+    sha256 bytes, so DuckDB replays the byte-histogram feature closed-form
+    from the hex digest (b % 16 == 0 ⇔ low hex nibble == '0'); k/256 and
+    k8/32 are exact in float32/double, so no rounding is needed."""
     media = synthetic_media(spark, 200)
     feats = extract_features(media)
     return feats.select(
-        "media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "media_id",
+        "n_bytes",
+        F.element_at("feature", 1).cast("double").alias("f0"),
     )
 
 
@@ -465,6 +471,42 @@ def _q31_hash_sample(spark, sf):
     )
 
 
+def _entity_year_counts(spark, sf):
+    """Shared input for the report-table queries: (entity=nation, year, n)
+    from orders ⋈ customer ⋈ broadcast(nation)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.col("n_name").alias("entity"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q32_annual_stacked_cumulative(spark, sf):
+    """I7 report table: top-5 series + 'Other' stacked annual counts with
+    running cumulative totals (reference figure data,
+    plot_publication_geography_figures.py:236-292)."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans import reports
+
+    return reports.annual_stacked_cumulative(
+        _entity_year_counts(spark, sf), top_n=5
+    )
+
+
+def _q33_totals_with_share(spark, sf):
+    """Per-entity totals + share-of-grand-total pct (reference figure bar
+    labels, plot_publication_geography_figures.py:330-345)."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans import reports
+
+    return reports.totals_with_share(_entity_year_counts(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -499,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_ngram_jaccard_pairs": _q29_ngram_jaccard_pairs,
         "q30_copublishing": _q30_copublishing,
         "q31_hash_sample": _q31_hash_sample,
+        "q32_annual_stacked_cumulative": _q32_annual_stacked_cumulative,
+        "q33_totals_with_share": _q33_totals_with_share,
     }
 
 
@@ -731,13 +775,26 @@ def oracle_sql() -> dict[str, str]:
                      LATERAL (SELECT unnest(generate_series(1,
                          greatest(len(t) - 1, 1))) AS i) g
                 WHERE len(t) > 0
+            ), hx AS (
+                -- ONE md5 per shingle; two 60-bit base lanes from hex
+                -- slices 1-15 / 17-31 (dedup.porthash_lanes twin)
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h1,
+                       CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT) AS h2
+                FROM sh
             ), mh AS (
+                -- lane_i = rot60(h1, 7i+3 mod 60) XOR rot60(h2, 13i+5 mod 60)
                 SELECT doc_id, s.seed,
-                       min(CAST('0x' || substr(md5(shingle || chr(31)
-                               || CAST(s.seed AS VARCHAR)), 1, 15) AS BIGINT)
-                       ) AS h
-                FROM sh CROSS JOIN
-                     (SELECT unnest(generate_series(0, 15)) AS seed) s
+                       min(xor(
+                           ((h1 & ((1::BIGINT << (60 - s.r)) - 1)) << s.r)
+                               | (h1 >> (60 - s.r)),
+                           ((h2 & ((1::BIGINT << (60 - s.r2)) - 1)) << s.r2)
+                               | (h2 >> (60 - s.r2))
+                       )) AS h
+                FROM hx CROSS JOIN
+                     (SELECT seed, (7 * seed + 3) % 60 AS r,
+                             (13 * seed + 5) % 60 AS r2
+                      FROM (SELECT unnest(generate_series(0, 15)) AS seed)) s
                 GROUP BY 1, 2
             ), sig AS (
                 SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY 1
@@ -775,19 +832,20 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0 END) AS BIGINT) AS simhash
                 FROM bitsum GROUP BY 1
             ), chunks AS (
+                -- max_hamming=10 → 11 pigeonhole chunks over 60 bits:
+                -- ten 5-bit chunks + one 10-bit tail (dedup.py twin)
                 SELECT doc_id, simhash, c.ci,
-                       (simhash >> (c.ci * 16)) & 65535 AS cv
+                       (simhash >> (c.ci * 5)) &
+                       ((1::BIGINT << (CASE WHEN c.ci = 10 THEN 10
+                                            ELSE 5 END)) - 1) AS cv
                 FROM sig CROSS JOIN
-                     (SELECT unnest(generate_series(0, 3)) AS ci) c
-            ), pairs AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       a.simhash AS sa, b.simhash AS sb
-                FROM chunks a JOIN chunks b
-                  ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+                     (SELECT unnest(generate_series(0, 10)) AS ci) c
             )
-            SELECT doc_a, doc_b,
-                   CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-            FROM pairs WHERE bit_count(xor(sa, sb)) <= 10
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM chunks a JOIN chunks b
+              ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
         """,
         "q26b_knn_components_exact": """
             WITH RECURSIVE v AS (
@@ -849,6 +907,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
                        || chr(31) || 'sample'), 1, 15) AS BIGINT) % 100 < 10
+        """,
+        "q32_annual_stacked_cumulative": """
+            WITH ey AS (
+                SELECT CAST(year(o_orderdate) AS INT) AS year,
+                       n_name AS entity, count(*) AS n
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                            JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1, 2
+            ), tot AS (
+                SELECT entity, sum(n) AS total FROM ey GROUP BY 1
+            ), top AS (
+                SELECT entity FROM tot
+                ORDER BY total DESC, entity ASC LIMIT 5
+            ), per AS (
+                SELECT year,
+                       CASE WHEN entity IN (SELECT entity FROM top)
+                            THEN entity ELSE 'Other' END AS series,
+                       CAST(sum(n) AS BIGINT) AS n
+                FROM ey GROUP BY 1, 2
+            ), annual AS (
+                SELECT year, CAST(sum(n) AS BIGINT) AS annual_total
+                FROM per GROUP BY 1
+            ), cum AS (
+                SELECT year, annual_total,
+                       CAST(sum(annual_total) OVER (ORDER BY year)
+                            AS BIGINT) AS cumulative_total
+                FROM annual
+            )
+            SELECT p.year, p.series, p.n, c.annual_total, c.cumulative_total
+            FROM per p JOIN cum c ON p.year = c.year
+        """,
+        "q33_totals_with_share": """
+            WITH ey AS (
+                SELECT CAST(year(o_orderdate) AS INT) AS year,
+                       n_name AS entity, count(*) AS n
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                            JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1, 2
+            ), tot AS (
+                SELECT entity, CAST(sum(n) AS BIGINT) AS total
+                FROM ey GROUP BY 1
+            )
+            SELECT entity, total,
+                   round(total * 100.0 / (SELECT sum(total) FROM tot), 6)
+                       AS share_pct
+            FROM tot
+        """,
+        # q27: the seeded payload is sha256("media:<i>") * 8 (256 bytes) and
+        # the stub decoder is a byte histogram mod 16 — so the first feature
+        # = (# bytes with low nibble 0) / 256 = (# odd-position hex chars
+        # equal to '0' in the digest) / 32, replayable closed-form.  Exact
+        # dyadic rationals in both engines, no rounding.
+        "q27_media_features": """
+            WITH ids AS (
+                SELECT unnest(generate_series(0, 199)) AS media_id
+            ), h AS (
+                SELECT media_id,
+                       sha256('media:' || CAST(media_id AS VARCHAR)) AS hx
+                FROM ids
+            )
+            SELECT media_id, 256 AS n_bytes,
+                   len(list_filter(range(1, 33),
+                       i -> substr(hx, CAST(2 * i AS INT), 1) = '0'))
+                     / 32.0 AS f0
+            FROM h
         """,
         "q29_ngram_jaccard_pairs": """
             WITH toks AS (

@@ -68,9 +68,24 @@ def run_pipeline(spark, n_docs: int) -> dict[str, float]:
         tables = build_graph(spark, pages, out, with_topics=True)
         n_triples = tables["triples"].count()
         seconds = time.time() - start
+        # cost of the r02-added affiliation stages recorded separately so
+        # docs/hour trends stay comparable across rounds (VERDICT r02 #9)
+        metrics = json.loads(
+            (__import__("pathlib").Path(out) / "_metrics.json").read_text()
+        )
+        affil_seconds = sum(
+            m["seconds"]
+            for m in metrics
+            if m["stage"]
+            in ("cleaned_affiliations", "affiliation_type_distances")
+        )
+        core = seconds - affil_seconds
         return {
             "pipeline_seconds": round(seconds, 3),
+            "pipeline_seconds_core": round(core, 3),
+            "affiliation_stage_seconds": round(affil_seconds, 3),
             "docs_per_hour": round(n_docs / seconds * 3600.0, 1),
+            "docs_per_hour_core": round(n_docs / core * 3600.0, 1),
             "n_triples": n_triples,
         }
     finally:

@@ -71,9 +71,54 @@ def porthash64(col, seed: int | None = None):
     (``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``), which lets the
     LSH / SimHash operators be oracle-checked end to end.  The production
     default stays ``xxhash64`` (cheaper; no cross-engine parity needed).
+
+    ``F.concat`` (not ``concat_ws``) so a NULL input propagates to a NULL
+    hash — matching the documented DuckDB twin ``x || chr(31) || seed``,
+    which is NULL on NULL ``x`` (concat_ws would silently collapse every
+    NULL key to hash(salt)).
     """
-    s = col if seed is None else F.concat_ws("\x1f", col, F.lit(str(seed)))
+    s = (
+        col
+        if seed is None
+        else F.concat(col.cast("string"), F.lit("\x1f"), F.lit(str(seed)))
+    )
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def _rot60(h, r: int):
+    """Rotate a 60-bit non-negative long left by ``r`` (0 <= r < 60).
+
+    Pure bit ops — ``((h & (2^(60-r)-1)) << r) | (h >> (60-r))`` — so the
+    identical expression runs in DuckDB with no BIGINT overflow (the
+    masked value shifted left stays < 2^60 < 2^63).
+    """
+    if r % 60 == 0:
+        return h
+    mask = (1 << (60 - r)) - 1
+    return F.shiftleft(h.bitwiseAND(F.lit(mask)), r).bitwiseOR(
+        F.shiftright(h, 60 - r)
+    )
+
+
+def porthash_lanes(col, num_lanes: int):
+    """``num_lanes`` independent portable 60-bit hashes from ONE md5.
+
+    md5 is by far the dominant cost of the portable hash family (r02 ran
+    16 md5s per shingle and q24 regressed 2.09x).  Here the 128-bit digest
+    is split into two 60-bit base lanes h1/h2 (hex slices 1-15 and 17-31),
+    and lane_i = rot(h1, 7i+3 mod 60) XOR rot(h2, 13i+5 mod 60) — integer
+    mixing only, every piece expressible verbatim in DuckDB, so the oracle
+    replays it exactly while paying ONE md5 per value.
+    """
+    hexd = F.md5(col)
+    h1 = F.conv(F.substring(hexd, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hexd, 17, 15), 16, 10).cast("long")
+    return h1, h2, [
+        (_rot60(F.col("_h1"), (7 * i + 3) % 60)).bitwiseXOR(
+            _rot60(F.col("_h2"), (13 * i + 5) % 60)
+        )
+        for i in range(num_lanes)
+    ]
 
 
 def minhash_signatures(
@@ -83,19 +128,21 @@ def minhash_signatures(
 
     All JVM: one projection computing ``num_hashes`` seeded hashes, one
     groupBy(doc) with array-wise min aggregation.  ``hash_fn="md5"`` uses
-    the portable :func:`porthash64` family for oracle parity.
+    the portable :func:`porthash_lanes` family for oracle parity — ONE md5
+    per shingle, lanes derived by 60-bit rotate+xor mixing.
     """
     if hash_fn == "md5":
-        hashes = F.array(
-            *[porthash64(F.col("shingle"), i) for i in range(num_hashes)]
-        )
+        h1, h2, lanes = porthash_lanes(F.col("shingle"), num_hashes)
+        src = shingle_df.select(
+            "doc_id", h1.alias("_h1"), h2.alias("_h2")
+        ).select("doc_id", F.array(*lanes).alias("hs"))
     else:
         hashes = F.array(
             *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
         )
+        src = shingle_df.select("doc_id", hashes.alias("hs"))
     return (
-        shingle_df.select("doc_id", hashes.alias("hs"))
-        .groupBy("doc_id")
+        src.groupBy("doc_id")
         .agg(
             F.array(
                 *[F.min(F.element_at("hs", i + 1)) for i in range(num_hashes)]
@@ -243,12 +290,27 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks.
+    """Near-dup pairs by SimHash hamming distance, chunk-blocked with a
+    recall GUARANTEE derived from ``max_hamming``.
 
-    Pigeonhole: distance <= 3 ⇒ at least one of four 16-bit chunks equal —
-    the self-join is keyed on (chunk_index, chunk_value), never O(n²).
+    Pigeonhole: ``max_hamming + 1`` disjoint bit chunks cannot all contain
+    a differing bit when distance <= max_hamming, so at least one chunk is
+    equal — the self-join keyed on (chunk_index, chunk_value) finds every
+    qualifying pair (r02 hard-coded 4 chunks, which only guaranteed
+    distance <= 3 while q25 asked for 10).  Tradeoff made explicit: larger
+    radii mean narrower chunks → fewer distinct bucket values → bigger
+    in-bucket joins; at 10^12-doc scale keep max_hamming small (<= 7) or
+    switch to multi-permutation tables.
     """
     bits = 60 if hash_fn == "md5" else 64
+    n_chunks = max_hamming + 1
+    if n_chunks > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} chunks but the "
+            f"signature has only {bits} bits"
+        )
+    w = bits // n_chunks
+    widths = [w] * (n_chunks - 1) + [bits - (n_chunks - 1) * w]
     sigs = simhash(docs, id_col, text_col, bits=bits, hash_fn=hash_fn)
     chunks = sigs.select(
         "doc_id",
@@ -258,31 +320,30 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(c).alias("ci"),
-                        F.shiftright("simhash", c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", c * w)
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
                         .alias("cv"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.ci", "ch.cv")
     a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # hamming filter BEFORE the pair distinct: candidates that fail the
+    # radius never enter the dedup shuffle
+    return (
         a.join(b, ["ci", "cv"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+            hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return pairs.select(
-        "doc_a", "doc_b", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -295,7 +356,8 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_buckets: int | None = 8,
+    n_buckets: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup via random-hyperplane LSH bucketing + in-bucket verify.
 
@@ -304,12 +366,15 @@ def embedding_near_duplicates(
     verifies candidates.  The brute-force fallback lives in
     operators/similarity.py.
 
-    ``n_buckets=None`` scales the hyperplane count with log2(n) (one count
-    job) so the expected in-bucket population — and hence the O((n/2^p)²)
-    verify join — stays flat as the corpus grows 100×.
+    The DEFAULT ``n_buckets=None`` scales the hyperplane count with
+    log2(n) so the expected in-bucket population — and hence the
+    O((n/2^p)²) verify join — stays flat as the corpus grows 100×; a
+    fixed bucket count is opt-in, never the default.  Pass ``n=`` (an
+    already-known row count) to skip the sizing count job.
     """
     if n_buckets is None:
-        n = embeddings.count()
+        if n is None:
+            n = embeddings.count()
         # target ~sqrt(n) vectors per bucket: p = ceil(log2(sqrt(n)))
         p = max(3, (max(n, 2) - 1).bit_length() // 2 + 1)
         n_buckets = 1 << p

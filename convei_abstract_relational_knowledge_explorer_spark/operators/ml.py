@@ -218,11 +218,14 @@ def classify_with_probs(
     accept_label_p: float = 0.5,
 ) -> DataFrame:
     """J5 with the reference's accept gates
-    (/root/reference/multi_label_classifier.py:155-162): per-class OvR
-    sigmoid scores normalized to sum 1 (sklearn OneVsRestClassifier
-    predict_proba semantics), keep a row only when max probability >=
-    ``accept_max_p``, and emit every label with probability >=
-    ``accept_label_p`` as the sorted ','-joined set (satellite_type analog).
+    (/root/reference/multi_label_classifier.py:155-162): RAW per-class OvR
+    sigmoid scores — sklearn's OneVsRestClassifier skips the sum-to-1
+    normalization when fit on a 2D multilabel indicator, so a doc can carry
+    several labels with p >= 0.5 simultaneously.  Keep a row only when the
+    max raw probability >= ``accept_max_p``, and emit every label with raw
+    probability >= ``accept_label_p`` as the sorted ','-joined set
+    (satellite_type analog; sorted as strings, matching
+    ``",".join(sorted(set(chosen)))``).
 
     JVM-native: the binary models' coefficients are inlined as literal
     arrays, so scoring is one codegen'd projection — no per-class
@@ -238,11 +241,7 @@ def classify_with_probs(
             lambda acc, v: acc + v,
         )
         raw.append(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
-    total = raw[0]
-    for s in raw[1:]:
-        total = total + s
-    total = F.greatest(total, F.lit(1e-12))
-    probs = F.array(*[s / total for s in raw])
+    probs = F.array(*raw)
 
     scored = data.select(
         F.col(id_col).alias(id_col),
@@ -265,6 +264,9 @@ def classify_with_probs(
         .filter((F.col("max_p") >= accept_max_p) & (F.size("labels") > 0))
         .withColumn(
             "satellite_type",
-            F.concat_ws(",", F.transform("labels", lambda x_: x_.cast("string"))),
+            F.concat_ws(
+                ",",
+                F.sort_array(F.transform("labels", lambda x_: x_.cast("string"))),
+            ),
         )
     )

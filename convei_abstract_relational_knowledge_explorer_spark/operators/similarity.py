@@ -171,17 +171,21 @@ def ivf_top_k(
     embeddings: DataFrame,
     query: DataFrame,
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    n: int | None = None,
 ) -> DataFrame:
     """ANN top-k: probe only the n_probe closest IVF cells per query.
 
     The scan side shrinks by ~n_probe/n_cells; the join is equi on cell —
-    the 100 TB path where brute force is off the table.
+    the 100 TB path where brute force is off the table.  Default
+    ``n_cells=None`` = adaptive √n (pass ``n=`` to skip the count job).
     """
+    if n_cells is None:
+        n_cells = adaptive_cells(n if n is not None else embeddings.count())
     seeds, assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
     vecs = _normed(embeddings, id_col, vec_col, "vec_id").join(
         assign.select("vec_id", "cell"), "vec_id"
@@ -223,10 +227,11 @@ def ivf_top_k(
 def knn_graph(
     embeddings: DataFrame,
     k: int = 10,
-    n_cells: int | None = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 2,
+    n: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs kNN edge list (src < dst, weight = cosine).
 
@@ -235,13 +240,16 @@ def knn_graph(
     src < dst like the reference's edge buffer
     (/root/reference/topic_analysis.py:124-131).
 
-    Scale levers: ``n_cells=None`` picks √n cells (one count job) so the
-    in-cell self-join stays O(n^1.5) rows total at any corpus size, and the
-    probe side visits its ``n_probe`` closest cells so near-neighbors split
-    across a cell boundary are still found.
+    Scale levers: the DEFAULT ``n_cells=None`` picks √n cells so the
+    in-cell self-join stays O(n^1.5) rows total at any corpus size — a
+    fixed cell count is the classic 100×-scale killer, so it is opt-in,
+    not the default.  Pass ``n=`` (an already-known row count, e.g. a
+    checkpointed stage's ledger count) to skip the sizing count job.  The
+    probe side visits its ``n_probe`` closest cells so near-neighbors
+    split across a cell boundary are still found.
     """
     if n_cells is None:
-        n_cells = adaptive_cells(embeddings.count())
+        n_cells = adaptive_cells(n if n is not None else embeddings.count())
     _, assign = ivf_assign(embeddings, n_cells, id_col, vec_col, n_probe=n_probe)
     vecs = _normed(embeddings, id_col, vec_col, "vec_id")
     # index side: home cell only; probe side: n_probe closest cells —

@@ -28,7 +28,11 @@ from ..operators.components import components_with_singletons
 from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
 from ..operators.extract import extract_documents
 from ..operators.mentions import affiliation_segments
-from ..operators.topics import mine_topics, topic_triples
+from ..operators.topics import (
+    dedup_topics_within_doc,
+    mine_topics,
+    topic_triples,
+)
 from ..operators.triples import emit_triples
 
 STAGES = (
@@ -142,6 +146,12 @@ class Checkpointer:
             if build_full is None:
                 raise ValueError("memory mode needs build_full")
             return self.run(stage, build_full)
+        if not values:
+            # no partition values (empty input): per-partition checkpoints
+            # degenerate to one per-stage checkpoint of the full build
+            if build_full is None:
+                raise ValueError(f"{stage}: empty values needs build_full")
+            return self.run(stage, build_full)
         if self.done(stage):
             return self.load(stage)
         state = self.progress.setdefault(
@@ -162,7 +172,10 @@ class Checkpointer:
             }
             self.progress_path.write_text(json.dumps(self.progress, indent=1))
         # root-level marker so done() sees the whole stage (Spark ignores
-        # underscore-prefixed files during partition discovery)
+        # underscore-prefixed files during partition discovery); the stage
+        # dir may not exist yet if every partition was resumed from a
+        # ledger whose directories were externally removed
+        (self.out / stage).mkdir(parents=True, exist_ok=True)
         (self.out / stage / "_SUCCESS").touch()
         out_df = self.load(stage)
         rows = out_df.count()
@@ -222,20 +235,21 @@ def canonicalize_entities(spark: SparkSession, triples: DataFrame) -> DataFrame:
         )
     )
 
-    # LSH near-dup edges over topic-like names (3+ tokens)
+    # LSH near-dup edges over topic-like names (3+ tokens).  Built
+    # unconditionally: when no name qualifies the branch is an empty
+    # DataFrame and the union below is a no-op — no probe job (r02 ran an
+    # extra limit(1).count() here just to skip it).
     topicish = entities.filter(F.size(F.split("name", " ")) >= 3)
-    near_pairs = spark.createDataFrame([], "src long, dst long")
-    if topicish.limit(1).count() > 0:
-        sh = shingles(
-            topicish.select(F.col("entity_id").alias("doc_id"), "name"),
-            id_col="doc_id",
-            text_col="name",
-            k=2,
-        )
-        sigs = minhash_signatures(sh, num_hashes=16)
-        near_pairs = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2).select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        )
+    sh = shingles(
+        topicish.select(F.col("entity_id").alias("doc_id"), "name"),
+        id_col="doc_id",
+        text_col="name",
+        k=2,
+    )
+    sigs = minhash_signatures(sh, num_hashes=16)
+    near_pairs = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
 
     cc = components_with_singletons(
         entities.select(F.col("entity_id").alias("node")),
@@ -291,9 +305,17 @@ def build_graph(
     else:
         triples = ck.run("triples", lambda: emit_triples(spark, docs))
     if with_topics:
+        # within-doc fuzzy dedup BEFORE emitting HAS_TOPIC, matching the
+        # reference (topic_discovery_pipeline.py:421-472 dedup_token_set
+        # runs on the per-doc candidate list before DB insert); the
+        # applyInPandas groups are <= top_k rows, so it's one cheap
+        # shuffle of the already-reduced topics table
         topics = ck.run(
             "topics",
-            lambda: topic_triples(docs, mine_topics(docs, n_docs=n_docs)),
+            lambda: topic_triples(
+                docs,
+                dedup_topics_within_doc(mine_topics(docs, n_docs=n_docs)),
+            ),
         )
         all_triples = triples.unionByName(topics)
     else:

@@ -118,3 +118,65 @@ def topics_jsonl(triples: DataFrame, nodes: DataFrame, k_examples: int = 5) -> D
         "surface_forms",
         "example_urls",
     )
+
+
+def annual_stacked_cumulative(
+    counts: DataFrame,
+    entity_col: str = "entity",
+    year_col: str = "year",
+    n_col: str = "n",
+    top_n: int = 10,
+) -> DataFrame:
+    """The data table behind the reference's stacked-annual + cumulative
+    figure (/root/reference/plot_publication_geography_figures.py:236-292):
+    top-N entities by all-time total keep their own series, the tail
+    collapses to 'Other', and every year carries its annual total plus the
+    running cumulative total (I7).
+
+    Input: tidy (entity, year, n).  The global cumulative window runs over
+    the per-YEAR table — a bounded, report-sized domain — so the single
+    partition it implies is a few hundred rows, not a scale hazard.
+    """
+    totals = counts.groupBy(entity_col).agg(F.sum(n_col).alias("total"))
+    top = (
+        totals.orderBy(F.desc("total"), F.asc(entity_col))
+        .limit(top_n)
+        .select(entity_col)
+        .withColumn("_top", F.lit(1))
+    )
+    series = F.when(F.col("_top") == 1, F.col(entity_col)).otherwise(
+        F.lit("Other")
+    )
+    per = (
+        counts.join(F.broadcast(top), entity_col, "left")
+        .select(
+            F.col(year_col).alias("year"),
+            series.alias("series"),
+            F.col(n_col).alias("n"),
+        )
+        .groupBy("year", "series")
+        .agg(F.sum("n").alias("n"))
+    )
+    annual = per.groupBy("year").agg(F.sum("n").alias("annual_total"))
+    wc = Window.orderBy("year").rowsBetween(Window.unboundedPreceding, 0)
+    annual = annual.withColumn(
+        "cumulative_total", F.sum("annual_total").over(wc)
+    )
+    return per.join(annual, "year")
+
+
+def totals_with_share(
+    counts: DataFrame, entity_col: str = "entity", n_col: str = "n"
+) -> DataFrame:
+    """Per-entity totals with percentage share of the grand total — the
+    bar-label table of the reference's per-country figure
+    (/root/reference/plot_publication_geography_figures.py:330-345)."""
+    totals = counts.groupBy(entity_col).agg(F.sum(n_col).alias("total"))
+    grand = Window.partitionBy()  # report-sized table; single window is fine
+    return totals.select(
+        entity_col,
+        "total",
+        F.round(
+            F.col("total") * 100.0 / F.sum("total").over(grand), 6
+        ).alias("share_pct"),
+    )

@@ -77,6 +77,7 @@ def upsert_partitioned(
     path: str,
     keys: list[str],
     partition_col: str,
+    sweep_moved_keys: bool = False,
 ) -> None:
     """A7 at scale: merge + rewrite ONLY the partitions new rows touch.
 
@@ -86,6 +87,16 @@ def upsert_partitioned(
     partition overwrite replaces just those directories — the physical
     effect of an Iceberg ``MERGE INTO`` on a partitioned table: untouched
     partitions are never read or rewritten.
+
+    INVARIANT (default ``sweep_moved_keys=False``): a key's
+    ``partition_col`` value never changes — the standard fact-table
+    contract; a key that DID move partitions would leave its stale row in
+    the old partition.  Callers whose keys can move (e.g. a corrected
+    document year) pass ``sweep_moved_keys=True``: one extra column-pruned
+    scan of (keys, partition_col) finds stale rows in untouched
+    partitions and adds those partitions to the rewrite set, so the merge
+    deletes them — matching full Iceberg MERGE semantics at the cost of a
+    key-column table scan.
     """
     fresh = new_rows.dropDuplicates(keys)
     if not _exists(path):
@@ -94,6 +105,17 @@ def upsert_partitioned(
     touched = [
         r[0] for r in fresh.select(partition_col).distinct().collect()
     ]
+    if sweep_moved_keys:
+        stale_parts = (
+            spark.read.parquet(path)
+            .select(*keys, partition_col)
+            .filter(~F.col(partition_col).isin(touched))
+            .join(fresh.select(*keys), keys, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        )
+        touched = sorted(set(touched) | {r[0] for r in stale_parts})
     existing = spark.read.parquet(path).filter(
         F.col(partition_col).isin(touched)
     )
@@ -108,6 +130,20 @@ def upsert_partitioned(
         .partitionBy(partition_col)
         .parquet(path)
     )
+    if sweep_moved_keys:
+        # dynamic overwrite only rewrites partitions PRESENT in the output;
+        # a swept partition whose every row moved away ends up empty and
+        # must be dropped explicitly (Iceberg MERGE deletes handle this
+        # natively on a real cluster)
+        import shutil
+
+        present = {
+            r[0] for r in merged.select(partition_col).distinct().collect()
+        }
+        for v in set(touched) - present:
+            shutil.rmtree(
+                Path(path) / f"{partition_col}={v}", ignore_errors=True
+            )
 
 
 def fill_missing(

@@ -167,3 +167,64 @@ def test_affiliation_stages_materialize_and_resume(spark, tmp_path):
     build_graph(spark, pages, out, with_topics=False)
     metrics2 = json.loads((tmp_path / "aff" / "_metrics.json").read_text())
     assert len(metrics2) == n_metrics
+
+
+def test_run_partitioned_overwrites_torn_partition(spark, tmp_path):
+    """A crash can leave a PARTIALLY WRITTEN partition directory with no
+    ledger entry.  Resume must treat it as unbuilt and the per-partition
+    overwrite write must replace the torn files wholesale."""
+    out = tmp_path / "torn"
+
+    def build_part(y, fail_on=None):
+        if y == fail_on:
+            raise RuntimeError("simulated kill mid-stage")
+        return spark.range(5).select(
+            F.col("id").alias("doc_id"),
+            F.lit(y).alias("year"),
+            (F.col("id") + y).alias("v"),
+        )
+
+    ck = Checkpointer(spark, str(out))
+    try:
+        ck.run_partitioned(
+            "triples",
+            lambda y: build_part(y, fail_on=2020),
+            [2019, 2020, 2021],
+            build_full=lambda: None,
+        )
+        raise AssertionError("expected simulated failure")
+    except RuntimeError:
+        pass
+
+    # simulate the torn write the kill left behind: a garbage part file in
+    # the 2020 partition dir, with NO ledger entry for 2020
+    torn_dir = out / "triples" / "year=2020"
+    torn_dir.mkdir(parents=True, exist_ok=True)
+    torn_file = torn_dir / "part-00000-torn.snappy.parquet"
+    torn_file.write_bytes(b"PAR1 this is not a parquet footer")
+    ledger = json.loads((out / "_progress.json").read_text())
+    assert "2020" not in ledger["triples"]["parts"]
+
+    ck2 = Checkpointer(spark, str(out))
+    df = ck2.run_partitioned(
+        "triples",
+        lambda y: build_part(y),
+        [2019, 2020, 2021],
+        build_full=lambda: None,
+    )
+    assert not torn_file.exists()  # overwrite mode wiped the torn file
+    got = {(r["doc_id"], r["year"], r["v"]) for r in df.collect()}
+    assert got == {
+        (i, y, i + y) for y in (2019, 2020, 2021) for i in range(5)
+    }
+
+
+def test_run_partitioned_empty_values_falls_back_to_full_build(spark, tmp_path):
+    ck = Checkpointer(spark, str(tmp_path / "empty"))
+    df = ck.run_partitioned(
+        "triples",
+        lambda y: None,
+        [],
+        build_full=lambda: spark.range(3).select(F.col("id")),
+    )
+    assert df.count() == 3

@@ -74,3 +74,36 @@ def test_documents_partition_pruning(spark, graph, tmp_path_factory):
     assert "PartitionFilters" in plan
     section = plan.split("PartitionFilters", 1)[1].splitlines()[0]
     assert str(some_year) in section  # the equality filter reached the scan
+
+
+def test_annual_stacked_cumulative(spark):
+    """I7 figure table: top-N + 'Other' stacking, annual + running totals
+    (/root/reference/plot_publication_geography_figures.py:236-292)."""
+    rows = [
+        ("us", 2019, 5), ("us", 2020, 7),
+        ("fr", 2019, 3), ("fr", 2020, 1),
+        ("de", 2019, 1), ("jp", 2020, 1),
+    ]
+    counts = spark.createDataFrame(rows, "entity string, year int, n long")
+    out = {
+        (r["year"], r["series"]): r
+        for r in reports.annual_stacked_cumulative(counts, top_n=2).collect()
+    }
+    # top-2 by total: us (12), fr (4); de+jp collapse to Other
+    assert out[(2019, "us")]["n"] == 5
+    assert out[(2019, "Other")]["n"] == 1
+    assert out[(2020, "Other")]["n"] == 1
+    assert out[(2019, "us")]["annual_total"] == 9
+    assert out[(2020, "fr")]["annual_total"] == 9
+    assert out[(2019, "fr")]["cumulative_total"] == 9
+    assert out[(2020, "us")]["cumulative_total"] == 18
+
+
+def test_totals_with_share(spark):
+    counts = spark.createDataFrame(
+        [("us", 2019, 6), ("us", 2020, 6), ("fr", 2019, 4)],
+        "entity string, year int, n long",
+    )
+    out = {r["entity"]: r for r in reports.totals_with_share(counts).collect()}
+    assert out["us"]["total"] == 12 and out["us"]["share_pct"] == 75.0
+    assert out["fr"]["total"] == 4 and out["fr"]["share_pct"] == 25.0

@@ -194,3 +194,62 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     # untouched partitions: same files, same mtimes
     assert files_of(2019) == before_2019
     assert files_of(2021) == before_2021
+
+
+def test_classifier_accepts_multilabel_raw_sigmoids(spark):
+    """The reference fits a 2D multilabel indicator, so sklearn's
+    OneVsRestClassifier predict_proba returns RAW per-class sigmoids (no
+    sum-to-1 normalization) — a doc confidently in TWO classes keeps both
+    labels (/root/reference/multi_label_classifier.py:149-162).  r02
+    normalized, which inverted this case: [0.98, 0.98] became [0.5, 0.5]
+    and was rejected."""
+    from types import SimpleNamespace
+
+    # two linearly separable binary heads: class0 fires on dim0, class1 on
+    # dim1; z = 6*x - 2 -> sigmoid(4) = 0.982 when the dim is hot
+    model = SimpleNamespace(
+        models=[
+            SimpleNamespace(coefficients=[6.0, 0.0], intercept=-2.0),
+            SimpleNamespace(coefficients=[0.0, 6.0], intercept=-2.0),
+        ]
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),  # only class 0 confident
+            (2, [0.0, 1.0]),  # only class 1 confident
+            (3, [1.0, 1.0]),  # BOTH confident -> both labels kept
+            (4, [0.1, 0.1]),  # neither reaches 0.85 -> rejected
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in ml.classify_with_probs(model, probe).collect()}
+    assert out[1]["labels"] == [0] and out[1]["satellite_type"] == "0"
+    assert out[2]["labels"] == [1] and out[2]["satellite_type"] == "1"
+    assert out[3]["labels"] == [0, 1] and out[3]["satellite_type"] == "0,1"
+    assert abs(out[3]["max_p"] - 0.982014) < 1e-4  # raw sigmoid, not 0.5
+    assert 4 not in out
+
+
+def test_upsert_partitioned_sweep_moved_keys(spark, tmp_path):
+    """A key whose partition value changes: default mode documents the
+    fact-table invariant (stale row survives); sweep_moved_keys=True finds
+    and deletes the stale row in the old partition."""
+    schema = "k long, year int, v string"
+    base = spark.createDataFrame(
+        [(1, 2019, "a"), (2, 2020, "b"), (3, 2021, "c")], schema
+    )
+    moved = spark.createDataFrame([(1, 2020, "A")], schema)  # 2019 -> 2020
+
+    p1 = str(tmp_path / "no_sweep")
+    sinks.upsert_partitioned(spark, base, p1, ["k"], "year")
+    sinks.upsert_partitioned(spark, moved, p1, ["k"], "year")
+    got1 = {(r["k"], r["year"]) for r in spark.read.parquet(p1).collect()}
+    assert (1, 2019) in got1 and (1, 2020) in got1  # documented stale dup
+
+    p2 = str(tmp_path / "sweep")
+    sinks.upsert_partitioned(spark, base, p2, ["k"], "year")
+    sinks.upsert_partitioned(
+        spark, moved, p2, ["k"], "year", sweep_moved_keys=True
+    )
+    got2 = {(r["k"], r["year"], r["v"]) for r in spark.read.parquet(p2).collect()}
+    assert got2 == {(1, 2020, "A"), (2, 2020, "b"), (3, 2021, "c")}
