@@ -21,6 +21,7 @@ top-k window), both keyed well for 1000-executor scale.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
@@ -191,44 +192,108 @@ def dedup_topics_within_doc(topics: DataFrame, thresh: float = 90.0) -> DataFram
     (/root/reference/topic_discovery_pipeline.py:421-472) — iterate
     candidates best-score-first; when token_set_ratio >= thresh against a
     kept phrase, prefer the SHORTER tokenization (replace) else drop.
-    Runs as ``applyInPandas`` per doc over the already top-k'd candidates
-    (<= top_k rows per group), so the quadratic scan is tiny and the
-    shuffle is one groupBy(doc_id).
+
+    Shape: ``collect_list`` per doc (the input is already top-k'd, so a
+    group is <= top_k rows), JVM-side ``sort_array`` into the
+    deterministic best-first order (score desc, topic asc), then ONE
+    Arrow-batched scalar pandas UDF that sees only the sorted TOPIC
+    STRING arrays and returns the kept INDICES — the rows are reassembled
+    JVM-side by array indexing.  The r03-initial ``applyInPandas`` form
+    paid ~1.9 ms of per-group pandas overhead x 2M docs (it tripled the
+    topics stage at the 2M bench); flat string-array in / int-array out
+    also avoids the slow struct<->dict Arrow conversions (measured: the
+    decision loop itself is ~55 us/doc).  Inside the loop, exact
+    short-circuits skip the LCS: token-subset pairs are 100 by definition
+    (ratio(inter, inter)=100) and disjoint-token pairs are bounded by
+    200*min_len/(la+lb) < thresh.
     """
-    import pandas as pd
+    import re
+
+    from pyspark.sql.functions import pandas_udf
 
     from ..functions.fuzzy import token_set_ratio
 
-    def dedup(pdf: pd.DataFrame) -> pd.DataFrame:
-        # reference sorts ascending (YAKE lower=better); our score is
-        # higher=better, so sort descending
-        rows = pdf.sort_values("score", ascending=False)
-        kept: list[tuple[str, float, int]] = []  # (topic, score, n_tokens)
-        for topic, score in zip(rows["topic"], rows["score"]):
-            n_toks = len(topic.split())
-            replace_idx = None
-            drop = False
-            for i, (k_topic, _, k_len) in enumerate(kept):
-                if token_set_ratio(topic, k_topic) >= thresh:
-                    if n_toks < k_len:
-                        replace_idx = i
-                    else:
-                        drop = True
-                    break
-            if replace_idx is not None:
-                kept[replace_idx] = (topic, score, n_toks)
-            elif not drop:
-                kept.append((topic, score, n_toks))
-        return pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].iloc[0],
-                "topic": [k[0] for k in kept],
-                "score": [k[1] for k in kept],
-            }
-        )
+    word_re = re.compile(r"[a-z0-9]+")
 
-    return topics.groupBy("doc_id").applyInPandas(
-        dedup, schema="doc_id long, topic string, score double"
+    @pandas_udf("array<int>")
+    def keep_indices(topic_arrays: pd.Series) -> pd.Series:
+        out = []
+        for arr in topic_arrays:
+            # kept: (index, topic, n_tokens, processed token set, sorted len)
+            kept: list[tuple[int, str, int, frozenset, int]] = []
+            for idx, topic in enumerate(arr):
+                n_toks = len(topic.split())
+                toks = word_re.findall(topic.lower())
+                tset = frozenset(toks)
+                slen = sum(len(t) for t in tset) + max(len(tset) - 1, 0)
+                replace_idx = None
+                drop = False
+                for i, (_, k_topic, k_len, k_set, k_slen) in enumerate(kept):
+                    if tset & k_set:
+                        # shared-token core with a subset relation: the
+                        # inter-vs-side comparand is identical => 100
+                        if tset <= k_set or k_set <= tset:
+                            sim = 100.0
+                        else:
+                            sim = token_set_ratio(topic, k_topic)
+                    else:
+                        # disjoint tokens: only ratio(sa, sb) can fire and
+                        # ratio <= 200*min(|sa|,|sb|)/(|sa|+|sb|) (LCS cap)
+                        if (
+                            200.0
+                            * min(slen, k_slen)
+                            / max(slen + k_slen, 1)
+                            < thresh
+                        ):
+                            continue
+                        sim = token_set_ratio(topic, k_topic)
+                    if sim >= thresh:
+                        if n_toks < k_len:
+                            replace_idx = i
+                        else:
+                            drop = True
+                        break
+                if replace_idx is not None:
+                    kept[replace_idx] = (idx, topic, n_toks, tset, slen)
+                elif not drop:
+                    kept.append((idx, topic, n_toks, tset, slen))
+            out.append([k[0] for k in kept])
+        return pd.Series(out)
+
+    agg = topics.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("score")).alias("ns"),
+                    F.col("topic").alias("topic"),
+                    F.col("score").alias("score"),
+                )
+            )
+        ).alias("srt")
+    )
+    arr = agg.select(
+        "doc_id",
+        F.expr("transform(srt, s -> s.topic)").alias("ts"),
+        F.expr("transform(srt, s -> s.score)").alias("ss"),
+    )
+    return (
+        arr.select(
+            "doc_id", "ts", "ss", keep_indices("ts").alias("ki")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(ki, i -> struct(ts[i] AS topic,"
+                    " ss[i] AS score))"
+                )
+            ).alias("kv"),
+        )
+        .select(
+            "doc_id",
+            F.col("kv.topic").alias("topic"),
+            F.col("kv.score").alias("score"),
+        )
     )
 
 

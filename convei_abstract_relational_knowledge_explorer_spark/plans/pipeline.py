@@ -101,6 +101,18 @@ class Checkpointer:
         self.progress_path.write_text(json.dumps(self.progress, indent=1))
         self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
 
+    def _free_persisted(self) -> None:
+        """Unpersist every cached/localCheckpointed RDD left behind by a
+        stage build (the topics tf subtree, CC round checkpoints, entity
+        lists).  Once a stage is durable parquet, those blocks are dead
+        weight in the executors' block managers; dropping them per stage
+        keeps storage memory flat across a long pipeline instead of
+        accumulating every stage's scaffolding.  Parquet mode only —
+        memory mode's persisted stage outputs ARE the materialization."""
+        jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in list(jmap.values()):
+            rdd.unpersist(False)
+
     def run(self, stage: str, build, partition_by: list[str] | None = None) -> DataFrame:
         """Build + materialize a stage unless already complete (resume)."""
         if self.done(stage):
@@ -117,6 +129,7 @@ class Checkpointer:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(self.out / stage))
+        self._free_persisted()
         out_df = self.load(stage)
         rows = out_df.count()
         self._record(stage, rows, start)

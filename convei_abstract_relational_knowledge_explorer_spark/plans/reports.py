@@ -180,3 +180,151 @@ def totals_with_share(
             F.col("total") * 100.0 / F.sum("total").over(grand), 6
         ).alias("share_pct"),
     )
+
+
+def explorer_feed(
+    triples: DataFrame,
+    nodes: DataFrame,
+    docs: DataFrame,
+    k_keywords: int = 15,
+    k_examples: int = 5,
+) -> DataFrame:
+    """The reference-shaped ``topics.jsonl`` explorer feed
+    (/root/reference/topic_analysis.py:229-257; consumed by
+    /root/reference/explorer.html:1399): one row per canonical topic with
+    ``(topic_id, size, keywords, representatives)`` — keywords by per-
+    cluster TF-IDF (J9), representatives the first ``k_examples`` member
+    docs (deterministic doc_id order; the reference samples
+    representatives from the cluster).
+    """
+    from ..operators.ml import cluster_top_terms
+
+    topic_nodes = nodes.filter(F.col("entity_type") == "HAS_TOPIC").select(
+        F.col("name").alias("obj"), "canonical_id"
+    )
+    edges = (
+        triples.filter(F.col("pred") == "HAS_TOPIC")
+        .join(topic_nodes, "obj")
+        .select("canonical_id", "doc_id")
+        .distinct()
+    )
+    sizes = edges.groupBy("canonical_id").agg(F.count("*").alias("size"))
+
+    member_docs = edges.join(
+        docs.select("doc_id", "text", "year", "url"), "doc_id"
+    )
+    kw = cluster_top_terms(
+        member_docs.select(F.col("canonical_id").alias("cluster"), "text"),
+        k=k_keywords,
+    )
+    keywords = kw.groupBy("cluster").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rank", "token"))),
+            lambda s: s["token"],
+        ).alias("keywords")
+    )
+
+    w = Window.partitionBy("canonical_id").orderBy("doc_id")
+    reps = (
+        member_docs.select("canonical_id", "doc_id", "year", "url")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_examples)
+        .groupBy("canonical_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "doc_id", "year", "url"))
+                ),
+                lambda s: F.struct(
+                    s["doc_id"].alias("id"),
+                    s["year"].alias("year"),
+                    s["url"].alias("title"),
+                ),
+            ).alias("representatives")
+        )
+    )
+    return (
+        sizes.join(keywords, sizes.canonical_id == keywords.cluster, "left")
+        .join(reps, "canonical_id")
+        .select(
+            F.col("canonical_id").alias("topic_id"),
+            "size",
+            F.coalesce("keywords", F.array().cast("array<string>")).alias(
+                "keywords"
+            ),
+            "representatives",
+        )
+    )
+
+
+_EXPLORER_TEMPLATE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>Topic explorer</title>
+<style>
+ body {{ font: 14px system-ui, sans-serif; margin: 2rem; color: #222; }}
+ input {{ font: inherit; padding: .4rem; width: 20rem; margin-bottom: 1rem; }}
+ table {{ border-collapse: collapse; width: 100%; }}
+ th, td {{ text-align: left; padding: .35rem .6rem;
+           border-bottom: 1px solid #ddd; vertical-align: top; }}
+ th {{ cursor: pointer; background: #f5f5f5; }}
+ .kw {{ color: #555; }} .rep {{ color: #777; font-size: 12px; }}
+</style></head><body>
+<h1>Topic explorer</h1>
+<input id="q" placeholder="Search keywords…" autocomplete="off">
+<table id="t"><thead><tr>
+ <th data-k="topic_id">topic</th><th data-k="size">size</th>
+ <th>keywords</th><th>representatives</th>
+</tr></thead><tbody></tbody></table>
+<script>
+const DATA = [
+{rows}
+];
+let sortKey = "size", dir = -1;
+const tb = document.querySelector("#t tbody");
+const render = () => {{
+  const q = document.querySelector("#q").value.toLowerCase();
+  const rows = DATA
+    .filter(r => !q || r.keywords.join(" ").toLowerCase().includes(q))
+    .sort((a, b) => (a[sortKey] > b[sortKey] ? 1 : -1) * dir);
+  tb.innerHTML = rows.map(r =>
+    `<tr><td>${{r.topic_id}}</td><td>${{r.size}}</td>` +
+    `<td class="kw">${{r.keywords.join(", ")}}</td>` +
+    `<td class="rep">${{r.representatives.map(
+        x => `${{x.id}} (${{x.year}}) ${{x.title}}`).join("<br>")}}</td></tr>`
+  ).join("");
+}};
+document.querySelector("#q").addEventListener("input", render);
+document.querySelectorAll("th[data-k]").forEach(th =>
+  th.addEventListener("click", () => {{
+    sortKey = th.dataset.k; dir = -dir; render();
+  }}));
+render();
+</script></body></html>
+"""
+
+
+def write_explorer_html(feed: DataFrame, path: str) -> None:
+    """Static single-file viewer over :func:`explorer_feed` — the Spark
+    twin of the reference's ``explorer.html`` (searchable, sortable,
+    self-contained; written from scratch, data embedded as JSON rows the
+    way the reference embeds its JSONL feed).  Driver-side render of a
+    report-sized table (the feed is one row per canonical topic)."""
+    import json
+
+    rows = [
+        json.dumps(
+            {
+                "topic_id": r["topic_id"],
+                "size": r["size"],
+                "keywords": list(r["keywords"]),
+                "representatives": [
+                    {"id": x["id"], "year": x["year"], "title": x["title"]}
+                    for x in r["representatives"]
+                ],
+            },
+            ensure_ascii=False,
+        )
+        for r in feed.collect()
+    ]
+    html = _EXPLORER_TEMPLATE.format(rows=",\n".join(rows))
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(html)

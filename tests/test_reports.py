@@ -107,3 +107,47 @@ def test_totals_with_share(spark):
     out = {r["entity"]: r for r in reports.totals_with_share(counts).collect()}
     assert out["us"]["total"] == 12 and out["us"]["share_pct"] == 75.0
     assert out["fr"]["total"] == 4 and out["fr"]["share_pct"] == 25.0
+
+
+def test_explorer_feed_and_html(spark, graph, tmp_path):
+    """Reference topics.jsonl shape + the static viewer artifact
+    (/root/reference/topic_analysis.py:246-257, explorer.html)."""
+    feed = reports.explorer_feed(
+        graph["triples"], graph["nodes"], graph["documents"], k_keywords=5
+    )
+    rows = feed.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["size"] >= 1
+        assert len(r["representatives"]) >= 1
+        assert len(r["keywords"]) <= 5
+        assert r["representatives"][0]["id"] is not None
+
+    out = tmp_path / "explorer.html"
+    reports.write_explorer_html(feed, str(out))
+    html = out.read_text()
+    assert html.startswith("<!doctype html>")
+    assert '"topic_id"' in html and '"keywords"' in html
+    # a real topic's id made it into the embedded data
+    assert f'"topic_id": {rows[0]["topic_id"]}' in html
+
+
+def test_geography_figures_svg(spark, tmp_path):
+    """SVG twins of plot_publication_geography_figures.py (matplotlib-free
+    substitution; same data, same marks)."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans import figures
+
+    counts = spark.createDataFrame(
+        [("us", 2019, 5), ("us", 2020, 7), ("fr", 2019, 3), ("de", 2020, 2)],
+        "entity string, year int, n long",
+    )
+    stacked = reports.annual_stacked_cumulative(counts, top_n=2)
+    totals = reports.totals_with_share(counts)
+    paths = figures.write_geography_figures(stacked, totals, str(tmp_path))
+    assert len(paths) == 2
+    svg1 = (tmp_path / "annual_stacked_cumulative.svg").read_text()
+    svg2 = (tmp_path / "totals_with_share.svg").read_text()
+    assert svg1.startswith("<svg") and "<rect" in svg1 and "polyline" in svg1
+    assert "us" in svg1  # legend carries the top series
+    assert svg2.startswith("<svg") and "(%" not in svg2
+    assert "us" in svg2 and "%" in svg2

@@ -52,6 +52,15 @@ spark = get_spark(
         "spark.executorEnv.PYTHONPATH": {repo!r},
         "spark.driver.memory": "12g",
         "spark.ui.enabled": "true",  # REST API for per-executor GC time
+        # task commit moves files directly (no serial driver-side rename
+        # pass) — the r03 trial-1 documents stage scaled NEGATIVELY
+        # (43->54 s at 4x cores) on v1's driver commit
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+        # the sandbox corpus is ~1.2 GB; at the default 128 MB split size a
+        # scan stage has ~10 partitions — fewer than 16 cores.  32 MB keeps
+        # input partitions >> cores in BOTH configs, which is the regime
+        # the 10^12-doc design point lives in permanently.
+        "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
     }},
 )
 # warmup: executor registration + Python workers + JIT before the clock
@@ -112,7 +121,7 @@ for d in (local_dir, warm, out):
 
 
 def run_one(n_exec: int, n_docs: int, cores: int = 4,
-            mem_mb: int = 12288) -> dict:
+            mem_mb: int = 16384) -> dict:
     code = CHILD.format(
         repo=str(REPO), n_exec=n_exec, cores=cores, mem_mb=mem_mb,
         n_docs=n_docs,
@@ -153,7 +162,7 @@ def main() -> None:
     eff = (best[n_big] / best[n_small]) / (n_big / n_small)
     keff = (kbest[n_big] / kbest[n_small]) / (n_big / n_small)
     summary = {
-        "pair": f"local-cluster[{n_small},4,12g] -> local-cluster[{n_big},4,12g]",
+        "pair": f"local-cluster[{n_small},4,16g] -> local-cluster[{n_big},4,16g]",
         "n_docs": n_docs,
         "best_docs_per_hour": best,
         "efficiency": round(eff, 3),
