@@ -190,6 +190,7 @@ class Checkpointer:
         # ledger whose directories were externally removed
         (self.out / stage).mkdir(parents=True, exist_ok=True)
         (self.out / stage / "_SUCCESS").touch()
+        self._free_persisted()
         out_df = self.load(stage)
         rows = out_df.count()
         state["status"] = "complete"
@@ -356,19 +357,40 @@ def build_graph(
     )
 
     def build_edges() -> DataFrame:
+        """Edge aggregation, skew-hardened.
+
+        The canonical-entity dictionary is a bounded vocabulary (a few
+        thousand rows against 27M+ triples at the 2M bench) — broadcast
+        explicitly rather than leaving AQE a bistable choice (r01 lesson).
+        The aggregate groups on (pred, canonical_id): a FEW head entities
+        carry a large share of all mentions, so the distinct-doc count
+        runs two-phase over a doc-hash salt (operators/skew.py pattern) —
+        the hot key fans out over n_salts reducers, exact by construction
+        because the salt is a function of the counted value.
+        """
         ent = nodes.select(
             F.col("entity_type").alias("pred"),
             F.col("name").alias("obj"),
             "canonical_id",
         )
-        return (
-            all_triples.join(ent, ["pred", "obj"])
-            .groupBy("pred", "canonical_id")
-            .agg(
-                F.countDistinct("doc_id").alias("n_docs"),
-                F.count("*").alias("n_mentions"),
-                F.sort_array(F.collect_set("year")).alias("years"),
+        joined = all_triples.join(F.broadcast(ent), ["pred", "obj"])
+        partial = (
+            joined.withColumn(
+                "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(16))
             )
+            .groupBy("pred", "canonical_id", "_salt")
+            .agg(
+                F.countDistinct("doc_id").alias("_docs"),
+                F.count("*").alias("_mentions"),
+                F.collect_set("year").alias("_years"),
+            )
+        )
+        return partial.groupBy("pred", "canonical_id").agg(
+            F.sum("_docs").cast("long").alias("n_docs"),
+            F.sum("_mentions").cast("long").alias("n_mentions"),
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("_years")))
+            ).alias("years"),
         )
 
     edges = ck.run("edges", build_edges, partition_by=["pred"])

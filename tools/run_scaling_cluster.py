@@ -145,11 +145,12 @@ EXEC_PAIR = (1, 4)  # N and 4N executors, 4 cores each
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
     results: dict[int, list[dict]] = {n: [] for n in EXEC_PAIR}
     for trial in range(trials):
         for n_exec in EXEC_PAIR:
-            res = run_one(n_exec, n_docs)
+            res = run_one(n_exec, n_docs, cores=cores)
             results[n_exec].append(res)
             print(json.dumps(res), flush=True)
 
@@ -162,14 +163,18 @@ def main() -> None:
     eff = (best[n_big] / best[n_small]) / (n_big / n_small)
     keff = (kbest[n_big] / kbest[n_small]) / (n_big / n_small)
     summary = {
-        "pair": f"local-cluster[{n_small},4,16g] -> local-cluster[{n_big},4,16g]",
+        "pair": f"local-cluster[{n_small},{cores},16g] ->"
+                f" local-cluster[{n_big},{cores},16g]",
         "n_docs": n_docs,
         "best_docs_per_hour": best,
         "efficiency": round(eff, 3),
         "kernel_efficiency": round(keff, 3),
         "runs": {str(k): v for k, v in results.items()},
     }
-    out = REPO / "BENCH" / "scaling_cluster.json"
+    out = (
+        REPO / "BENCH"
+        / f"scaling_cluster_{n_small}x{cores}_to_{n_big}x{cores}.json"
+    )
     out.parent.mkdir(exist_ok=True)
     out.write_text(json.dumps(summary, indent=1))
     print(f"\nefficiency={eff:.3f} kernel_efficiency={keff:.3f} -> {out}")
