@@ -364,9 +364,23 @@ def _q24_minhash_candidates(spark, sf):
 
 def _q25_simhash_near_dups(spark, sf):
     """SimHash near-dups with the portable md5 hash (60 sign bits) —
-    oracle replays per-bit voting + pigeonhole chunk blocking in SQL."""
+    oracle replays per-bit voting + the max_hamming+1 pigeonhole chunk
+    blocking in SQL.  Single-chunk blocking: this synthetic corpus is
+    near-dup-saturated, where it beats pair blocking (see q25b)."""
     d = _t(spark, sf, "documents")
     return dedup.simhash_near_duplicates(d, max_hamming=10, hash_fn="md5")
+
+
+def _q25b_simhash_pair_blocked(spark, sf):
+    """The SAME radius-10 scan via multi-index pigeonhole (max_hamming+2
+    chunks, >=2 equal => block on chunk PAIRS — the sparse-duplicate
+    10^12-doc path), on a bounded slice; the oracle replays the 66
+    chunk-pair blocks and proves the pair set identical to q25's
+    single-chunk semantics on that slice."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    return dedup.simhash_near_duplicates(
+        d, max_hamming=10, hash_fn="md5", blocking="pairs"
+    )
 
 
 def _q26_knn_components(spark, sf):
@@ -534,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_label_centroid_sim": _q23_label_centroid_sim,
         "q24_minhash_candidates": _q24_minhash_candidates,
         "q25_simhash_near_dups": _q25_simhash_near_dups,
+        "q25b_simhash_pair_blocked": _q25b_simhash_pair_blocked,
         "q26_knn_components": _q26_knn_components,
         "q26b_knn_components_exact": _q26b_knn_components_exact,
         "q27_media_features": _q27_media_features,
@@ -833,7 +848,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM bitsum GROUP BY 1
             ), chunks AS (
                 -- max_hamming=10 → 11 pigeonhole chunks over 60 bits:
-                -- ten 5-bit chunks + one 10-bit tail (dedup.py twin)
+                -- ten 5-bit chunks + one 10-bit tail (dedup.py twin,
+                -- blocking="single")
                 SELECT doc_id, simhash, c.ci,
                        (simhash >> (c.ci * 5)) &
                        ((1::BIGINT << (CASE WHEN c.ci = 10 THEN 10
@@ -845,6 +861,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
             FROM chunks a JOIN chunks b
               ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+        """,
+        "q25b_simhash_pair_blocked": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                           '[a-z0-9]+(?:-[a-z0-9]+)*')) AS tok
+                FROM documents WHERE doc_id < 2000
+            ), h AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+                FROM toks
+            ), bitsum AS (
+                SELECT doc_id, b.i,
+                       sum(CASE WHEN (hv >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM h CROSS JOIN
+                     (SELECT unnest(generate_series(0, 59)) AS i) b
+                GROUP BY 1, 2
+            ), sig AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i)
+                                     ELSE 0 END) AS BIGINT) AS simhash
+                FROM bitsum GROUP BY 1
+            ), cp AS (
+                -- max_hamming=10 → 12 pigeonhole chunks of 5 bits; <=10
+                -- errors leave at least TWO chunks intact, so blocking on
+                -- chunk PAIRS (10-bit key, C(12,2)=66 blocks) is exact
+                -- (dedup.py blocking="pairs" twin)
+                SELECT x.ci AS ci, y.ci AS cj
+                FROM (SELECT unnest(generate_series(0, 11)) AS ci) x,
+                     (SELECT unnest(generate_series(0, 11)) AS ci) y
+                WHERE x.ci < y.ci
+            ), blocks AS (
+                SELECT s.doc_id, s.simhash, cp.ci * 12 + cp.cj AS ck,
+                       (s.simhash >> (cp.ci * 5)) & 31 AS cv1,
+                       (s.simhash >> (cp.cj * 5)) & 31 AS cv2
+                FROM sig s CROSS JOIN cp
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM blocks a JOIN blocks b
+              ON a.ck = b.ck AND a.cv1 = b.cv1 AND a.cv2 = b.cv2
+             AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
         """,
         "q26b_knn_components_exact": """

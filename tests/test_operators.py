@@ -327,3 +327,31 @@ def test_sample_by_hash_deterministic_and_unbiased(spark):
     got2 = sorted(r["doc_id"] for r in s2.collect())
     assert got1 == got2  # partitioning-independent
     assert 350 <= len(got1) <= 650  # ~10%
+
+
+def test_simhash_blocking_regimes_identical(spark):
+    """Single-chunk (max_hamming+1) and chunk-pair (max_hamming+2)
+    pigeonhole blocking must return the IDENTICAL pair set — both are
+    exact; they differ only in candidate-generation cost profile."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the sleepy dog today",
+        "completely different text about spark shuffles and joins",
+        "completely different text about spark shuffles and planning",
+        "unrelated short snippet",
+    ]
+    docs = _doc_df(spark, texts)
+    single = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_near_duplicates(
+            docs, max_hamming=10, blocking="single"
+        ).collect()
+    }
+    pairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_near_duplicates(
+            docs, max_hamming=10, blocking="pairs"
+        ).collect()
+    }
+    assert single == pairs
+    assert len(single) > 0
