@@ -358,24 +358,63 @@ def simhash_near_duplicates(
             ]
         )
         key_cols = ["ck", "cv1"]
-    chunks = sigs.select(
-        "doc_id", "simhash", F.explode(blocks).alias("ch")
-    ).select("doc_id", "simhash", *[F.col(f"ch.{k}") for k in key_cols])
+    # Signature-level frontier: hamming depends only on the 60/64-bit
+    # signature, so the blocked self-join + the dedup DISTINCT run over
+    # DISTINCT signatures, not documents.  On duplicate-heavy corpora
+    # (the regime a dedup operator exists for) unique signatures << docs,
+    # shrinking the quadratic blocking join AND moving the distinct from
+    # doc-pair space to sig-pair space; on all-unique corpora it costs one
+    # extra distinct + two narrow expansion joins.  Exact either way.
+    sigs = sigs.persist()
+    usig = sigs.select("simhash").distinct()
+    chunks = usig.select(
+        "simhash", F.explode(blocks).alias("ch")
+    ).select("simhash", *[F.col(f"ch.{k}") for k in key_cols])
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     # hamming filter BEFORE the pair distinct: candidates that fail the
     # radius never enter the dedup shuffle
-    return (
+    sig_pairs = (
         a.join(b, key_cols)
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("a.simhash") < F.col("b.simhash"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    # expand signature pairs back to doc pairs: each unordered doc pair
+    # appears exactly once (each doc has one signature; each sig pair
+    # appears once), so no doc-level distinct is needed
+    inter = (
+        sig_pairs.join(
+            sigs.select(F.col("simhash").alias("sig_a"), F.col("doc_id").alias("da")),
+            "sig_a",
+        )
+        .join(
+            sigs.select(F.col("simhash").alias("sig_b"), F.col("doc_id").alias("db")),
+            "sig_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    # identical-signature groups: hamming 0, all within-group pairs
+    intra = (
+        sigs.alias("a")
+        .join(sigs.alias("b"), "simhash")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return inter.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------

@@ -329,6 +329,37 @@ def test_sample_by_hash_deterministic_and_unbiased(spark):
     assert 350 <= len(got1) <= 650  # ~10%
 
 
+def test_simhash_signature_frontier_exact(spark):
+    """The distinct-signature frontier (blocked join over unique simhash
+    values + group expansion) must emit each unordered doc pair exactly
+    once and match brute-force hamming over per-doc signatures — including
+    identical-text groups (hamming 0 intra pairs)."""
+    texts = (
+        ["alpha beta gamma delta epsilon zeta"] * 3
+        + ["alpha beta gamma delta epsilon zet"]
+        + ["a completely unrelated document about something else"]
+    )
+    docs = _doc_df(spark, texts)
+    out = dedup.simhash_near_duplicates(docs, max_hamming=10).collect()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in out]
+    assert len(pairs) == len(set(pairs))  # exactly-once, no doc-level dup
+    zero = {p for p, r in zip(pairs, out) if r["hamming"] == 0}
+    assert {(0, 1), (0, 2), (1, 2)} <= zero  # identical-text group kept
+    # brute-force ground truth from the per-doc signatures
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(docs).collect()
+    }
+    truth = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 10
+    }
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in out}
+    assert got == truth
+
+
 def test_simhash_blocking_regimes_identical(spark):
     """Single-chunk (max_hamming+1) and chunk-pair (max_hamming+2)
     pigeonhole blocking must return the IDENTICAL pair set — both are
