@@ -521,6 +521,13 @@ def _q33_totals_with_share(spark, sf):
     return reports.totals_with_share(_entity_year_counts(spark, sf))
 
 
+def _q34_repetition_scores(spark, sf):
+    """Gopher-style repetition quality filters (top-2gram fraction,
+    duplicate-5gram fraction) over the documents table — n-gram explode +
+    (doc, gram) counts + per-doc aggregate, all JVM."""
+    return text_analysis.repetition_scores(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -558,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_hash_sample": _q31_hash_sample,
         "q32_annual_stacked_cumulative": _q32_annual_stacked_cumulative,
         "q33_totals_with_share": _q33_totals_with_share,
+        "q34_repetition_scores": _q34_repetition_scores,
     }
 
 
@@ -1012,6 +1020,44 @@ def oracle_sql() -> dict[str, str]:
                    round(total * 100.0 / (SELECT sum(total) FROM tot), 6)
                        AS share_pct
             FROM tot
+        """,
+        "q34_repetition_scores": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                           '[a-z0-9]+(?:-[a-z0-9]+)*') AS toks
+                FROM documents
+            ), g2 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(toks) - 1, 0)),
+                           i -> array_to_string(toks[i:i+1], ' '))) AS gram
+                FROM t
+            ), c2 AS (
+                SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2
+            ), top2 AS (
+                SELECT doc_id, round(max(cnt) * 1.0 / sum(cnt), 6) AS f
+                FROM c2 GROUP BY 1
+            ), g5 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(toks) - 4, 0)),
+                           i -> array_to_string(toks[i:i+4], ' '))) AS gram
+                FROM t
+            ), c5 AS (
+                SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2
+            ), dup5 AS (
+                SELECT doc_id,
+                       round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                             * 1.0 / sum(cnt), 6) AS f
+                FROM c5 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(top2.f, 0.0) AS top2_frac,
+                   coalesce(dup5.f, 0.0) AS dup5_frac
+            FROM documents d
+            LEFT JOIN top2 ON d.doc_id = top2.doc_id
+            LEFT JOIN dup5 ON d.doc_id = dup5.doc_id
         """,
         # q27: the seeded payload is sha256("media:<i>") * 8 (256 bytes) and
         # the stub decoder is a byte histogram mod 16 — so the first feature

@@ -124,3 +124,66 @@ def rolling_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.size("_t") > 0)
         .select("doc_id", F.array_min(runs).alias("fingerprint"))
     )
+
+
+def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", top_n: int = 2,
+                      dup_n: int = 5) -> DataFrame:
+    """(doc_id, top2_frac, dup5_frac) — Gopher-style repetition filters.
+
+    The two classic web-text repetition signals (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", table A1 — public paper):
+
+    - ``top2_frac``: occurrences of the single most frequent word
+      ``top_n``-gram divided by total ``top_n``-grams (boilerplate /
+      template pages score high);
+    - ``dup5_frac``: fraction of word ``dup_n``-grams occurring more than
+      once within the document (internally repetitive pages score high).
+
+    Spark-first: n-gram explode → (doc, gram) counts (partial map-side
+    combine) → one per-doc aggregate each; two shuffles keyed by doc_id,
+    no per-row Python, whole-stage codegen throughout.  Docs shorter than
+    the n-gram width keep fraction 0.0 via the left join-back.
+    """
+
+    def _grams(n: int):
+        # NB: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty
+        # (unlike DuckDB's generate_series) — short docs need the guard
+        return F.expr(
+            f"CASE WHEN size(_t) >= {n} THEN"
+            f" transform(sequence(1, size(_t) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(_t, i, {n})))"
+            f" ELSE array() END"
+        )
+
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_t"))
+    )
+
+    def _counts(n: int):
+        return (
+            base.select("doc_id", F.explode(_grams(n)).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    top = _counts(top_n).groupBy("doc_id").agg(
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top2_frac")
+    )
+    dup = _counts(dup_n).groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            / F.sum("cnt"),
+            6,
+        ).alias("dup5_frac")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(top, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
+            F.coalesce("dup5_frac", F.lit(0.0)).alias("dup5_frac"),
+        )
+    )

@@ -260,6 +260,23 @@ def test_token_stats_and_quality(spark):
     assert q[0]["stopword_ratio"] > 0
 
 
+def test_repetition_scores(spark):
+    docs = _doc_df(
+        spark,
+        [
+            "a b a b c",          # top 2-gram "a b" 2/4; one 5-gram, no dup
+            "x y x y x y x y",    # "x y" 4/7; both 5-grams duplicated -> 1.0
+            "hello",              # too short for any n-gram -> 0.0 / 0.0
+        ],
+    )
+    got = {r["doc_id"]: r for r in text_analysis.repetition_scores(docs).collect()}
+    assert got[0]["top2_frac"] == 0.5
+    assert got[0]["dup5_frac"] == 0.0
+    assert got[1]["top2_frac"] == round(4 / 7, 6)
+    assert got[1]["dup5_frac"] == 1.0
+    assert got[2]["top2_frac"] == 0.0 and got[2]["dup5_frac"] == 0.0
+
+
 def test_language_scores(spark):
     docs = _doc_df(
         spark,
