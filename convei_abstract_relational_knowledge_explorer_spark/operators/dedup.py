@@ -333,6 +333,8 @@ def simhash_near_duplicates(
     sigs = simhash(docs, id_col, text_col, bits=bits, hash_fn=hash_fn)
 
     def chunk_val(c):
+        if widths[c] >= bits:  # radius-0 edge: one full-width chunk — the
+            return F.col("simhash")  # mask (1<<64)-1 would overflow a long
         return F.shiftright("simhash", c * w).bitwiseAND(
             F.lit((1 << widths[c]) - 1)
         )

@@ -377,6 +377,35 @@ def test_simhash_signature_frontier_exact(spark):
     assert got == truth
 
 
+def test_simhash_randomized_truth(spark):
+    """Seeded random corpus, radii {0, 3, 10} (radius 0 = single 60-bit
+    chunk, intra-group-only edge): blocked output == brute-force truth."""
+    import random as _random
+
+    rng = _random.Random(7)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+        for _ in range(40)
+    ]
+    docs = _doc_df(spark, texts)
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    for radius in (0, 3, 10):
+        truth = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for a in sigs
+            for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= radius
+        }
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dedup.simhash_near_duplicates(
+                docs, max_hamming=radius
+            ).collect()
+        }
+        assert got == truth, f"radius={radius}"
+
+
 def test_simhash_blocking_regimes_identical(spark):
     """Single-chunk (max_hamming+1) and chunk-pair (max_hamming+2)
     pigeonhole blocking must return the IDENTICAL pair set — both are
