@@ -260,12 +260,21 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         f"regexp_extract_all(lower({text_col}), '[a-z0-9]+(?:-[a-z0-9]+)*', 0)"
     )
     tok_df = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+    # pre-aggregate to (doc, token, cnt): token repetition within a doc is
+    # Zipf-heavy, so this shrinks the wide per-bit projection and the hash
+    # computation by the repetition factor (2.3x on the sf0.1 corpus)
+    # before the voting sums — which are identical (sum of +-1 per
+    # occurrence == cnt * +-1), so the SQL oracle is unchanged.
+    tok_counts = tok_df.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("_cnt")
+    )
     h = porthash64(F.col("tok")) if hash_fn == "md5" else F.xxhash64("tok")
-    contribs = tok_df.select(
+    cnt = F.col("_cnt")
+    contribs = tok_counts.select(
         "doc_id",
         *[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, cnt)
+            .otherwise(-cnt)
             .alias(f"b{i}")
             for i in range(bits)
         ],
