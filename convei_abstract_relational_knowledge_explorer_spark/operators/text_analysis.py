@@ -156,26 +156,42 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
             f" ELSE array() END"
         )
 
+    if top_n == dup_n:
+        raise ValueError("top_n and dup_n must differ (one pass per width)")
     base = (
         docs.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_t"))
     )
-
-    def _counts(n: int):
-        return (
-            base.select("doc_id", F.explode(_grams(n)).alias("gram"))
-            .groupBy("doc_id", "gram")
-            .agg(F.count("*").alias("cnt"))
+    # ONE scan + tokenize + explode for both widths: tag each gram with its
+    # width and aggregate (doc, n, gram) once — at corpus scale the text
+    # scan dominates, so fusing the two n-gram passes halves it
+    def _tag(n: int):
+        # NB: a two-parameter lambda would be taken as transform's
+        # (element, index) form — close over n via a factory instead
+        return F.transform(
+            _grams(n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
         )
 
-    top = _counts(top_n).groupBy("doc_id").agg(
-        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top2_frac")
+    tagged = F.concat(_tag(top_n), _tag(dup_n))
+    per = (
+        base.select("doc_id", F.explode(tagged).alias("g"))
+        .groupBy("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_frac"),
+            F.round(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+                / F.sum("cnt"),
+                6,
+            ).alias("dup_frac"),
+        )
     )
-    dup = _counts(dup_n).groupBy("doc_id").agg(
-        F.round(
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
-            / F.sum("cnt"),
-            6,
-        ).alias("dup5_frac")
+    top = per.filter(F.col("n") == top_n).select(
+        "doc_id", F.col("top_frac").alias("top2_frac")
+    )
+    dup = per.filter(F.col("n") == dup_n).select(
+        "doc_id", F.col("dup_frac").alias("dup5_frac")
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
