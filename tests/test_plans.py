@@ -74,3 +74,25 @@ def test_partial_aggregation_before_shuffle(spark):
     assert "partial_sum" in plan
     assert plan.count("HashAggregate") >= 2
     assert "hashpartitioning" in plan
+
+
+def test_simhash_blocking_is_equi_join(spark):
+    """The pigeonhole-blocked signature self-join must be a shuffled equi
+    join on the (chunk, value) key — never a cartesian/BNL product — and
+    the candidate DISTINCT must sit in signature-pair space (the frontier
+    rewrite), i.e. the plan partial-aggregates before the exchange."""
+    df = entrymod.queries()["q25_simhash_near_dups"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning" in plan
+
+
+def test_repetition_scores_plan(spark):
+    """q34 is a pure aggregate chain: no joins except the final left
+    join-backs, partial aggregation before each exchange, no cartesian."""
+    df = entrymod.queries()["q34_repetition_scores"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine on (doc, n, gram)
+    assert plan.count("HashAggregate") >= 2
