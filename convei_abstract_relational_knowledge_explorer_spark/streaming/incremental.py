@@ -84,3 +84,67 @@ def run_stream_to_memory(
     )
     query.awaitTermination(timeout_s)
     return spark.table(table_name)
+
+
+def stateful_sessionize(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful operator: streaming sessionization via
+    ``applyInPandasWithState`` (Arrow-batched per-key state).
+
+    State per key = (session_start, last_ts, n_events) as epoch-micros
+    longs.  Within each micro-batch the key's events are processed in
+    timestamp order: an event more than ``gap_minutes`` after ``last_ts``
+    CLOSES the open session (emitted exactly once, append mode) and
+    starts a new one; the trailing open session survives in state for
+    the next batch.  The batch twin is q18's window-lag sessionization —
+    this is the streaming shape of the same semantics, the
+    ``applyInPandasWithState`` pattern SURVEY.md §2.K calls for when
+    watermarked windows can't express the operator.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            s_start, s_last, n = state.get
+        else:
+            s_start = s_last = None
+            n = 0
+        closed: list[tuple] = []
+        for pdf in pdf_iter:
+            for t in sorted(int(v.value) // 1000 for v in pd.to_datetime(pdf[ts_col])):
+                if s_start is None:
+                    s_start = s_last = t
+                    n = 1
+                elif t - s_last > gap_us:
+                    closed.append((key[0], s_start, s_last, n))
+                    s_start = s_last = t
+                    n = 1
+                else:
+                    s_last = max(s_last, t)
+                    n += 1
+        state.update((s_start, s_last, n))
+        if closed:
+            out = pd.DataFrame(
+                closed, columns=[key_col, "session_start", "session_end", "n_events"]
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    return events_stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{key_col} long, session_start timestamp,"
+            " session_end timestamp, n_events long"
+        ),
+        stateStructType="session_start long, last_ts long, n_events long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -41,3 +41,47 @@ def test_stream_extract_windowed_counts(spark, tmp_path):
         r["window_start"].minute == 0 and r["window_start"].second == 0
         for r in rows
     )
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: the session CLOSED by a
+    later event inside the batch is emitted; the trailing open session
+    and single-event keys stay in state (append mode, exactly-once)."""
+    import datetime as dt
+
+    from convei_abstract_relational_knowledge_explorer_spark.streaming.incremental import (
+        stateful_sessionize,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=5)),
+        (1, t0 + dt.timedelta(minutes=120)),   # > 30m gap closes session 1
+        (1, t0 + dt.timedelta(minutes=125)),   # open session, held in state
+        (2, t0),                               # single event, held in state
+    ]
+    src = str(tmp_path / "events_feed")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+        1
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    )
+    out = stateful_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.table("t_sessions").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == 1
+    assert r["n_events"] == 2
+    assert r["session_start"] == t0
+    assert r["session_end"] == t0 + dt.timedelta(minutes=5)
