@@ -376,7 +376,10 @@ def simhash_near_duplicates(
     # shrinking the quadratic blocking join AND moving the distinct from
     # doc-pair space to sig-pair space; on all-unique corpora it costs one
     # extra distinct + two narrow expansion joins.  Exact either way.
-    sigs = sigs.persist()
+    # No persist: the four consumers share the voting aggregate via
+    # ReusedExchange (measured FASTER than a persist barrier at sf0.1,
+    # and a persist here would pin executor storage for the session —
+    # this is a returned lazy plan with no unpersist point).
     usig = sigs.select("simhash").distinct()
     chunks = usig.select(
         "simhash", F.explode(blocks).alias("ch")

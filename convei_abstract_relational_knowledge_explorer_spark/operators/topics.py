@@ -207,13 +207,10 @@ def dedup_topics_within_doc(topics: DataFrame, thresh: float = 90.0) -> DataFram
     (ratio(inter, inter)=100) and disjoint-token pairs are bounded by
     200*min_len/(la+lb) < thresh.
     """
-    import re
-
     from pyspark.sql.functions import pandas_udf
 
+    from ..functions.fuzzy import _WORD_RE as word_re
     from ..functions.fuzzy import token_set_ratio
-
-    word_re = re.compile(r"[a-z0-9]+")
 
     @pandas_udf("array<int>")
     def keep_indices(topic_arrays: pd.Series) -> pd.Series:
@@ -229,7 +226,12 @@ def dedup_topics_within_doc(topics: DataFrame, thresh: float = 90.0) -> DataFram
                 replace_idx = None
                 drop = False
                 for i, (_, k_topic, k_len, k_set, k_slen) in enumerate(kept):
-                    if tset & k_set:
+                    if not tset or not k_set:
+                        # either token set empty: inter = "" and the
+                        # empty side collapses to "", so ratio("","")=100
+                        # — token_set_ratio returns 100 by definition
+                        sim = 100.0
+                    elif tset & k_set:
                         # shared-token core with a subset relation: the
                         # inter-vs-side comparand is identical => 100
                         if tset <= k_set or k_set <= tset:

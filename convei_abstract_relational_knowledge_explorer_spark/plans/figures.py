@@ -12,6 +12,8 @@ hundred rows).
 
 from __future__ import annotations
 
+from xml.sax.saxutils import escape as _esc
+
 from pyspark.sql import DataFrame
 
 _PALETTE = [
@@ -26,7 +28,7 @@ def _svg(width: int, height: int, body: list[str], title: str) -> str:
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
         f'height="{height}" font-family="system-ui, sans-serif" '
         f'font-size="11">\n'
-        f'<text x="10" y="18" font-size="15" font-weight="bold">{title}'
+        f'<text x="10" y="18" font-size="15" font-weight="bold">{_esc(title)}'
         f"</text>\n" + "\n".join(body) + "\n</svg>\n"
     )
 
@@ -74,7 +76,7 @@ def annual_stacked_cumulative_svg(
             body.append(
                 f'<rect x="{x:.1f}" y="{y0:.1f}" width="{bar_w}" '
                 f'height="{bh:.1f}" fill="{colors[s]}">'
-                f"<title>{s} {y}: {n}</title></rect>"
+                f"<title>{_esc(str(s))} {y}: {n}</title></rect>"
             )
         body.append(
             f'<text x="{x + bar_w / 2:.1f}" y="{h - mb + 14}" '
@@ -96,7 +98,7 @@ def annual_stacked_cumulative_svg(
         body.append(
             f'<rect x="{w - 150}" y="{ly}" width="10" height="10" '
             f'fill="{colors[s]}"/>'
-            f'<text x="{w - 135}" y="{ly + 9}">{s}</text>'
+            f'<text x="{w - 135}" y="{ly + 9}">{_esc(str(s))}</text>'
         )
     return _svg(w, h, body, title)
 
@@ -122,7 +124,7 @@ def totals_with_share_svg(
         bw = r["total"] / max_total * (w - ml - 170)
         body.append(
             f'<text x="{ml - 6}" y="{y + 13}" text-anchor="end">'
-            f'{r["entity"]}</text>'
+            f'{_esc(str(r["entity"]))}</text>'
             f'<rect x="{ml}" y="{y + 3}" width="{bw:.1f}" height="13" '
             f'fill="{_PALETTE[0]}"/>'
             f'<text x="{ml + bw + 5:.1f}" y="{y + 13}" fill="#555">'

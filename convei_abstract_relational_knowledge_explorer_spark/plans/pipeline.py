@@ -101,23 +101,32 @@ class Checkpointer:
         self.progress_path.write_text(json.dumps(self.progress, indent=1))
         self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
 
-    def _free_persisted(self) -> None:
-        """Unpersist every cached/localCheckpointed RDD left behind by a
+    def _persistent_ids(self) -> set:
+        jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
+        return {rdd.id() for rdd in jmap.values()}
+
+    def _free_persisted(self, keep=frozenset()) -> None:
+        """Unpersist the cached/localCheckpointed RDDs left behind by a
         stage build (the topics tf subtree, CC round checkpoints, entity
         lists).  Once a stage is durable parquet, those blocks are dead
         weight in the executors' block managers; dropping them per stage
         keeps storage memory flat across a long pipeline instead of
-        accumulating every stage's scaffolding.  Parquet mode only —
+        accumulating every stage's scaffolding.  ``keep`` holds the RDD
+        ids that were already persisted BEFORE the stage build — caller-
+        owned caches and localCheckpoints (which have no lineage to
+        recompute from!) must survive the sweep.  Parquet mode only —
         memory mode's persisted stage outputs ARE the materialization."""
         jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
         for rdd in list(jmap.values()):
-            rdd.unpersist(False)
+            if rdd.id() not in keep:
+                rdd.unpersist(False)
 
     def run(self, stage: str, build, partition_by: list[str] | None = None) -> DataFrame:
         """Build + materialize a stage unless already complete (resume)."""
         if self.done(stage):
             return self.load(stage)
         start = time.time()
+        pre = self._persistent_ids()
         df = build()
         if self.materialize == "memory":
             df = df.persist()
@@ -129,7 +138,7 @@ class Checkpointer:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(self.out / stage))
-        self._free_persisted()
+        self._free_persisted(keep=pre)
         out_df = self.load(stage)
         rows = out_df.count()
         self._record(stage, rows, start)
@@ -172,6 +181,7 @@ class Checkpointer:
         )
         parts: dict = state.setdefault("parts", {})
         start = time.time()
+        pre = self._persistent_ids()
         for v in values:
             if str(v) in parts:
                 continue
@@ -190,7 +200,7 @@ class Checkpointer:
         # ledger whose directories were externally removed
         (self.out / stage).mkdir(parents=True, exist_ok=True)
         (self.out / stage / "_SUCCESS").touch()
-        self._free_persisted()
+        self._free_persisted(keep=pre)
         out_df = self.load(stage)
         rows = out_df.count()
         state["status"] = "complete"
@@ -359,9 +369,14 @@ def build_graph(
     def build_edges() -> DataFrame:
         """Edge aggregation, skew-hardened.
 
-        The canonical-entity dictionary is a bounded vocabulary (a few
-        thousand rows against 27M+ triples at the 2M bench) — broadcast
-        explicitly rather than leaving AQE a bistable choice (r01 lesson).
+        The canonical-entity dictionary is small against the triples (a
+        few thousand rows vs 27M+ at the 2M bench) — broadcast explicitly
+        rather than leaving AQE a bistable choice (r01 lesson).  But the
+        dictionary CONTAINS the mined topic vocabulary, which grows with
+        the corpus, so the hint is gated on the nodes stage's recorded
+        row count (no extra job): past ~2M entries the join falls back to
+        shuffle (where AQE may still broadcast if the bytes allow) instead
+        of hitting the 8 GB broadcast cliff at the 10^12-doc design point.
         The aggregate groups on (pred, canonical_id): a FEW head entities
         carry a large share of all mentions, so the distinct-doc count
         runs two-phase over a doc-hash salt (operators/skew.py pattern) —
@@ -373,7 +388,9 @@ def build_graph(
             F.col("name").alias("obj"),
             "canonical_id",
         )
-        joined = all_triples.join(F.broadcast(ent), ["pred", "obj"])
+        n_ents = ck.progress.get("nodes", {}).get("rows", 0)
+        dict_side = F.broadcast(ent) if n_ents <= 2_000_000 else ent
+        joined = all_triples.join(dict_side, ["pred", "obj"])
         partial = (
             joined.withColumn(
                 "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(16))

@@ -285,11 +285,13 @@ const render = () => {{
   const rows = DATA
     .filter(r => !q || r.keywords.join(" ").toLowerCase().includes(q))
     .sort((a, b) => (a[sortKey] > b[sortKey] ? 1 : -1) * dir);
+  const esc = s => String(s).replace(/[&<>"]/g,
+      c => ({{"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}})[c]);
   tb.innerHTML = rows.map(r =>
-    `<tr><td>${{r.topic_id}}</td><td>${{r.size}}</td>` +
-    `<td class="kw">${{r.keywords.join(", ")}}</td>` +
+    `<tr><td>${{esc(r.topic_id)}}</td><td>${{r.size}}</td>` +
+    `<td class="kw">${{esc(r.keywords.join(", "))}}</td>` +
     `<td class="rep">${{r.representatives.map(
-        x => `${{x.id}} (${{x.year}}) ${{x.title}}`).join("<br>")}}</td></tr>`
+        x => `${{esc(x.id)}} (${{esc(x.year)}}) ${{esc(x.title)}}`).join("<br>")}}</td></tr>`
   ).join("");
 }};
 document.querySelector("#q").addEventListener("input", render);
@@ -325,6 +327,11 @@ def write_explorer_html(feed: DataFrame, path: str) -> None:
         )
         for r in feed.collect()
     ]
-    html = _EXPLORER_TEMPLATE.format(rows=",\n".join(rows))
+    # '<' must not appear raw inside the <script> block: a keyword
+    # containing '</script>' would terminate it (json.dumps leaves '/'
+    # and '<' unescaped)
+    html = _EXPLORER_TEMPLATE.format(
+        rows=",\n".join(rows).replace("<", "\\u003c")
+    )
     with open(path, "w", encoding="utf-8") as f:
         f.write(html)

@@ -136,14 +136,27 @@ def upsert_partitioned(
         # must be dropped explicitly (Iceberg MERGE deletes handle this
         # natively on a real cluster)
         import shutil
+        from urllib.parse import unquote
 
         present = {
             r[0] for r in merged.select(partition_col).distinct().collect()
         }
-        for v in set(touched) - present:
-            shutil.rmtree(
-                Path(path) / f"{partition_col}={v}", ignore_errors=True
-            )
+        # Spark escapes special chars in partition dir names (%XX, and
+        # NULL -> the Hive default sentinel) — resolve emptied values by
+        # LISTING the actual directories and unescaping, never by
+        # re-deriving the path from the raw value
+        emptied = {
+            "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+            for v in set(touched) - present
+        }
+        prefix = f"{partition_col}="
+        for d in Path(path).iterdir():
+            if (
+                d.is_dir()
+                and d.name.startswith(prefix)
+                and unquote(d.name[len(prefix):]) in emptied
+            ):
+                shutil.rmtree(d, ignore_errors=True)
 
 
 def fill_missing(

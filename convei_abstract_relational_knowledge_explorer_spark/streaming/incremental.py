@@ -117,18 +117,25 @@ def stateful_sessionize(
             s_start = s_last = None
             n = 0
         closed: list[tuple] = []
-        for pdf in pdf_iter:
-            for t in sorted(int(v.value) // 1000 for v in pd.to_datetime(pdf[ts_col])):
-                if s_start is None:
-                    s_start = s_last = t
-                    n = 1
-                elif t - s_last > gap_us:
-                    closed.append((key[0], s_start, s_last, n))
-                    s_start = s_last = t
-                    n = 1
-                else:
-                    s_last = max(s_last, t)
-                    n += 1
+        # the key's micro-batch arrives as MULTIPLE Arrow chunks (batch
+        # size spark.sql.execution.arrow.maxRecordsPerBatch) — collect
+        # them all before sorting, or boundaries straddle chunks
+        all_ts = sorted(
+            int(v.value) // 1000
+            for pdf in pdf_iter
+            for v in pd.to_datetime(pdf[ts_col])
+        )
+        for t in all_ts:
+            if s_start is None:
+                s_start = s_last = t
+                n = 1
+            elif t - s_last > gap_us:
+                closed.append((key[0], s_start, s_last, n))
+                s_start = s_last = t
+                n = 1
+            else:
+                s_last = max(s_last, t)
+                n += 1
         state.update((s_start, s_last, n))
         if closed:
             out = pd.DataFrame(

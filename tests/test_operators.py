@@ -432,3 +432,22 @@ def test_simhash_blocking_regimes_identical(spark):
     }
     assert single == pairs
     assert len(single) > 0
+
+
+def test_dedup_topics_empty_token_set(spark):
+    """Topics whose [a-z0-9] token set is EMPTY (non-ASCII phrases) score
+    token_set_ratio 100 against anything — the short-circuit must treat
+    them as duplicates, not skip them via the disjoint-token bound."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.topics import (
+        dedup_topics_within_doc,
+    )
+
+    rows = [
+        (1, "αβγ", 5.0),
+        (1, "δεζ", 4.0),            # empty-vs-empty token sets: 100 -> dropped
+        (1, "machine learning", 3.0),  # empty-vs-nonempty: 100 -> dropped too
+        (2, "plain topic", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, topic string, score double")
+    got = {(r["doc_id"], r["topic"]) for r in dedup_topics_within_doc(df).collect()}
+    assert got == {(1, "αβγ"), (2, "plain topic")}

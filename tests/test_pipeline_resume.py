@@ -228,3 +228,22 @@ def test_run_partitioned_empty_values_falls_back_to_full_build(spark, tmp_path):
         build_full=lambda: spark.range(3).select(F.col("id")),
     )
     assert df.count() == 3
+
+
+def test_free_persisted_keeps_caller_blocks(spark, tmp_path):
+    """The post-stage cache sweep must only drop blocks the stage build
+    created: a caller's persisted/localCheckpointed DataFrame (which has
+    NO lineage to recompute from) survives a Checkpointer stage."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
+        Checkpointer,
+    )
+
+    caller_df = spark.range(100).localCheckpoint(eager=True)
+    assert caller_df.count() == 100
+
+    ck = Checkpointer(spark, str(tmp_path / "ck_keep"))
+    ck.run("tiny", lambda: spark.range(10).toDF("id"))
+
+    # a localCheckpointed DF whose blocks were swept would raise
+    # "Checkpoint block not found" here
+    assert caller_df.count() == 100

@@ -253,3 +253,24 @@ def test_upsert_partitioned_sweep_moved_keys(spark, tmp_path):
     )
     got2 = {(r["k"], r["year"], r["v"]) for r in spark.read.parquet(p2).collect()}
     assert got2 == {(1, 2020, "A"), (2, 2020, "b"), (3, 2021, "c")}
+
+
+def test_upsert_partitioned_sweep_escaped_partition(spark, tmp_path):
+    """Partition values Spark escapes on disk (':' -> %3A) must still be
+    swept when emptied — the cleanup resolves directories by listing and
+    unescaping, not by re-deriving the path from the raw value."""
+    schema = "k long, batch string, v string"
+    base = spark.createDataFrame([(1, "a:b", "x"), (2, "c", "y")], schema)
+    moved = spark.createDataFrame([(1, "c", "X")], schema)  # a:b -> c
+
+    p = str(tmp_path / "esc")
+    sinks.upsert_partitioned(spark, base, p, ["k"], "batch")
+    import os
+
+    assert "batch=a%3Ab" in os.listdir(p)  # Spark-escaped dir exists
+    sinks.upsert_partitioned(
+        spark, moved, p, ["k"], "batch", sweep_moved_keys=True
+    )
+    got = {(r["k"], r["batch"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "c", "X"), (2, "c", "y")}
+    assert "batch=a%3Ab" not in os.listdir(p)  # emptied partition dropped

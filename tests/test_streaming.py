@@ -85,3 +85,47 @@ def test_stateful_sessionize(spark, tmp_path):
     assert r["n_events"] == 2
     assert r["session_start"] == t0
     assert r["session_end"] == t0 + dt.timedelta(minutes=5)
+
+
+def test_stateful_sessionize_across_arrow_chunks(spark, tmp_path):
+    """Events spanning multiple Arrow chunks within one micro-batch must
+    still be processed in global timestamp order (regression: chunk-local
+    sorting mis-assigned events to sessions)."""
+    import datetime as dt
+
+    from convei_abstract_relational_knowledge_explorer_spark.streaming.incremental import (
+        stateful_sessionize,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    # interleaved across two sessions; any chunk-local walk closes wrong
+    offs = [0, 60, 5, 62, 7, 64]  # minutes; gap 30 -> S1={0,5,7} closed
+    rows = [(1, t0 + dt.timedelta(minutes=m)) for m in offs]
+    src = str(tmp_path / "chunked_feed")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+        1
+    ).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        )
+        q = (
+            stateful_sessionize(stream, gap_minutes=30)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_sessions_chunked")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = spark.table("t_sessions_chunked").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_events"] == 3
+    assert r["session_start"] == t0
+    assert r["session_end"] == t0 + dt.timedelta(minutes=7)
