@@ -528,6 +528,13 @@ def _q34_repetition_scores(spark, sf):
     return text_analysis.repetition_scores(_t(spark, sf, "documents"))
 
 
+def _q35_duplicate_line_removal(spark, sf):
+    """C4-style corpus-level duplicate-line removal: keep exactly one
+    occurrence (lowest (doc_id, pos)) of every duplicated line; one
+    groupBy(line) + join-back + per-doc reassembly."""
+    return dedup.remove_duplicate_lines(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -566,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_annual_stacked_cumulative": _q32_annual_stacked_cumulative,
         "q33_totals_with_share": _q33_totals_with_share,
         "q34_repetition_scores": _q34_repetition_scores,
+        "q35_duplicate_line_removal": _q35_duplicate_line_removal,
     }
 
 
@@ -1058,6 +1066,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN top2 ON d.doc_id = top2.doc_id
             LEFT JOIN dup5 ON d.doc_id = dup5.doc_id
+        """,
+        # the keeper key (doc_id, pos) is scalar-encoded as
+        # doc_id * 2^20 + pos (pos < 2^20 at test scale), which orders
+        # identically to the Spark side's lexicographic struct min
+        "q35_duplicate_line_removal": """
+            WITH l AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(generate_series(
+                           0, len(string_split(text, chr(10))) - 1)) AS pos
+                FROM documents
+            ), k AS (
+                SELECT line, count(*) AS n,
+                       min(doc_id * (1::BIGINT << 20) + pos) AS kk
+                FROM l GROUP BY 1
+            ), kept AS (
+                SELECT l.doc_id,
+                       string_agg(l.line, chr(10) ORDER BY l.pos) AS text
+                FROM l JOIN k USING (line)
+                WHERE k.n = 1
+                   OR l.doc_id * (1::BIGINT << 20) + l.pos = k.kk
+                GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(kept.text, '') AS text
+            FROM documents d
+            LEFT JOIN kept ON d.doc_id = kept.doc_id
         """,
         # q27: the seeded payload is sha256("media:<i>") * 8 (256 bytes) and
         # the stub decoder is a byte histogram mod 16 — so the first feature

@@ -521,3 +521,58 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level duplicate-line removal (C4 style)
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicate_lines(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text) with corpus-DUPLICATED lines removed, keeping exactly
+    ONE occurrence — the C4 dataset's boilerplate-removal rule (Raffel et
+    al. 2020 §2.2, public paper) at line granularity.
+
+    The kept occurrence is the lexicographically smallest (doc_id,
+    position) so the result is deterministic and partition-independent.
+    Spark shape: posexplode lines → one groupBy(line) computing
+    (occurrence count, keeper) — map-side combinable — join back, filter,
+    reassemble per doc with sort_array over (pos, line) structs.  Docs
+    whose every line was removed keep an empty text (left join back), so
+    row count is preserved for downstream zips.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    keeper = lines.groupBy("line").agg(
+        F.count("*").alias("_n"),
+        F.min(F.struct("doc_id", "pos")).alias("_k"),
+    )
+    kept = (
+        lines.join(keeper, "line")
+        .filter(
+            (F.col("_n") == 1)
+            | (
+                (F.col("doc_id") == F.col("_k.doc_id"))
+                & (F.col("pos") == F.col("_k.pos"))
+            )
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"],
+                ),
+            ).alias("text")
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(kept, "doc_id", "left")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    )

@@ -451,3 +451,23 @@ def test_dedup_topics_empty_token_set(spark):
     df = spark.createDataFrame(rows, "doc_id long, topic string, score double")
     got = {(r["doc_id"], r["topic"]) for r in dedup_topics_within_doc(df).collect()}
     assert got == {(1, "αβγ"), (2, "plain topic")}
+
+
+def test_remove_duplicate_lines(spark):
+    """C4-style line dedup: one occurrence of each duplicated line kept
+    (lowest (doc_id, pos)), within-doc duplicates collapse too, docs whose
+    every line was removed keep an empty text."""
+    rows = [
+        (0, "unique one\nshared line\nunique two"),
+        (1, "shared line\nother text"),
+        (2, "shared line"),
+        (3, "dup\ndup"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in dedup.remove_duplicate_lines(df).collect()}
+    assert got == {
+        0: "unique one\nshared line\nunique two",
+        1: "other text",
+        2: "",
+        3: "dup",
+    }
