@@ -535,6 +535,23 @@ def _q35_duplicate_line_removal(spark, sf):
     return dedup.remove_duplicate_lines(_t(spark, sf, "documents"))
 
 
+def _q36_quantized_embeddings(spark, sf):
+    """Symmetric int8 embedding quantization unnested to (vec_id, i,
+    qval, scale) — floor(+0.5) arithmetic is bit-reproducible in any
+    ANSI engine; narrow transforms only, zero shuffles."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.embedding import (
+        quantize_embeddings,
+    )
+
+    return quantize_embeddings(_t(spark, sf, "embeddings"))
+
+
+def _q37_shard_assignment(spark, sf):
+    """Deterministic size-balanced shard striping (training-shard write
+    side): rank by (n_chars desc, doc_id), stripe round-robin over 8."""
+    return sampling.assign_shards(_t(spark, sf, "documents"), n_shards=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -574,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_totals_with_share": _q33_totals_with_share,
         "q34_repetition_scores": _q34_repetition_scores,
         "q35_duplicate_line_removal": _q35_duplicate_line_removal,
+        "q36_quantized_embeddings": _q36_quantized_embeddings,
+        "q37_shard_assignment": _q37_shard_assignment,
     }
 
 
@@ -1092,6 +1111,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(kept.text, '') AS text
             FROM documents d
             LEFT JOIN kept ON d.doc_id = kept.doc_id
+        """,
+        "q36_quantized_embeddings": """
+            WITH e AS (
+                SELECT vec_id, embedding,
+                       greatest(list_aggregate(
+                           list_transform(embedding,
+                               x -> abs(CAST(x AS DOUBLE))), 'max'),
+                           1e-30) AS sc
+                FROM embeddings
+            )
+            SELECT vec_id,
+                   unnest(generate_series(0, len(embedding) - 1)) AS i,
+                   unnest(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc
+                                       + 0.5) AS INT))) AS qval,
+                   round(sc, 6) AS scale
+            FROM e
+        """,
+        "q37_shard_assignment": """
+            WITH r AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                           AS rn
+                FROM documents
+            )
+            SELECT doc_id, CAST((rn - 1) % 8 AS INT) AS shard FROM r
         """,
         # q27: the seeded payload is sha256("media:<i>") * 8 (256 bytes) and
         # the stub decoder is a byte histogram mod 16 — so the first feature

@@ -17,7 +17,7 @@ Two Spark-first forms:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from .dedup import porthash64
 
@@ -60,3 +60,25 @@ def sample_by_hash(
     """
     h = porthash64(F.col(key_col).cast("string"), salt)
     return df.filter(F.pmod(h, F.lit(modulus)) < percent)
+
+
+def assign_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shard) — deterministic size-balanced shard striping.
+
+    The write-side of a training-data pipeline: docs ranked by (size
+    desc, id) are striped round-robin over ``n_shards``, the parallel
+    approximation of greedy bin packing (largest items spread first, so
+    shard byte totals differ by at most one max-document).  One global
+    sort (rank) — at the 10^12-doc point this runs per-partition-group
+    instead (rank within date-partition), same semantics per shard set.
+    """
+    w = Window.orderBy(F.col(size_col).desc(), F.col(id_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ((F.row_number().over(w) - 1) % n_shards).alias("shard"),
+    )

@@ -471,3 +471,41 @@ def test_remove_duplicate_lines(spark):
         2: "",
         3: "dup",
     }
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """int8 quantization: max-|x| element maps to ±127, dequantized error
+    is bounded by scale/254 per element, all-zero vectors stay zero."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.embedding import (
+        quantize_embeddings,
+    )
+
+    rows = [(0, [0.5, -1.0, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["vec_id"], r["i"]): r for r in quantize_embeddings(df).collect()}
+    assert got[(0, 1)]["qval"] == -127  # the max-|x| element
+    assert got[(0, 0)]["qval"] == 64    # floor(0.5*127/1.0 + 0.5) = 64
+    assert got[(0, 2)]["qval"] == 32
+    assert got[(0, 3)]["qval"] == 0
+    assert all(got[(1, i)]["qval"] == 0 for i in range(4))  # zero vector
+    s = got[(0, 0)]["scale"]
+    assert s == 1.0
+    # dequantization error bound
+    for i, x in enumerate([0.5, -1.0, 0.25, 0.0]):
+        assert abs(got[(0, i)]["qval"] * s / 127.0 - x) <= s / 254 + 1e-9
+
+
+def test_assign_shards_balanced(spark):
+    """Round-robin striping over the size-desc rank: shard sizes differ
+    by at most one doc, and the largest docs spread across shards."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators import sampling
+
+    rows = [(i, 1000 - i) for i in range(20)]  # sizes strictly decreasing
+    df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    got = {r["doc_id"]: r["shard"] for r in sampling.assign_shards(df, n_shards=8).collect()}
+    from collections import Counter
+
+    counts = Counter(got.values())
+    assert max(counts.values()) - min(counts.values()) <= 1
+    # the 8 largest docs land on 8 distinct shards
+    assert {got[i] for i in range(8)} == set(range(8))
