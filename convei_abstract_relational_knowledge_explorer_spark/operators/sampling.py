@@ -67,6 +67,7 @@ def assign_shards(
     n_shards: int = 8,
     size_col: str = "n_chars",
     id_col: str = "doc_id",
+    within: list[str] | None = None,
 ) -> DataFrame:
     """(doc_id, shard) — deterministic size-balanced shard striping.
 
@@ -74,10 +75,13 @@ def assign_shards(
     desc, id) are striped round-robin over ``n_shards``, the parallel
     approximation of greedy bin packing (largest items spread first, so
     shard byte totals differ by at most one max-document).  One global
-    sort (rank) — at the 10^12-doc point this runs per-partition-group
-    instead (rank within date-partition), same semantics per shard set.
+    sort (rank) by default; pass ``within`` (e.g. the date-partition
+    columns) at the 10^12-doc point to rank per partition group instead —
+    no global sort, same balance guarantee per group's shard set.
     """
-    w = Window.orderBy(F.col(size_col).desc(), F.col(id_col))
+    w = (
+        Window.partitionBy(*within) if within else Window
+    ).orderBy(F.col(size_col).desc(), F.col(id_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         ((F.row_number().over(w) - 1) % n_shards).alias("shard"),

@@ -77,3 +77,33 @@ def test_triple_parity_p_r(spark):
         print("sample false-negatives:", fn)
     assert precision >= 0.95, f"precision {precision:.4f} < 0.95"
     assert recall >= 0.95, f"recall {recall:.4f} < 0.95"
+def test_curate_corpus_end_to_end(spark):
+    """The full curation flow: language -> quality -> repetition -> exact
+    dedup -> near dedup -> shards, with per-step survivor counts."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans.curation import (
+        curate_corpus,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and it runs far away today"
+    rows = [
+        (0, base),                                   # survivor (keeper)
+        (1, base),                                   # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),         # near dup of 0
+        (3, "der Hund und die Katze sind nicht mit der Maus hier"),  # de
+        (4, "and a and a and a and a and a"),        # repetitive
+        (5, "the aa bb cc dd ee ff gg hh ii jj kk"), # low quality
+        (6, "it is a completely different story about data and the many"
+            " ways of spark processing today"),      # survivor
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    curated, stats = curate_corpus(docs, near_dup_threshold=0.5, n_shards=2)
+    got = {r["doc_id"] for r in curated.collect()}
+    assert got == {0, 6}
+    assert stats["input"] == 7
+    assert stats["after_language"] == 6
+    assert stats["after_quality"] == 5
+    assert stats["after_repetition"] == 4
+    assert stats["after_exact_dedup"] == 3
+    assert stats["after_near_dedup"] == 2
+    shards = {r["doc_id"]: r["shard"] for r in curated.collect()}
+    assert set(shards.values()) <= {0, 1}
