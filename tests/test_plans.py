@@ -96,3 +96,11 @@ def test_repetition_scores_plan(spark):
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan  # map-side combine on (doc, n, gram)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_quantization_has_no_shuffle(spark):
+    """q36 is narrow transforms only — no Exchange anywhere in the plan
+    (per-vector scale via higher-order aggregate + posexplode)."""
+    df = entrymod.queries()["q36_quantized_embeddings"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan
