@@ -189,3 +189,53 @@ def test_extract_text_from_html_roundtrip():
     assert K.extract_text_from_html(None) is None
     # determinism: same bytes -> same text (byte-identical invariant)
     assert K.extract_text_from_html(html) == K.extract_text_from_html(html)
+
+
+def test_porthash_lanes_cross_engine_adversarial(spark):
+    """The portable hash family (one md5 → two 60-bit lanes → rot/xor
+    mixing) must agree bit-for-bit between Spark and DuckDB on
+    adversarial inputs — unicode, quotes, separators, long strings —
+    not just corpus-shaped tokens."""
+    import duckdb
+
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        porthash_lanes,
+    )
+    import pyspark.sql.functions as F
+
+    vals = [
+        "", " ", "a", "naïve café", "…", "它是中文", "O'Brien \"quoted\"",
+        "tab\tsep", "x" * 500, "0", "-1", "line1\nline2", "\x1f", "%s'; --",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    h1, h2, lanes = porthash_lanes(F.col("s"), 4)
+    got = (
+        df.select("s", h1.alias("_h1"), h2.alias("_h2"))
+        .select("s", *[lane.alias(f"l{i}") for i, lane in enumerate(lanes)])
+        .collect()
+    )
+    spark_lanes = {r["s"]: tuple(r[f"l{i}"] for i in range(4)) for r in got}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    rot = (
+        lambda h, r: h
+        if r % 60 == 0
+        else f"((({h}) & ((1::BIGINT << {60 - r}) - 1)) << {r})"
+             f" | (({h}) >> {60 - r})"
+    )
+    lane_exprs = ", ".join(
+        f"xor({rot('h1', (7 * i + 3) % 60)}, {rot('h2', (13 * i + 5) % 60)})"
+        f" AS l{i}"
+        for i in range(4)
+    )
+    rows = con.execute(
+        f"""WITH h AS (SELECT s,
+                CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
+                CAST('0x' || substr(md5(s), 17, 15) AS BIGINT) AS h2
+             FROM t)
+            SELECT s, {lane_exprs} FROM h"""
+    ).fetchall()
+    duck_lanes = {r[0]: tuple(r[1:]) for r in rows}
+    assert spark_lanes == duck_lanes
