@@ -385,10 +385,15 @@ def _q25b_simhash_pair_blocked(spark, sf):
 
 def _q26_knn_components(spark, sf):
     """Scale path: IVF-bucketed ANN kNN graph (adaptive √n cells,
-    multi-probe 2) + large-star/small-star CC.  Approximate by design —
-    the exact twin q26b below carries the oracle."""
+    multi-probe 2) + large-star/small-star CC.  Approximate relative to
+    exact kNN (q26b is the exact twin) but fully DETERMINISTIC — the
+    portable md5 seed hash lets the oracle replay the IVF approximation
+    itself verbatim: seed choice, multi-probe assignment, in-cell kNN,
+    threshold, CC, histogram."""
     emb = _t(spark, sf, "embeddings")
-    edges = similarity.knn_graph(emb, k=5, n_cells=None, n_probe=2)
+    edges = similarity.knn_graph(
+        emb, k=5, n_cells=None, n_probe=2, hash_fn="md5"
+    )
     strong = edges.filter(F.col("weight") > 0.2)
     cc = connected_components(strong)
     return cc.groupBy("component").agg(F.count("*").alias("n_members"))
@@ -940,6 +945,83 @@ def oracle_sql() -> dict[str, str]:
               ON a.ck = b.ck AND a.cv1 = b.cv1 AND a.cv2 = b.cv2
              AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+        """,
+        # q26: the IVF approximation REPLAYED EXACTLY — portable md5 seed
+        # hash (first 15 hex chars as BIGINT), √n adaptive cell count,
+        # multi-probe-2 assignment, in-cell kNN, 0.2 threshold, CC via
+        # recursive CTE (min-label), cluster-size histogram
+        "q26_knn_components": """
+            WITH RECURSIVE v AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ), nn AS (
+                SELECT vec_id, e FROM (
+                    SELECT vec_id, e,
+                           sqrt(list_sum(list_transform(e, x -> x * x)))
+                               AS nrm
+                    FROM v
+                ) WHERE nrm > 0
+            ), prm AS (
+                SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT))
+                           AS n_cells
+                FROM embeddings
+            ), seeds AS (
+                SELECT cell, cvec FROM (
+                    SELECT row_number() OVER (ORDER BY h) AS cell,
+                           e AS cvec
+                    FROM (
+                        SELECT e,
+                               CAST('0x' || substr(
+                                   md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                                   AS BIGINT) AS h
+                        FROM nn
+                    )
+                ) WHERE cell <= (SELECT n_cells FROM prm)
+            ), asg AS (
+                SELECT vec_id, cell, r FROM (
+                    SELECT nn.vec_id, s.cell,
+                           row_number() OVER (PARTITION BY nn.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   nn.e, s.cvec) DESC,
+                               s.cell ASC) AS r
+                    FROM nn CROSS JOIN seeds s
+                ) WHERE r <= 2
+            ), idx AS (
+                SELECT vec_id, cell FROM asg WHERE r = 1
+            ), sims AS (
+                SELECT p.vec_id AS src, i.vec_id AS dst,
+                       max(list_cosine_similarity(pa.e, pb.e)) AS w
+                FROM asg p
+                JOIN idx i ON p.cell = i.cell AND p.vec_id <> i.vec_id
+                JOIN nn pa ON pa.vec_id = p.vec_id
+                JOIN nn pb ON pb.vec_id = i.vec_id
+                GROUP BY 1, 2
+            ), knn AS (
+                SELECT src, dst, w FROM (
+                    SELECT src, dst, w,
+                           row_number() OVER (PARTITION BY src
+                               ORDER BY w DESC, dst ASC) AS r
+                    FROM sims
+                ) WHERE r <= 5
+            ), strong AS (
+                SELECT least(src, dst) AS u, greatest(src, dst) AS v2
+                FROM knn GROUP BY 1, 2
+                HAVING max(w) > 0.2
+            ), sym AS (
+                SELECT u, v2 FROM strong
+                UNION ALL SELECT v2, u FROM strong
+            ), nodes AS (
+                SELECT DISTINCT u AS node FROM sym
+            ), reach(node, r) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT s.v2, reach.r FROM reach JOIN sym s ON reach.node = s.u
+            ), cc AS (
+                SELECT node, min(r) AS component FROM reach GROUP BY 1
+            )
+            SELECT component, count(*) AS n_members FROM cc GROUP BY 1
         """,
         "q26b_knn_components_exact": """
             WITH RECURSIVE v AS (

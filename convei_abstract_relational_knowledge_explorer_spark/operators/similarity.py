@@ -131,18 +131,28 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    hash_fn: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic seed centroids + one assignment pass.
 
-    Centroids = the ``n_cells`` vectors with smallest xxhash64(id) —
-    deterministic, no RNG, no iteration.  Returns
+    Centroids = the ``n_cells`` vectors with smallest hash(id) —
+    deterministic, no RNG, no iteration (``hash_fn="md5"`` swaps in the
+    portable :func:`..dedup.porthash64` so a SQL oracle can replay the
+    seed choice verbatim).  Returns
     (centroids(cell, cvec, cnorm), assignments(vec_id, cell, r)) where
     ``r`` ranks the vector's closest cells 1..n_probe (multi-probe: r=1 is
     the home cell; r>1 rows let the probe side cross cell boundaries).
     """
+    from .dedup import porthash64
+
     vecs = _normed(embeddings, id_col, vec_col, "vec_id")
+    h = (
+        porthash64(F.col("vec_id").cast("string"))
+        if hash_fn == "md5"
+        else F.xxhash64("vec_id")
+    )
     seeds = (
-        vecs.withColumn("h", F.xxhash64("vec_id"))
+        vecs.withColumn("h", h)
         .orderBy("h")
         .limit(n_cells)
         .select(
@@ -232,6 +242,7 @@ def knn_graph(
     vec_col: str = "embedding",
     n_probe: int = 2,
     n: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate all-pairs kNN edge list (src < dst, weight = cosine).
 
@@ -250,7 +261,9 @@ def knn_graph(
     """
     if n_cells is None:
         n_cells = adaptive_cells(n if n is not None else embeddings.count())
-    _, assign = ivf_assign(embeddings, n_cells, id_col, vec_col, n_probe=n_probe)
+    _, assign = ivf_assign(
+        embeddings, n_cells, id_col, vec_col, n_probe=n_probe, hash_fn=hash_fn
+    )
     vecs = _normed(embeddings, id_col, vec_col, "vec_id")
     # index side: home cell only; probe side: n_probe closest cells —
     # every candidate pair still meets exactly like FAISS multi-probe.
