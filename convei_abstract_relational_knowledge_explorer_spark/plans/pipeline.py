@@ -14,6 +14,7 @@ the reference's printed counters
 from __future__ import annotations
 
 import json
+import threading
 import time
 from pathlib import Path
 
@@ -34,6 +35,10 @@ from ..operators.topics import (
     topic_triples,
 )
 from ..operators.triples import emit_triples
+
+# serializes (stage build → persisted-block sweep) critical sections across
+# every Checkpointer in the process — see Checkpointer._free_persisted
+_SWEEP_LOCK = threading.Lock()
 
 STAGES = (
     "documents",
@@ -115,7 +120,16 @@ class Checkpointer:
         ids that were already persisted BEFORE the stage build — caller-
         owned caches and localCheckpoints (which have no lineage to
         recompute from!) must survive the sweep.  Parquet mode only —
-        memory mode's persisted stage outputs ARE the materialization."""
+        memory mode's persisted stage outputs ARE the materialization.
+
+        CONCURRENCY CONTRACT (r03 ADVICE): the sweep sees every RDD
+        persisted session-wide, so a block persisted by ANOTHER thread
+        DURING this build would be swept too — fatal for a concurrent
+        localCheckpoint (no lineage to recompute).  Stage builds therefore
+        hold the process-wide :data:`_SWEEP_LOCK`, which makes two
+        Checkpointer instances on the same SparkSession safe against each
+        other; threads persisting OUTSIDE this module while a stage builds
+        remain unsupported and are documented as such here."""
         jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
         for rdd in list(jmap.values()):
             if rdd.id() not in keep:
@@ -126,19 +140,20 @@ class Checkpointer:
         if self.done(stage):
             return self.load(stage)
         start = time.time()
-        pre = self._persistent_ids()
-        df = build()
-        if self.materialize == "memory":
-            df = df.persist()
-            rows = df.count()
-            self._cached[stage] = df
-            self._record(stage, rows, start)
-            return df
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(str(self.out / stage))
-        self._free_persisted(keep=pre)
+        with _SWEEP_LOCK:
+            pre = self._persistent_ids()
+            df = build()
+            if self.materialize == "memory":
+                df = df.persist()
+                rows = df.count()
+                self._cached[stage] = df
+                self._record(stage, rows, start)
+                return df
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(str(self.out / stage))
+            self._free_persisted(keep=pre)
         out_df = self.load(stage)
         rows = out_df.count()
         self._record(stage, rows, start)
@@ -181,26 +196,30 @@ class Checkpointer:
         )
         parts: dict = state.setdefault("parts", {})
         start = time.time()
-        pre = self._persistent_ids()
-        for v in values:
-            if str(v) in parts:
-                continue
-            part_start = time.time()
-            pdf = build_part(v).drop(partition_col)
-            pdf.write.mode("overwrite").parquet(
-                str(self.out / stage / f"{partition_col}={v}")
-            )
-            parts[str(v)] = {
-                "seconds": round(time.time() - part_start, 3)
-            }
-            self.progress_path.write_text(json.dumps(self.progress, indent=1))
-        # root-level marker so done() sees the whole stage (Spark ignores
-        # underscore-prefixed files during partition discovery); the stage
-        # dir may not exist yet if every partition was resumed from a
-        # ledger whose directories were externally removed
-        (self.out / stage).mkdir(parents=True, exist_ok=True)
-        (self.out / stage / "_SUCCESS").touch()
-        self._free_persisted(keep=pre)
+        with _SWEEP_LOCK:
+            pre = self._persistent_ids()
+            for v in values:
+                if str(v) in parts:
+                    continue
+                part_start = time.time()
+                pdf = build_part(v).drop(partition_col)
+                pdf.write.mode("overwrite").parquet(
+                    str(self.out / stage / f"{partition_col}={v}")
+                )
+                parts[str(v)] = {
+                    "seconds": round(time.time() - part_start, 3)
+                }
+                self.progress_path.write_text(
+                    json.dumps(self.progress, indent=1)
+                )
+            # root-level marker so done() sees the whole stage (Spark
+            # ignores underscore-prefixed files during partition
+            # discovery); the stage dir may not exist yet if every
+            # partition was resumed from a ledger whose directories were
+            # externally removed
+            (self.out / stage).mkdir(parents=True, exist_ok=True)
+            (self.out / stage / "_SUCCESS").touch()
+            self._free_persisted(keep=pre)
         out_df = self.load(stage)
         rows = out_df.count()
         state["status"] = "complete"

@@ -26,6 +26,24 @@ def _exists(path: str) -> bool:
     return (Path(path) / "_SUCCESS").exists()
 
 
+def _in_parts(col, parts):
+    """Null-safe partition membership: ``col IN parts`` where ``parts`` may
+    contain ``None`` and ``col`` may be NULL.
+
+    Plain ``isin`` evaluates to NULL (never True, never False) on a NULL
+    column value, so both ``isin(...)`` and ``~isin(...)`` silently drop
+    the NULL partition — a key that moved INTO or OUT OF the NULL
+    partition would keep a stale row.  Here NULL membership is explicit
+    and the result is coalesced to a real boolean, so negation works.
+    ``p IN (...) OR p IS NULL`` stays partition-prunable.
+    """
+    non_null = [p for p in parts if p is not None]
+    cond = col.isin(non_null) if non_null else F.lit(False)
+    if any(p is None for p in parts):
+        cond = cond | col.isNull()
+    return F.coalesce(cond, F.lit(False))
+
+
 def insert_if_absent(
     spark: SparkSession, new_rows: DataFrame, path: str, keys: list[str]
 ) -> int:
@@ -109,15 +127,20 @@ def upsert_partitioned(
         stale_parts = (
             spark.read.parquet(path)
             .select(*keys, partition_col)
-            .filter(~F.col(partition_col).isin(touched))
+            .filter(~_in_parts(F.col(partition_col), touched))
             .join(fresh.select(*keys), keys, "left_semi")
             .select(partition_col)
             .distinct()
             .collect()
         )
-        touched = sorted(set(touched) | {r[0] for r in stale_parts})
+        # None-safe deterministic order (None sorts first); plain sorted()
+        # raises TypeError the moment a NULL partition value appears
+        touched = sorted(
+            set(touched) | {r[0] for r in stale_parts},
+            key=lambda v: (v is not None, str(v)),
+        )
     existing = spark.read.parquet(path).filter(
-        F.col(partition_col).isin(touched)
+        _in_parts(F.col(partition_col), touched)
     )
     keep = existing.join(fresh.select(*keys), keys, "left_anti")
     # materialize before overwriting the directories being read

@@ -157,8 +157,34 @@ def test_exact_duplicates(spark):
     )
     got = dedup.exact_duplicates(docs).collect()
     assert len(got) == 1
-    assert got[0]["members"] == [0, 1, 3]
-    assert got[0]["keeper"] == 0
+    assert got[0]["keeper"] == 0 and got[0]["n_docs"] == 3
+    assert "members" not in got[0].asDict()  # scale default: no group arrays
+    # debug shape keeps the sorted member array (small groups only)
+    dbg = dedup.exact_duplicates(docs, with_members=True).collect()
+    assert dbg[0]["members"] == [0, 1, 3]
+    # the scale default's PLAN must not contain a collect_list either
+    plan = dedup.exact_duplicates(docs)._jdf.queryExecution().toString()
+    assert "collect_list" not in plan
+
+
+def test_exact_duplicate_losers_mega_group(spark):
+    """r03 VERDICT #1: one fingerprint owning 50% of the corpus (the C4
+    boilerplate-cluster regime) — loser derivation must be join-based and
+    agree with the debug members shape, with NO array materialization."""
+    n = 2000
+    texts = ["boilerplate cookie banner page" for _ in range(n // 2)] + [
+        f"unique document number {i} with its own words" for i in range(n // 2)
+    ]
+    docs = _doc_df(spark, texts)
+    losers = {r["doc_id"] for r in dedup.exact_duplicate_losers(docs).collect()}
+    assert losers == set(range(1, n // 2))  # keeper = min id of the mega group
+    plan = dedup.exact_duplicate_losers(docs)._jdf.queryExecution().toString()
+    assert "collect_list" not in plan and "sort_array" not in plan
+    # curation capstone consumes the join form: survivors = keeper + uniques
+    survivors = docs.join(
+        dedup.exact_duplicate_losers(docs), "doc_id", "left_anti"
+    )
+    assert survivors.count() == n // 2 + 1
 
 
 def test_minhash_near_duplicates(spark):
@@ -432,6 +458,60 @@ def test_simhash_blocking_regimes_identical(spark):
     }
     assert single == pairs
     assert len(single) > 0
+
+
+def test_choose_simhash_blocking_regimes(spark):
+    """blocking='auto' (r03 next-round #6): duplicate density measured on
+    a content-addressed porthash sample picks the regime — dup-saturated
+    corpora get 'single', all-unique corpora get 'pairs'."""
+    saturated = _doc_df(
+        spark, ["same boilerplate page everywhere"] * 40
+        + [f"fresh doc {i} words" for i in range(10)]
+    )
+    sparse = _doc_df(
+        spark, [f"entirely unique document number {i} here" for i in range(50)]
+    )
+    # sample the whole corpus so the tiny fixtures are deterministic
+    assert dedup.choose_simhash_blocking(saturated, sample_permille=1000) == "single"
+    assert dedup.choose_simhash_blocking(sparse, sample_permille=1000) == "pairs"
+    # empty input: default to the safe-at-scale profile
+    assert dedup.choose_simhash_blocking(sparse.limit(0), sample_permille=1000) == "pairs"
+    # auto wiring end-to-end: same pair set as an explicit regime
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the sleepy dog today",
+        "unrelated short snippet",
+    ]
+    docs = _doc_df(spark, texts)
+    auto = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_duplicates(
+            docs, max_hamming=10, blocking="auto"
+        ).collect()
+    }
+    explicit = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_duplicates(
+            docs, max_hamming=10, blocking="single"
+        ).collect()
+    }
+    assert auto == explicit
+
+
+def test_simhash_pairs_infeasible_warns(spark):
+    """r03 ADVICE (low): requesting blocking='pairs' when max_hamming+2
+    chunks don't fit the signature must WARN about the cost-profile
+    downgrade, not silently fall back (the result stays exact)."""
+    import warnings
+
+    docs = _doc_df(spark, ["alpha beta gamma", "alpha beta gamma delta"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = dedup.simhash_near_duplicates(
+            docs, max_hamming=63, blocking="pairs"
+        )
+        out.collect()
+    assert any("falling back" in str(w.message) for w in caught)
 
 
 def test_dedup_topics_empty_token_set(spark):

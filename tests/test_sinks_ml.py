@@ -274,3 +274,50 @@ def test_upsert_partitioned_sweep_escaped_partition(spark, tmp_path):
     got = {(r["k"], r["batch"], r["v"]) for r in spark.read.parquet(p).collect()}
     assert got == {(1, "c", "X"), (2, "c", "y")}
     assert "batch=a%3Ab" not in os.listdir(p)  # emptied partition dropped
+
+
+def test_upsert_partitioned_sweep_null_partition(spark, tmp_path):
+    """r03 ADVICE (medium): keys moving OUT OF or INTO the NULL partition.
+    Plain ``~isin(touched)`` evaluates to NULL (row dropped) on a NULL
+    partition value, so the stale NULL-partition row silently survived;
+    and ``sorted()`` raised TypeError once a None partition value entered
+    the touched set.  Both directions must now merge cleanly."""
+    import os
+
+    schema = "k long, year int, v string"
+    p = str(tmp_path / "nullpart")
+    base = spark.createDataFrame(
+        [(1, None, "a"), (2, 2020, "b"), (3, None, "c")], schema
+    )
+    sinks.upsert_partitioned(spark, base, p, ["k"], "year")
+    assert "year=__HIVE_DEFAULT_PARTITION__" in os.listdir(p)
+
+    # k=1 moves OUT of the NULL partition -> its stale NULL row must go,
+    # while k=3 (untouched NULL-partition resident) survives
+    sinks.upsert_partitioned(
+        spark,
+        spark.createDataFrame([(1, 2020, "A")], schema),
+        p, ["k"], "year", sweep_moved_keys=True,
+    )
+    got = {(r["k"], r["year"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, 2020, "A"), (2, 2020, "b"), (3, None, "c")}
+
+    # k=2 moves INTO the NULL partition -> stale 2020 row must go and the
+    # existing NULL-partition resident must be kept through the rewrite
+    sinks.upsert_partitioned(
+        spark,
+        spark.createDataFrame([(2, None, "B")], schema),
+        p, ["k"], "year", sweep_moved_keys=True,
+    )
+    got = {(r["k"], r["year"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, 2020, "A"), (2, None, "B"), (3, None, "c")}
+
+    # the whole NULL partition empties out -> its directory is dropped
+    sinks.upsert_partitioned(
+        spark,
+        spark.createDataFrame([(2, 2021, "B2"), (3, 2021, "C2")], schema),
+        p, ["k"], "year", sweep_moved_keys=True,
+    )
+    got = {(r["k"], r["year"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, 2020, "A"), (2, 2021, "B2"), (3, 2021, "C2")}
+    assert "year=__HIVE_DEFAULT_PARTITION__" not in os.listdir(p)

@@ -9,8 +9,10 @@ storage stream — which is exactly the confound-removal measurement the
 judge asked for: the SAME job at N and 4N *executors*, matching the
 north_rule's wording literally.
 
-Pair: local-cluster[1,4,12g] vs local-cluster[4,4,12g] — scaling the
-executor COUNT at fixed per-executor size (how real clusters scale),
+Pair: local-cluster[1,cores,16g] vs local-cluster[4,cores,16g] — scaling
+the executor COUNT at fixed per-executor size (how real clusters scale;
+``run_one`` default mem_mb=16384 — the 16g label in the recorded summary
+comes from the same constant, so doc and data can't drift),
 4 → 16 total cores, under the measured 0.83-0.89 pure-CPU host ceiling
 for that pair.
 
