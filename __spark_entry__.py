@@ -553,7 +553,9 @@ def _q36_quantized_embeddings(spark, sf):
 
 def _q37_shard_assignment(spark, sf):
     """Deterministic size-balanced shard striping (training-shard write
-    side): rank by (n_chars desc, doc_id), stripe round-robin over 8."""
+    side): rank by (n_chars desc, doc_id) WITHIN porthash buckets (no
+    single-partition global sort — r03 VERDICT #2), stripe round-robin
+    over 8 with the stripe start rotated by bucket id."""
     return sampling.assign_shards(_t(spark, sf, "documents"), n_shards=8)
 
 
@@ -1212,13 +1214,20 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "q37_shard_assignment": """
-            WITH r AS (
-                SELECT doc_id,
-                       row_number() OVER (ORDER BY n_chars DESC, doc_id)
-                           AS rn
+            WITH b AS (
+                SELECT doc_id, n_chars,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                            || chr(31) || 'shard'), 1, 15) AS BIGINT) % 64
+                           AS bucket
                 FROM documents
+            ), r AS (
+                SELECT doc_id, bucket,
+                       row_number() OVER (PARTITION BY bucket
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM b
             )
-            SELECT doc_id, CAST((rn - 1) % 8 AS INT) AS shard FROM r
+            SELECT doc_id, CAST((rn - 1 + bucket) % 8 AS INT) AS shard
+            FROM r
         """,
         # q27: the seeded payload is sha256("media:<i>") * 8 (256 bytes) and
         # the stub decoder is a byte histogram mod 16 — so the first feature

@@ -68,21 +68,64 @@ def assign_shards(
     size_col: str = "n_chars",
     id_col: str = "doc_id",
     within: list[str] | None = None,
+    n_buckets: int = 64,
+    global_sort: bool = False,
 ) -> DataFrame:
     """(doc_id, shard) — deterministic size-balanced shard striping.
 
     The write-side of a training-data pipeline: docs ranked by (size
     desc, id) are striped round-robin over ``n_shards``, the parallel
     approximation of greedy bin packing (largest items spread first, so
-    shard byte totals differ by at most one max-document).  One global
-    sort (rank) by default; pass ``within`` (e.g. the date-partition
-    columns) at the 10^12-doc point to rank per partition group instead —
-    no global sort, same balance guarantee per group's shard set.
+    each rank group's byte totals differ by at most one max-document).
+
+    DEFAULT (r03 VERDICT #2): ranking runs WITHIN deterministic hash
+    buckets — ``porthash64(doc_id) % n_buckets`` — so the window is a
+    hash-partitioned per-bucket sort, never a single-partition global
+    sort (the classic 100×-scale killer; at 10^12 docs a global
+    ``row_number`` funnels the corpus through ONE task).  Each bucket
+    stripes its own size-ranked docs round-robin, and the stripe START
+    rotates by bucket id (``+ bucket`` below) so shard 0 doesn't
+    systematically collect every bucket's largest document — summed over
+    buckets the shard byte totals stay balanced AND bias-free.  The
+    bucket hash is the portable md5 family, so the assignment is
+    partitioning-independent, resume-stable, and replayable in ANSI SQL.
+
+    ``within=`` (e.g. the date-partition columns) ranks per partition
+    group instead of per hash bucket — same no-global-sort property with
+    operationally meaningful groups.  ``global_sort=True`` is the
+    explicit opt-in for the exact single-sequence stripe (small corpora /
+    tests only — it IS a single-partition window).
     """
-    w = (
-        Window.partitionBy(*within) if within else Window
-    ).orderBy(F.col(size_col).desc(), F.col(id_col))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        ((F.row_number().over(w) - 1) % n_shards).alias("shard"),
+    if global_sort:
+        w = Window.orderBy(F.col(size_col).desc(), F.col(id_col))
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            ((F.row_number().over(w) - 1) % n_shards).alias("shard"),
+        )
+    if within:
+        w = Window.partitionBy(*within).orderBy(
+            F.col(size_col).desc(), F.col(id_col)
+        )
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            ((F.row_number().over(w) - 1) % n_shards).alias("shard"),
+        )
+    bucket = F.pmod(
+        porthash64(F.col(id_col).cast("string"), "shard"), F.lit(n_buckets)
+    )
+    w = Window.partitionBy("_bucket").orderBy(
+        F.col(size_col).desc(), F.col(id_col)
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(size_col),
+            bucket.alias("_bucket"),
+        )
+        .select(
+            "doc_id",
+            (
+                (F.row_number().over(w) - 1 + F.col("_bucket")) % n_shards
+            ).cast("int").alias("shard"),
+        )
     )

@@ -98,6 +98,15 @@ def test_repetition_scores_plan(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_shard_assignment_no_global_sort(spark):
+    """q37's benched plan must rank within hash buckets — a
+    single-partition window here is the 100x-scale killer (r03 #2)."""
+    df = entrymod.queries()["q37_shard_assignment"](spark, SF)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # still a window rank, just hash-partitioned
+
+
 def test_quantization_has_no_shuffle(spark):
     """q36 is narrow transforms only — no Exchange anywhere in the plan
     (per-vector scale via higher-order aggregate + posexplode)."""
