@@ -91,6 +91,7 @@ def stateful_sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Custom stateful operator: streaming sessionization via
     ``applyInPandasWithState`` (Arrow-batched per-key state).
@@ -99,18 +100,43 @@ def stateful_sessionize(
     longs.  Within each micro-batch the key's events are processed in
     timestamp order: an event more than ``gap_minutes`` after ``last_ts``
     CLOSES the open session (emitted exactly once, append mode) and
-    starts a new one; the trailing open session survives in state for
-    the next batch.  The batch twin is q18's window-lag sessionization —
-    this is the streaming shape of the same semantics, the
-    ``applyInPandasWithState`` pattern SURVEY.md §2.K calls for when
-    watermarked windows can't express the operator.
+    starts a new one; the trailing open session survives in state.
+
+    FINAL sessions of idle keys (r03 VERDICT #3): with the default
+    ``watermark``, the open session carries an ``EventTimeTimeout`` at
+    ``last_ts + gap`` — once the event-time watermark passes the point
+    where no on-time event could extend the session, the timed-out
+    callback emits it exactly once and clears the key's state.  That
+    makes this the faithful streaming twin of q18's batch window-lag
+    sessionization: every session the batch form counts is eventually
+    emitted (the parity test drives both on one fixture), and state size
+    stays bounded by the ACTIVE key set instead of growing with every
+    key ever seen.  ``watermark=None`` opts back into NoTimeout (open
+    sessions held forever — the r02 shape, kept for pure-replay uses).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    cols = [key_col, "session_start", "session_end", "n_events"]
+
+    if watermark is not None:
+        events_stream = events_stream.withWatermark(ts_col, watermark)
+
+    def _emit(rows):
+        out = pd.DataFrame(rows, columns=cols)
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        return out
 
     def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: no on-time event can extend
+            # the open session — emit it exactly once and drop the key
+            s_start, s_last, n = state.get
+            state.remove()
+            yield _emit([(key[0], s_start, s_last, n)])
+            return
         if state.exists:
             s_start, s_last, n = state.get
         else:
@@ -137,13 +163,17 @@ def stateful_sessionize(
                 s_last = max(s_last, t)
                 n += 1
         state.update((s_start, s_last, n))
-        if closed:
-            out = pd.DataFrame(
-                closed, columns=[key_col, "session_start", "session_end", "n_events"]
+        if watermark is not None:
+            # fire when the watermark passes the session's close point;
+            # must stay strictly ahead of the current watermark or Spark
+            # rejects the timestamp (late-data edge)
+            timeout_ms = max(
+                s_last // 1000 + gap_minutes * 60 * 1000,
+                state.getCurrentWatermarkMs() + 1,
             )
-            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
-            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
-            yield out
+            state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield _emit(closed)
 
     return events_stream.groupBy(key_col).applyInPandasWithState(
         fn,
@@ -153,5 +183,9 @@ def stateful_sessionize(
         ),
         stateStructType="session_start long, last_ts long, n_events long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if watermark is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -46,7 +46,9 @@ def test_stream_extract_windowed_counts(spark, tmp_path):
 def test_stateful_sessionize(spark, tmp_path):
     """applyInPandasWithState sessionization: the session CLOSED by a
     later event inside the batch is emitted; the trailing open session
-    and single-event keys stay in state (append mode, exactly-once)."""
+    whose timeout the watermark has NOT passed stays in state; an idle
+    key whose timeout the watermark HAS passed emits its final session
+    (r03 VERDICT #3 — EventTimeTimeout, no session held forever)."""
     import datetime as dt
 
     from convei_abstract_relational_knowledge_explorer_spark.streaming.incremental import (
@@ -58,8 +60,8 @@ def test_stateful_sessionize(spark, tmp_path):
         (1, t0),
         (1, t0 + dt.timedelta(minutes=5)),
         (1, t0 + dt.timedelta(minutes=120)),   # > 30m gap closes session 1
-        (1, t0 + dt.timedelta(minutes=125)),   # open session, held in state
-        (2, t0),                               # single event, held in state
+        (1, t0 + dt.timedelta(minutes=125)),   # open; timeout t0+155 > wm
+        (2, t0),                               # idle key; timeout t0+30 < wm
     ]
     src = str(tmp_path / "events_feed")
     spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
@@ -69,6 +71,7 @@ def test_stateful_sessionize(spark, tmp_path):
     stream = (
         spark.readStream.schema("user_id long, ts timestamp").parquet(src)
     )
+    # watermark = max event ts - 10m = t0+115: past user 2's timeout
     out = stateful_sessionize(stream, gap_minutes=30)
     q = (
         out.writeStream.outputMode("append")
@@ -78,13 +81,30 @@ def test_stateful_sessionize(spark, tmp_path):
         .start()
     )
     q.awaitTermination(60)
-    got = spark.table("t_sessions").collect()
-    assert len(got) == 1
-    r = got[0]
-    assert r["user_id"] == 1
-    assert r["n_events"] == 2
-    assert r["session_start"] == t0
-    assert r["session_end"] == t0 + dt.timedelta(minutes=5)
+    got = {r["user_id"]: r for r in spark.table("t_sessions").collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_events"] == 2
+    assert got[1]["session_start"] == t0
+    assert got[1]["session_end"] == t0 + dt.timedelta(minutes=5)
+    # the idle key's FINAL session, emitted by the event-time timeout
+    assert got[2]["n_events"] == 1
+    assert got[2]["session_start"] == t0 and got[2]["session_end"] == t0
+
+    # watermark=None keeps the r02 NoTimeout shape: open sessions held
+    stream2 = (
+        spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    )
+    q2 = (
+        stateful_sessionize(stream2, gap_minutes=30, watermark=None)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions_noto")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(60)
+    got2 = spark.table("t_sessions_noto").collect()
+    assert len(got2) == 1 and got2[0]["user_id"] == 1
 
 
 def test_stateful_sessionize_across_arrow_chunks(spark, tmp_path):
@@ -129,3 +149,83 @@ def test_stateful_sessionize_across_arrow_chunks(spark, tmp_path):
     assert r["n_events"] == 3
     assert r["session_start"] == t0
     assert r["session_end"] == t0 + dt.timedelta(minutes=7)
+
+
+def test_stateful_sessionize_batch_parity(spark, tmp_path):
+    """r03 VERDICT #3 'done' criterion: on one events fixture, the
+    streamed session multiset (event-closed + timeout-emitted finals)
+    must EQUAL the batch gap-sessionization's (q18's rule: a session
+    breaks on a >30m gap; count, start, end, n_events all match).  A
+    far-future sentinel key pushes the watermark past every real
+    session's timeout so all finals flush."""
+    import datetime as dt
+    import random
+
+    from convei_abstract_relational_knowledge_explorer_spark.streaming.incremental import (
+        stateful_sessionize,
+    )
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for user in range(1, 13):
+        t = t0 + dt.timedelta(minutes=rng.randint(0, 120))
+        for _ in range(rng.randint(1, 25)):
+            # mix of intra-session steps and >gap jumps
+            t += dt.timedelta(minutes=rng.choice([1, 3, 9, 28, 31, 45, 200]))
+            rows.append((user, t))
+
+    # batch twin (q18's rule), computed per user in plain python
+    GAP = dt.timedelta(minutes=30)
+    expected = set()
+    by_user: dict[int, list] = {}
+    for u, t in rows:
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        ts.sort()
+        start = last = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - last > GAP:
+                expected.add((u, start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        expected.add((u, start, last, n))
+
+    # stream: real events in file 1, sentinel in file 2 (one batch each)
+    # so the watermark advances past every real timeout before the end
+    feed = tmp_path / "parity_feed"
+    feed.mkdir()
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    df.coalesce(1).write.parquet(str(feed / "f1"))
+    sentinel_ts = max(t for _, t in rows) + dt.timedelta(days=30)
+    spark.createDataFrame(
+        [(999, sentinel_ts)], "user_id long, ts timestamp"
+    ).coalesce(1).write.parquet(str(feed / "f2"))
+    for sub in ("f1", "f2"):
+        for p in (feed / sub).glob("*.parquet"):
+            p.rename(feed / f"{sub}.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = (
+        stateful_sessionize(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("t_sessions_parity").collect()
+        if r["user_id"] != 999
+    }
+    assert got == expected
