@@ -132,6 +132,9 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_probe: int = 1,
     hash_fn: str = "xxhash64",
+    quantizer: str = "flat",
+    n_coarse: int | None = None,
+    coarse_probe: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic seed centroids + one assignment pass.
 
@@ -142,6 +145,24 @@ def ivf_assign(
     (centroids(cell, cvec, cnorm), assignments(vec_id, cell, r)) where
     ``r`` ranks the vector's closest cells 1..n_probe (multi-probe: r=1 is
     the home cell; r>1 rows let the probe side cross cell boundaries).
+
+    ``quantizer="flat"`` (default, oracle-checked): every vector compares
+    against ALL ``n_cells`` seeds — exact nearest-cell, O(n·n_cells)
+    assignment work and an n_cells-row broadcast.  At the 10^12-doc
+    design point n_cells=√n ≈ 10^6, so both become the next ceiling
+    (r03 VERDICT #5).
+
+    ``quantizer="two_level"``: a coarse layer of ``n_coarse`` (default
+    √n_cells) centroids — the first n_coarse seeds in hash order — routes
+    each vector to its ``coarse_probe`` closest coarse cells, and the
+    vector then compares only against the fine seeds WHOSE home coarse
+    cell was probed (equi join on the coarse cell, shuffle-able — the
+    full fine-seed table never needs to broadcast).  Per-vector work
+    drops from n_cells to n_coarse + coarse_probe·n_cells/n_coarse
+    (10^6 → ~3·10^3 at the design point).  Nearest-cell becomes
+    approximate: a vector's true home cell can hide in an unprobed
+    coarse cell — the standard hierarchical-IVF trade, bounded by
+    ``coarse_probe`` (the recall test pins it on a clustered fixture).
     """
     from .dedup import porthash64
 
@@ -161,13 +182,64 @@ def ivf_assign(
             F.col("norm").alias("cnorm"),
         )
     )
-    sim = vecs.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "cell",
-        (_dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm"))).alias(
-            "sim"
-        ),
-    )
+    if quantizer == "two_level":
+        import math
+
+        n_coarse = n_coarse or max(2, math.isqrt(n_cells))
+        coarse = seeds.filter(F.col("cell") <= n_coarse).select(
+            F.col("cell").alias("ccell"),
+            F.col("cvec").alias("covec"),
+            F.col("cnorm").alias("conorm"),
+        )
+        csim = (
+            _dot(F.col("cvec"), F.col("covec"))
+            / (F.col("cnorm") * F.col("conorm"))
+        )
+        # each fine seed's home coarse cell (n_cells x n_coarse — tiny)
+        wseed = Window.partitionBy("cell").orderBy(
+            F.desc("csim"), F.asc("ccell")
+        )
+        seed_home = (
+            seeds.crossJoin(F.broadcast(coarse))
+            .select("cell", "cvec", "cnorm", "ccell", csim.alias("csim"))
+            .withColumn("cr", F.row_number().over(wseed))
+            .filter(F.col("cr") == 1)
+            .select("cell", "cvec", "cnorm", "ccell")
+        )
+        # route each vector to its coarse_probe closest coarse cells
+        vsim = (
+            _dot(F.col("vec"), F.col("covec"))
+            / (F.col("norm") * F.col("conorm"))
+        )
+        wv = Window.partitionBy("vec_id").orderBy(
+            F.desc("vsim"), F.asc("ccell")
+        )
+        routed = (
+            vecs.crossJoin(F.broadcast(coarse))
+            .select("vec_id", "vec", "norm", "ccell", vsim.alias("vsim"))
+            .withColumn("cr", F.row_number().over(wv))
+            .filter(F.col("cr") <= coarse_probe)
+            .select("vec_id", "vec", "norm", "ccell")
+        )
+        # fine comparison only inside probed coarse cells (equi join —
+        # no broadcast of the full fine-seed table required)
+        sim = routed.join(seed_home, "ccell").select(
+            "vec_id",
+            "cell",
+            (
+                _dot(F.col("vec"), F.col("cvec"))
+                / (F.col("norm") * F.col("cnorm"))
+            ).alias("sim"),
+        )
+    else:
+        sim = vecs.crossJoin(F.broadcast(seeds)).select(
+            "vec_id",
+            "cell",
+            (
+                _dot(F.col("vec"), F.col("cvec"))
+                / (F.col("norm") * F.col("cnorm"))
+            ).alias("sim"),
+        )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     assign = (
         sim.withColumn("r", F.row_number().over(w))
@@ -187,16 +259,21 @@ def ivf_top_k(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n: int | None = None,
+    quantizer: str = "flat",
 ) -> DataFrame:
     """ANN top-k: probe only the n_probe closest IVF cells per query.
 
     The scan side shrinks by ~n_probe/n_cells; the join is equi on cell —
     the 100 TB path where brute force is off the table.  Default
-    ``n_cells=None`` = adaptive √n (pass ``n=`` to skip the count job).
+    ``n_cells=None`` = adaptive √n (pass ``n=`` to skip the count job);
+    ``quantizer="two_level"`` bounds the assignment pass at extreme cell
+    counts (see :func:`ivf_assign`).
     """
     if n_cells is None:
         n_cells = adaptive_cells(n if n is not None else embeddings.count())
-    seeds, assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    seeds, assign = ivf_assign(
+        embeddings, n_cells, id_col, vec_col, quantizer=quantizer
+    )
     vecs = _normed(embeddings, id_col, vec_col, "vec_id").join(
         assign.select("vec_id", "cell"), "vec_id"
     )
@@ -243,6 +320,7 @@ def knn_graph(
     n_probe: int = 2,
     n: int | None = None,
     hash_fn: str = "xxhash64",
+    quantizer: str = "flat",
 ) -> DataFrame:
     """Approximate all-pairs kNN edge list (src < dst, weight = cosine).
 
@@ -262,7 +340,8 @@ def knn_graph(
     if n_cells is None:
         n_cells = adaptive_cells(n if n is not None else embeddings.count())
     _, assign = ivf_assign(
-        embeddings, n_cells, id_col, vec_col, n_probe=n_probe, hash_fn=hash_fn
+        embeddings, n_cells, id_col, vec_col, n_probe=n_probe,
+        hash_fn=hash_fn, quantizer=quantizer,
     )
     vecs = _normed(embeddings, id_col, vec_col, "vec_id")
     # index side: home cell only; probe side: n_probe closest cells —

@@ -262,6 +262,49 @@ def test_ivf_recall_vs_brute_force(spark):
     assert len(exact & approx) >= 2  # reasonable recall on a tiny set
 
 
+def test_two_level_quantizer_recall(spark):
+    """r03 next-round #5: the hierarchical quantizer must keep recall on
+    a clustered fixture while bounding assignment work — and the flat
+    path (the oracle-checked default) must be untouched."""
+    import random
+
+    rng = random.Random(11)
+    # 6 well-separated gaussian clusters of 40 vectors each (c starts at
+    # 1: a zero-vector center would make its cluster pure noise after
+    # normalization, with arbitrary cosines)
+    centers = [[10.0 * ((c >> j) & 1) for j in range(4)] for c in range(1, 7)]
+    rows = [
+        (c * 40 + i,
+         [x + rng.gauss(0, 0.3) for x in centers[c]])
+        for c in range(6)
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, rows[85][1])], "query_id long, embedding array<float>"
+    )
+    exact = {r["vec_id"] for r in similarity.brute_force_top_k(emb, q, k=5).collect()}
+    two = {
+        r["vec_id"]
+        for r in similarity.ivf_top_k(
+            emb, q, k=5, n_cells=16, n_probe=4, quantizer="two_level"
+        ).collect()
+    }
+    assert 85 in two  # the identical vector must be found
+    assert len(exact & two) >= 3  # clustered data: high overlap survives
+
+    # knn_graph under the two-level quantizer: valid edge list, and the
+    # edges stay within the separated clusters (no garbage routing)
+    edges = similarity.knn_graph(
+        emb, k=3, n_cells=16, quantizer="two_level"
+    ).collect()
+    assert len(edges) > 0
+    assert all(r["src"] < r["dst"] for r in edges)
+    strong = [r for r in edges if r["weight"] > 0.99]
+    assert len(strong) > 0
+    assert all(r["src"] // 40 == r["dst"] // 40 for r in strong)
+
+
 def test_knn_graph_shape(spark):
     rows = [(i, [float((i >> j) & 1) for j in range(6)]) for i in range(30)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
