@@ -60,3 +60,74 @@ def test_cc_matches_union_find_on_random_graphs(spark):
             for r in connected_components(df).collect()
         }
         assert got == expected, f"trial {trial}: CC mismatch"
+
+
+def test_modularity_refine_two_cliques(spark):
+    """Two K5 cliques joined by ONE bridge edge: CC merges them into one
+    component; modularity local moves recover the two cliques."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        connected_components,
+        modularity_refine,
+    )
+
+    edges = [
+        (a, b) for grp in (range(0, 5), range(5, 10))
+        for a in grp for b in grp if a < b
+    ] + [(4, 5)]  # the bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert connected_components(df).select("component").distinct().count() == 1
+    got = {
+        r["node"]: r["community"] for r in modularity_refine(df).collect()
+    }
+    assert set(got) == set(range(10))
+    comms = {}
+    for n, c in got.items():
+        comms.setdefault(c, set()).add(n)
+    assert sorted(map(sorted, comms.values())) == [
+        list(range(0, 5)), list(range(5, 10))
+    ]
+
+
+def test_guarded_components_splits_chain(spark):
+    """r03 'done' criterion: a chain graph that CC merges into ONE
+    component must be SPLIT by the guarded pass, while components under
+    max_size keep their exact CC labels."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        connected_components,
+        guarded_components,
+    )
+
+    chain = [(i, i + 1) for i in range(40)]          # 41-node chain
+    triangle = [(100, 101), (101, 102), (100, 102)]  # small comp, kept
+    df = spark.createDataFrame(chain + triangle, "src long, dst long")
+    cc = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert len({c for n, c in cc.items() if n <= 40}) == 1  # chain merged
+
+    got = {
+        r["node"]: r["component"]
+        for r in guarded_components(df, max_size=10).collect()
+    }
+    assert set(got) == set(range(41)) | {100, 101, 102}
+    chain_comms = {got[n] for n in range(41)}
+    assert len(chain_comms) > 1          # the hairball is split
+    # small component untouched: identical to the CC labeling
+    assert {got[n] for n in (100, 101, 102)} == {100}
+    # each refined community is an id owned by its own min member
+    for n in range(41):
+        assert got[n] <= n or got[n] in range(41)
+
+
+def test_guarded_components_no_oversized(spark):
+    """When nothing exceeds max_size the guarded pass IS connected
+    components (byte-identical labels, refine path runs on empty input)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        connected_components,
+        guarded_components,
+    )
+
+    edges = [(0, 1), (1, 2), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    cc = {(r["node"], r["component"]) for r in connected_components(df).collect()}
+    got = {(r["node"], r["component"])
+           for r in guarded_components(df, max_size=100).collect()}
+    assert got == cc

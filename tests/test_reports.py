@@ -151,3 +151,49 @@ def test_geography_figures_svg(spark, tmp_path):
     assert "us" in svg1  # legend carries the top series
     assert svg2.startswith("<svg") and "(%" not in svg2
     assert "us" in svg2 and "%" in svg2
+
+
+def test_guarded_canonicalization_splits_topic_chain(spark):
+    """r03 'what's missing' #1 on the EXPLORER surface: a chain of
+    near-duplicate topic surfaces that transitive CC collapses into one
+    canonical topic must, under the max_component_size guard, split into
+    modularity communities — and the explorer feed then shows multiple
+    topic rows instead of one hairball row."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
+        canonicalize_entities,
+    )
+
+    base = "solar panel efficiency analysis methods overview".split()
+    subs = ["storage", "policy", "market", "cell", "grid", "forecast",
+            "cost", "yield"]
+    names = []
+    for i in range(8):
+        words = list(base)
+        words[i % len(base)] = subs[i]  # mutate ONE rotating word
+        names.append(" ".join(words))
+    assert len(set(names)) == 8
+
+    rows = [
+        (i, "doc", "HAS_TOPIC", names[i % 8]) for i in range(16)
+    ]
+    triples = spark.createDataFrame(
+        rows, "doc_id long, subj string, pred string, obj string"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", 2020, f"u{i}") for i in range(16)],
+        "doc_id long, text string, year int, url string",
+    )
+
+    plain = canonicalize_entities(spark, triples)
+    n_plain = plain.select("canonical_id").distinct().count()
+    assert n_plain < 8  # LSH chain transitively merged by CC
+
+    guarded = canonicalize_entities(spark, triples, max_component_size=3)
+    n_guarded = guarded.select("canonical_id").distinct().count()
+    assert n_guarded > n_plain  # the guard splits the hairball
+    # every surface still labeled exactly once
+    assert guarded.count() == 8
+
+    feed_plain = reports.explorer_feed(triples, plain, docs).count()
+    feed_guarded = reports.explorer_feed(triples, guarded, docs).count()
+    assert feed_guarded > feed_plain
