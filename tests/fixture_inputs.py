@@ -21,6 +21,13 @@ TEXT_SAMPLES = [
     "synthetic aperture radar (SAR) and LiDAR point clouds",
     "中文 text with 汉字 and ascii mixed 2024",
     "don't stop-believing o'clock",
+    # r03 advice #8: adversarial unicode where str.lower() and
+    # str.casefold() diverge (ẞ/ß -> ss only under casefold; ﬁ/ﬆ
+    # ligatures expand only under casefold) or where case mapping is
+    # context-sensitive (final sigma, İ -> i + combining dot)
+    "MAẞE ﬁeld ﬆudy ΣΊΓΜΑ ΤΕΛΙΚΌΣ",
+    "İstanbul DİYARBAKIR ılık Iı",
+    "ǄUNGLA ǅungla ǆungla San Ǉubǉana",
 ]
 
 AFFILIATION_SAMPLES = [
@@ -40,6 +47,15 @@ AFFILIATION_SAMPLES = [
     "Acme Corp, Suite 300, 1 Infinite Loop, Cupertino, CA 95014, USA",
     "Hydrology Lab, Univ Georgia, Athens, GA 30602, USA",
     "Tbilisi State Univ, Tbilisi, Georgia",
+    # adversarial unicode against the H6 anchor regexes
+    # (populate_cleaned_author_affiliations.py:34-103): umlauts/eszett in
+    # institution and street chunks, Turkish dotted/dotless I, Greek
+    # script, capital-sharp-s (casefold-divergent) in an anchor position
+    "Universität Zürich, Rämistrasse 71, CH-8006 Zürich, Switzerland",
+    "İstanbul Üniv, Beyazıt Kampüsü, 34452 İstanbul, Turkey",
+    "Ludwig-Maximilians-Universität, Straße des 17. Juni 5, 80539 München, Germany",
+    "Πανεπιστήμιο Αθηνών, Αθήνα, Greece",
+    "MAẞE INSTITUT, GROẞE ALLEE 3, Berlin, GERMANY",
 ]
 
 AUTHOR_AFFILIATION_BLOCKS = [
@@ -53,6 +69,12 @@ AUTHOR_AFFILIATION_BLOCKS = [
     "",
     "[Alpha, A.] ; [Beta, B.] Second Univ, Madrid, Spain",
     "[Gamma, G.] Inst A, Rome, Italy; Inst B without authors, Milan, Italy",
+    # adversarial unicode against the H7 bracket/segment regexes:
+    # non-ASCII author names, eszett, dotted İ, Greek, digraph titlecase
+    "[Großmann, A.; Yıldız, Ç.] Universität Zürich, Zürich, Switzerland;"
+    " [Σίγμας, Γ.] Παν Αθηνών, Αθήνα, Greece",
+    "[ǅuro, D.] Sveučilište u Zagrebu, Zagreb, Croatia\n"
+    "[MAẞE, M.] GROẞE Univ, Berlin, Germany",
 ]
 
 ABSTRACT_SAMPLES = [

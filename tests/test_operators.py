@@ -678,3 +678,107 @@ def test_assign_shards_bucketed_default(spark):
     assert len(counts) == 8
     assert max(counts.values()) / min(counts.values()) < 1.2
     assert max(byte_tot.values()) / min(byte_tot.values()) < 1.2
+
+
+def test_q26_oracle_tie_margins(spark):
+    """r03 ADVICE (low): q26's hash-exact oracle parity rests on Spark's
+    sequential-fold cosine agreeing with DuckDB's list_cosine_similarity
+    at every DECISION point.  This pins the claim to measured margins on
+    the actual sf0.01 fixture: every rank boundary (probe-cell 2|3, kNN
+    5|6) and the 0.2 weight threshold clears a 1e-9 gap — or is an EXACT
+    tie (same double), which both engines break identically by id.  A
+    last-ulp cross-engine difference therefore cannot flip the result."""
+    import os
+
+    from pyspark.sql.window import Window as W
+
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        porthash64,
+    )
+    from convei_abstract_relational_knowledge_explorer_spark.operators.similarity import (
+        _dot,
+        _normed,
+        adaptive_cells,
+        ivf_assign,
+    )
+
+    sfdir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    emb = spark.read.parquet(f"{sfdir}/embeddings.parquet")
+    vecs = _normed(emb, "vec_id", "embedding", "vec_id")
+    n_cells = adaptive_cells(vecs.count())
+
+    # (a) probe-cell assignment boundary: gap between the 2nd and 3rd
+    # closest centroids per vector (q26 probes n_probe=2 cells)
+    h = porthash64(F.col("vec_id").cast("string"))
+    seeds = (
+        vecs.withColumn("h", h)
+        .orderBy("h")
+        .limit(n_cells)
+        .select(
+            F.row_number().over(W.orderBy("h")).alias("cell"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+    csim = vecs.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cell",
+        (_dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm"))).alias("sim"),
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    ranked = csim.withColumn("r", F.row_number().over(wv)).filter(F.col("r") <= 3)
+    gap23 = (
+        ranked.groupBy("vec_id")
+        .agg(
+            (
+                F.max(F.when(F.col("r") == 2, F.col("sim")))
+                - F.max(F.when(F.col("r") == 3, F.col("sim")))
+            ).alias("gap")
+        )
+        .agg(F.min("gap"))
+        .collect()[0][0]
+    )
+    assert gap23 is not None and (gap23 == 0.0 or gap23 > 1e-9)
+
+    # (b) directed kNN rank-5|6 boundary and (c) 0.2 threshold margin,
+    # over the exact candidate set q26's plan scores
+    _, assign = ivf_assign(emb, n_cells, n_probe=2, hash_fn="md5")
+    idx = vecs.join(assign.filter(F.col("r") == 1).select("vec_id", "cell"), "vec_id")
+    probe = vecs.join(assign.select("vec_id", "cell"), "vec_id")
+    a, b = probe.alias("a"), idx.alias("b")
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            (
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("weight"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("weight").alias("weight"))
+    )
+    thr_margin = (
+        cand.agg(F.min(F.abs(F.col("weight") - F.lit(0.2)))).collect()[0][0]
+    )
+    assert thr_margin > 1e-9
+
+    wk = W.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
+    kranked = cand.withColumn("r", F.row_number().over(wk)).filter(
+        F.col("r").isin(5, 6)
+    )
+    gap56 = (
+        kranked.groupBy("src")
+        .agg(
+            (
+                F.max(F.when(F.col("r") == 5, F.col("weight")))
+                - F.max(F.when(F.col("r") == 6, F.col("weight")))
+            ).alias("gap")
+        )
+        .filter(F.col("gap").isNotNull())  # srcs with <6 candidates: no boundary
+        .agg(F.min("gap"))
+        .collect()[0][0]
+    )
+    assert gap56 is None or gap56 == 0.0 or gap56 > 1e-9
