@@ -20,6 +20,27 @@ import sys
 import time
 
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+# best-of-N per query (r03 VERDICT #7: the driver snapshot has repeatedly
+# shown 25-40% phantom regressions from host throttle windows; trials=2
+# keeps the min per query, discarding one-off window hits).  The recorded
+# clean-window rerun in BENCH/ stays the cross-round comparison surface.
+N_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "1"))
+
+
+def _calibrate() -> float:
+    """Fixed single-thread CPU burn (seconds) — a host-window indicator.
+
+    The VM's effective CPU speed swings ±20-40% between runs (observed in
+    r01-r03).  Recording the SAME pure-python burn alongside the bench
+    lets any reader normalize: a high calib value marks a throttled
+    window, so slow query timings in that snapshot are host noise, not
+    regressions.  ~0.4s on a clean window."""
+    t0 = time.time()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    _ = acc
+    return round(time.time() - t0, 3)
 
 
 def _build_spark(cpus: int):
@@ -39,11 +60,15 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        start = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - start, 3)
-        _ = n
+        best = None
+        for _trial in range(max(N_TRIALS, 1)):
+            start = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            elapsed = time.time() - start
+            best = elapsed if best is None else min(best, elapsed)
+            _ = n
+        timings[name] = round(best, 3)
     return timings
 
 
@@ -108,11 +133,13 @@ def main() -> None:
         )
         return
 
+    calib_before = _calibrate()
     spark = _build_spark(cpus)
     t0 = time.time()
     timings = run_queries(spark, sf_dir)
     pipe = run_pipeline(spark, N_BENCH_DOCS)
     total = round(time.time() - t0, 3)
+    calib_after = _calibrate()
     print(
         json.dumps(
             {
@@ -122,6 +149,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "pipeline": pipe,
+                # host-window indicator: the same fixed single-thread burn
+                # before/after (clean window ~0.4s; throttled 0.6-1.0s+).
+                # Compare query timings across rounds ONLY at similar
+                # calib values — see BENCH/ clean-window references.
+                "calib_seconds": [calib_before, calib_after],
+                "trials": max(N_TRIALS, 1),
             }
         )
     )
