@@ -169,6 +169,85 @@ def kmeans_clusters(
     )
 
 
+def kmeans_with_noise(
+    embeddings: DataFrame,
+    k: int | None = None,
+    min_cluster_size: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    max_iter: int = 20,
+    noise_quantile: float = 0.9,
+    noise_scale: float = 1.5,
+) -> DataFrame:
+    """J11 with HDBSCAN's lost feature restored: NOISE points.
+
+    The r03 verdict listed noise labeling as the one capability the
+    KMeans substitute drops vs the reference's HDBSCAN
+    (/root/reference/multitopic_tracer.py:111-128, which labels
+    low-density points -1).  Recovered distributedly: after the Lloyd
+    fit, each point's distance to its centroid is compared against its
+    OWN cluster's distance distribution — points beyond
+    ``noise_scale × percentile(dist, noise_quantile)`` get ``cluster =
+    -1``, and clusters with fewer than ``min_cluster_size`` members are
+    noise wholesale (HDBSCAN's own rule — it also catches the Lloyd
+    failure mode where an extreme outlier captures a centroid and sits at
+    distance 0 from itself).  All post-fit work is one narrow projection
+    + a per-cluster exact percentile aggregate + a broadcast join-back;
+    no driver matrices.  Returns (id_col, cluster, dist); -1 = noise.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    prepared = embeddings.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    if k is None:
+        n = prepared.count()
+        k = min(4, max(2, n // max(1, min_cluster_size)))
+    model = KMeans(k=int(k), seed=seed, maxIter=max_iter).fit(prepared)
+    centers = embeddings.sparkSession.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "prediction int, center array<double>",
+    )
+    pts = model.transform(prepared).select(
+        "id", vector_to_array("features").alias("v"),
+        F.col("prediction").cast("int").alias("prediction"),
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("v"), F.col("center"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = pts.join(F.broadcast(centers), "prediction").select(
+        "id", "prediction", dist.alias("dist")
+    )
+    cuts = scored.groupBy("prediction").agg(
+        F.expr(f"percentile(dist, {noise_quantile})").alias("cut"),
+        F.count("*").alias("cluster_n"),
+    )
+    return scored.join(F.broadcast(cuts), "prediction").select(
+        F.col("id").alias(id_col),
+        F.when(
+            (F.col("cluster_n") < min_cluster_size)
+            | (F.col("dist") > F.lit(noise_scale) * F.col("cut")),
+            F.lit(-1),
+        )
+        .otherwise(F.col("prediction"))
+        .cast("int")
+        .alias("cluster"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def train_multilabel_classifier(
     train: DataFrame,
     vec_col: str = "embedding",

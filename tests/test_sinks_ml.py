@@ -321,3 +321,32 @@ def test_upsert_partitioned_sweep_null_partition(spark, tmp_path):
     got = {(r["k"], r["year"], r["v"]) for r in spark.read.parquet(p).collect()}
     assert got == {(1, 2020, "A"), (2, 2021, "B2"), (3, 2021, "C2")}
     assert "year=__HIVE_DEFAULT_PARTITION__" not in os.listdir(p)
+
+
+def test_kmeans_with_noise_labels_outliers(spark):
+    """J11's documented HDBSCAN delta, partially closed (r03 'what's
+    missing' #2): far-from-centroid points get cluster -1 like HDBSCAN's
+    noise label; dense members keep their KMeans cluster."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for cid, center in enumerate(([5.0, 0.0], [0.0, 5.0])):
+        for i in range(40):
+            rows.append(
+                (cid * 100 + i,
+                 [c + rng.gauss(0, 0.2) for c in center])
+            )
+    # two extreme outliers, nearest to cluster 0/1 but far off
+    rows += [(900, [50.0, -40.0]), (901, [-40.0, 50.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # k=4: Lloyd gives each extreme outlier a singleton centroid
+    # (below min_cluster_size -> noise) and the dense clusters separate
+    got = {r["vec_id"]: r for r in ml.kmeans_with_noise(df, k=4).collect()}
+    assert got[900]["cluster"] == -1 and got[901]["cluster"] == -1
+    # dense members: labeled, label-pure per generator cluster
+    labels0 = {got[i]["cluster"] for i in range(0, 40)}
+    labels1 = {got[100 + i]["cluster"] for i in range(0, 40)}
+    assert -1 not in labels0 | labels1  # the 90th-percentile cut + 1.5x
+    assert len(labels0) == 1 and len(labels1) == 1 and labels0 != labels1
+    assert all(r["dist"] >= 0 for r in got.values())
