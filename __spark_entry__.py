@@ -559,6 +559,56 @@ def _q37_shard_assignment(spark, sf):
     return sampling.assign_shards(_t(spark, sf, "documents"), n_shards=8)
 
 
+def _q38_topic_communities(spark, sf):
+    """Modularity communities over the token co-occurrence graph (the r04
+    Leiden-quality guard, FULLY oracle-checked): top-30 tokens by
+    document frequency form a dense weighted hairball that transitive CC
+    merges into one component; four rounds of deterministic Louvain-style
+    local moves (portable md5 round parity, integer edge weights so every
+    cross-engine sum is exact, ties prefer stay then smaller label) are
+    replayed verbatim by a DuckDB recursive CTE."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        modularity_refine,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            )
+        ).alias("token"),
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(30)
+        .select("token")
+    )
+    sel = toks.join(F.broadcast(top), "token")
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("term_a"), F.col("b.token").alias("term_b")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+    comm = modularity_refine(
+        pairs,
+        src="term_a",
+        dst="term_b",
+        weight_col="n_docs",
+        resolution=1.05,
+        max_rounds=4,
+        parity_fn="md5",
+    )
+    return comm.select(F.col("node").alias("term"), "community")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -600,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_duplicate_line_removal": _q35_duplicate_line_removal,
         "q36_quantized_embeddings": _q36_quantized_embeddings,
         "q37_shard_assignment": _q37_shard_assignment,
+        "q38_topic_communities": _q38_topic_communities,
     }
 
 
@@ -1228,6 +1279,90 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST((rn - 1 + bucket) % 8 AS INT) AS shard
             FROM r
+        """,
+        # q38: modularity local moves replayed EXACTLY — integer edge
+        # weights make every cross-engine sum exact, the md5 parity hash
+        # replays the round schedule, gains differ only by one IEEE
+        # division+subtraction (deterministic on identical inputs), and
+        # the recursive CTE advances (rnd, node, label) four rounds just
+        # like the Spark driver loop (early-converged rounds are no-ops
+        # in both engines, so fixed-round replay is equivalent)
+        "q38_topic_communities": f"""
+            WITH RECURSIVE toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 30
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS (
+                SELECT a.token AS u, b.token AS v,
+                       CAST(count(*) AS DOUBLE) AS w
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+            ), nbrs AS (
+                SELECT u, v, w FROM pairs
+                UNION ALL SELECT v, u, w FROM pairs
+            ), deg AS (
+                SELECT u, sum(w) AS deg FROM nbrs GROUP BY 1
+            ), m2v AS (
+                SELECT sum(deg) AS m2 FROM deg
+            ), lab(rnd, node, label) AS (
+                SELECT 0, u, u FROM deg
+              UNION ALL
+                SELECT b.rnd + 1, b.u,
+                       CASE WHEN ((CAST('0x' || substr(md5(b.u), 1, 15)
+                                        AS BIGINT) + b.rnd) % 2 = 0)
+                            THEN b.clab ELSE b.cur END
+                FROM (
+                    SELECT s.rnd, s.u, s.clab, s.cur,
+                           row_number() OVER (
+                               PARTITION BY s.u
+                               ORDER BY s.gain DESC,
+                                        (s.clab = s.cur) DESC,
+                                        s.clab ASC) AS rk
+                    FROM (
+                        SELECT cand.rnd, cand.u, cand.clab, cur.cur,
+                               cand.w_uc
+                               - 1.05 * d.deg * (ct.tot
+                                          - CASE WHEN cand.clab = cur.cur
+                                                 THEN d.deg
+                                                 ELSE 0.0 END)
+                                 / (SELECT m2 FROM m2v) AS gain
+                        FROM (
+                            SELECT rnd, u, clab, max(w_uc) AS w_uc FROM (
+                                SELECT l2.rnd, n.u, l2.label AS clab,
+                                       sum(n.w) AS w_uc
+                                FROM nbrs n JOIN lab l2 ON l2.node = n.v
+                                GROUP BY 1, 2, 3
+                                UNION ALL
+                                SELECT l.rnd, l.node, l.label, 0.0
+                                FROM lab l
+                            ) GROUP BY 1, 2, 3
+                        ) cand
+                        JOIN (SELECT rnd, node, label AS cur FROM lab) cur
+                          ON cur.node = cand.u AND cur.rnd = cand.rnd
+                        JOIN deg d ON d.u = cand.u
+                        JOIN (
+                            SELECT l3.rnd, l3.label, sum(d2.deg) AS tot
+                            FROM lab l3 JOIN deg d2 ON d2.u = l3.node
+                            GROUP BY 1, 2
+                        ) ct ON ct.label = cand.clab
+                            AND ct.rnd = cand.rnd
+                    ) s
+                ) b
+                WHERE b.rk = 1 AND b.rnd < 4
+            ), final AS (
+                SELECT node, label FROM lab WHERE rnd = 4
+            ), rep AS (
+                SELECT label, min(node) AS community FROM final GROUP BY 1
+            )
+            SELECT f.node AS term, r.community
+            FROM final f JOIN rep r ON r.label = f.label
         """,
         # q27: the seeded payload is sha256("media:<i>") * 8 (256 bytes) and
         # the stub decoder is a byte histogram mod 16 — so the first feature

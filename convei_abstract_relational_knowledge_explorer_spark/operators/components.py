@@ -158,6 +158,7 @@ def modularity_refine(
     weight_col: str | None = None,
     resolution: float = 1.0,
     max_rounds: int = 8,
+    parity_fn: str = "xxhash64",
 ) -> DataFrame:
     """Distributed modularity-aware local moves (Louvain phase 1) →
     (node, community), community = min member id.
@@ -266,8 +267,16 @@ def modularity_refine(
             .filter(F.col("rk") == 1)
             .select("u", "clab", "cur")
         )
-        # one parity class moves per round (no synchronous oscillation)
-        active = F.pmod(F.xxhash64(F.col("u")) + F.lit(rnd), F.lit(2)) == 0
+        # one parity class moves per round (no synchronous oscillation).
+        # parity_fn="md5" swaps in the portable porthash64 so an ANSI SQL
+        # oracle can replay the round schedule verbatim (q38)
+        if parity_fn == "md5":
+            from .dedup import porthash64
+
+            ph = porthash64(F.col("u").cast("string"))
+        else:
+            ph = F.xxhash64(F.col("u"))
+        active = F.pmod(ph + F.lit(rnd), F.lit(2)) == 0
         new_labels = best.select(
             F.col("u").alias("node"),
             F.when(active, F.col("clab")).otherwise(F.col("cur")).alias("label"),
