@@ -609,6 +609,38 @@ def _q38_topic_communities(spark, sf):
     return comm.select(F.col("node").alias("term"), "community")
 
 
+def _q39_incremental_df_merge(spark, sf):
+    """Mergeable document frequencies — the identity the incremental
+    pipeline's frozen-idf mode rests on (plans/pipeline.py::
+    incremental_update, operators/topics.py::phrase_document_frequency):
+    df over A ∪ B = df(A) + df(B) summed per term when the batches share
+    no doc_id.  Spark computes token df SPLIT into two hash batches and
+    merged with a groupBy-sum (the exact per-increment merge plan, and
+    the map-side-combinable two-phase agg shape that scales); the oracle
+    computes the same df in ONE pass over the whole corpus — a value-hash
+    match proves the merge identity cross-engine rather than asserting
+    it."""
+    d = _t(spark, sf, "documents")
+    per_batch = (
+        d.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(2)).alias("batch"),
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+                )
+            ).alias("token"),
+        )
+        .groupBy("batch", "token")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        per_batch.groupBy("token")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .filter(F.col("df") >= 20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -651,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_quantized_embeddings": _q36_quantized_embeddings,
         "q37_shard_assignment": _q37_shard_assignment,
         "q38_topic_communities": _q38_topic_communities,
+        "q39_incremental_df_merge": _q39_incremental_df_merge,
     }
 
 
@@ -1363,6 +1396,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT f.node AS term, r.community
             FROM final f JOIN rep r ON r.label = f.label
+        """,
+        # single-pass df — the Spark side computes the SAME values via a
+        # two-batch split + merge, so the hash match certifies the
+        # df(A∪B) = df(A)+df(B) identity frozen-idf increments rely on
+        "q39_incremental_df_merge": f"""
+            SELECT token, count(*) AS df FROM (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token FROM documents
+            ) GROUP BY token HAVING count(*) >= 20
         """,
         # q27: the seeded payload is sha256("media:<i>") * 8 (256 bytes) and
         # the stub decoder is a byte histogram mod 16 — so the first feature

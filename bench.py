@@ -80,6 +80,7 @@ def run_pipeline(spark, n_docs: int) -> dict[str, float]:
 
     from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
         build_graph,
+        incremental_update,
     )
     from convei_abstract_relational_knowledge_explorer_spark.sources.synthetic import (
         web_pages,
@@ -105,6 +106,23 @@ def run_pipeline(spark, n_docs: int) -> dict[str, float]:
             in ("cleaned_affiliations", "affiliation_type_distances")
         )
         core = seconds - affil_seconds
+
+        # incremental increment: +10% new pages folded into the finished
+        # graph via the at-scale path (frozen-idf topics, HLL sketch
+        # edges).  The headline is incr_docs_per_hour vs docs_per_hour —
+        # the monthly-crawl cost a user actually pays after the first
+        # build (plans/pipeline.py::incremental_update).
+        n_incr = max(n_docs // 10, 1)
+        istart = time.time()
+        itables = incremental_update(
+            spark,
+            out,
+            web_pages(spark, n_docs + n_incr),
+            topics_mode="frozen_idf",
+            edge_counts="sketch",
+        )
+        n_triples_incr = itables["triples"].count()
+        iseconds = time.time() - istart
         return {
             "pipeline_seconds": round(seconds, 3),
             "pipeline_seconds_core": round(core, 3),
@@ -112,6 +130,10 @@ def run_pipeline(spark, n_docs: int) -> dict[str, float]:
             "docs_per_hour": round(n_docs / seconds * 3600.0, 1),
             "docs_per_hour_core": round(n_docs / core * 3600.0, 1),
             "n_triples": n_triples,
+            "incremental_seconds": round(iseconds, 3),
+            "incremental_docs": n_incr,
+            "incr_docs_per_hour": round(n_incr / iseconds * 3600.0, 1),
+            "incr_n_triples": n_triples_incr,
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)

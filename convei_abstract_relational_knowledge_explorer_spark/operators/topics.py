@@ -117,22 +117,60 @@ def candidate_phrases(docs: DataFrame, text_col: str = "abstract",
     )
 
 
+def phrase_tf(docs: DataFrame, text_col: str = "abstract") -> DataFrame:
+    """(doc_id, phrase, tf) term frequencies over candidate phrases.
+
+    The shared front half of :func:`mine_topics` and
+    :func:`phrase_document_frequency` — one definition so the incremental
+    pipeline's merged document frequencies can never drift from the
+    phrases the full build counts.
+    """
+    # reference filter heuristics run inside the n-gram lambda (pre-explode)
+    filtered = candidate_phrases(docs, text_col, prefiltered=True).filter(
+        F.length("phrase") >= 3
+    )
+    return filtered.groupBy("doc_id", "phrase").agg(F.count("*").alias("tf"))
+
+
+def phrase_document_frequency(
+    docs: DataFrame, text_col: str = "abstract"
+) -> DataFrame:
+    """(phrase, df) document frequencies over candidate phrases.
+
+    Mergeable across disjoint document batches: df over A ∪ B =
+    df(A) + df(B) summed per phrase, because df counts distinct docs and
+    the batches share no doc_id.  The incremental pipeline keeps this as
+    a ``term_df`` stage table and folds each new crawl batch in with a
+    groupBy-sum — no rescan of already-ingested documents.
+    """
+    return (
+        phrase_tf(docs, text_col)
+        .groupBy("phrase")
+        .agg(F.count("*").alias("df"))
+    )
+
+
 def mine_topics(
     docs: DataFrame,
     text_col: str = "abstract",
     top_k: int = 8,
     df_threshold: float = 0.15,
     n_docs: int | None = None,
+    df_counts: DataFrame | None = None,
 ) -> DataFrame:
     """documents → (doc_id, topic, score) HAS_TOPIC candidates.
 
     ``n_docs``: pass the already-known stage row count to skip the extra
     count job (one full corpus scan at 100 TB; VERDICT r01 "what's wrong" #4).
+
+    ``df_counts``: optional externally-maintained (phrase, df) table.
+    When given, idf statistics come from it instead of from ``docs`` —
+    the incremental pipeline passes the merged corpus-wide ``term_df``
+    here so a delta batch is scored against the FULL corpus's document
+    frequencies while only the delta's term frequencies are computed.
+    ``n_docs`` must then be the corpus-wide document count the df table
+    describes.
     """
-    # reference filter heuristics run inside the n-gram lambda (pre-explode)
-    filtered = candidate_phrases(docs, text_col, prefiltered=True).filter(
-        F.length("phrase") >= 3
-    )
 
     # ---- tf / df / idf ----------------------------------------------------
     # Skew note: a handful of corpus-generic phrases occur in nearly every
@@ -152,14 +190,11 @@ def mine_topics(
     # subplan, the anti-join probe side, and df_counts) — localCheckpoint
     # materializes the scan→explode→agg subtree once instead of three
     # times (the broadcast subplan cannot reuse the main plan's exchange).
-    tf = (
-        filtered.groupBy("doc_id", "phrase")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
-    )
+    tf = phrase_tf(docs, text_col).localCheckpoint(eager=True)
     if n_docs is None:
         n_docs = docs.count()
-    df_counts = tf.groupBy("phrase").agg(F.count("*").alias("df"))
+    if df_counts is None:
+        df_counts = tf.groupBy("phrase").agg(F.count("*").alias("df"))
     generic = df_counts.filter(F.col("df") >= df_threshold * n_docs).select(
         "phrase"
     )

@@ -32,6 +32,7 @@ from ..operators.mentions import affiliation_segments
 from ..operators.topics import (
     dedup_topics_within_doc,
     mine_topics,
+    phrase_document_frequency,
     topic_triples,
 )
 from ..operators.triples import emit_triples
@@ -97,9 +98,13 @@ class Checkpointer:
     def load(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(str(self.out / stage))
 
-    def _record(self, stage: str, rows: int, start: float) -> None:
+    def _record(self, stage: str, rows: int, start: float,
+                partition_by: list[str] | None = None) -> None:
         seconds = time.time() - start
-        self.progress[stage] = {"status": "complete", "rows": rows}
+        entry = {"status": "complete", "rows": rows}
+        if partition_by:
+            entry["partition_by"] = list(partition_by)
+        self.progress[stage] = entry
         self.metrics.append(
             {"stage": stage, "rows_out": rows, "seconds": round(seconds, 3)}
         )
@@ -156,7 +161,136 @@ class Checkpointer:
             self._free_persisted(keep=pre)
         out_df = self.load(stage)
         rows = out_df.count()
-        self._record(stage, rows, start)
+        self._record(stage, rows, start, partition_by=partition_by)
+        return out_df
+
+    def partitioning(self, stage: str) -> list[str] | None:
+        """The stage table's recorded directory-partition columns.
+
+        ``run``/``append``/``refresh`` record ``partition_by`` in the
+        ledger; ``run_partitioned`` records its ``partition_col``.  Every
+        later append MUST reuse this layout: an unpartitioned append into
+        a ``col=v``-partitioned directory leaves data files whose
+        embedded ``col`` column collides with the discovered partition
+        column, and Spark silently drops those rows on read (the r4
+        sketch-edges bug — 47 phantom stats surfaces).
+        """
+        entry = self.progress.get(stage, {})
+        if entry.get("partition_by"):
+            return list(entry["partition_by"])
+        if "parts" in entry:  # run_partitioned ledger (pre-r4 layout key)
+            return [entry.get("partition_col", "year")]
+        # ledger predates the partition_by key: recover the layout from
+        # the directory itself (hive-style <col>=<v> subdirectories)
+        stage_dir = self.out / stage
+        if stage_dir.is_dir():
+            for child in stage_dir.iterdir():
+                if child.is_dir() and "=" in child.name:
+                    return [child.name.split("=", 1)[0]]
+        return None
+
+    def append(self, stage: str, df: DataFrame) -> DataFrame:
+        """Append delta rows to an already-complete stage (parquet only).
+
+        The incremental-update primitive for per-document stages: the
+        delta batch's rows land as new files (new ``<col>=v`` directories
+        for unseen partition values), the ledger's row count advances,
+        and a metrics row records the append — existing files are never
+        rewritten, which is the Iceberg fast-append snapshot shape.
+
+        The directory-partition layout is NOT a parameter: it is read
+        from the ledger (:meth:`partitioning`), because a mixed layout is
+        silent data loss — Spark's partition discovery ignores root-level
+        data files once ``col=v`` directories exist.
+
+        The caller must ensure ``df`` does not lazily re-list this
+        stage's own parquet directory (eagerly localCheckpoint any delta
+        derived from stage tables before appending — see
+        :func:`incremental_update`).
+        """
+        if self.materialize != "parquet":
+            raise ValueError("append requires parquet materialization")
+        if not self.done(stage):
+            raise ValueError(f"append target stage {stage!r} is not complete")
+        partition_by = self.partitioning(stage)
+        start = time.time()
+        entry = self.progress.get(stage, {})
+        prev = entry.get("rows", 0)
+        with _SWEEP_LOCK:
+            pre = self._persistent_ids()
+            writer = df.write.mode("append")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(str(self.out / stage))
+            self._free_persisted(keep=pre)
+        out_df = self.load(stage)
+        rows = out_df.count()  # parquet footer count — metadata-only
+        entry.update({"status": "complete", "rows": rows})
+        if partition_by:
+            entry["partition_by"] = partition_by
+        self.progress[stage] = entry
+        self.metrics.append(
+            {
+                "stage": stage,
+                "rows_out": rows,
+                "rows_added": rows - prev,
+                "mode": "append",
+                "seconds": round(time.time() - start, 3),
+            }
+        )
+        self.progress_path.write_text(json.dumps(self.progress, indent=1))
+        self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
+        return out_df
+
+    def refresh(self, stage: str, build,
+                partition_by: list[str] | None = None) -> DataFrame:
+        """Rebuild a stage whose input changed (parquet only).
+
+        Unlike :meth:`run`, executes even when the stage is already
+        complete; unlike a naive overwrite, the build may READ the
+        stage's current table (e.g. merging a delta into ``term_df``):
+        the new version is written to ``<stage>__next`` first and swapped
+        in only after the write succeeds — the read side never sees its
+        own half-written output, and a crash mid-refresh leaves the old
+        version intact (the snapshot-then-commit shape of an Iceberg
+        RewriteFiles operation).
+        """
+        if self.materialize != "parquet":
+            raise ValueError("refresh requires parquet materialization")
+        import shutil
+
+        start = time.time()
+        next_path = self.out / f"{stage}__next"
+        if next_path.exists():
+            shutil.rmtree(next_path)  # leftover from a crashed refresh
+        with _SWEEP_LOCK:
+            pre = self._persistent_ids()
+            df = build()
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(str(next_path))
+            self._free_persisted(keep=pre)
+        final = self.out / stage
+        if final.exists():
+            shutil.rmtree(final)
+        next_path.rename(final)
+        out_df = self.load(stage)
+        rows = out_df.count()
+        entry = {"status": "complete", "rows": rows}
+        if partition_by:
+            entry["partition_by"] = list(partition_by)
+        self.progress[stage] = entry
+        self.metrics.append(
+            {
+                "stage": stage,
+                "rows_out": rows,
+                "mode": "refresh",
+                "seconds": round(time.time() - start, 3),
+            }
+        )
+        self.progress_path.write_text(json.dumps(self.progress, indent=1))
+        self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
         return out_df
 
     def run_partitioned(
@@ -192,7 +326,12 @@ class Checkpointer:
         if self.done(stage):
             return self.load(stage)
         state = self.progress.setdefault(
-            stage, {"status": "partial", "parts": {}}
+            stage,
+            {
+                "status": "partial",
+                "parts": {},
+                "partition_by": [partition_col],
+            },
         )
         parts: dict = state.setdefault("parts", {})
         start = time.time()
@@ -235,6 +374,54 @@ class Checkpointer:
         self.progress_path.write_text(json.dumps(self.progress, indent=1))
         self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
         return out_df
+
+
+def aggregate_edges(
+    all_triples: DataFrame,
+    nodes: DataFrame,
+    n_entities: int = 0,
+) -> DataFrame:
+    """(pred, canonical_id) → n_docs, n_mentions, years.  Skew-hardened.
+
+    The canonical-entity dictionary is small against the triples (a
+    few thousand rows vs 27M+ at the 2M bench) — broadcast explicitly
+    rather than leaving AQE a bistable choice (r01 lesson).  But the
+    dictionary CONTAINS the mined topic vocabulary, which grows with
+    the corpus, so the hint is gated on the nodes stage's recorded
+    row count (no extra job): past ~2M entries the join falls back to
+    shuffle (where AQE may still broadcast if the bytes allow) instead
+    of hitting the 8 GB broadcast cliff at the 10^12-doc design point.
+    The aggregate groups on (pred, canonical_id): a FEW head entities
+    carry a large share of all mentions, so the distinct-doc count
+    runs two-phase over a doc-hash salt (operators/skew.py pattern) —
+    the hot key fans out over n_salts reducers, exact by construction
+    because the salt is a function of the counted value.
+    """
+    ent = nodes.select(
+        F.col("entity_type").alias("pred"),
+        F.col("name").alias("obj"),
+        "canonical_id",
+    )
+    dict_side = F.broadcast(ent) if n_entities <= 2_000_000 else ent
+    joined = all_triples.join(dict_side, ["pred", "obj"])
+    partial = (
+        joined.withColumn(
+            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(16))
+        )
+        .groupBy("pred", "canonical_id", "_salt")
+        .agg(
+            F.countDistinct("doc_id").alias("_docs"),
+            F.count("*").alias("_mentions"),
+            F.collect_set("year").alias("_years"),
+        )
+    )
+    return partial.groupBy("pred", "canonical_id").agg(
+        F.sum("_docs").cast("long").alias("n_docs"),
+        F.sum("_mentions").cast("long").alias("n_mentions"),
+        F.sort_array(
+            F.array_distinct(F.flatten(F.collect_list("_years")))
+        ).alias("years"),
+    )
 
 
 def canonicalize_entities(
@@ -403,51 +590,12 @@ def build_graph(
         partition_by=["entity_type"],
     )
 
-    def build_edges() -> DataFrame:
-        """Edge aggregation, skew-hardened.
-
-        The canonical-entity dictionary is small against the triples (a
-        few thousand rows vs 27M+ at the 2M bench) — broadcast explicitly
-        rather than leaving AQE a bistable choice (r01 lesson).  But the
-        dictionary CONTAINS the mined topic vocabulary, which grows with
-        the corpus, so the hint is gated on the nodes stage's recorded
-        row count (no extra job): past ~2M entries the join falls back to
-        shuffle (where AQE may still broadcast if the bytes allow) instead
-        of hitting the 8 GB broadcast cliff at the 10^12-doc design point.
-        The aggregate groups on (pred, canonical_id): a FEW head entities
-        carry a large share of all mentions, so the distinct-doc count
-        runs two-phase over a doc-hash salt (operators/skew.py pattern) —
-        the hot key fans out over n_salts reducers, exact by construction
-        because the salt is a function of the counted value.
-        """
-        ent = nodes.select(
-            F.col("entity_type").alias("pred"),
-            F.col("name").alias("obj"),
-            "canonical_id",
-        )
-        n_ents = ck.progress.get("nodes", {}).get("rows", 0)
-        dict_side = F.broadcast(ent) if n_ents <= 2_000_000 else ent
-        joined = all_triples.join(dict_side, ["pred", "obj"])
-        partial = (
-            joined.withColumn(
-                "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(16))
-            )
-            .groupBy("pred", "canonical_id", "_salt")
-            .agg(
-                F.countDistinct("doc_id").alias("_docs"),
-                F.count("*").alias("_mentions"),
-                F.collect_set("year").alias("_years"),
-            )
-        )
-        return partial.groupBy("pred", "canonical_id").agg(
-            F.sum("_docs").cast("long").alias("n_docs"),
-            F.sum("_mentions").cast("long").alias("n_mentions"),
-            F.sort_array(
-                F.array_distinct(F.flatten(F.collect_list("_years")))
-            ).alias("years"),
-        )
-
-    edges = ck.run("edges", build_edges, partition_by=["pred"])
+    n_ents = ck.progress.get("nodes", {}).get("rows", 0)
+    edges = ck.run(
+        "edges",
+        lambda: aggregate_edges(all_triples, nodes, n_entities=n_ents),
+        partition_by=["pred"],
+    )
 
     return {
         "documents": docs,
@@ -456,3 +604,298 @@ def build_graph(
         "edges": edges,
         **extra_tables,
     }
+
+
+def incremental_update(
+    spark: SparkSession,
+    out_dir: str,
+    new_pages: DataFrame,
+    with_topics: bool = True,
+    with_affiliations: bool = True,
+    topics_mode: str = "refresh",
+    edge_counts: str = "exact",
+    max_component_size: int | None = None,
+) -> dict[str, DataFrame]:
+    """Fold a new crawl batch into an existing :func:`build_graph` output.
+
+    The monthly-Common-Crawl shape: pages whose url is already in the
+    ``documents`` stage are skipped (left-anti, the table-level form of
+    the reference's process-where-NULL resumability idiom, SURVEY.md
+    §2.B3/C2); the per-document stages (extract, triples, affiliation
+    cleaning) run on the DELTA ONLY and fast-append to their stage
+    tables; the entity-level stages (canonicalization, edges) are
+    rebuilt from entity-sized inputs — never from a rescan of old
+    documents.
+
+    Cost model at the 10^12-doc design point, per increment of d docs
+    into a corpus of n >> d docs:
+
+    - documents / triples / cleaned_affiliations: O(d) — the expensive
+      Arrow mention pass touches only new pages.
+    - nodes: O(entities) — canonicalization reads the incrementally
+      maintained ``entity_surfaces`` stage (distinct (pred, obj), merged
+      per batch), not the triples table.  Canonical ids are min-member
+      ids, so a delta surface that bridges two old components CAN change
+      old rows' canonical_id — by design (that is what new evidence of
+      sameness means); downstream consumers must treat canonical_id as
+      a snapshot-scoped key, exactly like the reference's re-runs.
+    - topics + edges: choose the semantics —
+
+      ``topics_mode="refresh"`` (default, exact): re-mines topics over
+      the combined corpus, so results are IDENTICAL to a from-scratch
+      :func:`build_graph` on the union — the parity-testable contract.
+      O(n) per increment.
+      ``topics_mode="frozen_idf"`` (the at-scale path): maintains a
+      ``term_df`` stage of mergeable document frequencies (df over A∪B =
+      df(A)+df(B) for disjoint batches) and mines ONLY the delta docs
+      against the merged corpus-wide statistics — delta docs get exactly
+      the topics a full rebuild would give them; topics already mined
+      for OLD docs are kept as-is (their idf snapshot is the corpus at
+      their ingest time — vocabulary versioning, the standard production
+      trade).  O(d + |vocabulary|) per increment.
+
+      ``edge_counts="exact"`` (default): re-aggregates edges from the
+      combined triples table — one O(n_triples) column-pruned scan, the
+      only corpus-sized pass in the default increment.
+      ``edge_counts="sketch"``: maintains an ``entity_stats`` stage of
+      per-surface mergeable aggregates — n_mentions and years exactly,
+      distinct-doc counts as HLL sketches (`hll_sketch_agg`) — and
+      builds edges from stats ⋈ nodes alone: n_docs becomes a ±~2%
+      HLL estimate (a doc mentioning two surfaces of one canonical
+      entity must not double-count, so per-surface EXACT counts cannot
+      be merged — the sketch union can).  Requires
+      ``topics_mode="frozen_idf"`` (old docs' topic rows must be
+      immutable for the stats to stay mergeable).  O(d + |entities|).
+
+    Returns the same table dict as :func:`build_graph`.
+    """
+    if topics_mode not in ("refresh", "frozen_idf"):
+        raise ValueError(f"unknown topics_mode {topics_mode!r}")
+    if edge_counts not in ("exact", "sketch"):
+        raise ValueError(f"unknown edge_counts {edge_counts!r}")
+    if edge_counts == "sketch" and with_topics and topics_mode != "frozen_idf":
+        raise ValueError(
+            "edge_counts='sketch' merges per-surface stats incrementally; "
+            "topics_mode='refresh' rewrites old docs' topic rows, which "
+            "would desynchronize the stats — use topics_mode='frozen_idf'"
+        )
+    ck = Checkpointer(spark, out_dir, materialize="parquet")
+    required = ["documents", "triples"]
+    if with_topics:
+        required.append("topics")
+    if with_affiliations:
+        required.append("cleaned_affiliations")
+    for stage in required:
+        if not ck.done(stage):
+            raise ValueError(
+                f"incremental_update needs a complete build_graph output; "
+                f"stage {stage!r} is missing — run build_graph first"
+            )
+
+    old_docs = ck.load("documents")
+    old_n_docs = ck.progress["documents"]["rows"]
+
+    # ---- delta discovery: pages not yet ingested ---------------------------
+    delta_pages = new_pages.join(
+        old_docs.select("url"), "url", "left_anti"
+    )
+    # eager localCheckpoint: pins the delta BEFORE this function appends to
+    # the documents directory the anti-join reads, and materializes the
+    # Arrow extraction pass once for its several consumers below
+    delta_docs = extract_documents(delta_pages).localCheckpoint(eager=True)
+    n_delta = delta_docs.count()
+
+    def _load_all() -> dict[str, DataFrame]:
+        docs = ck.load("documents")
+        triples = ck.load("triples")
+        if with_topics:
+            triples = triples.unionByName(ck.load("topics"))
+        out = {
+            "documents": docs,
+            "triples": triples,
+            "nodes": ck.load("nodes"),
+            "edges": ck.load("edges"),
+        }
+        if with_affiliations:
+            out["cleaned_affiliations"] = ck.load("cleaned_affiliations")
+            out["affiliation_type_distances"] = ck.load(
+                "affiliation_type_distances"
+            )
+        return out
+
+    if n_delta == 0:
+        return _load_all()
+
+    # ---- term_df backfill must read the PRE-append documents table --------
+    if with_topics and topics_mode == "frozen_idf" and not ck.done("term_df"):
+        # first increment against a build that predates term_df: one
+        # backfill scan of the already-ingested docs, never repeated
+        ck.run("term_df", lambda: phrase_document_frequency(old_docs))
+
+    # ---- per-document stages: delta-only, fast-append ----------------------
+    # each append reuses the layout the ledger recorded for its stage —
+    # a second increment must keep writing year= directories, never
+    # root-level files (Checkpointer.partitioning docstring)
+    ck.append("documents", delta_docs)
+    n_all_docs = old_n_docs + n_delta
+
+    delta_triples = emit_triples(spark, delta_docs).localCheckpoint(eager=True)
+    ck.append("triples", delta_triples)
+
+    delta_batch = delta_triples  # delta contribution to all_triples
+    if with_topics:
+        if topics_mode == "refresh":
+            all_docs = ck.load("documents")
+            ck.refresh(
+                "topics",
+                lambda: topic_triples(
+                    all_docs,
+                    dedup_topics_within_doc(
+                        mine_topics(all_docs, n_docs=n_all_docs)
+                    ),
+                ),
+            )
+            if ck.done("term_df"):
+                # frozen-idf bookkeeping is meaningless after a re-mine
+                import shutil
+
+                shutil.rmtree(ck.out / "term_df")
+                ck.progress.pop("term_df", None)
+                ck.progress_path.write_text(json.dumps(ck.progress, indent=1))
+        else:
+            ck.refresh(
+                "term_df",
+                lambda: ck.load("term_df")
+                .unionByName(phrase_document_frequency(delta_docs))
+                .groupBy("phrase")
+                .agg(F.sum("df").cast("long").alias("df")),
+            )
+            delta_topics = topic_triples(
+                delta_docs,
+                dedup_topics_within_doc(
+                    mine_topics(
+                        delta_docs,
+                        n_docs=n_all_docs,
+                        df_counts=ck.load("term_df"),
+                    )
+                ),
+            ).localCheckpoint(eager=True)
+            ck.append("topics", delta_topics)
+            delta_batch = delta_triples.unionByName(delta_topics)
+        all_triples = ck.load("triples").unionByName(ck.load("topics"))
+    else:
+        all_triples = ck.load("triples")
+
+    if with_affiliations:
+        ck.append(
+            "cleaned_affiliations",
+            clean_affiliations(affiliation_segments(delta_docs)),
+        )
+        cleaned = ck.load("cleaned_affiliations")
+        ck.refresh(
+            "affiliation_type_distances",
+            lambda: affiliation_type_distances(spark, cleaned),
+        )
+
+    # ---- entity_surfaces: the nodes stage's entity-sized input ------------
+    if not ck.done("entity_surfaces"):
+        # first increment: one column-pruned scan of the combined triples
+        ck.run(
+            "entity_surfaces",
+            lambda: all_triples.select("pred", "obj").distinct(),
+        )
+    elif with_topics and topics_mode == "refresh":
+        # re-mined topics may add/remove surfaces for OLD docs too
+        ck.refresh(
+            "entity_surfaces",
+            lambda: all_triples.select("pred", "obj").distinct(),
+        )
+    else:
+        delta_surfaces = delta_batch.select("pred", "obj").distinct()
+        ck.refresh(
+            "entity_surfaces",
+            lambda: ck.load("entity_surfaces")
+            .unionByName(delta_surfaces)
+            .distinct(),
+        )
+    surfaces = ck.load("entity_surfaces")
+
+    nodes = ck.refresh(
+        "nodes",
+        lambda: canonicalize_entities(
+            spark, surfaces, max_component_size=max_component_size
+        ),
+        partition_by=["entity_type"],
+    )
+    n_ents = ck.progress.get("nodes", {}).get("rows", 0)
+
+    if edge_counts == "exact":
+        edges = ck.refresh(
+            "edges",
+            lambda: aggregate_edges(all_triples, nodes, n_entities=n_ents),
+            partition_by=["pred"],
+        )
+    else:
+        def _stats_of(triples_df: DataFrame) -> DataFrame:
+            return triples_df.groupBy("pred", "obj").agg(
+                F.hll_sketch_agg("doc_id").alias("docs_hll"),
+                F.count("*").alias("n_mentions"),
+                F.collect_set("year").alias("years"),
+            )
+
+        def _merge_stats(a: DataFrame, b: DataFrame) -> DataFrame:
+            return (
+                a.unionByName(b)
+                .groupBy("pred", "obj")
+                .agg(
+                    F.hll_union_agg("docs_hll").alias("docs_hll"),
+                    F.sum("n_mentions").cast("long").alias("n_mentions"),
+                    F.array_distinct(F.flatten(F.collect_list("years"))).alias(
+                        "years"
+                    ),
+                )
+            )
+
+        if not ck.done("entity_stats"):
+            ck.run("entity_stats", lambda: _stats_of(all_triples))
+        else:
+            delta_stats = _stats_of(delta_batch)
+            ck.refresh(
+                "entity_stats",
+                lambda: _merge_stats(ck.load("entity_stats"), delta_stats),
+            )
+        stats = ck.load("entity_stats")
+        ent = nodes.select(
+            F.col("entity_type").alias("pred"),
+            F.col("name").alias("obj"),
+            "canonical_id",
+        )
+        dict_side = F.broadcast(ent) if n_ents <= 2_000_000 else ent
+        edges = ck.refresh(
+            "edges",
+            lambda: stats.join(dict_side, ["pred", "obj"])
+            .groupBy("pred", "canonical_id")
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("docs_hll")).alias(
+                    "n_docs"
+                ),
+                F.sum("n_mentions").cast("long").alias("n_mentions"),
+                F.sort_array(
+                    F.array_distinct(F.flatten(F.collect_list("years")))
+                ).alias("years"),
+            ),
+            partition_by=["pred"],
+        )
+
+    out = {
+        "documents": ck.load("documents"),
+        "triples": all_triples,
+        "nodes": nodes,
+        "edges": edges,
+    }
+    if with_affiliations:
+        out["cleaned_affiliations"] = ck.load("cleaned_affiliations")
+        out["affiliation_type_distances"] = ck.load(
+            "affiliation_type_distances"
+        )
+    return out

@@ -1,0 +1,254 @@
+"""incremental_update: fold a new crawl batch into an existing graph.
+
+Contracts under test (plans/pipeline.py::incremental_update):
+
+- refresh/exact (defaults): the incremented output is IDENTICAL, table
+  by table, to a from-scratch build_graph on the union corpus.
+- frozen_idf: delta docs get exactly the topics a full rebuild would
+  give them; old docs' topic rows are byte-stable (idf snapshot at
+  ingest time); non-topic triples still match the full rebuild exactly.
+- sketch edges: n_mentions and years stay exact; the HLL distinct-doc
+  estimate lands within a small relative error of the exact count.
+- idempotence: re-presenting already-ingested pages is a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
+    aggregate_edges,
+    build_graph,
+    incremental_update,
+)
+from convei_abstract_relational_knowledge_explorer_spark.sources.synthetic import (
+    web_pages,
+)
+
+N_BASE = 80
+N_ALL = 130
+
+
+def _rows(df, cols):
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+    )
+
+
+def _triple_rows(df):
+    return _rows(
+        df, ["subj", "pred", "obj", "doc_id", "surface", "method", "author", "year"]
+    )
+
+
+def _edge_rows(df):
+    return sorted(
+        (r["pred"], r["canonical_id"], r["n_docs"], r["n_mentions"],
+         tuple(r["years"]))
+        for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def full_build(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("incr") / "full"
+    tables = build_graph(spark, web_pages(spark, N_ALL, partitions=4), str(out))
+    return tables
+
+
+@pytest.fixture(scope="module")
+def base_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("incr") / "base"
+    build_graph(spark, web_pages(spark, N_BASE, partitions=4), str(out))
+    return out
+
+
+def _clone(base_dir, tmp_path):
+    dst = tmp_path / "graph"
+    shutil.copytree(base_dir, dst)
+    return str(dst)
+
+
+def test_incremental_refresh_exact_equals_full_rebuild(
+    spark, base_dir, full_build, tmp_path
+):
+    out = _clone(base_dir, tmp_path)
+    # the new batch re-presents every already-ingested url plus the delta
+    inc = incremental_update(spark, out, web_pages(spark, N_ALL, partitions=4))
+
+    assert _rows(inc["documents"], ["url", "doc_id", "year"]) == _rows(
+        full_build["documents"], ["url", "doc_id", "year"]
+    )
+    assert _triple_rows(inc["triples"]) == _triple_rows(full_build["triples"])
+    assert _rows(
+        inc["nodes"], ["entity_type", "name", "entity_id", "canonical_id"]
+    ) == _rows(
+        full_build["nodes"], ["entity_type", "name", "entity_id", "canonical_id"]
+    )
+    assert _edge_rows(inc["edges"]) == _edge_rows(full_build["edges"])
+    assert _rows(
+        inc["cleaned_affiliations"],
+        ["doc_id", "affiliation_text", "cleaned_affiliation", "place"],
+    ) == _rows(
+        full_build["cleaned_affiliations"],
+        ["doc_id", "affiliation_text", "cleaned_affiliation", "place"],
+    )
+
+
+def test_incremental_frozen_idf_delta_contract(
+    spark, base_dir, full_build, tmp_path
+):
+    out = _clone(base_dir, tmp_path)
+    base_topics = _triple_rows(
+        spark.read.parquet(str(base_dir / "topics"))
+    )
+    inc = incremental_update(
+        spark,
+        out,
+        web_pages(spark, N_ALL, partitions=4),
+        topics_mode="frozen_idf",
+    )
+
+    base_doc_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(base_dir / "documents"))
+        .select("doc_id")
+        .collect()
+    }
+    inc_topics = spark.read.parquet(str(out) + "/topics")
+
+    # old docs' topic rows are byte-stable (their idf snapshot is kept)
+    old_rows = _triple_rows(
+        inc_topics.filter(F.col("doc_id").isin(list(base_doc_ids)))
+    )
+    assert old_rows == base_topics
+
+    # delta docs' topic rows match the full rebuild exactly: they were
+    # mined against the merged corpus-wide df and the combined n_docs
+    delta_rows = _triple_rows(
+        inc_topics.filter(~F.col("doc_id").isin(list(base_doc_ids)))
+    )
+    full_delta_rows = _triple_rows(
+        full_build["triples"].filter(
+            (F.col("pred") == "HAS_TOPIC")
+            & ~F.col("doc_id").isin(list(base_doc_ids))
+        )
+    )
+    assert delta_rows == full_delta_rows
+
+    # the merged term_df IS the union corpus's document frequencies
+    term_df = _rows(spark.read.parquet(str(out) + "/term_df"), ["phrase", "df"])
+    from convei_abstract_relational_knowledge_explorer_spark.operators.topics import (
+        phrase_document_frequency,
+    )
+
+    expected_df = _rows(
+        phrase_document_frequency(full_build["documents"]), ["phrase", "df"]
+    )
+    assert term_df == expected_df
+
+    # non-topic triples are exact regardless of topics_mode
+    assert _triple_rows(
+        inc["triples"].filter(F.col("pred") != "HAS_TOPIC")
+    ) == _triple_rows(
+        full_build["triples"].filter(F.col("pred") != "HAS_TOPIC")
+    )
+
+
+def test_incremental_sketch_edges(spark, base_dir, tmp_path):
+    out = _clone(base_dir, tmp_path)
+    # increment 1 BACKFILLS entity_stats/entity_surfaces from the combined
+    # triples; increment 2 exercises the surface-level MERGE path
+    incremental_update(
+        spark,
+        out,
+        web_pages(spark, 105, partitions=4),
+        topics_mode="frozen_idf",
+        edge_counts="sketch",
+    )
+    inc = incremental_update(
+        spark,
+        out,
+        web_pages(spark, N_ALL, partitions=4),
+        topics_mode="frozen_idf",
+        edge_counts="sketch",
+    )
+    exact = aggregate_edges(inc["triples"], inc["nodes"])
+    exact_rows = {
+        (r["pred"], r["canonical_id"]): (
+            r["n_docs"], r["n_mentions"], tuple(r["years"])
+        )
+        for r in exact.collect()
+    }
+    sketch_rows = {
+        (r["pred"], r["canonical_id"]): (
+            r["n_docs"], r["n_mentions"], tuple(r["years"])
+        )
+        for r in inc["edges"].collect()
+    }
+    assert set(sketch_rows) == set(exact_rows)
+    for key, (docs, mentions, years) in exact_rows.items():
+        s_docs, s_mentions, s_years = sketch_rows[key]
+        assert s_mentions == mentions          # exactly mergeable
+        assert s_years == years                # exactly mergeable
+        # HLL default lgConfigK=12 → ~1.6% standard error
+        assert abs(s_docs - docs) <= max(1, 0.05 * docs)
+
+    # entity_stats stage exists and is surface-sized, not triple-sized
+    n_stats = spark.read.parquet(str(out) + "/entity_stats").count()
+    assert n_stats == inc["nodes"].count()
+
+
+def test_incremental_noop_on_duplicate_batch(spark, base_dir, tmp_path):
+    out = _clone(base_dir, tmp_path)
+    before = json.loads((tmp_path / "graph" / "_progress.json").read_text())
+    inc = incremental_update(
+        spark, out, web_pages(spark, N_BASE, partitions=4)
+    )
+    after = json.loads((tmp_path / "graph" / "_progress.json").read_text())
+    assert after == before
+    assert inc["documents"].count() == N_BASE
+
+
+def test_partitioning_recovered_from_directory_layout(spark, base_dir, tmp_path):
+    """A pre-r4 ledger has no partition_by key; the layout must then be
+    recovered from the hive-style directory itself, or a later append
+    writes root-level files that partition discovery silently drops."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
+        Checkpointer,
+    )
+
+    out = _clone(base_dir, tmp_path)
+    ledger_path = tmp_path / "graph" / "_progress.json"
+    ledger = json.loads(ledger_path.read_text())
+    for entry in ledger.values():
+        entry.pop("partition_by", None)
+    ledger_path.write_text(json.dumps(ledger))
+
+    ck = Checkpointer(spark, out, materialize="parquet")
+    assert ck.partitioning("documents") == ["year"]
+    assert ck.partitioning("triples") == ["year"]  # 'parts' ledger fallback
+    assert ck.partitioning("term_df") is None
+
+
+def test_incremental_requires_complete_build(spark, tmp_path):
+    with pytest.raises(ValueError, match="run build_graph first"):
+        incremental_update(
+            spark, str(tmp_path / "nothing"), web_pages(spark, 5, partitions=2)
+        )
+
+
+def test_sketch_requires_frozen_idf(spark, base_dir, tmp_path):
+    out = _clone(base_dir, tmp_path)
+    with pytest.raises(ValueError, match="frozen_idf"):
+        incremental_update(
+            spark,
+            out,
+            web_pages(spark, N_ALL, partitions=4),
+            edge_counts="sketch",
+        )
