@@ -293,6 +293,46 @@ class Checkpointer:
         self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
         return out_df
 
+    def compact(self, stage: str,
+                target_rows_per_file: int = 4_000_000) -> DataFrame:
+        """Rewrite a stage's files into fewer, larger ones (parquet only).
+
+        The Iceberg RewriteFiles analog for the small-files debt
+        fast-appends accrue: every :meth:`append` adds a task's worth of
+        files, so after many increments a table scan pays listing +
+        task-per-file overhead on thousands of tiny files — the classic
+        100 TB operational failure.  Hive-partitioned stages are
+        re-shuffled BY their partition columns so each ``col=v``
+        directory collapses to one file per shuffle task that holds the
+        value (usually one); unpartitioned stages coalesce to
+        ``ceil(rows / target_rows_per_file)`` files.  The swap goes
+        through :meth:`refresh`'s write-to-``__next``-then-rename path,
+        so a crash mid-compaction leaves the old files intact.  Row
+        count is asserted unchanged — compaction must never create or
+        drop a row.
+        """
+        if self.materialize != "parquet":
+            raise ValueError("compact requires parquet materialization")
+        if not self.done(stage):
+            raise ValueError(f"compact target stage {stage!r} is not complete")
+        partition_by = self.partitioning(stage)
+        rows_before = self.progress.get(stage, {}).get("rows", 0)
+        if partition_by:
+            build = lambda: self.load(stage).repartition(*partition_by)  # noqa: E731
+        else:
+            n_files = max(1, -(-rows_before // target_rows_per_file))
+            build = lambda: self.load(stage).coalesce(n_files)  # noqa: E731
+        out_df = self.refresh(stage, build, partition_by=partition_by)
+        rows_after = self.progress[stage]["rows"]
+        if rows_after != rows_before:
+            raise RuntimeError(
+                f"compact({stage!r}) changed row count: "
+                f"{rows_before} -> {rows_after}"
+            )
+        self.metrics[-1]["mode"] = "compact"
+        self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
+        return out_df
+
     def run_partitioned(
         self,
         stage: str,
@@ -630,8 +670,11 @@ def incremental_update(
     Cost model at the 10^12-doc design point, per increment of d docs
     into a corpus of n >> d docs:
 
-    - documents / triples / cleaned_affiliations: O(d) — the expensive
-      Arrow mention pass touches only new pages.
+    - documents / triples / cleaned_affiliations /
+      affiliation_type_distances: O(d) — the expensive Arrow mention
+      pass touches only new pages, and type distances append too (each
+      row depends only on its own cleaned text and the fixed type
+      vectors).
     - nodes: O(entities) — canonicalization reads the incrementally
       maintained ``entity_surfaces`` stage (distinct (pred, obj), merged
       per batch), not the triples table.  Canonical ids are min-member
@@ -684,7 +727,7 @@ def incremental_update(
     if with_topics:
         required.append("topics")
     if with_affiliations:
-        required.append("cleaned_affiliations")
+        required += ["cleaned_affiliations", "affiliation_type_distances"]
     for stage in required:
         if not ck.done(stage):
             raise ValueError(
@@ -787,14 +830,18 @@ def incremental_update(
         all_triples = ck.load("triples")
 
     if with_affiliations:
+        # checkpoint once: the Arrow cleaning pass feeds BOTH appends
+        delta_cleaned = clean_affiliations(
+            affiliation_segments(delta_docs)
+        ).localCheckpoint(eager=True)
+        ck.append("cleaned_affiliations", delta_cleaned)
+        # per-row output depends only on the row's own cleaned text and
+        # the FIXED type vectors, so distances over A ∪ B = distances(A)
+        # ∪ distances(B) for disjoint docs — append the delta's rows,
+        # never recompute the corpus (O(d), not O(n))
         ck.append(
-            "cleaned_affiliations",
-            clean_affiliations(affiliation_segments(delta_docs)),
-        )
-        cleaned = ck.load("cleaned_affiliations")
-        ck.refresh(
             "affiliation_type_distances",
-            lambda: affiliation_type_distances(spark, cleaned),
+            affiliation_type_distances(spark, delta_cleaned),
         )
 
     # ---- entity_surfaces: the nodes stage's entity-sized input ------------

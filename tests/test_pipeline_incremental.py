@@ -98,6 +98,15 @@ def test_incremental_refresh_exact_equals_full_rebuild(
         full_build["cleaned_affiliations"],
         ["doc_id", "affiliation_text", "cleaned_affiliation", "place"],
     )
+    # delta-append distances must equal the full rebuild's: each row is a
+    # function of its own text + the fixed type vectors only
+    dist_cols = [
+        "doc_id", "affiliation_index", "affiliation_type",
+        "semantic_similarity",
+    ]
+    assert _rows(inc["affiliation_type_distances"], dist_cols) == _rows(
+        full_build["affiliation_type_distances"], dist_cols
+    )
 
 
 def test_incremental_frozen_idf_delta_contract(
@@ -234,6 +243,50 @@ def test_partitioning_recovered_from_directory_layout(spark, base_dir, tmp_path)
     assert ck.partitioning("documents") == ["year"]
     assert ck.partitioning("triples") == ["year"]  # 'parts' ledger fallback
     assert ck.partitioning("term_df") is None
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, base_dir, tmp_path):
+    """Fast-appends accrue small files; compact() must rewrite them into
+    fewer files with byte-identical table contents, preserving layout."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
+        Checkpointer,
+    )
+
+    out = _clone(base_dir, tmp_path)
+    incremental_update(
+        spark, out, web_pages(spark, N_ALL, partitions=4),
+        topics_mode="frozen_idf",
+    )
+    ck = Checkpointer(spark, out, materialize="parquet")
+
+    def _files(stage):
+        return [
+            p for p in (tmp_path / "graph" / stage).rglob("*.parquet")
+            if p.is_file()
+        ]
+
+    # triples took a fast-append: each year= dir holds base + delta
+    # files, so compaction must strictly shrink the file count.  term_df
+    # was refresh-written (may already be one file): contents-stable and
+    # no-growth is the contract there.
+    for stage, strict in (("triples", True), ("term_df", False)):
+        before_rows = _triple_rows(ck.load(stage)) if stage == "triples" else (
+            _rows(ck.load(stage), ["phrase", "df"])
+        )
+        n_before = len(_files(stage))
+        ck.compact(stage)
+        n_after = len(_files(stage))
+        assert n_after < n_before if strict else n_after <= n_before
+        after_rows = _triple_rows(ck.load(stage)) if stage == "triples" else (
+            _rows(ck.load(stage), ["phrase", "df"])
+        )
+        assert after_rows == before_rows
+    # layout survives: triples still hive-partitioned by year
+    assert ck.partitioning("triples") == ["year"]
+    assert any(
+        p.name.startswith("year=")
+        for p in (tmp_path / "graph" / "triples").iterdir()
+    )
 
 
 def test_incremental_requires_complete_build(spark, tmp_path):
