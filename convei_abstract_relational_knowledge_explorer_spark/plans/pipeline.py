@@ -20,6 +20,7 @@ from pathlib import Path
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 
 from ..operators.affiliations import (
     affiliation_type_distances,
@@ -741,6 +742,19 @@ def incremental_update(
     # ---- delta discovery: pages not yet ingested ---------------------------
     delta_pages = new_pages.join(
         old_docs.select("url"), "url", "left_anti"
+    )
+    # in-flight dedupe (SURVEY §2.G3): a crawl batch recrawls pages, and
+    # doc_id = xxhash64(url), so two captures of one url must collapse
+    # BEFORE ingest or every per-document stage double-counts the doc.
+    # Keeper = latest capture, ties broken by content hash (deterministic
+    # under any partitioning).
+    w_url = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(F.xxhash64("html"))
+    )
+    delta_pages = (
+        delta_pages.withColumn("_rn", F.row_number().over(w_url))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     # eager localCheckpoint: pins the delta BEFORE this function appends to
     # the documents directory the anti-join reads, and materializes the

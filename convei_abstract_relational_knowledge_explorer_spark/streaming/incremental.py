@@ -189,3 +189,55 @@ def stateful_sessionize(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_graph_updates(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    graph_dir: str,
+    checkpoint_dir: str,
+    topics_mode: str = "frozen_idf",
+    edge_counts: str = "sketch",
+    timeout_s: int = 600,
+    **update_kwargs,
+):
+    """Continuously fold crawl drops into a built graph (foreachBatch).
+
+    The lambda-architecture unification: Structured Streaming watches
+    ``source_dir`` for newly landed web_pages parquet and hands each
+    micro-batch to :func:`..plans.pipeline.incremental_update` — EXACTLY
+    the batch maintenance path (same parity contracts, same ledger), so
+    the streaming graph can never drift from what a batch increment
+    would produce.  Exactly-once by composition: the streaming
+    checkpoint pins which source files each batch id covers, and
+    ``incremental_update`` is idempotent on re-presented pages (url
+    anti-join + in-flight dedupe), so a batch replayed after a crash is
+    a no-op rather than a double-ingest.
+
+    Runs with ``availableNow`` (drain everything currently landed, then
+    stop): the monthly-crawl cadence — schedule the call per drop; a
+    ``processingTime`` trigger turns the same code into a daemon.
+    """
+    from ..plans.pipeline import incremental_update
+
+    stream = stream_web_pages(spark, source_dir, schema)
+
+    def _fold(batch_df, _batch_id):
+        incremental_update(
+            spark,
+            graph_dir,
+            batch_df,
+            topics_mode=topics_mode,
+            edge_counts=edge_counts,
+            **update_kwargs,
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return query

@@ -213,6 +213,30 @@ def test_incremental_sketch_edges(spark, base_dir, tmp_path):
     assert n_stats == inc["nodes"].count()
 
 
+def test_incremental_within_batch_url_dedupe(spark, base_dir, tmp_path):
+    """A crawl batch recrawls pages: two captures of one NEW url must
+    collapse to the latest capture before ingest (doc_id is a url hash,
+    so double-ingest would duplicate every per-document stage)."""
+    out = _clone(base_dir, tmp_path)
+    base_urls = spark.read.parquet(str(base_dir / "documents")).select("url")
+    new_page = web_pages(spark, N_BASE + 1, partitions=2).join(
+        base_urls, "url", "left_anti"
+    )
+    assert new_page.count() == 1
+    stale = new_page.withColumn(
+        "warc_ts", F.expr("warc_ts - interval 1 day")
+    ).withColumn("html", F.to_binary(F.lit("stale"), F.lit("utf-8")))
+    inc = incremental_update(spark, out, new_page.unionByName(stale))
+
+    docs = inc["documents"]
+    assert docs.count() == N_BASE + 1
+    new_doc = docs.join(base_urls, "url", "left_anti").collect()
+    assert len(new_doc) == 1
+    # keeper is the LATEST capture, not the stale duplicate
+    expected_ts = new_page.select("warc_ts").collect()[0][0]
+    assert new_doc[0]["warc_ts"] == expected_ts
+
+
 def test_incremental_noop_on_duplicate_batch(spark, base_dir, tmp_path):
     out = _clone(base_dir, tmp_path)
     before = json.loads((tmp_path / "graph" / "_progress.json").read_text())
@@ -287,6 +311,47 @@ def test_compact_preserves_rows_and_reduces_files(spark, base_dir, tmp_path):
         p.name.startswith("year=")
         for p in (tmp_path / "graph" / "triples").iterdir()
     )
+
+
+def test_stream_graph_updates_folds_drops(spark, base_dir, tmp_path):
+    """foreachBatch bridge: parquet drops landing in a watched directory
+    are folded into the graph via incremental_update; a re-run against
+    the same checkpoint reprocesses nothing."""
+    from convei_abstract_relational_knowledge_explorer_spark.sources.synthetic import (
+        WEB_PAGES_SCHEMA,
+    )
+    from convei_abstract_relational_knowledge_explorer_spark.streaming.incremental import (
+        stream_graph_updates,
+    )
+
+    out = _clone(base_dir, tmp_path)
+    drops = tmp_path / "drops"
+    ckpt = str(tmp_path / "stream_ckpt")
+    # two drops: one overlapping re-crawl (first 105 urls), one extension
+    web_pages(spark, 105, partitions=2).write.parquet(
+        str(drops / "d1"), mode="overwrite"
+    )
+    web_pages(spark, N_ALL, partitions=2).write.parquet(
+        str(drops / "d2"), mode="overwrite"
+    )
+    stream_graph_updates(
+        spark, str(drops / "*"), WEB_PAGES_SCHEMA, out, ckpt,
+        topics_mode="frozen_idf", edge_counts="sketch",
+    )
+    docs = spark.read.parquet(str(tmp_path / "graph" / "documents"))
+    assert docs.count() == N_ALL
+    assert docs.select("url").distinct().count() == N_ALL
+
+    # replay with the same checkpoint: no new files -> graph untouched
+    before = json.loads(
+        (tmp_path / "graph" / "_progress.json").read_text()
+    )
+    stream_graph_updates(
+        spark, str(drops / "*"), WEB_PAGES_SCHEMA, out, ckpt,
+        topics_mode="frozen_idf", edge_counts="sketch",
+    )
+    after = json.loads((tmp_path / "graph" / "_progress.json").read_text())
+    assert after == before
 
 
 def test_incremental_requires_complete_build(spark, tmp_path):
