@@ -203,18 +203,20 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_buckets(
     signatures: DataFrame,
     bands: int = 8,
     rows_per_band: int = 4,
     bucket_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Banded LSH: equal band-slice → candidate pair (a < b).
+    """(doc_id, band, bucket) — each signature's banded LSH bucket keys.
 
-    The self-join is keyed on (band, band_hash) — a proper equi shuffle
-    join, never a cross join; ~n·bands rows shuffle.  ``bucket_fn="concat"``
-    keys the join on the ':'-joined slice string instead of its xxhash64 —
-    identical grouping, portable to the SQL oracle.
+    The per-document half of :func:`lsh_candidate_pairs`, exposed so an
+    INCREMENTAL index can be maintained: the bucket key is a pure
+    function of one document's signature, so a stored band index stays
+    valid as new documents arrive, and delta-vs-all candidate pairs are
+    an equi-join of the delta's buckets against the stored index
+    (plans/pipeline.py incremental canonicalization).
     """
     def _bucket(b):
         sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
@@ -222,7 +224,7 @@ def lsh_candidate_pairs(
             return F.concat_ws(":", F.transform(sl, lambda x: x.cast("string")))
         return F.xxhash64(sl).cast("string")
 
-    banded = signatures.select(
+    return signatures.select(
         "doc_id",
         F.explode(
             F.array(
@@ -236,6 +238,22 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    bucket_fn: str = "xxhash64",
+) -> DataFrame:
+    """Banded LSH: equal band-slice → candidate pair (a < b).
+
+    The self-join is keyed on (band, band_hash) — a proper equi shuffle
+    join, never a cross join; ~n·bands rows shuffle.  ``bucket_fn="concat"``
+    keys the join on the ':'-joined slice string instead of its xxhash64 —
+    identical grouping, portable to the SQL oracle.
+    """
+    banded = lsh_band_buckets(signatures, bands, rows_per_band, bucket_fn)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -27,7 +27,7 @@ from ..operators.affiliations import (
     clean_affiliations,
 )
 from ..operators.components import components_with_singletons
-from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+from ..operators.dedup import lsh_band_buckets, minhash_signatures, shingles
 from ..operators.extract import extract_documents
 from ..operators.mentions import affiliation_segments
 from ..operators.topics import (
@@ -465,6 +465,41 @@ def aggregate_edges(
     )
 
 
+def _surface_norm():
+    """Blocking key for exact-duplicate surfaces: lowercased,
+    non-alphanumeric collapsed to single spaces, trimmed.  ONE definition
+    shared by full and incremental canonicalization — the equivalence
+    proof of the incremental path assumes the edge predicates are
+    identical expressions."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("name"), "[^a-z0-9]+", " "), "\\s+", " "
+        )
+    )
+
+
+def _surface_band_index(entities: DataFrame) -> DataFrame:
+    """(entity_id, band, bucket) LSH band index over topic-like surfaces.
+
+    Pure per-entity function of the name (3+ token names only, k=2 word
+    shingles, 16 minhash lanes, 8 bands × 2 rows) — the SAME parameters
+    :func:`canonicalize_entities` uses, so an index built incrementally
+    (backfill once, then append each batch's new surfaces) reproduces
+    exactly the candidate pairs the full rebuild's LSH would emit.
+    """
+    topicish = entities.filter(F.size(F.split("name", " ")) >= 3)
+    sh = shingles(
+        topicish.select(F.col("entity_id").alias("doc_id"), "name"),
+        id_col="doc_id",
+        text_col="name",
+        k=2,
+    )
+    sigs = minhash_signatures(sh, num_hashes=16)
+    return lsh_band_buckets(sigs, bands=8, rows_per_band=2).select(
+        F.col("doc_id").alias("entity_id"), "band", "bucket"
+    )
+
+
 def canonicalize_entities(
     spark: SparkSession,
     triples: DataFrame,
@@ -505,12 +540,7 @@ def canonicalize_entities(
     # exact-normalized edges: same (type, normalized name) → pair.
     # JVM expression (not the Python kernel): blocking only needs a
     # deterministic key, and lower() == casefold() on entity names here.
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower("name"), "[^a-z0-9]+", " "), "\\s+", " "
-        )
-    )
-    normed = entities.withColumn("norm", norm)
+    normed = entities.withColumn("norm", _surface_norm())
     exact_pairs = (
         normed.alias("a")
         .join(normed.alias("b"), ["entity_type", "norm"])
@@ -523,17 +553,19 @@ def canonicalize_entities(
     # LSH near-dup edges over topic-like names (3+ tokens).  Built
     # unconditionally: when no name qualifies the branch is an empty
     # DataFrame and the union below is a no-op — no probe job (r02 ran an
-    # extra limit(1).count() here just to skip it).
-    topicish = entities.filter(F.size(F.split("name", " ")) >= 3)
-    sh = shingles(
-        topicish.select(F.col("entity_id").alias("doc_id"), "name"),
-        id_col="doc_id",
-        text_col="name",
-        k=2,
+    # extra limit(1).count() here just to skip it).  Same band family as
+    # _surface_band_index (the incremental path's stored index).
+    banded = _surface_band_index(entities).withColumnRenamed(
+        "entity_id", "doc_id"
     )
-    sigs = minhash_signatures(sh, num_hashes=16)
-    near_pairs = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    a, b = banded.alias("a"), banded.alias("b")
+    near_pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .distinct()
     )
 
     cc = components_with_singletons(
@@ -549,6 +581,138 @@ def canonicalize_entities(
         "entity_id",
         F.coalesce("component", "entity_id").alias("canonical_id"),
     )
+
+
+def incremental_canonicalize(
+    old_nodes: DataFrame,
+    new_ents: DataFrame,
+    new_bands: DataFrame,
+    all_bands: DataFrame,
+) -> DataFrame:
+    """O(delta)-work entity canonicalization: fold NEW surfaces into an
+    existing labeling without re-running LSH + CC over every surface.
+
+    Exactness argument (why this equals ``canonicalize_entities`` over the
+    union surface set, for the append-only / unguarded regime):
+
+    - both edge predicates are PAIRWISE-deterministic functions of the two
+      surfaces alone — norm equality (:func:`_surface_norm`) and shared
+      LSH band bucket (:func:`_surface_band_index`) — so the old×old edge
+      set is unchanged by new arrivals, and ``old_nodes``'s components
+      summarize exactly its connectivity;
+    - contracting each old component to its canonical_id and running CC
+      over {contracted old nodes ∪ new entities} with only the NEW edges
+      (new×all norm matches + new×all band-bucket matches) yields the
+      same partition as CC over the full graph (edge contraction
+      preserves connectivity);
+    - labels compose: an old canonical_id is the MIN member entity_id of
+      its component, so min over merged contracted ids = min over all
+      member entity ids — the exact label a full rebuild assigns.
+
+    The delta side of every join is broadcast (new surfaces per crawl
+    batch are dictionary-small); the entity-sized tables are scanned
+    once, never self-joined, and the CC iterations run over just the
+    delta-touched subgraph.  Returns the full (entity_type, name,
+    entity_id, canonical_id) table.
+    """
+    old_keyed = old_nodes.select("entity_type", "name", "entity_id")
+    all_normed = (
+        old_keyed.unionByName(new_ents.select("entity_type", "name", "entity_id"))
+        .withColumn("norm", _surface_norm())
+    )
+    new_normed = new_ents.withColumn("norm", _surface_norm())
+    norm_edges = (
+        F.broadcast(
+            new_normed.select(
+                "entity_type", "norm", F.col("entity_id").alias("src")
+            )
+        )
+        .join(
+            all_normed.select(
+                "entity_type", "norm", F.col("entity_id").alias("dst")
+            ),
+            ["entity_type", "norm"],
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    lsh_edges = (
+        F.broadcast(
+            new_bands.select("band", "bucket", F.col("entity_id").alias("src"))
+        )
+        .join(
+            all_bands.select("band", "bucket", F.col("entity_id").alias("dst")),
+            ["band", "bucket"],
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = norm_edges.unionByName(lsh_edges)
+
+    # contract: old entity → its component's canonical id; new → itself
+    contract = old_nodes.select("entity_id", "canonical_id").unionByName(
+        new_ents.select(
+            "entity_id", F.col("entity_id").alias("canonical_id")
+        )
+    )
+    cedges = (
+        F.broadcast(edges)
+        .join(
+            contract.select(
+                F.col("entity_id").alias("src"),
+                F.col("canonical_id").alias("csrc"),
+            ),
+            "src",
+        )
+        .join(
+            contract.select(
+                F.col("entity_id").alias("dst"),
+                F.col("canonical_id").alias("cdst"),
+            ),
+            "dst",
+        )
+        .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    mini_nodes = (
+        new_ents.select(F.col("entity_id").alias("node"))
+        .unionByName(cedges.select(F.col("src").alias("node")))
+        .unionByName(cedges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    cc = components_with_singletons(mini_nodes, cedges)
+    relabel = cc.filter(F.col("node") != F.col("component"))
+
+    old_rows = (
+        old_nodes.join(
+            F.broadcast(relabel),
+            old_nodes.canonical_id == relabel.node,
+            "left",
+        )
+        .select(
+            "entity_type",
+            "name",
+            "entity_id",
+            F.coalesce("component", old_nodes.canonical_id).alias(
+                "canonical_id"
+            ),
+        )
+    )
+    new_rows = (
+        new_ents.join(
+            F.broadcast(relabel),
+            new_ents.entity_id == relabel.node,
+            "left",
+        )
+        .select(
+            "entity_type",
+            "name",
+            "entity_id",
+            F.coalesce("component", new_ents.entity_id).alias("canonical_id"),
+        )
+    )
+    return old_rows.unionByName(new_rows)
 
 
 def build_graph(
@@ -655,6 +819,7 @@ def incremental_update(
     with_affiliations: bool = True,
     topics_mode: str = "refresh",
     edge_counts: str = "exact",
+    nodes_mode: str = "auto",
     max_component_size: int | None = None,
 ) -> dict[str, DataFrame]:
     """Fold a new crawl batch into an existing :func:`build_graph` output.
@@ -676,9 +841,19 @@ def incremental_update(
       pass touches only new pages, and type distances append too (each
       row depends only on its own cleaned text and the fixed type
       vectors).
-    - nodes: O(entities) — canonicalization reads the incrementally
-      maintained ``entity_surfaces`` stage (distinct (pred, obj), merged
-      per batch), not the triples table.  Canonical ids are min-member
+    - nodes: O(delta) compute + O(entities) rewrite.  When the surface
+      set is append-only (``topics_mode="frozen_idf"`` or
+      ``with_topics=False``) and unguarded, ``nodes_mode="auto"`` uses
+      :func:`incremental_canonicalize`: only the batch's NEW surfaces are
+      shingled/minhashed and CC'd against the CONTRACTED old components
+      (old canonical ids as super-nodes), with the stored
+      ``surface_bands`` LSH index supplying old-side candidates — exactly
+      the labels a full re-canonicalization would produce, proven by
+      edge contraction (see its docstring) and the parity test.
+      Otherwise (``topics_mode="refresh"``, a ``max_component_size``
+      guard, or ``nodes_mode="full"``) canonicalization re-runs over the
+      incrementally maintained ``entity_surfaces`` stage — still never a
+      rescan of old documents.  Canonical ids are min-member
       ids, so a delta surface that bridges two old components CAN change
       old rows' canonical_id — by design (that is what new evidence of
       sameness means); downstream consumers must treat canonical_id as
@@ -717,6 +892,25 @@ def incremental_update(
         raise ValueError(f"unknown topics_mode {topics_mode!r}")
     if edge_counts not in ("exact", "sketch"):
         raise ValueError(f"unknown edge_counts {edge_counts!r}")
+    if nodes_mode not in ("auto", "full", "incremental"):
+        raise ValueError(f"unknown nodes_mode {nodes_mode!r}")
+    # incremental canonicalization is exact ONLY when the surface set is
+    # append-only (refresh re-mines topics, which can retract old docs'
+    # surfaces — contracted components cannot split) and unguarded
+    # (guarded_components' modularity splits depend on the full internal
+    # edge structure that contraction summarizes away)
+    incr_nodes_ok = max_component_size is None and (
+        not with_topics or topics_mode == "frozen_idf"
+    )
+    if nodes_mode == "incremental" and not incr_nodes_ok:
+        raise ValueError(
+            "nodes_mode='incremental' needs append-only surfaces "
+            "(topics_mode='frozen_idf' or with_topics=False) and "
+            "max_component_size=None"
+        )
+    use_incr_nodes = nodes_mode == "incremental" or (
+        nodes_mode == "auto" and incr_nodes_ok
+    )
     if edge_counts == "sketch" and with_topics and topics_mode != "frozen_idf":
         raise ValueError(
             "edge_counts='sketch' merges per-surface stats incrementally; "
@@ -812,13 +1006,17 @@ def incremental_update(
                     ),
                 ),
             )
-            if ck.done("term_df"):
-                # frozen-idf bookkeeping is meaningless after a re-mine
-                import shutil
+            # frozen-idf bookkeeping is meaningless after a re-mine, and a
+            # re-mine can RETRACT surfaces, so the incremental band index
+            # is stale too — drop both; the next frozen/incremental call
+            # backfills them from the then-current state
+            import shutil
 
-                shutil.rmtree(ck.out / "term_df")
-                ck.progress.pop("term_df", None)
-                ck.progress_path.write_text(json.dumps(ck.progress, indent=1))
+            for stale in ("term_df", "surface_bands"):
+                if ck.done(stale):
+                    shutil.rmtree(ck.out / stale)
+                    ck.progress.pop(stale, None)
+            ck.progress_path.write_text(json.dumps(ck.progress, indent=1))
         else:
             ck.refresh(
                 "term_df",
@@ -881,13 +1079,58 @@ def incremental_update(
         )
     surfaces = ck.load("entity_surfaces")
 
-    nodes = ck.refresh(
-        "nodes",
-        lambda: canonicalize_entities(
-            spark, surfaces, max_component_size=max_component_size
-        ),
-        partition_by=["entity_type"],
-    )
+    if use_incr_nodes:
+        # O(delta) canonicalization: only NEW surfaces are shingled,
+        # minhashed, and CC'd (against the contracted old components); the
+        # band index over old surfaces is a stored stage, backfilled once
+        old_nodes = ck.load("nodes")
+        if not ck.done("surface_bands"):
+            ck.run("surface_bands", lambda: _surface_band_index(old_nodes))
+        new_ents = (
+            delta_batch.select(
+                F.col("pred").alias("entity_type"),
+                F.col("obj").alias("name"),
+            )
+            .distinct()
+            .join(
+                old_nodes.select("entity_type", "name"),
+                ["entity_type", "name"],
+                "left_anti",
+            )
+            .withColumn("entity_id", F.xxhash64("entity_type", "name"))
+            .localCheckpoint(eager=True)
+        )
+        if new_ents.count() == 0:
+            nodes = old_nodes
+        else:
+            new_bands = _surface_band_index(new_ents).localCheckpoint(
+                eager=True
+            )
+            ck.append("surface_bands", new_bands)
+            all_bands = ck.load("surface_bands")
+            nodes = ck.refresh(
+                "nodes",
+                lambda: incremental_canonicalize(
+                    old_nodes, new_ents, new_bands, all_bands
+                ),
+                partition_by=["entity_type"],
+            )
+    else:
+        if ck.done("surface_bands"):
+            # this increment adds surfaces without maintaining the band
+            # index; drop it so a later incremental call backfills fresh
+            import shutil
+
+            shutil.rmtree(ck.out / "surface_bands")
+            ck.progress.pop("surface_bands", None)
+            ck.progress_path.write_text(json.dumps(ck.progress, indent=1))
+        nodes = ck.refresh(
+            "nodes",
+            lambda: canonicalize_entities(
+                spark, surfaces, max_component_size=max_component_size
+            ),
+            partition_by=["entity_type"],
+        )
     n_ents = ck.progress.get("nodes", {}).get("rows", 0)
 
     if edge_counts == "exact":

@@ -237,6 +237,94 @@ def test_incremental_within_batch_url_dedupe(spark, base_dir, tmp_path):
     assert new_doc[0]["warc_ts"] == expected_ts
 
 
+def test_incremental_canonicalize_bridging_and_min_labels(spark):
+    """Pure-function contract: a new surface that bridges two old
+    components relabels BOTH to the global min id, whether the bridge is
+    a norm edge or an LSH band edge; ids smaller than any old canonical
+    win the min (label composition)."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
+        incremental_canonicalize,
+    )
+
+    old_nodes = spark.createDataFrame(
+        [
+            ("topic", "aa bb", 10, 10),
+            ("topic", "aa-bb", 11, 10),   # merged with 10 by norm
+            ("topic", "cc dd", 20, 20),
+        ],
+        "entity_type string, name string, entity_id long, canonical_id long",
+    )
+    new_ents = spark.createDataFrame(
+        [
+            ("topic", "AA  BB!", 7),   # norm 'aa bb' -> bridges into {10,11}
+            ("topic", "ee ff gg", 5),  # band edge to 20 (below)
+            ("topic", "zz yy", 99),    # no edges: stays a singleton
+        ],
+        "entity_type string, name string, entity_id long",
+    )
+    empty_bands = "entity_id long, band int, bucket string"
+    new_bands = spark.createDataFrame([(5, 0, "B")], empty_bands)
+    all_bands = spark.createDataFrame(
+        [(5, 0, "B"), (20, 0, "B")], empty_bands
+    )
+    got = {
+        r["entity_id"]: r["canonical_id"]
+        for r in incremental_canonicalize(
+            old_nodes, new_ents, new_bands, all_bands
+        ).collect()
+    }
+    assert got == {10: 7, 11: 7, 7: 7, 20: 5, 5: 5, 99: 99}
+
+
+def test_incremental_nodes_parity_with_full_canonicalize(
+    spark, base_dir, tmp_path
+):
+    """Two frozen-idf increments maintain nodes incrementally (delta-only
+    LSH + CC over contracted components); the labeling must be IDENTICAL
+    to a full canonicalize_entities over the same surface set."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
+        canonicalize_entities,
+    )
+
+    out = _clone(base_dir, tmp_path)
+    incremental_update(
+        spark, out, web_pages(spark, 105, partitions=4),
+        topics_mode="frozen_idf", edge_counts="sketch",
+    )
+    inc = incremental_update(
+        spark, out, web_pages(spark, N_ALL, partitions=4),
+        topics_mode="frozen_idf", edge_counts="sketch",
+    )
+    # the band index was maintained, not invalidated
+    progress = json.loads((tmp_path / "graph" / "_progress.json").read_text())
+    assert progress["surface_bands"]["status"] == "complete"
+
+    surfaces = spark.read.parquet(str(tmp_path / "graph" / "entity_surfaces"))
+    full = canonicalize_entities(spark, surfaces)
+    cols = ["entity_type", "name", "entity_id", "canonical_id"]
+    assert _rows(inc["nodes"], cols) == _rows(full, cols)
+
+
+def test_refresh_increment_invalidates_band_index(spark, base_dir, tmp_path):
+    """A topics_mode='refresh' increment can retract surfaces, so it must
+    drop the incremental band index (and term_df) rather than leave a
+    stale one for a later incremental call."""
+    out = _clone(base_dir, tmp_path)
+    incremental_update(
+        spark, out, web_pages(spark, 105, partitions=4),
+        topics_mode="frozen_idf",
+    )
+    progress = json.loads((tmp_path / "graph" / "_progress.json").read_text())
+    assert "surface_bands" in progress
+    incremental_update(
+        spark, out, web_pages(spark, N_ALL, partitions=4),
+        topics_mode="refresh",
+    )
+    progress = json.loads((tmp_path / "graph" / "_progress.json").read_text())
+    assert "surface_bands" not in progress
+    assert not (tmp_path / "graph" / "surface_bands").exists()
+
+
 def test_incremental_noop_on_duplicate_batch(spark, base_dir, tmp_path):
     out = _clone(base_dir, tmp_path)
     before = json.loads((tmp_path / "graph" / "_progress.json").read_text())
