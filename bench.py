@@ -20,10 +20,13 @@ import sys
 import time
 
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
-# best-of-N per query (r03 VERDICT #7: the driver snapshot has repeatedly
-# shown 25-40% phantom regressions from host throttle windows; trials=2
-# keeps the min per query, discarding one-off window hits).  The recorded
-# clean-window rerun in BENCH/ stays the cross-round comparison surface.
+# optional best-of-N per query (r03 VERDICT #7: the driver snapshot has
+# repeatedly shown 25-40% phantom regressions from host throttle windows;
+# SPARK_GRAFT_BENCH_TRIALS=2 keeps the min per query, discarding one-off
+# window hits).  The DEFAULT is a single trial — the driver's wall-clock
+# budget rules here, so throttle forensics rely on `calib_seconds` plus
+# the recorded clean-window rerun in BENCH/, which stays the cross-round
+# comparison surface.
 N_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "1"))
 
 

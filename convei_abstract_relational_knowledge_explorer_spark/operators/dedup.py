@@ -387,12 +387,7 @@ def choose_simhash_blocking(
     the cost profile.  Empty/tiny samples default to ``"pairs"`` (the
     safe-at-scale profile).
     """
-    fp = F.md5(
-        F.expr(
-            f"array_join(regexp_extract_all(lower({text_col}),"
-            f" '[a-z0-9]+(?:-[a-z0-9]+)*', 0), ' ')"
-        )
-    )
+    fp = _fingerprint(text_col)  # same normalization as exact_duplicates
     sampled = (
         docs.select(fp.alias("fp"))
         .filter(F.pmod(porthash64(F.col("fp"), "simhash-regime"), 1000)

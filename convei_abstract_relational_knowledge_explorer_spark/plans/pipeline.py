@@ -86,6 +86,14 @@ class Checkpointer:
             if self.metrics_path.exists()
             else []
         )
+        # exactly-once increment journal: batch_id -> {"status",
+        # "published": [stages]} — see append_batch/refresh_batch
+        self.batches_path = self.out / "_batches.json"
+        self.batches = (
+            json.loads(self.batches_path.read_text())
+            if self.batches_path.exists()
+            else {}
+        )
         self._cached: dict[str, DataFrame] = {}
 
     def done(self, stage: str) -> bool:
@@ -179,10 +187,11 @@ class Checkpointer:
         entry = self.progress.get(stage, {})
         if entry.get("partition_by"):
             return list(entry["partition_by"])
-        if "parts" in entry:  # run_partitioned ledger (pre-r4 layout key)
-            return [entry.get("partition_col", "year")]
-        # ledger predates the partition_by key: recover the layout from
-        # the directory itself (hive-style <col>=<v> subdirectories)
+        # ledger predates the partition_by key (including pre-r4
+        # run_partitioned ledgers, which recorded only "parts"): recover
+        # the layout from the directory itself (hive-style <col>=<v>
+        # subdirectories) — never guess a column name the ledger doesn't
+        # actually hold
         stage_dir = self.out / stage
         if stage_dir.is_dir():
             for child in stage_dir.iterdir():
@@ -262,8 +271,20 @@ class Checkpointer:
 
         start = time.time()
         next_path = self.out / f"{stage}__next"
+        final = self.out / stage
         if next_path.exists():
-            shutil.rmtree(next_path)  # leftover from a crashed refresh
+            # leftover from a crashed refresh.  Two cases:
+            #  - the crash hit BETWEEN rmtree(final) and the rename: the
+            #    complete new version at __next is the ONLY copy — finish
+            #    the swap (deleting it here would destroy the stage, and
+            #    the build lambda may read the stage's own table);
+            #  - the stage still exists (crash during or right after the
+            #    __next write): the old version is intact, discard the
+            #    leftover and rebuild.
+            if (next_path / "_SUCCESS").exists() and not final.exists():
+                next_path.rename(final)
+            else:
+                shutil.rmtree(next_path)
         with _SWEEP_LOCK:
             pre = self._persistent_ids()
             df = build()
@@ -272,10 +293,246 @@ class Checkpointer:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(str(next_path))
             self._free_persisted(keep=pre)
-        final = self.out / stage
         if final.exists():
             shutil.rmtree(final)
         next_path.rename(final)
+        out_df = self.load(stage)
+        rows = out_df.count()
+        entry = {"status": "complete", "rows": rows}
+        if partition_by:
+            entry["partition_by"] = list(partition_by)
+        self.progress[stage] = entry
+        self.metrics.append(
+            {
+                "stage": stage,
+                "rows_out": rows,
+                "mode": "refresh",
+                "seconds": round(time.time() - start, 3),
+            }
+        )
+        self.progress_path.write_text(json.dumps(self.progress, indent=1))
+        self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
+        return out_df
+
+    # ---- exactly-once incremental batches ---------------------------------
+    #
+    # A crawl increment touches MANY stages; a crash between two stage
+    # appends followed by a replay must neither drop the batch's rows from
+    # the not-yet-appended stages (the url anti-join sees the already-
+    # appended documents and derives an EMPTY delta) nor double-append the
+    # already-written ones.  The journal + staging protocol below makes
+    # every (stage, batch) append and every (stage, batch) merge-refresh
+    # exactly-once, whatever instant the process dies:
+    #
+    #  1. the batch's delta rows are STAGED durably under
+    #     ``_batches/<batch_id>/<stage>`` (``_SUCCESS`` marks the staging
+    #     write complete; a partial staging is simply overwritten);
+    #  2. PUBLISH hard-links each staged data file into the stage
+    #     directory under a batch-prefixed name, then journals the stage
+    #     as published.  Links are skipped when the target already exists,
+    #     so a crash anywhere inside publish replays to the same file set
+    #     — and the staging stays readable, so downstream stages of a
+    #     resumed batch reuse the exact staged delta instead of
+    #     recomputing it from now-inconsistent state;
+    #  3. merge-refreshes (term_df, entity_stats, nodes, ...) write a
+    #     ``_BATCH`` token into the new version before the swap: a replay
+    #     whose token already matches skips the merge instead of folding
+    #     the delta in twice;
+    #  4. when every stage is through, the batch is journaled complete and
+    #     its staging directory is deleted.  A completed batch replays as
+    #     a pure no-op.
+    #
+    # Single-writer contract (same as the rest of the Checkpointer): one
+    # increment per graph directory at a time.
+
+    def batch_dir(self, batch_id: str, stage: str | None = None) -> Path:
+        d = self.out / "_batches" / batch_id
+        return d / stage if stage else d
+
+    def _batch_entry(self, batch_id: str) -> dict:
+        return self.batches.setdefault(
+            batch_id, {"status": "in_progress", "published": []}
+        )
+
+    def _write_batches(self) -> None:
+        self.batches_path.write_text(json.dumps(self.batches, indent=1))
+
+    def batch_is_complete(self, batch_id: str) -> bool:
+        return self.batches.get(batch_id, {}).get("status") == "complete"
+
+    def batch_mark_complete(self, batch_id: str) -> None:
+        """Journal the batch complete and drop its staging directory."""
+        import shutil
+
+        entry = self._batch_entry(batch_id)
+        entry["status"] = "complete"
+        self._write_batches()
+        shutil.rmtree(self.batch_dir(batch_id), ignore_errors=True)
+
+    def stage_batch(self, stage: str, batch_id: str, build) -> DataFrame:
+        """Write the batch's delta for ``stage`` to durable staging.
+
+        Returns a reader over the STAGED rows — stable across crash
+        replays (a resumed batch gets byte-identical delta rows without
+        re-running ``build`` against post-crash state).  No-op when the
+        staging already completed (``_SUCCESS`` present).
+        """
+        if self.materialize != "parquet":
+            raise ValueError("stage_batch requires parquet materialization")
+        staging = self.batch_dir(batch_id, stage)
+        # constructing the plan is lazy and cheap; its schema makes the
+        # read-back well-defined even for an EMPTY staged delta (zero
+        # data files — schema inference has nothing to read)
+        df = build()
+        if not (staging / "_SUCCESS").exists():
+            start = time.time()
+            partition_by = self.partitioning(stage)
+            with _SWEEP_LOCK:
+                pre = self._persistent_ids()
+                writer = df.write.mode("overwrite")
+                if partition_by:
+                    writer = writer.partitionBy(*partition_by)
+                writer.parquet(str(staging))
+                self._free_persisted(keep=pre)
+            self.metrics.append(
+                {
+                    "stage": stage,
+                    "mode": "stage-batch",
+                    "batch": batch_id[:16],
+                    "seconds": round(time.time() - start, 3),
+                }
+            )
+            self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
+        return self.spark.read.schema(df.schema).parquet(str(staging))
+
+    def publish_batch(self, stage: str, batch_id: str) -> None:
+        """Atomically fold the staged delta into the stage table.
+
+        Per-file hard links (rename-equivalent atomicity, no data copy;
+        the staging stays intact for the rest of the batch).  Idempotent:
+        already-linked files are skipped, so a replay after a crash at
+        ANY point lands the same file set exactly once.  File names are
+        prefixed with the batch id — per-file lineage of which increment
+        brought which rows.
+        """
+        import os
+
+        entry = self._batch_entry(batch_id)
+        if stage in entry["published"]:
+            return
+        staging = self.batch_dir(batch_id, stage)
+        if not (staging / "_SUCCESS").exists():
+            raise ValueError(
+                f"publish_batch({stage!r}): staging incomplete — call "
+                "stage_batch first"
+            )
+        if not self.done(stage):
+            raise ValueError(
+                f"publish_batch target stage {stage!r} is not complete"
+            )
+        start = time.time()
+        target_root = self.out / stage
+        prefix = f"incr-{batch_id[:16]}"
+        prev = self.progress.get(stage, {}).get("rows", 0)
+        for src in staging.rglob("*"):
+            if not src.is_file() or src.name.startswith(("_", ".")):
+                continue
+            rel = src.relative_to(staging)
+            dst = target_root / rel.parent / f"{prefix}-{src.name}"
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            try:
+                os.link(src, dst)
+            except FileExistsError:
+                pass  # replay of a crashed publish — already landed
+        out_df = self.load(stage)
+        rows = out_df.count()  # parquet footer count — metadata-only
+        pentry = self.progress.get(stage, {})
+        pentry.update({"status": "complete", "rows": rows})
+        self.progress[stage] = pentry
+        self.metrics.append(
+            {
+                "stage": stage,
+                "rows_out": rows,
+                "rows_added": rows - prev,
+                "mode": "append-batch",
+                "batch": batch_id[:16],
+                "seconds": round(time.time() - start, 3),
+            }
+        )
+        self.progress_path.write_text(json.dumps(self.progress, indent=1))
+        self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
+        # journal LAST: a crash anywhere above replays into idempotent
+        # re-links + a ledger recount; journaling first would let a crash
+        # freeze the ledger's pre-batch row count forever
+        entry["published"].append(stage)
+        self._write_batches()
+
+    def append_batch(self, stage: str, batch_id: str, build) -> DataFrame:
+        """Exactly-once append of a batch's delta rows (stage + publish).
+
+        Returns the STAGED delta (not the whole table): downstream
+        derivations of the same batch must read the delta, and the staged
+        copy is the one that is stable on replay.
+        """
+        staged = self.stage_batch(stage, batch_id, build)
+        self.publish_batch(stage, batch_id)
+        return staged
+
+    def refresh_batch(self, stage: str, batch_id: str, build,
+                      partition_by: list[str] | None = None) -> DataFrame:
+        """Exactly-once :meth:`refresh` for merge-style rebuilds.
+
+        ``build`` may fold the batch's delta into the stage's CURRENT
+        table (``term_df + delta_df``); replaying that after the swap
+        would fold the delta in twice.  The new version carries a
+        ``_BATCH`` token (underscore-prefixed — invisible to Spark's file
+        index): a replay whose token already matches returns the table
+        as-is; a crash between the swap steps is finished from the
+        token-matching ``__next``.
+        """
+        if self.materialize != "parquet":
+            raise ValueError("refresh_batch requires parquet materialization")
+        import shutil
+
+        final = self.out / stage
+        next_path = self.out / f"{stage}__next"
+        token = final / "_BATCH"
+        if token.exists() and token.read_text() == batch_id:
+            # this batch already refreshed it; re-sync the ledger row
+            # count if the crash hit between the swap and the record
+            out_df = self.load(stage)
+            if self.progress.get(stage, {}).get("rows") != out_df.count():
+                return self._record_refresh(stage, partition_by, time.time())
+            return out_df
+        if next_path.exists():
+            ntoken = next_path / "_BATCH"
+            if (
+                (next_path / "_SUCCESS").exists()
+                and ntoken.exists()
+                and ntoken.read_text() == batch_id
+            ):
+                # crashed between write and swap: the new version is
+                # complete — finish the swap instead of re-merging
+                if final.exists():
+                    shutil.rmtree(final)
+                next_path.rename(final)
+                return self._record_refresh(stage, partition_by, time.time())
+            shutil.rmtree(next_path)  # stale leftover (other batch/partial)
+        start = time.time()
+        with _SWEEP_LOCK:
+            pre = self._persistent_ids()
+            writer = build().write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(str(next_path))
+            self._free_persisted(keep=pre)
+        (next_path / "_BATCH").write_text(batch_id)
+        if final.exists():
+            shutil.rmtree(final)
+        next_path.rename(final)
+        return self._record_refresh(stage, partition_by, start)
+
+    def _record_refresh(self, stage: str, partition_by, start) -> DataFrame:
         out_df = self.load(stage)
         rows = out_df.count()
         entry = {"status": "complete", "rows": rows}
@@ -886,6 +1143,19 @@ def incremental_update(
       ``topics_mode="frozen_idf"`` (old docs' topic rows must be
       immutable for the stats to stay mergeable).  O(d + |entities|).
 
+    Crash safety: the whole increment is EXACTLY-ONCE per batch.  A
+    deterministic batch id (order-independent content hash of the
+    incoming pages) keys the Checkpointer's batch journal; the delta is
+    staged durably before anything publishes; per-stage publishes are
+    idempotent hard-link folds and the merge-refreshes carry a
+    ``_BATCH`` token — so a process killed between ANY two stage writes
+    replays to the exact state an uninterrupted run would have produced
+    (pytest-proven by killing mid-increment at every stage boundary),
+    and a completed batch replays as a pure no-op.  Without this, a
+    replay would re-derive the delta against half-applied state: the
+    url anti-join sees the already-published documents and silently
+    drops the batch from every later stage.
+
     Returns the same table dict as :func:`build_graph`.
     """
     if topics_mode not in ("refresh", "frozen_idf"):
@@ -918,7 +1188,7 @@ def incremental_update(
             "would desynchronize the stats — use topics_mode='frozen_idf'"
         )
     ck = Checkpointer(spark, out_dir, materialize="parquet")
-    required = ["documents", "triples"]
+    required = ["documents", "triples", "nodes", "edges"]
     if with_topics:
         required.append("topics")
     if with_affiliations:
@@ -929,32 +1199,6 @@ def incremental_update(
                 f"incremental_update needs a complete build_graph output; "
                 f"stage {stage!r} is missing — run build_graph first"
             )
-
-    old_docs = ck.load("documents")
-    old_n_docs = ck.progress["documents"]["rows"]
-
-    # ---- delta discovery: pages not yet ingested ---------------------------
-    delta_pages = new_pages.join(
-        old_docs.select("url"), "url", "left_anti"
-    )
-    # in-flight dedupe (SURVEY §2.G3): a crawl batch recrawls pages, and
-    # doc_id = xxhash64(url), so two captures of one url must collapse
-    # BEFORE ingest or every per-document stage double-counts the doc.
-    # Keeper = latest capture, ties broken by content hash (deterministic
-    # under any partitioning).
-    w_url = Window.partitionBy("url").orderBy(
-        F.desc("warc_ts"), F.desc(F.xxhash64("html"))
-    )
-    delta_pages = (
-        delta_pages.withColumn("_rn", F.row_number().over(w_url))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    # eager localCheckpoint: pins the delta BEFORE this function appends to
-    # the documents directory the anti-join reads, and materializes the
-    # Arrow extraction pass once for its several consumers below
-    delta_docs = extract_documents(delta_pages).localCheckpoint(eager=True)
-    n_delta = delta_docs.count()
 
     def _load_all() -> dict[str, DataFrame]:
         docs = ck.load("documents")
@@ -974,31 +1218,76 @@ def incremental_update(
             )
         return out
 
+    # ---- batch identity: exactly-once across crash + replay ---------------
+    # order-independent content hash of the incoming pages: a replayed
+    # batch (streaming foreachBatch retry, operator rerun after a kill)
+    # maps to the same journal entry under ANY partitioning; a different
+    # crawl drop gets a fresh one.  One column-pruned aggregate.
+    idrow = new_pages.select(
+        F.expr("bit_xor(xxhash64(url, warc_ts))").alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    batch_id = f"{(idrow['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{idrow['n']}"
+    if ck.batch_is_complete(batch_id):
+        return _load_all()  # pure no-op replay of a finished batch
+
+    # ---- delta discovery: pages not yet ingested ---------------------------
+    def _derive_delta() -> DataFrame:
+        # in-flight dedupe (SURVEY §2.G3): a crawl batch recrawls pages,
+        # and doc_id = xxhash64(url), so two captures of one url must
+        # collapse BEFORE ingest or every per-document stage double-counts
+        # the doc.  Keeper = latest capture, ties broken by content hash
+        # (deterministic under any partitioning).
+        delta_pages = new_pages.join(
+            ck.load("documents").select("url"), "url", "left_anti"
+        )
+        w_url = Window.partitionBy("url").orderBy(
+            F.desc("warc_ts"), F.desc(F.xxhash64("html"))
+        )
+        return extract_documents(
+            delta_pages.withColumn("_rn", F.row_number().over(w_url))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    # stage (durable) BEFORE any publish: the anti-join above is only
+    # correct while the batch's documents are unpublished — a crash
+    # replay reuses the staged delta verbatim instead of re-deriving an
+    # empty one from the half-applied state (exactly-once, not
+    # at-most-once)
+    delta_docs = ck.stage_batch("documents", batch_id, _derive_delta)
+    n_delta = delta_docs.count()
+
     if n_delta == 0:
+        ck.batch_mark_complete(batch_id)
         return _load_all()
 
-    # ---- term_df backfill must read the PRE-append documents table --------
+    # ---- term_df backfill must read the PRE-publish documents table -------
     if with_topics and topics_mode == "frozen_idf" and not ck.done("term_df"):
         # first increment against a build that predates term_df: one
         # backfill scan of the already-ingested docs, never repeated
-        ck.run("term_df", lambda: phrase_document_frequency(old_docs))
+        ck.run("term_df", lambda: phrase_document_frequency(
+            ck.load("documents")
+        ))
 
-    # ---- per-document stages: delta-only, fast-append ----------------------
-    # each append reuses the layout the ledger recorded for its stage —
+    # ---- per-document stages: delta-only, exactly-once fast-append --------
+    # each publish reuses the layout the ledger recorded for its stage —
     # a second increment must keep writing year= directories, never
     # root-level files (Checkpointer.partitioning docstring)
-    ck.append("documents", delta_docs)
-    n_all_docs = old_n_docs + n_delta
+    ck.publish_batch("documents", batch_id)
+    n_all_docs = ck.progress["documents"]["rows"]
 
-    delta_triples = emit_triples(spark, delta_docs).localCheckpoint(eager=True)
-    ck.append("triples", delta_triples)
+    delta_triples = ck.append_batch(
+        "triples", batch_id, lambda: emit_triples(spark, delta_docs)
+    )
 
     delta_batch = delta_triples  # delta contribution to all_triples
     if with_topics:
         if topics_mode == "refresh":
             all_docs = ck.load("documents")
-            ck.refresh(
+            ck.refresh_batch(
                 "topics",
+                batch_id,
                 lambda: topic_triples(
                     all_docs,
                     dedup_topics_within_doc(
@@ -1018,42 +1307,51 @@ def incremental_update(
                     ck.progress.pop(stale, None)
             ck.progress_path.write_text(json.dumps(ck.progress, indent=1))
         else:
-            ck.refresh(
+            # self-merge: replaying it after the swap would fold the
+            # delta's document frequencies in TWICE — refresh_batch's
+            # _BATCH token makes it exactly-once
+            ck.refresh_batch(
                 "term_df",
+                batch_id,
                 lambda: ck.load("term_df")
                 .unionByName(phrase_document_frequency(delta_docs))
                 .groupBy("phrase")
                 .agg(F.sum("df").cast("long").alias("df")),
             )
-            delta_topics = topic_triples(
-                delta_docs,
-                dedup_topics_within_doc(
-                    mine_topics(
-                        delta_docs,
-                        n_docs=n_all_docs,
-                        df_counts=ck.load("term_df"),
-                    )
+            delta_topics = ck.append_batch(
+                "topics",
+                batch_id,
+                lambda: topic_triples(
+                    delta_docs,
+                    dedup_topics_within_doc(
+                        mine_topics(
+                            delta_docs,
+                            n_docs=n_all_docs,
+                            df_counts=ck.load("term_df"),
+                        )
+                    ),
                 ),
-            ).localCheckpoint(eager=True)
-            ck.append("topics", delta_topics)
+            )
             delta_batch = delta_triples.unionByName(delta_topics)
         all_triples = ck.load("triples").unionByName(ck.load("topics"))
     else:
         all_triples = ck.load("triples")
 
     if with_affiliations:
-        # checkpoint once: the Arrow cleaning pass feeds BOTH appends
-        delta_cleaned = clean_affiliations(
-            affiliation_segments(delta_docs)
-        ).localCheckpoint(eager=True)
-        ck.append("cleaned_affiliations", delta_cleaned)
+        # the staged delta feeds BOTH appends (one Arrow cleaning pass)
+        delta_cleaned = ck.append_batch(
+            "cleaned_affiliations",
+            batch_id,
+            lambda: clean_affiliations(affiliation_segments(delta_docs)),
+        )
         # per-row output depends only on the row's own cleaned text and
         # the FIXED type vectors, so distances over A ∪ B = distances(A)
         # ∪ distances(B) for disjoint docs — append the delta's rows,
         # never recompute the corpus (O(d), not O(n))
-        ck.append(
+        ck.append_batch(
             "affiliation_type_distances",
-            affiliation_type_distances(spark, delta_cleaned),
+            batch_id,
+            lambda: affiliation_type_distances(spark, delta_cleaned),
         )
 
     # ---- entity_surfaces: the nodes stage's entity-sized input ------------
@@ -1065,17 +1363,22 @@ def incremental_update(
         )
     elif with_topics and topics_mode == "refresh":
         # re-mined topics may add/remove surfaces for OLD docs too
-        ck.refresh(
+        ck.refresh_batch(
             "entity_surfaces",
+            batch_id,
             lambda: all_triples.select("pred", "obj").distinct(),
         )
     else:
-        delta_surfaces = delta_batch.select("pred", "obj").distinct()
-        ck.refresh(
+        # the surface set is append-only here: publish only the genuinely
+        # NEW surfaces (anti-join against the current set at build time)
+        # — O(delta) appended instead of the O(entities) rewrite a
+        # union+distinct refresh would pay per increment
+        ck.append_batch(
             "entity_surfaces",
-            lambda: ck.load("entity_surfaces")
-            .unionByName(delta_surfaces)
-            .distinct(),
+            batch_id,
+            lambda: delta_batch.select("pred", "obj")
+            .distinct()
+            .join(ck.load("entity_surfaces"), ["pred", "obj"], "left_anti"),
         )
     surfaces = ck.load("entity_surfaces")
 
@@ -1103,13 +1406,15 @@ def incremental_update(
         if new_ents.count() == 0:
             nodes = old_nodes
         else:
-            new_bands = _surface_band_index(new_ents).localCheckpoint(
-                eager=True
+            new_bands = ck.append_batch(
+                "surface_bands",
+                batch_id,
+                lambda: _surface_band_index(new_ents),
             )
-            ck.append("surface_bands", new_bands)
             all_bands = ck.load("surface_bands")
-            nodes = ck.refresh(
+            nodes = ck.refresh_batch(
                 "nodes",
+                batch_id,
                 lambda: incremental_canonicalize(
                     old_nodes, new_ents, new_bands, all_bands
                 ),
@@ -1124,8 +1429,9 @@ def incremental_update(
             shutil.rmtree(ck.out / "surface_bands")
             ck.progress.pop("surface_bands", None)
             ck.progress_path.write_text(json.dumps(ck.progress, indent=1))
-        nodes = ck.refresh(
+        nodes = ck.refresh_batch(
             "nodes",
+            batch_id,
             lambda: canonicalize_entities(
                 spark, surfaces, max_component_size=max_component_size
             ),
@@ -1134,8 +1440,9 @@ def incremental_update(
     n_ents = ck.progress.get("nodes", {}).get("rows", 0)
 
     if edge_counts == "exact":
-        edges = ck.refresh(
+        edges = ck.refresh_batch(
             "edges",
+            batch_id,
             lambda: aggregate_edges(all_triples, nodes, n_entities=n_ents),
             partition_by=["pred"],
         )
@@ -1163,9 +1470,12 @@ def incremental_update(
         if not ck.done("entity_stats"):
             ck.run("entity_stats", lambda: _stats_of(all_triples))
         else:
+            # self-merge (old stats ⊎ delta stats): exactly-once via the
+            # _BATCH token or a replay double-counts the delta's mentions
             delta_stats = _stats_of(delta_batch)
-            ck.refresh(
+            ck.refresh_batch(
                 "entity_stats",
+                batch_id,
                 lambda: _merge_stats(ck.load("entity_stats"), delta_stats),
             )
         stats = ck.load("entity_stats")
@@ -1175,8 +1485,9 @@ def incremental_update(
             "canonical_id",
         )
         dict_side = F.broadcast(ent) if n_ents <= 2_000_000 else ent
-        edges = ck.refresh(
+        edges = ck.refresh_batch(
             "edges",
+            batch_id,
             lambda: stats.join(dict_side, ["pred", "obj"])
             .groupBy("pred", "canonical_id")
             .agg(
@@ -1190,6 +1501,10 @@ def incremental_update(
             ),
             partition_by=["pred"],
         )
+
+    # every stage is through: journal the batch complete (a replay of this
+    # exact batch is now a pure no-op) and drop its staging directory
+    ck.batch_mark_complete(batch_id)
 
     out = {
         "documents": ck.load("documents"),

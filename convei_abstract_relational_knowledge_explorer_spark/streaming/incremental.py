@@ -82,7 +82,12 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_s)
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"stream did not drain within {timeout_s}s — the memory table "
+            "would be partial"
+        )
     return spark.table(table_name)
 
 
@@ -91,7 +96,7 @@ def stateful_sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
-    watermark: str | None = "10 minutes",
+    watermark: str | None = "auto",
 ) -> DataFrame:
     """Custom stateful operator: streaming sessionization via
     ``applyInPandasWithState`` (Arrow-batched per-key state).
@@ -102,17 +107,28 @@ def stateful_sessionize(
     CLOSES the open session (emitted exactly once, append mode) and
     starts a new one; the trailing open session survives in state.
 
-    FINAL sessions of idle keys (r03 VERDICT #3): with the default
-    ``watermark``, the open session carries an ``EventTimeTimeout`` at
-    ``last_ts + gap`` — once the event-time watermark passes the point
-    where no on-time event could extend the session, the timed-out
-    callback emits it exactly once and clears the key's state.  That
-    makes this the faithful streaming twin of q18's batch window-lag
-    sessionization: every session the batch form counts is eventually
-    emitted (the parity test drives both on one fixture), and state size
-    stays bounded by the ACTIVE key set instead of growing with every
-    key ever seen.  ``watermark=None`` opts back into NoTimeout (open
-    sessions held forever — the r02 shape, kept for pure-replay uses).
+    FINAL sessions of idle keys (r03 VERDICT #3): with a watermark, the
+    open session carries an ``EventTimeTimeout`` at ``last_ts + gap`` —
+    once the event-time watermark passes the point where no on-time
+    event could extend the session, the timed-out callback emits it
+    exactly once and clears the key's state.  That makes this the
+    faithful streaming twin of q18's batch window-lag sessionization
+    (the parity test drives both on one fixture), and state size stays
+    bounded by the ACTIVE key set instead of growing with every key
+    ever seen.
+
+    ``watermark`` semantics: events arriving later than the watermark
+    delay behind the stream's max event time are DROPPED before they
+    reach the operator — that is the price of bounded state, and the
+    one place the streaming twin can diverge from the batch form (which
+    sees every event, however late).  The ``"auto"`` default therefore
+    sets the delay to the session gap itself: an event late enough to
+    be dropped is by construction late enough that its session was
+    already closed and emitted — batch parity holds for every event no
+    later than one full gap.  Pass an explicit duration to trade state
+    for more lateness tolerance, or ``watermark=None`` for NoTimeout
+    (no late drops, but open sessions held forever — the r02 shape,
+    kept for pure-replay uses).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -120,6 +136,8 @@ def stateful_sessionize(
     gap_us = gap_minutes * 60 * 1_000_000
     cols = [key_col, "session_start", "session_end", "n_events"]
 
+    if watermark == "auto":
+        watermark = f"{gap_minutes} minutes"
     if watermark is not None:
         events_stream = events_stream.withWatermark(ts_col, watermark)
 
@@ -211,13 +229,23 @@ def stream_graph_updates(
     the streaming graph can never drift from what a batch increment
     would produce.  Exactly-once by composition: the streaming
     checkpoint pins which source files each batch id covers, and
-    ``incremental_update`` is idempotent on re-presented pages (url
-    anti-join + in-flight dedupe), so a batch replayed after a crash is
-    a no-op rather than a double-ingest.
+    ``incremental_update`` is exactly-once per batch via the
+    Checkpointer's batch journal (staged deltas + idempotent publish +
+    ``_BATCH``-token merges) — a batch replayed after a crash AT ANY
+    POINT, including mid-increment between two stage appends, resumes
+    from the journal instead of double-ingesting or silently dropping
+    the not-yet-appended stages.
 
     Runs with ``availableNow`` (drain everything currently landed, then
     stop): the monthly-crawl cadence — schedule the call per drop; a
     ``processingTime`` trigger turns the same code into a daemon.
+
+    Raises ``TimeoutError`` if the drop does not drain within
+    ``timeout_s`` (after requesting a stop): returning silently would
+    hand the caller a query still folding a batch, and a ``spark.stop()``
+    on their side would kill it mid-increment.  The journal makes that
+    crash-safe, but it must be a visible condition, not a quiet one —
+    rerun the call to resume the interrupted batch.
     """
     from ..plans.pipeline import incremental_update
 
@@ -239,5 +267,11 @@ def stream_graph_updates(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_s)
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        query.awaitTermination(30)
+        raise TimeoutError(
+            f"graph-update stream did not drain within {timeout_s}s; "
+            "the interrupted batch is journal-protected — rerun to resume"
+        )
     return query

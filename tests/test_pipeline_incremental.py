@@ -458,3 +458,163 @@ def test_sketch_requires_frozen_idf(spark, base_dir, tmp_path):
             web_pages(spark, N_ALL, partitions=4),
             edge_counts="sketch",
         )
+
+
+# ---------------------------------------------------------------------------
+# exactly-once across crash + replay (the batch journal)
+# ---------------------------------------------------------------------------
+
+
+def _incr_frozen(spark, out):
+    return incremental_update(
+        spark,
+        out,
+        web_pages(spark, N_ALL, partitions=4),
+        topics_mode="frozen_idf",
+        edge_counts="sketch",
+    )
+
+
+@pytest.mark.parametrize(
+    "kill_method,kill_stage",
+    [
+        ("publish_batch", "documents"),
+        ("publish_batch", "triples"),
+        ("refresh_batch", "term_df"),
+        ("refresh_batch", "nodes"),
+    ],
+)
+def test_incremental_crash_replay_exactly_once(
+    spark, base_dir, tmp_path, monkeypatch, kill_method, kill_stage
+):
+    """Kill the increment at a stage boundary, replay the SAME batch, and
+    require byte-identical results to an uninterrupted run.  Without the
+    batch journal the replay's url anti-join sees the already-published
+    documents, derives an empty delta, and silently drops the batch from
+    every not-yet-written stage (at-most-once, the r4 review finding)."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
+        Checkpointer,
+    )
+
+    expected_out = _clone(base_dir, tmp_path / "expected")
+    expected = _incr_frozen(spark, expected_out)
+    exp_triples = _triple_rows(expected["triples"])
+    exp_docs = expected["documents"].count()
+    exp_nodes = _rows(
+        expected["nodes"], ["entity_type", "name", "canonical_id"]
+    )
+
+    out = _clone(base_dir, tmp_path / "crashed")
+    real = getattr(Checkpointer, kill_method)
+
+    def boom(self, stage, batch_id, *a, **kw):
+        if stage == kill_stage:
+            raise RuntimeError(f"injected crash at {kill_method}({stage})")
+        return real(self, stage, batch_id, *a, **kw)
+
+    monkeypatch.setattr(Checkpointer, kill_method, boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        _incr_frozen(spark, out)
+    monkeypatch.setattr(Checkpointer, kill_method, real)
+
+    inc = _incr_frozen(spark, out)  # replay of the same batch
+    assert inc["documents"].count() == exp_docs
+    assert _triple_rows(inc["triples"]) == exp_triples
+    assert (
+        _rows(inc["nodes"], ["entity_type", "name", "canonical_id"])
+        == exp_nodes
+    )
+    # the batch journal closed: a third presentation is a pure no-op
+    ledger = json.loads((tmp_path / "crashed" / "graph" / "_batches.json").read_text())
+    assert all(v["status"] == "complete" for v in ledger.values())
+
+
+def test_publish_batch_idempotent_after_journal_loss(
+    spark, base_dir, tmp_path
+):
+    """Crash between the hard-link fold and the journal write: the replay
+    re-links (every link already exists) and must not duplicate rows."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
+        Checkpointer,
+    )
+
+    out = _clone(base_dir, tmp_path)
+    ck = Checkpointer(spark, out, materialize="parquet")
+    # delta columns must match the stage; derive from the real table
+    docs = ck.load("documents")
+    delta = docs.limit(3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10**15)
+    )
+    before = ck.progress["documents"]["rows"]
+    ck.append_batch("documents", "deadbeef-3", lambda: delta)
+    rows_once = ck.load("documents").count()
+    assert rows_once == before + 3
+    # simulate the lost journal write
+    ck.batches["deadbeef-3"]["published"].remove("documents")
+    ck.publish_batch("documents", "deadbeef-3")  # replay
+    assert ck.load("documents").count() == rows_once
+
+
+def test_refresh_recovers_complete_next_when_final_missing(
+    spark, tmp_path
+):
+    """Crash between rmtree(final) and the rename: __next holds the ONLY
+    copy — refresh must finish the swap, not delete it (r4 review #1)."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
+        Checkpointer,
+    )
+
+    ck = Checkpointer(spark, str(tmp_path / "g"), materialize="parquet")
+    ck.run("s", lambda: spark.range(5).selectExpr("id as v"))
+    # simulate the crash window
+    shutil.copytree(tmp_path / "g" / "s", tmp_path / "g" / "s__next")
+    shutil.rmtree(tmp_path / "g" / "s")
+    out = ck.refresh("s", lambda: ck.load("s").filter(F.col("v") < 3))
+    assert out.count() == 3  # the build read the RECOVERED table
+
+
+def test_refresh_batch_token_makes_merge_exactly_once(spark, tmp_path):
+    from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
+        Checkpointer,
+    )
+
+    ck = Checkpointer(spark, str(tmp_path / "g"), materialize="parquet")
+    ck.run("t", lambda: spark.range(5).selectExpr("id as v"))
+    calls = []
+
+    def merge():
+        calls.append(1)
+        return ck.load("t").unionByName(
+            spark.range(100, 103).selectExpr("id as v")
+        )
+
+    assert ck.refresh_batch("t", "batch-1", merge).count() == 8
+    # replay of the same batch: token matches, merge NOT re-run
+    assert ck.refresh_batch("t", "batch-1", merge).count() == 8
+    assert len(calls) == 1
+    # a NEW batch merges again
+    assert ck.refresh_batch("t", "batch-2", merge).count() == 11
+    assert len(calls) == 2
+
+
+def test_refresh_batch_finishes_crashed_swap(spark, tmp_path):
+    """Crash between the __next write and the swap: the token-matching
+    __next is complete — finish the swap instead of re-merging."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
+        Checkpointer,
+    )
+
+    ck = Checkpointer(spark, str(tmp_path / "g"), materialize="parquet")
+    ck.run("t", lambda: spark.range(5).selectExpr("id as v"))
+    merged = ck.load("t").unionByName(
+        spark.range(100, 102).selectExpr("id as v")
+    )
+    merged.write.mode("overwrite").parquet(str(tmp_path / "g" / "t__next"))
+    (tmp_path / "g" / "t__next" / "_BATCH").write_text("b-9")
+
+    def must_not_run():
+        raise AssertionError("merge re-ran after a completed __next write")
+
+    out = ck.refresh_batch("t", "b-9", must_not_run)
+    assert out.count() == 7
+    assert not (tmp_path / "g" / "t__next").exists()
