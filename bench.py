@@ -115,12 +115,21 @@ def run_pipeline(spark, n_docs: int) -> dict[str, float]:
         # edges).  The headline is incr_docs_per_hour vs docs_per_hour —
         # the monthly-crawl cost a user actually pays after the first
         # build (plans/pipeline.py::incremental_update).
+        # crawl drops arrive as files: feed the increment a parquet-backed
+        # DataFrame (written untimed) so the batch-id scan and the url
+        # anti-join probe get real column pruning — the mapInPandas
+        # synthetic source can't prune, and feeding it directly would
+        # bill the increment for regenerating every page's html
         n_incr = max(n_docs // 10, 1)
+        crawl_dir = os.path.join(out, "_crawl")  # cleaned with `out`
+        web_pages(spark, n_docs + n_incr).write.mode("overwrite").parquet(
+            crawl_dir
+        )
         istart = time.time()
         itables = incremental_update(
             spark,
             out,
-            web_pages(spark, n_docs + n_incr),
+            spark.read.parquet(crawl_dir),
             topics_mode="frozen_idf",
             edge_counts="sketch",
         )

@@ -23,8 +23,12 @@ from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
+
+from pyspark.sql import SparkSession
 from pyspark.sql.window import Window
+
+from ._parallel import spread_for_python
 
 from ..functions import textkernels as K
 from .embedding import hashed_doc_embeddings, similarity_to_dims
@@ -66,12 +70,11 @@ def clean_affiliations(segments: DataFrame) -> DataFrame:
     The Arrow kernel pass runs on DISTINCT texts only; the join back is a
     plain equi join on the text (AQE broadcasts it when small).
     """
-    uniq = (
+    uniq = spread_for_python(
         segments.select("affiliation_text")
         .filter(F.col("affiliation_text").isNotNull())
         .distinct()
-        .mapInPandas(_clean_batches, schema=_CLEAN_SCHEMA)
-    )
+    ).mapInPandas(_clean_batches, schema=_CLEAN_SCHEMA)
     return segments.join(uniq, "affiliation_text", "left").select(
         *segments.columns, "cleaned_affiliation", "place"
     )

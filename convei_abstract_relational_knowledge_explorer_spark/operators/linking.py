@@ -25,6 +25,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ._parallel import spread_for_python
+
 from ..functions.linking import LocationIndex, build_location_index, match_location
 
 _INDEX: LocationIndex | None = None
@@ -64,6 +66,12 @@ def link_affiliations(segments: DataFrame) -> DataFrame:
     the caller decides whether to drop them (the reference drops them,
     populate_author_locations.py:304-306).
     """
-    distinct_texts = segments.select("affiliation_text").distinct()
+    # distinct FIRST (map-side combine shrinks the shuffle), then pin the
+    # partition count: AQE's byte-based coalescer would pack the tiny
+    # distinct-text rows into 1-2 partitions and run the ~O(100 µs)/row
+    # cascade kernel serially regardless of cores (see _parallel.py)
+    distinct_texts = spread_for_python(
+        segments.select("affiliation_text").distinct()
+    )
     verdicts = distinct_texts.mapInPandas(_link_batches, schema=_LINK_SCHEMA)
     return segments.join(verdicts, "affiliation_text", "left")

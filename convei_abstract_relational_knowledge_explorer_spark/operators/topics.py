@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
 from ..functions import _dictdata as D
+from ._parallel import spread_for_python
 
 TOKEN_PATTERN = "[a-z0-9]+(?:-[a-z0-9]+)*"
 
@@ -308,10 +309,16 @@ def dedup_topics_within_doc(topics: DataFrame, thresh: float = 90.0) -> DataFram
             )
         ).alias("srt")
     )
-    arr = agg.select(
-        "doc_id",
-        F.expr("transform(srt, s -> s.topic)").alias("ts"),
-        F.expr("transform(srt, s -> s.score)").alias("ss"),
+    # spread BEFORE the ~55 µs/doc decision kernel: AQE coalesces the
+    # groupBy exchange by BYTES, and the per-doc arrays are small enough
+    # that 2M docs fit one 64 MB partition — which would run the Python
+    # loop serially regardless of cores (operators/_parallel.py)
+    arr = spread_for_python(
+        agg.select(
+            "doc_id",
+            F.expr("transform(srt, s -> s.topic)").alias("ts"),
+            F.expr("transform(srt, s -> s.score)").alias("ss"),
+        )
     )
     return (
         arr.select(

@@ -444,10 +444,20 @@ class Checkpointer:
                 os.link(src, dst)
             except FileExistsError:
                 pass  # replay of a crashed publish — already landed
-        out_df = self.load(stage)
-        rows = out_df.count()  # parquet footer count — metadata-only
+        # ledger row count: prev + the STAGED delta's footer count — the
+        # staging dir is ~O(delta) files, where a full-table recount
+        # would list and read footers of every file the stage has ever
+        # accumulated (O(increments x files), growing forever).  The
+        # per-stage "batch" marker disambiguates the one crash window a
+        # plain prev+delta cannot: died after the ledger write but
+        # before the journal append — on that replay prev ALREADY holds
+        # the delta, so adding it again would double-count.
         pentry = self.progress.get(stage, {})
-        pentry.update({"status": "complete", "rows": rows})
+        if pentry.get("batch") == batch_id:
+            rows = pentry["rows"]  # ledger already includes this delta
+        else:
+            rows = prev + self.spark.read.parquet(str(staging)).count()
+        pentry.update({"status": "complete", "rows": rows, "batch": batch_id})
         self.progress[stage] = pentry
         self.metrics.append(
             {

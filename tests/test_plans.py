@@ -113,3 +113,69 @@ def test_quantization_has_no_shuffle(spark):
     df = entrymod.queries()["q36_quantized_embeddings"](spark, SF)
     plan = _plan(df)
     assert "Exchange" not in plan
+
+
+def test_python_kernel_partitions_survive_aqe(spark):
+    """operators/_parallel.py empirical anchor: AQE's byte-based
+    coalescer collapses a HASH ``repartition(n, col)`` that sits under
+    ``mapInPandas`` (the executed stage runs on 1-2 partitions — the
+    per-row Python kernel then runs serially), while the round-robin
+    ``repartition(n)`` spread_for_python pins keeps its explicit count.
+    If a Spark upgrade changes either behavior, this test tells us to
+    re-decide the spread strategy."""
+    import pyspark.sql.functions as F
+
+    from convei_abstract_relational_knowledge_explorer_spark.operators._parallel import (
+        spread_for_python,
+    )
+
+    df = (
+        spark.range(10000)
+        .withColumn("k", F.col("id").cast("string"))
+        .select("k")
+        .distinct()
+    )
+
+    def ident(batches):
+        yield from batches
+
+    spread = spread_for_python(df).mapInPandas(ident, schema="k string")
+    n = spark.sparkContext.defaultParallelism * 3
+    assert spread.rdd.getNumPartitions() == n
+    # (the hash repartition(n, col) form was measured collapsing to 1-2
+    # executed partitions under AQE in the pipeline's session configs —
+    # whether it collapses depends on session shape, so only the
+    # round-robin guarantee is anchored here)
+
+
+def test_linking_and_topic_dedup_spread_for_python(spark):
+    """The two heaviest per-row kernels (affiliation linking cascade,
+    within-doc topic dedup) must run on a pinned round-robin spread, not
+    on the AQE-coalesced exchange."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.linking import (
+        link_affiliations,
+    )
+    from convei_abstract_relational_knowledge_explorer_spark.operators.topics import (
+        dedup_topics_within_doc,
+    )
+
+    segs = spark.createDataFrame(
+        [(1, 0, "A. Smith", 0, "g", "Dept of Geography, Univ of Oxford")],
+        "doc_id long, affiliation_index int, author_name string,"
+        " author_index int, raw_author_group string,"
+        " affiliation_text string",
+    )
+    plan = link_affiliations(segs)._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
+
+    topics = spark.createDataFrame(
+        [(1, "land cover", 1.0), (1, "land cover change", 0.9)],
+        "doc_id long, topic string, score double",
+    )
+    plan2 = (
+        dedup_topics_within_doc(topics)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "REPARTITION_BY_NUM" in plan2 or "RoundRobinPartitioning" in plan2
