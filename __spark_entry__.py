@@ -641,6 +641,40 @@ def _q39_incremental_df_merge(spark, sf):
     )
 
 
+def _q40_winnow_overlap(spark, sf):
+    """MOSS-style partial-overlap report over winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken, SIGMOD 2003): every 5-token gram is
+    md5-hashed, each 4-hash window keeps its minimum, and document pairs
+    sharing >= 3 selected fingerprints are reported with the shared
+    count.  Unlike q16's whole-document fingerprint or q29's all-shingle
+    join, the winnowed set is ~2/(w+1) of the grams yet still guarantees
+    detection of any shared run of >= w+k-1 tokens — the scalable
+    boilerplate/plagiarism detector.  Portable md5 hash lanes make the
+    whole selection replayable verbatim in DuckDB."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        fingerprint_overlap,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return fingerprint_overlap(d, k=5, window=4, min_shared=3, portable=True)
+
+
+def _q41_bm25_scores(spark, sf):
+    """BM25 ranked retrieval (Robertson/Spärck Jones, Lucene +1 idf form)
+    as a distributed operator: one token explode shared by the corpus
+    statistics (df, avgdl — both map-side-combinable) and the per-(doc,
+    term) tf, broadcast joins for the tiny df/stats sides, one per-doc
+    sum.  Every matching doc is returned with its rounded score (no
+    cutoff, so the row set is containment-exact and the value hash tests
+    the scoring math, not a float-tie rank boundary)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.ranking import (
+        bm25_scores,
+    )
+
+    d = _t(spark, sf, "documents")
+    return bm25_scores(d, ["join", "merge", "stream", "window"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -684,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_shard_assignment": _q37_shard_assignment,
         "q38_topic_communities": _q38_topic_communities,
         "q39_incremental_df_merge": _q39_incremental_df_merge,
+        "q40_winnow_overlap": _q40_winnow_overlap,
+        "q41_bm25_scores": _q41_bm25_scores,
     }
 
 
@@ -1404,6 +1440,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*) AS df FROM (
                 SELECT DISTINCT doc_id, unnest({_TOK}) AS token FROM documents
             ) GROUP BY token HAVING count(*) >= 20
+        """,
+        # winnowing replayed verbatim: 5-token grams md5-hashed with the
+        # porthash64 slice, list_min per 4-hash window, distinct selected
+        # hashes per doc, pair join.  k=5 -> t[i:i+4] (inclusive slice),
+        # w=4 -> h[j:j+3]; short tails clamp in both engines.
+        "q40_winnow_overlap": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOK} AS t
+                FROM documents WHERE doc_id < 300
+            ), grams AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, len(t) - 4),
+                           i -> CAST('0x' || substr(md5(
+                                    array_to_string(t[i:i+4], ' ')), 1, 15)
+                                AS BIGINT)) AS h
+                FROM toks WHERE len(t) >= 5
+            ), fps AS (
+                SELECT DISTINCT doc_id, fingerprint FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, greatest(len(h) - 3, 1)),
+                               j -> list_min(h[j:j+3]))) AS fingerprint
+                    FROM grams
+                )
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared
+            FROM fps a JOIN fps b
+              ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3
+        """,
+        # BM25, Lucene +1 idf; k1=1.2, b=0.75 (1-b = 0.25 folded in).
+        # N/df/avgdl over the SAME tokenization; ln and the final sum are
+        # IEEE doubles in both engines, round(6) absorbs last-ulp drift.
+        "q41_bm25_scores": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOK}) AS token FROM documents
+            ), dl AS (
+                SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+            ), stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM toks
+                WHERE token IN ('join', 'merge', 'stream', 'window')
+                GROUP BY 1, 2
+            ), df AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY 1
+            )
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                       * tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   ), 6) AS score
+            FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+            GROUP BY 1
         """,
         # q27: the seeded payload is sha256("media:<i>") * 8 (256 bytes) and
         # the stub decoder is a byte histogram mod 16 — so the first feature

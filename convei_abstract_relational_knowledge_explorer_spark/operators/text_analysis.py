@@ -126,6 +126,89 @@ def rolling_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        window: int = 4, portable: bool = False) -> DataFrame:
+    """(doc_id, pos, fingerprint) — the full winnowing fingerprint SET.
+
+    Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting" (SIGMOD 2003): hash every ``k``-token gram, slide a
+    window of ``window`` consecutive gram hashes, select each window's
+    MINIMUM hash (rightmost occurrence on ties, the paper's rule), and
+    record each selected (position, hash) once.  Guarantee: any token
+    run of length >= ``window + k - 1`` shared by two documents yields
+    at least one shared fingerprint — so PARTIAL overlaps (a quoted
+    paragraph, boilerplate section, plagiarised passage) are detectable,
+    which :func:`rolling_fingerprints`' single whole-document min digest
+    cannot do.  Expected density is 2/(window+1) fingerprints per token.
+
+    Narrow plan: one projection per document, no shuffle, no Python —
+    the per-window argmin runs inside whole-stage codegen as nested
+    array lambdas (O(tokens x window), window is small).  ``portable``
+    swaps xxhash64 for the md5-slice hash with an exact ANSI-SQL twin
+    (see :func:`..dedup.porthash64`), which lets the operator be
+    oracle-checked end to end.
+
+    Documents shorter than ``k`` tokens have no gram and emit no rows.
+    """
+    hash_sql = (
+        "cast(conv(substring(md5(concat_ws(' ', slice(_t, i, {k}))), 1, 15),"
+        " 16, 10) as bigint)"
+        if portable
+        else "xxhash64(concat_ws(' ', slice(_t, i, {k})))"
+    ).format(k=k)
+    grams = F.expr(f"transform(sequence(1, size(_t) - {k - 1}), i -> {hash_sql})")
+    w = window
+    # per window j: fingerprint = min(slice); pos = rightmost index
+    # attaining it (ties only affect pos, never the selected hash)
+    sel = F.expr(
+        f"transform(sequence(1, greatest(size(_h) - {w - 1}, 1)), j ->"
+        f" named_struct("
+        f"   'pos', array_max(filter(sequence(j, least(j + {w - 1}, size(_h))),"
+        f"            p -> _h[p - 1] = array_min(slice(_h, j, {w})))),"
+        f"   'fingerprint', array_min(slice(_h, j, {w}))))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_t"))
+        .filter(F.size("_t") >= k)
+        .select("doc_id", grams.alias("_h"))
+        .select("doc_id", F.explode(F.array_distinct(sel)).alias("_s"))
+        .select("doc_id", F.col("_s.pos").alias("pos"),
+                F.col("_s.fingerprint").alias("fingerprint"))
+    )
+
+
+def fingerprint_overlap(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        window: int = 4, min_shared: int = 3,
+                        portable: bool = False) -> DataFrame:
+    """(doc_a, doc_b, n_shared) — document pairs sharing >= ``min_shared``
+    winnowing fingerprints, the MOSS-style overlap report.
+
+    Self-join on the fingerprint value over DISTINCT (doc, hash) rows —
+    positions drop out first, so a hash repeated across many positions
+    in one document contributes once.  One shuffle on the 60/64-bit
+    fingerprint; at corpus scale the join is bucketable on it and a hot
+    boilerplate hash is AQE-skew-splittable, the same topology as the
+    shingle join in q29 (``__spark_entry__._q29_ngram_jaccard_pairs``).
+    """
+    fp = (
+        winnow_fingerprints(docs, id_col, text_col, k=k, window=window,
+                            portable=portable)
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", top_n: int = 2,
                       dup_n: int = 5) -> DataFrame:

@@ -365,6 +365,106 @@ def test_rolling_fingerprints_stable(spark):
     assert got[0] == got[1]
 
 
+def test_winnow_fingerprints_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al. SIGMOD'03): a shared
+    token run of length >= window + k - 1 yields >= 1 shared selected
+    fingerprint, at ~2/(w+1) density, whatever surrounds it."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    shared = " ".join(rng.choice(vocab) for _ in range(8))  # w+k-1 = 8
+    noise = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+    docs = _doc_df(spark, [
+        noise(40) + " " + shared + " " + noise(40),
+        noise(40) + " " + shared + " " + noise(40),
+        noise(90),
+    ])
+    fp = text_analysis.winnow_fingerprints(docs, k=5, window=4)
+    rows = fp.collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert sets[0] & sets[1], "shared 8-token run must share a fingerprint"
+    # density: ~2/(w+1) of grams selected, never more than all windows
+    n_grams = 40 + 1 + 8 + 1 + 40 - 4  # tokens - k + 1
+    assert len(sets[0]) < n_grams
+    # positions are 1-based gram indices within the doc
+    assert all(1 <= r["pos"] <= n_grams for r in rows if r["doc_id"] == 0)
+    # portable=True selects the same POSITIONS (different hash values)
+    fp_p = text_analysis.winnow_fingerprints(docs, k=5, window=4,
+                                             portable=True)
+    # both hash families are uniform, so selected densities agree loosely
+    assert abs(fp_p.count() - fp.count()) < 0.5 * fp.count()
+
+
+def test_fingerprint_overlap_detects_partial(spark):
+    """Two documents sharing one boilerplate paragraph (and nothing else)
+    are reported; unrelated docs are not — the partial-overlap case the
+    whole-document rolling_fingerprints digest cannot detect."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(800)]
+    para = " ".join(rng.choice(vocab) for _ in range(60))
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+    docs = _doc_df(spark, [
+        mk(120) + " " + para + " " + mk(120),
+        para + " " + mk(250),
+        mk(300),
+    ])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in text_analysis.fingerprint_overlap(
+            docs, k=5, window=4, min_shared=3
+        ).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] >= 3
+    assert all(2 not in pair for pair in got)
+    # whole-doc digest misses it: docs 0 and 1 get different min hashes
+    digests = {
+        r["doc_id"]: r["fingerprint"]
+        for r in text_analysis.rolling_fingerprints(docs).collect()
+    }
+    assert digests[0] != digests[2]
+
+
+def test_bm25_scores_and_top_k(spark):
+    """BM25 hand-check on a 3-doc corpus: rarer term outranks common
+    term; saturation (k1) keeps tf growth sublinear; top_k cut is
+    deterministic with doc_id tie-break."""
+    import math
+
+    from convei_abstract_relational_knowledge_explorer_spark.operators.ranking import (
+        bm25_scores,
+        bm25_top_k,
+    )
+
+    docs = _doc_df(spark, [
+        "apple banana apple apple",     # tf(apple)=3, dl=4
+        "apple cherry",                 # dl=2
+        "banana banana banana banana",  # dl=4
+    ])
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(docs, ["apple", "cherry"]).collect()}
+    assert set(got) == {0, 1}
+    # closed form: N=3, df(apple)=2, df(cherry)=1, avgdl=10/3
+    k1, b = 1.2, 0.75
+
+    def bm25(tf, dl, df, n=3, avg=10 / 3):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+        return idf * tf / (tf + k1 * (1 - b + b * dl / avg))
+
+    exp0 = bm25(3, 4, 2)
+    exp1 = bm25(1, 2, 2) + bm25(1, 2, 1)
+    assert got[0] == round(exp0, 6)
+    assert got[1] == round(exp1, 6)
+    # doc 1 matches a rare term (cherry) -> outscores doc 0's repeats
+    assert got[1] > got[0]
+    top = bm25_top_k(docs, ["apple", "cherry"], k=1).collect()
+    assert [(r["rank"], r["doc_id"]) for r in top] == [(1, 1)]
+
+
 def test_dedup_topics_within_doc(spark):
     from convei_abstract_relational_knowledge_explorer_spark.operators.topics import (
         dedup_topics_within_doc,
