@@ -38,3 +38,24 @@ def spread_for_python(df: DataFrame, per_core: int = 3) -> DataFrame:
     spark = df.sparkSession
     n = max(2, spark.sparkContext.defaultParallelism * per_core)
     return df.repartition(n)
+
+
+def ensure_parallel_scan(df: DataFrame, per_core: int = 3) -> DataFrame:
+    """Round-robin-repartition ``df`` ONLY when its physical scan yields
+    fewer splits than the session has cores.
+
+    The other trap feeding a heavy Arrow kernel: parquet splits are
+    sized by ``spark.sql.files.maxPartitionBytes`` (128 MB), so a small
+    delta table — an increment's staged 100k-document batch is one
+    ~64 MB file — scans as ONE split and the per-document kernel runs
+    serially, while the same kernel over a multi-GB corpus stage gets
+    plenty of splits and must NOT pay an extra full-table shuffle of
+    KB-sized rows.  ``df.rdd.getNumPartitions()`` compiles the physical
+    plan without running a job; when the input is already wider than the
+    core count the frame is returned untouched.
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(max(2, cores * per_core))

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import _dictdata as D
 from ..functions import textkernels as K
+from ._parallel import ensure_parallel_scan
 
 # ---------------------------------------------------------------------------
 # executor-side singletons (compiled once per Python worker)
@@ -209,11 +210,10 @@ def _segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def affiliation_segments(docs: DataFrame) -> DataFrame:
     """One row per author x affiliation segment (reference row shape at
     /root/reference/populate_author_locations.py:311-322)."""
-    return (
+    return ensure_parallel_scan(
         docs.select("doc_id", "affiliations")
         .filter(F.col("affiliations").isNotNull() & (F.col("affiliations") != ""))
-        .mapInPandas(_segment_batches, schema=_SEGMENT_SCHEMA)
-    )
+    ).mapInPandas(_segment_batches, schema=_SEGMENT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -277,7 +277,14 @@ def _fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def fused_python_mentions(docs: DataFrame) -> DataFrame:
-    """All three Python mention families from a single pass over the docs."""
-    return docs.select(
-        "doc_id", "title", "abstract", "affiliations"
+    """All three Python mention families from a single pass over the docs.
+
+    The scan is widened to the core count first when the input is a
+    small delta (an increment's staged batch is one ~64 MB file = ONE
+    split; the kernel here is the pipeline's most expensive Python pass
+    and must not run serially) — a full corpus stage already scans wide
+    and skips the repartition (operators/_parallel.py).
+    """
+    return ensure_parallel_scan(
+        docs.select("doc_id", "title", "abstract", "affiliations")
     ).mapInPandas(_fused_batches, schema=_FUSED_SCHEMA)

@@ -26,6 +26,7 @@ from ..operators.affiliations import (
     affiliation_type_distances,
     clean_affiliations,
 )
+from ..operators._parallel import ensure_parallel_scan
 from ..operators.components import components_with_singletons
 from ..operators.dedup import lsh_band_buckets, minhash_signatures, shingles
 from ..operators.extract import extract_documents
@@ -1265,7 +1266,16 @@ def incremental_update(
     # replay reuses the staged delta verbatim instead of re-deriving an
     # empty one from the half-applied state (exactly-once, not
     # at-most-once)
-    delta_docs = ck.stage_batch("documents", batch_id, _derive_delta)
+    # widen the staged delta's scan once for every consumer below: the
+    # parquet reader packs a ~100 MB delta into 1-2 splits (128 MB
+    # maxPartitionBytes) no matter how many files staging wrote, which
+    # would run the map side of EVERY delta stage — the fused mention
+    # Arrow pass, topic mining's tokenize/explode, term_df — on 1-2
+    # cores.  One cheap round-robin exchange of the delta; a delta
+    # already wider than the core count is returned untouched.
+    delta_docs = ensure_parallel_scan(
+        ck.stage_batch("documents", batch_id, _derive_delta)
+    )
     n_delta = delta_docs.count()
 
     if n_delta == 0:
