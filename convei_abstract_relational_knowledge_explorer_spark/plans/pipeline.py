@@ -35,6 +35,7 @@ from ..operators.topics import (
     dedup_topics_within_doc,
     mine_topics,
     phrase_document_frequency,
+    phrase_tf,
     topic_triples,
 )
 from ..operators.triples import emit_triples
@@ -1327,6 +1328,15 @@ def incremental_update(
                     ck.progress.pop(stale, None)
             ck.progress_path.write_text(json.dumps(ck.progress, indent=1))
         else:
+            # ONE phrase-extraction pass over the delta, shared by the
+            # df fold and the topic-scoring pass below — each increment
+            # previously paid the tokenize→n-gram→explode kernel twice
+            # (the most expensive non-triples delta stage, ~6 s per
+            # 100k-doc delta at 8 cores).  Eagerly localCheckpointed
+            # BEFORE the stage writes so the per-stage sweeps (which
+            # keep only pre-stage blocks) treat it as caller-owned;
+            # explicitly unpersisted after its last consumer.
+            delta_tf = phrase_tf(delta_docs).localCheckpoint(eager=True)
             # self-merge: replaying it after the swap would fold the
             # delta's document frequencies in TWICE — refresh_batch's
             # _BATCH token makes it exactly-once
@@ -1334,7 +1344,9 @@ def incremental_update(
                 "term_df",
                 batch_id,
                 lambda: ck.load("term_df")
-                .unionByName(phrase_document_frequency(delta_docs))
+                .unionByName(
+                    delta_tf.groupBy("phrase").agg(F.count("*").alias("df"))
+                )
                 .groupBy("phrase")
                 .agg(F.sum("df").cast("long").alias("df")),
             )
@@ -1348,10 +1360,12 @@ def incremental_update(
                             delta_docs,
                             n_docs=n_all_docs,
                             df_counts=ck.load("term_df"),
+                            tf=delta_tf,
                         )
                     ),
                 ),
             )
+            delta_tf.unpersist()
             delta_batch = delta_triples.unionByName(delta_topics)
         all_triples = ck.load("triples").unionByName(ck.load("topics"))
     else:
