@@ -36,6 +36,11 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # FAIR lets the increment's independent stage chains (submitted
+        # from driver threads into per-chain pools) share the executors
+        # instead of queuing whole jobs behind each other; single-job
+        # workloads are unaffected
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
