@@ -148,10 +148,13 @@ class Checkpointer:
         persisted session-wide, so a block persisted by ANOTHER thread
         DURING this build would be swept too — fatal for a concurrent
         localCheckpoint (no lineage to recompute).  Stage builds therefore
-        hold the process-wide :data:`_SWEEP_LOCK`, which makes two
-        Checkpointer instances on the same SparkSession safe against each
-        other; threads persisting OUTSIDE this module while a stage builds
-        remain unsupported and are documented as such here."""
+        either hold the process-wide :data:`_SWEEP_LOCK` around
+        build+write+sweep (the default, via :meth:`_sweep_guard`) or run
+        inside a :meth:`deferred_sweep` scope, where no sweep happens
+        until every thread of the region has joined.  Two Checkpointer
+        instances on the same SparkSession are safe against each other;
+        threads persisting OUTSIDE this module while a default-mode stage
+        builds remain unsupported and are documented as such here."""
         jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
         for rdd in list(jmap.values()):
             if rdd.id() not in keep:
