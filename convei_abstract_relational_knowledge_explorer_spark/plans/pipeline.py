@@ -168,8 +168,9 @@ class Checkpointer:
         stage writes must not serialize on the process-wide sweep lock,
         and the single deferred sweep at scope exit frees everything the
         whole increment persisted (nothing created inside the scope is
-        caller-owned; the one exception, the shared delta tf, is
-        explicitly unpersisted by its owner before the scope closes)."""
+        caller-owned — and ``Dataset.unpersist()`` could not free the
+        scope's localCheckpoints anyway: it only clears CacheManager
+        entries, a no-op for checkpointed frames)."""
         if self._defer_sweep:
             yield
             return
@@ -1348,290 +1349,303 @@ def incremental_update(
     ck.publish_batch("documents", batch_id)
     n_all_docs = ck.progress["documents"]["rows"]
 
-    # ---- independent delta chains: triples | tf→df→topics | affiliations --
-    # Each chain is a dependency-ordered sequence of exactly-once stage
-    # writes over the SAME durably staged delta; the chains share nothing
-    # else, so they are submitted from separate driver threads into
-    # separate FAIR scheduler pools.  On a real cluster this is the
-    # standard move for phases whose individual stages cannot saturate
-    # the executors (stage barriers, small reduce phases, Arrow batch
-    # tails): concurrent jobs fill each other's idle slots.  Measured on
-    # the 100k-doc increment at local[8], the sequential chain spends
-    # ~35 s of which ~28 s does not shrink with added cores — per-stage
-    # dead time, not compute — which capped the N→4N incremental scaling
-    # efficiency; overlap converts that dead time into work.  Crash
-    # safety is unchanged: each stage keeps its own staging/_BATCH
-    # journal entry, and a replay re-enters the same chains (a thread
-    # failure surfaces after all chains join, like any mid-batch crash).
-    results: dict[str, DataFrame] = {}
+    # The ENTIRE stage section runs under one deferred persisted-block
+    # sweep: (a) concurrent chains must not serialize on the per-write
+    # global sweep lock nor sweep a sibling's mid-flight checkpoint, and
+    # (b) Dataset.unpersist() is a CacheManager no-op for
+    # localCheckpointed frames (measured), so the increment's owned
+    # checkpoints (shared delta tf, new_ents, emit_triples' internal
+    # one) can ONLY be freed by an RDD-level sweep — one sweep at scope
+    # exit frees all increment scaffolding while caller-owned blocks
+    # persisted before the increment survive.  A long-running driver
+    # (streaming foreachBatch) folds many increments through one
+    # session, so leaking them is not an option.
+    with ck.deferred_sweep():
+        # ---- independent delta chains: triples | tf→df→topics | affiliations --
+        # Each chain is a dependency-ordered sequence of exactly-once stage
+        # writes over the SAME durably staged delta; the chains share nothing
+        # else, so they are submitted from separate driver threads into
+        # separate FAIR scheduler pools.  On a real cluster this is the
+        # standard move for phases whose individual stages cannot saturate
+        # the executors (stage barriers, small reduce phases, Arrow batch
+        # tails): concurrent jobs fill each other's idle slots.  Measured on
+        # the 100k-doc increment at local[8], the sequential chain spends
+        # ~35 s of which ~28 s does not shrink with added cores — per-stage
+        # dead time, not compute — which capped the N→4N incremental scaling
+        # efficiency; overlap converts that dead time into work.  Crash
+        # safety is unchanged: each stage keeps its own staging/_BATCH
+        # journal entry, and a replay re-enters the same chains (a thread
+        # failure surfaces after all chains join, like any mid-batch crash).
+        results: dict[str, DataFrame] = {}
 
-    def _chain_triples() -> None:
-        spark.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", "incr-triples"
-        )
-        results["triples"] = ck.append_batch(
-            "triples", batch_id, lambda: emit_triples(spark, delta_docs)
-        )
-
-    def _chain_topics() -> None:
-        spark.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", "incr-topics"
-        )
-        # ONE phrase-extraction pass over the delta, shared by the df
-        # fold and the topic-scoring pass below — each increment
-        # previously paid the tokenize→n-gram→explode kernel twice (the
-        # most expensive non-triples delta stage, ~6 s per 100k-doc
-        # delta at 8 cores).  Freed by the deferred sweep even if a
-        # stage write below raises.
-        delta_tf = phrase_tf(delta_docs).localCheckpoint(eager=True)
-        # self-merge: replaying it after the swap would fold the delta's
-        # document frequencies in TWICE — refresh_batch's _BATCH token
-        # makes it exactly-once
-        ck.refresh_batch(
-            "term_df",
-            batch_id,
-            lambda: ck.load("term_df")
-            .unionByName(
-                delta_tf.groupBy("phrase").agg(F.count("*").alias("df"))
+        def _chain_triples() -> None:
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "incr-triples"
             )
-            .groupBy("phrase")
-            .agg(F.sum("df").cast("long").alias("df")),
-        )
-        results["topics"] = ck.append_batch(
-            "topics",
-            batch_id,
-            lambda: topic_triples(
-                delta_docs,
-                dedup_topics_within_doc(
-                    mine_topics(
-                        delta_docs,
-                        n_docs=n_all_docs,
-                        df_counts=ck.load("term_df"),
-                        tf=delta_tf,
-                    )
+            results["triples"] = ck.append_batch(
+                "triples", batch_id, lambda: emit_triples(spark, delta_docs)
+            )
+
+        def _chain_topics() -> None:
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "incr-topics"
+            )
+            # ONE phrase-extraction pass over the delta, shared by the df
+            # fold and the topic-scoring pass below — each increment
+            # previously paid the tokenize→n-gram→explode kernel twice (the
+            # most expensive non-triples delta stage, ~6 s per 100k-doc
+            # delta at 8 cores).  Freed by the deferred sweep even if a
+            # stage write below raises.
+            delta_tf = phrase_tf(delta_docs).localCheckpoint(eager=True)
+            # self-merge: replaying it after the swap would fold the delta's
+            # document frequencies in TWICE — refresh_batch's _BATCH token
+            # makes it exactly-once
+            ck.refresh_batch(
+                "term_df",
+                batch_id,
+                lambda: ck.load("term_df")
+                .unionByName(
+                    delta_tf.groupBy("phrase").agg(F.count("*").alias("df"))
+                )
+                .groupBy("phrase")
+                .agg(F.sum("df").cast("long").alias("df")),
+            )
+            results["topics"] = ck.append_batch(
+                "topics",
+                batch_id,
+                lambda: topic_triples(
+                    delta_docs,
+                    dedup_topics_within_doc(
+                        mine_topics(
+                            delta_docs,
+                            n_docs=n_all_docs,
+                            df_counts=ck.load("term_df"),
+                            tf=delta_tf,
+                        )
+                    ),
                 ),
-            ),
-        )
-        delta_tf.unpersist()
+            )
+            # NOTE: no Dataset.unpersist() here — it is a CacheManager no-op
+            # for a localCheckpointed frame; the increment-wide deferred
+            # sweep below is what actually frees the tf blocks.
 
-    def _chain_affiliations() -> None:
-        spark.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", "incr-affiliations"
-        )
-        # the staged delta feeds BOTH appends (one Arrow cleaning pass);
-        # per-row output depends only on the row's own cleaned text and
-        # the FIXED type vectors, so distances over A ∪ B = distances(A)
-        # ∪ distances(B) for disjoint docs — append the delta's rows,
-        # never recompute the corpus (O(d), not O(n))
-        delta_cleaned = ck.append_batch(
-            "cleaned_affiliations",
-            batch_id,
-            lambda: clean_affiliations(affiliation_segments(delta_docs)),
-        )
-        ck.append_batch(
-            "affiliation_type_distances",
-            batch_id,
-            lambda: affiliation_type_distances(spark, delta_cleaned),
-        )
+        def _chain_affiliations() -> None:
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "incr-affiliations"
+            )
+            # the staged delta feeds BOTH appends (one Arrow cleaning pass);
+            # per-row output depends only on the row's own cleaned text and
+            # the FIXED type vectors, so distances over A ∪ B = distances(A)
+            # ∪ distances(B) for disjoint docs — append the delta's rows,
+            # never recompute the corpus (O(d), not O(n))
+            delta_cleaned = ck.append_batch(
+                "cleaned_affiliations",
+                batch_id,
+                lambda: clean_affiliations(affiliation_segments(delta_docs)),
+            )
+            ck.append_batch(
+                "affiliation_type_distances",
+                batch_id,
+                lambda: affiliation_type_distances(spark, delta_cleaned),
+            )
 
-    chains = [_chain_triples]
-    if with_topics and topics_mode != "refresh":
-        chains.append(_chain_topics)
-    if with_affiliations:
-        chains.append(_chain_affiliations)
+        chains = [_chain_triples]
+        if with_topics and topics_mode != "refresh":
+            chains.append(_chain_topics)
+        if with_affiliations:
+            chains.append(_chain_affiliations)
 
-    if len(chains) > 1:
-        with ck.deferred_sweep():
+        if len(chains) > 1:
             with ThreadPoolExecutor(max_workers=len(chains)) as tpe:
                 futures = [tpe.submit(c) for c in chains]
             for fut in futures:
                 fut.result()
-    else:
-        chains[0]()
+        else:
+            chains[0]()
 
-    delta_triples = results["triples"]
-    delta_batch = delta_triples  # delta contribution to all_triples
-    if with_topics:
-        if topics_mode == "refresh":
-            all_docs = ck.load("documents")
-            ck.refresh_batch(
-                "topics",
-                batch_id,
-                lambda: topic_triples(
-                    all_docs,
-                    dedup_topics_within_doc(
-                        mine_topics(all_docs, n_docs=n_all_docs)
+        delta_triples = results["triples"]
+        delta_batch = delta_triples  # delta contribution to all_triples
+        if with_topics:
+            if topics_mode == "refresh":
+                all_docs = ck.load("documents")
+                ck.refresh_batch(
+                    "topics",
+                    batch_id,
+                    lambda: topic_triples(
+                        all_docs,
+                        dedup_topics_within_doc(
+                            mine_topics(all_docs, n_docs=n_all_docs)
+                        ),
                     ),
-                ),
-            )
-            # frozen-idf bookkeeping is meaningless after a re-mine, and a
-            # re-mine can RETRACT surfaces, so the incremental band index
-            # is stale too — drop both; the next frozen/incremental call
-            # backfills them from the then-current state
-            import shutil
+                )
+                # frozen-idf bookkeeping is meaningless after a re-mine, and a
+                # re-mine can RETRACT surfaces, so the incremental band index
+                # is stale too — drop both; the next frozen/incremental call
+                # backfills them from the then-current state
+                import shutil
 
-            for stale in ("term_df", "surface_bands"):
-                if ck.done(stale):
-                    shutil.rmtree(ck.out / stale)
-                    ck.progress.pop(stale, None)
-            ck.progress_path.write_text(json.dumps(ck.progress, indent=1))
+                for stale in ("term_df", "surface_bands"):
+                    if ck.done(stale):
+                        shutil.rmtree(ck.out / stale)
+                        ck.progress.pop(stale, None)
+                ck.progress_path.write_text(json.dumps(ck.progress, indent=1))
+            else:
+                delta_batch = delta_triples.unionByName(results["topics"])
+            all_triples = ck.load("triples").unionByName(ck.load("topics"))
         else:
-            delta_batch = delta_triples.unionByName(results["topics"])
-        all_triples = ck.load("triples").unionByName(ck.load("topics"))
-    else:
-        all_triples = ck.load("triples")
+            all_triples = ck.load("triples")
 
-    # ---- entity_surfaces: the nodes stage's entity-sized input ------------
-    if not ck.done("entity_surfaces"):
-        # first increment: one column-pruned scan of the combined triples
-        ck.run(
-            "entity_surfaces",
-            lambda: all_triples.select("pred", "obj").distinct(),
-        )
-    elif with_topics and topics_mode == "refresh":
-        # re-mined topics may add/remove surfaces for OLD docs too
-        ck.refresh_batch(
-            "entity_surfaces",
-            batch_id,
-            lambda: all_triples.select("pred", "obj").distinct(),
-        )
-    else:
-        # the surface set is append-only here: publish only the genuinely
-        # NEW surfaces (anti-join against the current set at build time)
-        # — O(delta) appended instead of the O(entities) rewrite a
-        # union+distinct refresh would pay per increment
-        ck.append_batch(
-            "entity_surfaces",
-            batch_id,
-            lambda: delta_batch.select("pred", "obj")
-            .distinct()
-            .join(ck.load("entity_surfaces"), ["pred", "obj"], "left_anti"),
-        )
-    surfaces = ck.load("entity_surfaces")
-
-    if use_incr_nodes:
-        # O(delta) canonicalization: only NEW surfaces are shingled,
-        # minhashed, and CC'd (against the contracted old components); the
-        # band index over old surfaces is a stored stage, backfilled once
-        old_nodes = ck.load("nodes")
-        if not ck.done("surface_bands"):
-            ck.run("surface_bands", lambda: _surface_band_index(old_nodes))
-        new_ents = (
-            delta_batch.select(
-                F.col("pred").alias("entity_type"),
-                F.col("obj").alias("name"),
+        # ---- entity_surfaces: the nodes stage's entity-sized input ------------
+        if not ck.done("entity_surfaces"):
+            # first increment: one column-pruned scan of the combined triples
+            ck.run(
+                "entity_surfaces",
+                lambda: all_triples.select("pred", "obj").distinct(),
             )
-            .distinct()
-            .join(
-                old_nodes.select("entity_type", "name"),
-                ["entity_type", "name"],
-                "left_anti",
-            )
-            .withColumn("entity_id", F.xxhash64("entity_type", "name"))
-            .localCheckpoint(eager=True)
-        )
-        if new_ents.count() == 0:
-            nodes = old_nodes
-        else:
-            new_bands = ck.append_batch(
-                "surface_bands",
+        elif with_topics and topics_mode == "refresh":
+            # re-mined topics may add/remove surfaces for OLD docs too
+            ck.refresh_batch(
+                "entity_surfaces",
                 batch_id,
-                lambda: _surface_band_index(new_ents),
+                lambda: all_triples.select("pred", "obj").distinct(),
             )
-            all_bands = ck.load("surface_bands")
+        else:
+            # the surface set is append-only here: publish only the genuinely
+            # NEW surfaces (anti-join against the current set at build time)
+            # — O(delta) appended instead of the O(entities) rewrite a
+            # union+distinct refresh would pay per increment
+            ck.append_batch(
+                "entity_surfaces",
+                batch_id,
+                lambda: delta_batch.select("pred", "obj")
+                .distinct()
+                .join(ck.load("entity_surfaces"), ["pred", "obj"], "left_anti"),
+            )
+        surfaces = ck.load("entity_surfaces")
+
+        if use_incr_nodes:
+            # O(delta) canonicalization: only NEW surfaces are shingled,
+            # minhashed, and CC'd (against the contracted old components); the
+            # band index over old surfaces is a stored stage, backfilled once
+            old_nodes = ck.load("nodes")
+            if not ck.done("surface_bands"):
+                ck.run("surface_bands", lambda: _surface_band_index(old_nodes))
+            new_ents = (
+                delta_batch.select(
+                    F.col("pred").alias("entity_type"),
+                    F.col("obj").alias("name"),
+                )
+                .distinct()
+                .join(
+                    old_nodes.select("entity_type", "name"),
+                    ["entity_type", "name"],
+                    "left_anti",
+                )
+                .withColumn("entity_id", F.xxhash64("entity_type", "name"))
+                .localCheckpoint(eager=True)
+            )
+            if new_ents.count() == 0:
+                nodes = old_nodes
+            else:
+                new_bands = ck.append_batch(
+                    "surface_bands",
+                    batch_id,
+                    lambda: _surface_band_index(new_ents),
+                )
+                all_bands = ck.load("surface_bands")
+                nodes = ck.refresh_batch(
+                    "nodes",
+                    batch_id,
+                    lambda: incremental_canonicalize(
+                        old_nodes, new_ents, new_bands, all_bands
+                    ),
+                    partition_by=["entity_type"],
+                )
+        else:
+            if ck.done("surface_bands"):
+                # this increment adds surfaces without maintaining the band
+                # index; drop it so a later incremental call backfills fresh
+                import shutil
+
+                shutil.rmtree(ck.out / "surface_bands")
+                ck.progress.pop("surface_bands", None)
+                ck.progress_path.write_text(json.dumps(ck.progress, indent=1))
             nodes = ck.refresh_batch(
                 "nodes",
                 batch_id,
-                lambda: incremental_canonicalize(
-                    old_nodes, new_ents, new_bands, all_bands
+                lambda: canonicalize_entities(
+                    spark, surfaces, max_component_size=max_component_size
                 ),
                 partition_by=["entity_type"],
             )
-    else:
-        if ck.done("surface_bands"):
-            # this increment adds surfaces without maintaining the band
-            # index; drop it so a later incremental call backfills fresh
-            import shutil
+        n_ents = ck.progress.get("nodes", {}).get("rows", 0)
 
-            shutil.rmtree(ck.out / "surface_bands")
-            ck.progress.pop("surface_bands", None)
-            ck.progress_path.write_text(json.dumps(ck.progress, indent=1))
-        nodes = ck.refresh_batch(
-            "nodes",
-            batch_id,
-            lambda: canonicalize_entities(
-                spark, surfaces, max_component_size=max_component_size
-            ),
-            partition_by=["entity_type"],
-        )
-    n_ents = ck.progress.get("nodes", {}).get("rows", 0)
-
-    if edge_counts == "exact":
-        edges = ck.refresh_batch(
-            "edges",
-            batch_id,
-            lambda: aggregate_edges(all_triples, nodes, n_entities=n_ents),
-            partition_by=["pred"],
-        )
-    else:
-        def _stats_of(triples_df: DataFrame) -> DataFrame:
-            return triples_df.groupBy("pred", "obj").agg(
-                F.hll_sketch_agg("doc_id").alias("docs_hll"),
-                F.count("*").alias("n_mentions"),
-                F.collect_set("year").alias("years"),
-            )
-
-        def _merge_stats(a: DataFrame, b: DataFrame) -> DataFrame:
-            return (
-                a.unionByName(b)
-                .groupBy("pred", "obj")
-                .agg(
-                    F.hll_union_agg("docs_hll").alias("docs_hll"),
-                    F.sum("n_mentions").cast("long").alias("n_mentions"),
-                    F.array_distinct(F.flatten(F.collect_list("years"))).alias(
-                        "years"
-                    ),
-                )
-            )
-
-        if not ck.done("entity_stats"):
-            ck.run("entity_stats", lambda: _stats_of(all_triples))
-        else:
-            # self-merge (old stats ⊎ delta stats): exactly-once via the
-            # _BATCH token or a replay double-counts the delta's mentions
-            delta_stats = _stats_of(delta_batch)
-            ck.refresh_batch(
-                "entity_stats",
+        if edge_counts == "exact":
+            edges = ck.refresh_batch(
+                "edges",
                 batch_id,
-                lambda: _merge_stats(ck.load("entity_stats"), delta_stats),
+                lambda: aggregate_edges(all_triples, nodes, n_entities=n_ents),
+                partition_by=["pred"],
             )
-        stats = ck.load("entity_stats")
-        ent = nodes.select(
-            F.col("entity_type").alias("pred"),
-            F.col("name").alias("obj"),
-            "canonical_id",
-        )
-        dict_side = F.broadcast(ent) if n_ents <= 2_000_000 else ent
-        edges = ck.refresh_batch(
-            "edges",
-            batch_id,
-            lambda: stats.join(dict_side, ["pred", "obj"])
-            .groupBy("pred", "canonical_id")
-            .agg(
-                F.hll_sketch_estimate(F.hll_union_agg("docs_hll")).alias(
-                    "n_docs"
-                ),
-                F.sum("n_mentions").cast("long").alias("n_mentions"),
-                F.sort_array(
-                    F.array_distinct(F.flatten(F.collect_list("years")))
-                ).alias("years"),
-            ),
-            partition_by=["pred"],
-        )
+        else:
+            def _stats_of(triples_df: DataFrame) -> DataFrame:
+                return triples_df.groupBy("pred", "obj").agg(
+                    F.hll_sketch_agg("doc_id").alias("docs_hll"),
+                    F.count("*").alias("n_mentions"),
+                    F.collect_set("year").alias("years"),
+                )
 
-    # every stage is through: journal the batch complete (a replay of this
-    # exact batch is now a pure no-op) and drop its staging directory
-    ck.batch_mark_complete(batch_id)
+            def _merge_stats(a: DataFrame, b: DataFrame) -> DataFrame:
+                return (
+                    a.unionByName(b)
+                    .groupBy("pred", "obj")
+                    .agg(
+                        F.hll_union_agg("docs_hll").alias("docs_hll"),
+                        F.sum("n_mentions").cast("long").alias("n_mentions"),
+                        F.array_distinct(F.flatten(F.collect_list("years"))).alias(
+                            "years"
+                        ),
+                    )
+                )
+
+            if not ck.done("entity_stats"):
+                ck.run("entity_stats", lambda: _stats_of(all_triples))
+            else:
+                # self-merge (old stats ⊎ delta stats): exactly-once via the
+                # _BATCH token or a replay double-counts the delta's mentions
+                delta_stats = _stats_of(delta_batch)
+                ck.refresh_batch(
+                    "entity_stats",
+                    batch_id,
+                    lambda: _merge_stats(ck.load("entity_stats"), delta_stats),
+                )
+            stats = ck.load("entity_stats")
+            ent = nodes.select(
+                F.col("entity_type").alias("pred"),
+                F.col("name").alias("obj"),
+                "canonical_id",
+            )
+            dict_side = F.broadcast(ent) if n_ents <= 2_000_000 else ent
+            edges = ck.refresh_batch(
+                "edges",
+                batch_id,
+                lambda: stats.join(dict_side, ["pred", "obj"])
+                .groupBy("pred", "canonical_id")
+                .agg(
+                    F.hll_sketch_estimate(F.hll_union_agg("docs_hll")).alias(
+                        "n_docs"
+                    ),
+                    F.sum("n_mentions").cast("long").alias("n_mentions"),
+                    F.sort_array(
+                        F.array_distinct(F.flatten(F.collect_list("years")))
+                    ).alias("years"),
+                ),
+                partition_by=["pred"],
+            )
+
+        # every stage is through: journal the batch complete (a replay of this
+        # exact batch is now a pure no-op) and drop its staging directory
+        ck.batch_mark_complete(batch_id)
 
     out = {
         "documents": ck.load("documents"),

@@ -618,3 +618,78 @@ def test_refresh_batch_finishes_crashed_swap(spark, tmp_path):
     out = ck.refresh_batch("t", "b-9", must_not_run)
     assert out.count() == 7
     assert not (tmp_path / "g" / "t__next").exists()
+
+
+def test_deferred_sweep_spares_caller_blocks(spark, base_dir, tmp_path):
+    """The concurrent-chain increment sweeps its own scaffolding ONCE at
+    region exit while caller-owned persisted blocks (localCheckpoints
+    created BEFORE the increment, which have no lineage to recompute
+    from) survive and stay readable (plans/pipeline.py::deferred_sweep)."""
+    out = _clone(base_dir, tmp_path)
+    caller_owned = (
+        web_pages(spark, 10, partitions=2)
+        .select("url")
+        .localCheckpoint(eager=True)
+    )
+    pre_ids = {
+        rdd.id()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values()
+    }
+    incremental_update(
+        spark,
+        out,
+        web_pages(spark, N_ALL, partitions=4),
+        topics_mode="frozen_idf",
+        edge_counts="sketch",
+    )
+    post_ids = {
+        rdd.id()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values()
+    }
+    # everything the increment persisted (shared tf, CC round
+    # checkpoints, entity lists) was freed by the end-of-region sweep
+    assert post_ids <= pre_ids
+    # the caller's block survived AND is still materialized (an
+    # unpersisted localCheckpoint would have no copy left to read)
+    assert caller_owned.count() == 10
+    caller_owned.unpersist()
+
+
+def test_concurrent_chain_failure_is_replayable(spark, base_dir, tmp_path):
+    """A thread failure inside the concurrent chain region surfaces to
+    the caller after all chains join, and a clean retry completes the
+    batch exactly-once (same journal path as a mid-batch crash)."""
+    import convei_abstract_relational_knowledge_explorer_spark.plans.pipeline as pl
+
+    out = _clone(base_dir, tmp_path)
+    orig = pl.affiliation_type_distances
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected chain failure")
+
+    pl.affiliation_type_distances = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected chain failure"):
+            incremental_update(
+                spark,
+                out,
+                web_pages(spark, N_ALL, partitions=4),
+                topics_mode="frozen_idf",
+                edge_counts="sketch",
+            )
+    finally:
+        pl.affiliation_type_distances = orig
+    tables = incremental_update(
+        spark,
+        out,
+        web_pages(spark, N_ALL, partitions=4),
+        topics_mode="frozen_idf",
+        edge_counts="sketch",
+    )
+    docs = tables["documents"]
+    assert docs.count() == docs.select("url").distinct().count() == N_ALL
+    dist = tables["affiliation_type_distances"]
+    # the failed chain's stages completed on retry, exactly once
+    assert dist.groupBy(
+        "doc_id", "affiliation_index", "affiliation_type"
+    ).count().filter(F.col("count") > 1).count() == 0
