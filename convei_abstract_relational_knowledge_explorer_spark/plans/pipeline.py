@@ -118,15 +118,17 @@ class Checkpointer:
     def _record(self, stage: str, rows: int, start: float,
                 partition_by: list[str] | None = None) -> None:
         seconds = time.time() - start
-        entry = {"status": "complete", "rows": rows}
-        if partition_by:
-            entry["partition_by"] = list(partition_by)
-        self.progress[stage] = entry
-        self.metrics.append(
-            {"stage": stage, "rows_out": rows, "seconds": round(seconds, 3)}
-        )
-        self.progress_path.write_text(json.dumps(self.progress, indent=1))
-        self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
+        with self._ledger_lock:
+            entry = {"status": "complete", "rows": rows}
+            if partition_by:
+                entry["partition_by"] = list(partition_by)
+            self.progress[stage] = entry
+            self.metrics.append(
+                {"stage": stage, "rows_out": rows,
+                 "seconds": round(seconds, 3)}
+            )
+            self.progress_path.write_text(json.dumps(self.progress, indent=1))
+            self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
 
     def _persistent_ids(self) -> set:
         jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
@@ -206,20 +208,21 @@ class Checkpointer:
         if self.done(stage):
             return self.load(stage)
         start = time.time()
-        with _SWEEP_LOCK:
-            pre = self._persistent_ids()
-            df = build()
-            if self.materialize == "memory":
-                df = df.persist()
+        if self.materialize == "memory":
+            # the persisted frame IS the materialization — it must not
+            # meet any sweep (including a deferred scope's exit sweep,
+            # which is why memory-mode builds stay sequential)
+            with _SWEEP_LOCK:
+                df = build().persist()
                 rows = df.count()
-                self._cached[stage] = df
-                self._record(stage, rows, start)
-                return df
-            writer = df.write.mode("overwrite")
+            self._cached[stage] = df
+            self._record(stage, rows, start)
+            return df
+        with self._sweep_guard():
+            writer = build().write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(str(self.out / stage))
-            self._free_persisted(keep=pre)
         out_df = self.load(stage)
         rows = out_df.count()
         self._record(stage, rows, start, partition_by=partition_by)
@@ -696,8 +699,7 @@ class Checkpointer:
         )
         parts: dict = state.setdefault("parts", {})
         start = time.time()
-        with _SWEEP_LOCK:
-            pre = self._persistent_ids()
+        with self._sweep_guard():
             for v in values:
                 if str(v) in parts:
                     continue
@@ -709,9 +711,10 @@ class Checkpointer:
                 parts[str(v)] = {
                     "seconds": round(time.time() - part_start, 3)
                 }
-                self.progress_path.write_text(
-                    json.dumps(self.progress, indent=1)
-                )
+                with self._ledger_lock:
+                    self.progress_path.write_text(
+                        json.dumps(self.progress, indent=1)
+                    )
             # root-level marker so done() sees the whole stage (Spark
             # ignores underscore-prefixed files during partition
             # discovery); the stage dir may not exist yet if every
@@ -719,21 +722,21 @@ class Checkpointer:
             # externally removed
             (self.out / stage).mkdir(parents=True, exist_ok=True)
             (self.out / stage / "_SUCCESS").touch()
-            self._free_persisted(keep=pre)
         out_df = self.load(stage)
         rows = out_df.count()
-        state["status"] = "complete"
-        state["rows"] = rows
-        self.metrics.append(
-            {
-                "stage": stage,
-                "rows_out": rows,
-                "seconds": round(time.time() - start, 3),
-                "partitions": {k: v["seconds"] for k, v in parts.items()},
-            }
-        )
-        self.progress_path.write_text(json.dumps(self.progress, indent=1))
-        self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
+        with self._ledger_lock:
+            state["status"] = "complete"
+            state["rows"] = rows
+            self.metrics.append(
+                {
+                    "stage": stage,
+                    "rows_out": rows,
+                    "seconds": round(time.time() - start, 3),
+                    "partitions": {k: v["seconds"] for k, v in parts.items()},
+                }
+            )
+            self.progress_path.write_text(json.dumps(self.progress, indent=1))
+            self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
         return out_df
 
 
@@ -1064,48 +1067,98 @@ def build_graph(
     )
     n_docs = ck.progress.get("documents", {}).get("rows")
 
-    if triples_granularity == "year":
-        years = [r["year"] for r in docs.select("year").distinct().collect()]
-        triples = ck.run_partitioned(
-            "triples",
-            lambda y: emit_triples(spark, docs.filter(F.col("year") == y)),
-            sorted(years),
-            partition_col="year",
-            build_full=lambda: emit_triples(spark, docs),
+    # ---- independent per-document chains (same shape as the increment's:
+    # triples | topics | affiliation cleaning→distances).  In parquet mode
+    # the chains run on driver threads in per-chain FAIR pools under ONE
+    # deferred persisted-block sweep — stage-barrier dead time in one
+    # chain is filled with sibling-chain work (the move that cut the
+    # incremental path's wall 25%+).  Memory mode stays sequential: its
+    # persisted stage outputs must never meet the scope's exit sweep.
+    results: dict[str, DataFrame] = {}
+
+    def _chain_triples() -> None:
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "build-triples"
         )
-    else:
-        triples = ck.run("triples", lambda: emit_triples(spark, docs))
-    if with_topics:
+        if triples_granularity == "year":
+            years = [
+                r["year"] for r in docs.select("year").distinct().collect()
+            ]
+            results["triples"] = ck.run_partitioned(
+                "triples",
+                lambda y: emit_triples(
+                    spark, docs.filter(F.col("year") == y)
+                ),
+                sorted(years),
+                partition_col="year",
+                build_full=lambda: emit_triples(spark, docs),
+            )
+        else:
+            results["triples"] = ck.run(
+                "triples", lambda: emit_triples(spark, docs)
+            )
+
+    def _chain_topics() -> None:
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "build-topics"
+        )
         # within-doc fuzzy dedup BEFORE emitting HAS_TOPIC, matching the
         # reference (topic_discovery_pipeline.py:421-472 dedup_token_set
         # runs on the per-doc candidate list before DB insert); the
         # applyInPandas groups are <= top_k rows, so it's one cheap
         # shuffle of the already-reduced topics table
-        topics = ck.run(
+        results["topics"] = ck.run(
             "topics",
             lambda: topic_triples(
                 docs,
                 dedup_topics_within_doc(mine_topics(docs, n_docs=n_docs)),
             ),
         )
-        all_triples = triples.unionByName(topics)
-    else:
-        all_triples = triples
 
-    extra_tables = {}
-    if with_affiliations:
+    def _chain_affiliations() -> None:
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "build-affiliations"
+        )
         cleaned = ck.run(
             "cleaned_affiliations",
             lambda: clean_affiliations(affiliation_segments(docs)),
         )
-        dists = ck.run(
+        results["cleaned_affiliations"] = cleaned
+        results["affiliation_type_distances"] = ck.run(
             "affiliation_type_distances",
             lambda: affiliation_type_distances(spark, cleaned),
         )
-        extra_tables = {
-            "cleaned_affiliations": cleaned,
-            "affiliation_type_distances": dists,
+
+    chains = [_chain_triples]
+    if with_topics:
+        chains.append(_chain_topics)
+    if with_affiliations:
+        chains.append(_chain_affiliations)
+
+    if len(chains) > 1 and materialize == "parquet":
+        with ck.deferred_sweep():
+            with ThreadPoolExecutor(max_workers=len(chains)) as tpe:
+                futures = [tpe.submit(c) for c in chains]
+            for fut in futures:
+                fut.result()
+    else:
+        for chain in chains:
+            chain()
+
+    triples = results["triples"]
+    all_triples = (
+        triples.unionByName(results["topics"]) if with_topics else triples
+    )
+    extra_tables = (
+        {
+            "cleaned_affiliations": results["cleaned_affiliations"],
+            "affiliation_type_distances": results[
+                "affiliation_type_distances"
+            ],
         }
+        if with_affiliations
+        else {}
+    )
 
     nodes = ck.run(
         "nodes",
