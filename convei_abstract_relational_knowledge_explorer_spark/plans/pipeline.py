@@ -657,6 +657,42 @@ class Checkpointer:
         self.metrics_path.write_text(json.dumps(self.metrics, indent=1))
         return out_df
 
+    def data_file_count(self, stage: str) -> int:
+        """Number of parquet data files in a stage directory (cheap
+        directory walk, no Spark job; underscore/dot files excluded)."""
+        stage_dir = self.out / stage
+        if not stage_dir.is_dir():
+            return 0
+        return sum(
+            1
+            for p in stage_dir.rglob("*")
+            if p.is_file() and not p.name.startswith(("_", "."))
+        )
+
+    def maybe_compact(self, stage: str, max_files: int = 512,
+                      target_rows_per_file: int = 4_000_000) -> bool:
+        """Retire small-files debt when (and only when) it has accrued.
+
+        The operational loop fast-appends leave open at 100 TB: every
+        increment adds a task's worth of files per stage, and after
+        hundreds of increments a scan pays listing + task-per-file
+        overhead on tens of thousands of tiny files.  Compacting after
+        EVERY increment would be an O(table) rewrite per O(delta) of new
+        data — quadratic over the table's life — so the policy is a file
+        -count threshold: rewrite only when the stage holds more than
+        ``max_files`` data files, which amortizes the O(table) rewrite
+        over the ~max_files/files-per-increment increments that accrued
+        it.  Crash-safe (compact goes through refresh's ``__next`` swap)
+        and a no-op for stages that are not complete yet.  Returns
+        whether a compaction ran.
+        """
+        if self.materialize != "parquet" or not self.done(stage):
+            return False
+        if self.data_file_count(stage) <= max_files:
+            return False
+        self.compact(stage, target_rows_per_file=target_rows_per_file)
+        return True
+
     def run_partitioned(
         self,
         stage: str,
@@ -1194,8 +1230,15 @@ def incremental_update(
     edge_counts: str = "exact",
     nodes_mode: str = "auto",
     max_component_size: int | None = None,
+    compact_threshold: int | None = 4096,
 ) -> dict[str, DataFrame]:
     """Fold a new crawl batch into an existing :func:`build_graph` output.
+
+    ``compact_threshold``: after the batch journals complete, any
+    fast-append stage holding more than this many data files is
+    compacted (:meth:`Checkpointer.maybe_compact`) — the amortized
+    retirement of small-files debt that appends accrue over hundreds of
+    increments.  ``None`` disables auto-compaction.
 
     The monthly-Common-Crawl shape: pages whose url is already in the
     ``documents`` stage are skipped (left-anti, the table-level form of
@@ -1699,6 +1742,21 @@ def incremental_update(
         # every stage is through: journal the batch complete (a replay of this
         # exact batch is now a pure no-op) and drop its staging directory
         ck.batch_mark_complete(batch_id)
+
+        if compact_threshold is not None:
+            # refresh stages (term_df, nodes, entity_stats, edges) are
+            # rewritten whole each increment — only the fast-append
+            # stages accrue small-files debt
+            for append_stage in (
+                "documents",
+                "triples",
+                "topics",
+                "cleaned_affiliations",
+                "affiliation_type_distances",
+                "entity_surfaces",
+                "surface_bands",
+            ):
+                ck.maybe_compact(append_stage, max_files=compact_threshold)
 
     out = {
         "documents": ck.load("documents"),

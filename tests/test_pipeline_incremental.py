@@ -693,3 +693,52 @@ def test_concurrent_chain_failure_is_replayable(spark, base_dir, tmp_path):
     assert dist.groupBy(
         "doc_id", "affiliation_index", "affiliation_type"
     ).count().filter(F.col("count") > 1).count() == 0
+
+
+def test_auto_compaction_retires_append_debt(spark, base_dir, tmp_path):
+    """With a tiny compact_threshold the increment compacts fast-append
+    stages after the batch journals complete: data-file count drops,
+    row counts and values are unchanged, and the NEXT increment still
+    applies cleanly over the rewritten files (hard-link publish onto
+    compacted directories)."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans.pipeline import (
+        Checkpointer,
+    )
+
+    out = _clone(base_dir, tmp_path)
+    ck = Checkpointer(spark, out)
+    incremental_update(
+        spark,
+        out,
+        web_pages(spark, N_ALL, partitions=4),
+        topics_mode="frozen_idf",
+        edge_counts="sketch",
+        compact_threshold=None,
+    )
+    files_before = ck.data_file_count("triples")
+    rows_before = spark.read.parquet(out + "/triples").count()
+
+    tables = incremental_update(
+        spark,
+        out,
+        web_pages(spark, N_ALL + 20, partitions=4),
+        topics_mode="frozen_idf",
+        edge_counts="sketch",
+        compact_threshold=1,
+    )
+    files_after = ck.data_file_count("triples")
+    assert files_after < files_before
+    t = spark.read.parquet(out + "/triples")
+    assert t.count() > rows_before  # the second delta's rows landed
+    assert tables["documents"].count() == N_ALL + 20
+
+    # a third increment over the compacted layout applies cleanly
+    tables = incremental_update(
+        spark,
+        out,
+        web_pages(spark, N_ALL + 40, partitions=4),
+        topics_mode="frozen_idf",
+        edge_counts="sketch",
+    )
+    docs = tables["documents"]
+    assert docs.count() == docs.select("url").distinct().count() == N_ALL + 40
