@@ -675,6 +675,113 @@ def _q41_bm25_scores(spark, sf):
     return bm25_scores(d, ["join", "merge", "stream", "window"])
 
 
+def _q42_url_canonical_groups(spark, sf):
+    """Canonical-URL dedup groups (Common-Crawl stage-0 identity): messy
+    URLs — mixed-case scheme/host, www., default :443 port, tracking
+    params (utm_*/ref) in shuffled order, fragments, trailing slashes,
+    HALF of them already clean — are canonicalized by the JVM-built-in
+    kernel (operators/urls.py) and grouped.  The oracle derives the
+    expected canonical form CLOSED-FORM from the same deterministic
+    generator (independent derivation, not a regex replay), so a hash
+    match proves the kernel performs exactly the documented RFC-3986 +
+    crawl normalization."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+        url_duplicates,
+    )
+
+    d = _t(spark, sf, "documents")
+    pages = d.select(
+        "doc_id",
+        F.expr(
+            """CASE WHEN doc_id % 2 = 0 THEN
+                 concat('HTTPS://WWW.', upper(source), '.Example.COM:443/Page',
+                        CAST(doc_id % 5 AS STRING), '/?utm_source=feed&b=',
+                        CAST(doc_id % 4 AS STRING), '&ref=x&a=',
+                        CAST(doc_id % 3 AS STRING), '#frag')
+               ELSE
+                 concat('https://', source, '.example.com/Page',
+                        CAST(doc_id % 5 AS STRING), '?a=',
+                        CAST(doc_id % 3 AS STRING), '&b=',
+                        CAST(doc_id % 4 AS STRING))
+               END"""
+        ).alias("url"),
+    )
+    return url_duplicates(pages)
+
+
+def _q43_benchmark_contamination(spark, sf):
+    """Test-set decontamination (GPT-3 appendix-C idiom): training docs
+    sharing a verbatim 8-token run with any held-out benchmark doc
+    (doc_id % 7 == 0 plays the eval suite) are flagged with their shared-
+    gram and benchmark-hit counts.  The tiny benchmark gram set
+    broadcasts; grams travel as portable 60-bit md5 hashes so the whole
+    pass replays in DuckDB."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    return benchmark_contamination(train, bench, n=8, portable=True)
+
+
+def _q44_token_pagerank(spark, sf):
+    """Fixed-point integer PageRank over the q38 token co-occurrence
+    graph (graph-materialize analytics: which entities anchor the KG).
+    ALL arithmetic is 64-bit integer — ranks in multiples of 1e-9, edge
+    contributions (r*w) DIV out_w, damping ((100-85)*1e9) DIV 100 +
+    (85*recv) DIV 100 — so sums are associative and the result is
+    bit-identical across engines, partitionings, and iteration plans;
+    the oracle advances the SAME recurrence six rounds in a recursive
+    CTE."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        pagerank,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            )
+        ).alias("token"),
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(30)
+        .select("token")
+    )
+    sel = toks.join(F.broadcast(top), "token")
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("term_a"), F.col("b.token").alias("term_b")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+    edges = pairs.unionAll(
+        pairs.select(
+            F.col("term_b").alias("term_a"),
+            F.col("term_a").alias("term_b"),
+            "n_docs",
+        )
+    )
+    pr = pagerank(
+        edges,
+        src="term_a",
+        dst="term_b",
+        weight_col="n_docs",
+        iterations=6,
+    )
+    return pr.select(F.col("node").alias("term"), "rank_scaled")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -720,6 +827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_incremental_df_merge": _q39_incremental_df_merge,
         "q40_winnow_overlap": _q40_winnow_overlap,
         "q41_bm25_scores": _q41_bm25_scores,
+        "q42_url_canonical_groups": _q42_url_canonical_groups,
+        "q43_benchmark_contamination": _q43_benchmark_contamination,
+        "q44_token_pagerank": _q44_token_pagerank,
     }
 
 
@@ -1565,5 +1675,99 @@ def oracle_sql() -> dict[str, str]:
                    round(p - coalesce(q, 0), 2) AS weight
             FROM plus LEFT JOIN minus
               ON plus.ea = minus.ea AND plus.eb = minus.eb
+        """,
+        # q42: the oracle derives the canonical URL CLOSED-FORM from the
+        # deterministic messy-url generator (lowercase host, no www, no
+        # :443, no fragment, tracking params dropped, survivors sorted,
+        # trailing slash trimmed) — an independent derivation, so a hash
+        # match proves the Spark kernel's normalization rather than
+        # replaying its regexes
+        "q42_url_canonical_groups": """
+            SELECT canonical_url,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS keeper
+            FROM (
+                SELECT doc_id,
+                       'https://' || source || '.example.com/Page'
+                       || CAST(doc_id % 5 AS VARCHAR)
+                       || '?a=' || CAST(doc_id % 3 AS VARCHAR)
+                       || '&b=' || CAST(doc_id % 4 AS VARCHAR)
+                       AS canonical_url
+                FROM documents
+            )
+            GROUP BY 1 HAVING count(*) > 1
+        """,
+        # q43: verbatim 8-gram decontamination replayed exactly — same
+        # tokenizer, full-length grams only, the same portable md5 hash
+        # lane as q24/q31/q40
+        "q43_benchmark_contamination": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS g
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, len(t) - 7),
+                               i -> array_to_string(t[i:i+7], ' '))) AS g
+                    FROM toks WHERE len(t) >= 8
+                )
+            ), bench AS (
+                SELECT g, count(DISTINCT doc_id) AS nb
+                FROM grams WHERE doc_id % 7 = 0 GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shared_grams,
+                   CAST(sum(nb) AS BIGINT) AS n_bench_hits
+            FROM grams t JOIN bench USING (g)
+            WHERE t.doc_id % 7 != 0
+            GROUP BY 1
+        """,
+        # q44: the integer fixed-point PageRank recurrence advanced six
+        # rounds by a recursive CTE — every quantity is integer ((r*w) //
+        # outw contributions, (85*recv) // 100 damping), so sums are
+        # associative and cross-engine equality is exact with no FP tie
+        # margins
+        "q44_token_pagerank": f"""
+            WITH RECURSIVE toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 30
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS (
+                SELECT a.token AS u, b.token AS v,
+                       CAST(count(*) AS BIGINT) AS w
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+            ), nbrs AS (
+                SELECT u, v, w FROM pairs
+                UNION ALL SELECT v, u, w FROM pairs
+            ), outw AS (
+                SELECT u, CAST(sum(w) AS BIGINT) AS outw FROM nbrs GROUP BY 1
+            ), pr(it, node, r) AS (
+                SELECT 0, u, CAST(1000000000 AS BIGINT) FROM outw
+              UNION ALL
+                SELECT b.it + 1, b.node,
+                       CAST(150000000 + (85 * b.recv) // 100 AS BIGINT)
+                FROM (
+                    SELECT cur.it, cur.node,
+                           CAST(coalesce(sum((p2.r * n.w) // o2.outw), 0)
+                            AS BIGINT) AS recv
+                    FROM pr cur
+                    LEFT JOIN nbrs n ON n.v = cur.node
+                    LEFT JOIN pr p2 ON p2.node = n.u AND p2.it = cur.it
+                    LEFT JOIN outw o2 ON o2.u = n.u
+                    GROUP BY 1, 2
+                ) b
+                WHERE b.it < 6
+            )
+            SELECT node AS term, r AS rank_scaled FROM pr WHERE it = 6
         """,
     }

@@ -331,3 +331,108 @@ def guarded_components(
         sub, src, dst, resolution=resolution, max_rounds=max_rounds
     ).select("node", F.col("community").alias("component"))
     return small_labels.unionByName(refined)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 6,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fixed-point integer PageRank → (node, rank_scaled).
+
+    Node importance over the materialized entity graph — the classic
+    "which canonical entities anchor the knowledge graph" ranking the
+    reference approximates with per-entity document counts
+    (/root/reference/build_reports.py:167-200 top-N report idiom); true
+    PageRank additionally propagates importance through co-occurrence
+    edges, which is the standard upgrade at web scale.
+
+    ALL arithmetic is 64-bit integer — ranks are maintained as
+    ``rank_scaled`` (multiples of 1/scale), edge contributions are
+    ``(rank * w) DIV out_w`` and the damping step is
+    ``((100-d)*scale) DIV 100 + (d * recv) DIV 100``.  Integer sums are
+    associative, so the result is bit-identical regardless of partition
+    count, aggregation order, or engine — the same determinism-by-
+    quantization trick as the int8 embedding codec (embedding.py) and the
+    q38 integer edge weights; the deliberate quantization error is
+    ≤ n_edges/scale per node per round (≪ 1e-6 at scale=1e9).
+
+    Dangling mass (nodes with no out-edges) is redistributed uniformly:
+    each node receives ``d * (D DIV n) DIV 100`` where D is the summed
+    dangling rank — computed with a 1-row aggregate broadcast-crossjoined
+    onto the update (no driver collect in the loop).
+
+    Scale shape: per iteration one equi-join on ``src`` (rank × out_w are
+    both keyed by node), one hash aggregate on ``dst``, one broadcast of a
+    single row.  Ranks localCheckpoint per iteration (lineage cut, same
+    discipline as :func:`connected_components`).  Overflow headroom:
+    rank ≤ n·scale and contributions multiply by integer weights —
+    (n·scale)·w must stay < 2^63, i.e. w·n < 9.2e9 at scale=1e9; callers
+    with heavier graphs lower ``scale``.
+    """
+    w_expr = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    e = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"), w_expr.alias("w")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    out_w = e.groupBy("u").agg(F.sum("w").alias("out_w"))
+    nodes = (
+        e.select("u")
+        .unionAll(e.select(F.col("v").alias("u")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node long, rank_scaled long"
+        )
+    base = ((100 - damping_pct) * scale) // 100
+
+    ranks = nodes.select("u", F.lit(scale).cast("long").alias("r"))
+    for _ in range(iterations):
+        # per-edge contribution, integer-exact: (r * w) DIV out_w
+        contrib = (
+            e.join(ranks, "u")
+            .join(out_w, "u")
+            .select(
+                F.col("v").alias("u"),
+                F.expr("(r * w) DIV out_w").alias("c"),
+            )
+        )
+        recv = contrib.groupBy("u").agg(F.sum("c").alias("recv"))
+        # dangling mass: ranks of nodes with no out-edges, shared equally
+        dang = (
+            ranks.join(out_w, "u", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d_total"))
+            .select(
+                F.expr(f"d_total DIV {n_nodes}").alias("d_share")
+            )
+        )
+        ranks = (
+            nodes.join(recv, "u", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "u",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(recv, 0) + d_share)) "
+                        f"DIV 100"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_scaled"))

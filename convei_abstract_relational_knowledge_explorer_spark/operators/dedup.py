@@ -705,3 +705,68 @@ def remove_duplicate_lines(
         .join(kept, "doc_id", "left")
         .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
     )
+
+
+def _full_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int):
+    """(doc_id, gram) — DISTINCT full-length word n-grams (no short tail:
+    a doc with fewer than ``n`` tokens emits nothing, so a gram match is
+    always an n-token verbatim run)."""
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+(?:-[a-z0-9]+)*', 0)"
+    )
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n}))))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Test-set decontamination by verbatim n-gram overlap →
+    (doc_id, n_shared_grams, n_bench_docs) for every training doc that
+    shares at least one n-gram with any benchmark doc.
+
+    The GPT-3 appendix-C idiom (13-gram collision against held-out eval
+    sets), the standard pre-training hygiene pass: any training document
+    containing a verbatim n-token run from a benchmark is flagged for
+    removal so downstream eval numbers aren't memorization.  The
+    reference has no analog (its corpus is curated abstracts); at
+    Common-Crawl scale this is a required operator.
+
+    Shape: the benchmark side is tiny by construction (eval suites are
+    10^3-10^5 docs vs 10^12 training docs), so its distinct gram set
+    BROADCASTS and the flagging pass is one map-side hash-join over the
+    training corpus's exploded grams — no shuffle of the big side, then
+    one partial-aggregatable groupBy(doc_id).  Grams travel as 60-bit
+    hashes, not strings (xxhash64 by default; ``portable=True`` uses the
+    md5 porthash so the whole pass replays in ANSI SQL — q43).
+    """
+    hash_fn = porthash64 if portable else F.xxhash64
+    train = _full_ngrams(docs, id_col, text_col, n).select(
+        "doc_id", hash_fn(F.col("gram")).alias("g")
+    )
+    bench = (
+        _full_ngrams(benchmark, id_col, text_col, n)
+        .select(hash_fn(F.col("gram")).alias("g"), "doc_id")
+        .groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("n_bench_docs_g"))
+    )
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_grams"),
+            F.sum("n_bench_docs_g").cast("long").alias("n_bench_hits"),
+        )
+    )

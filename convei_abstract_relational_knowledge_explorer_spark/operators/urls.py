@@ -1,0 +1,91 @@
+"""URL canonicalization + canonical-URL dedup (Common-Crawl ingest idiom).
+
+The reference keys documents by their source identifier as-is (WoS UT /
+filename — wos_extract_relevant_abstracts.py:140-162); at Common-Crawl
+scale the ingest key is a URL, and raw URLs over-count wildly: the same
+page appears with mixed-case hosts, default ports, tracking params in
+shuffled order, fragments, and trailing slashes.  Canonicalization is
+therefore stage 0 of the KG pipeline's identity model (the `doc_id =
+xxhash64(url)` contract in operators/extract.py assumes the url is
+already canonical).
+
+Everything here is a composition of JVM built-ins (regexp / split /
+filter / array_sort / concat_ws) — whole-stage-codegen friendly, no
+Python in the hot path, and each step has an exact ANSI-SQL twin so the
+whole kernel is oracle-checkable (q42).
+
+Canonical form (RFC 3986 normalization + the SURT-ish cleanups every
+crawl pipeline applies):
+  - scheme and host lowercased; a leading ``www.`` stripped
+  - default ports stripped (``:80`` for http, ``:443`` for https)
+  - the fragment dropped
+  - tracking params dropped (``utm_*``, ``fbclid``, ``gclid``, ``ref``),
+    the survivors sorted bytewise and re-joined
+  - empty path → ``/``; trailing slashes trimmed from non-root paths
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def canonicalize_url(url) -> Column:
+    """Column expression: raw URL string → canonical URL string.
+
+    Pure narrow transforms — no shuffle, no UDF.  NULL propagates.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, _SCHEME_RE, 1))
+    rest = F.regexp_replace(no_frag, _SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, "^www\\.", ""), ":(80|443)$", ""
+    )
+    pathq = F.regexp_replace(rest, "^[^/?]+", "")
+    raw_path = F.regexp_extract(pathq, "^([^?]*)", 1)
+    trimmed = F.regexp_replace(raw_path, "/+$", "")
+    path = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+    query = F.regexp_extract(pathq, "\\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.rlike("^(fbclid|gclid|ref)="),
+        )
+    )
+    qcanon = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qcanon)
+
+
+def url_duplicates(
+    pages: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-URL duplicate groups → (canonical_url, n_docs, keeper).
+
+    The keeper is the smallest id in the group (the same min-keeper
+    join-back shape as dedup.exact_duplicate_losers — no member arrays,
+    so a canonical URL with 10^7 raw variants streams through partial
+    aggregation).  Groups of one are filtered out: the output is the
+    dedup worklist, not a full re-keying.
+    """
+    canon = pages.select(
+        F.col(id_col).alias("doc_id"),
+        canonicalize_url(url_col).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

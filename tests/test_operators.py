@@ -882,3 +882,106 @@ def test_q26_oracle_tie_margins(spark):
         .collect()[0][0]
     )
     assert gap56 is None or gap56 == 0.0 or gap56 > 1e-9
+
+
+def test_canonicalize_url_cases(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+        canonicalize_url,
+    )
+
+    cases = [
+        # messy → canonical
+        ("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&z=1&a=2#frag",
+         "https://ex.com/a/b?a=2&z=1"),
+        ("http://EX.com:80/", "http://ex.com/"),
+        ("http://ex.com", "http://ex.com/"),
+        ("https://ex.com/path?fbclid=abc&gclid=d&ref=e",
+         "https://ex.com/path"),
+        ("https://ex.com/p//?b=2&a=1", "https://ex.com/p?a=1&b=2"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),  # non-default port kept
+        ("https://ex.com/#only-frag", "https://ex.com/"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+    ).select("i", canonicalize_url("url").alias("c"))
+    got = {r["i"]: r["c"] for r in df.collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_benchmark_contamination_run_length(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            # verbatim 8-token run from the benchmark → flagged
+            (1, "xx yy " + " ".join(bench_text.split()[:8]) + " zz"),
+            # only a 7-token run → NOT flagged at n=8
+            (2, "xx " + " ".join(bench_text.split()[:7]) + " qq rr"),
+            # no overlap
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_bench_hits"])
+        for r in benchmark_contamination(docs, bench, n=8).collect()
+    }
+    assert out == {1: (1, 1)}
+
+
+def test_pagerank_matches_float_reference(spark):
+    import numpy as np
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        pagerank,
+    )
+
+    # small directed graph WITH a dangling node (4 has no out-edges) and
+    # weighted edges
+    edges = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 1), (3, 4, 1), (2, 4, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, weight_col="weight", iterations=20).collect()
+    }
+
+    # float reference with the SAME integer quantization semantics relaxed
+    # to exact rationals: r' = 0.15 + 0.85*(recv + D/n)
+    nodes = [1, 2, 3, 4]
+    outw = {1: 4, 2: 6, 3: 2}
+    r = {u: 1.0 for u in nodes}
+    for _ in range(200):
+        recv = {u: 0.0 for u in nodes}
+        for (u, v, w) in edges:
+            recv[v] += r[u] * w / outw[u]
+        d = r[4] / len(nodes)
+        r = {u: 0.15 + 0.85 * (recv[u] + d) for u in nodes}
+    for u in nodes:
+        # integer quantization error ≤ a few ulp of 1e-9 per round
+        assert abs(got[u] / 1e9 - r[u]) < 1e-5, (u, got[u], r[u])
+    # total mass conserved up to quantization (sum r = n)
+    assert abs(sum(got.values()) / 1e9 - len(nodes)) < 1e-4
+
+
+def test_pagerank_partition_invariant(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        pagerank,
+    )
+
+    edges = [(i, (i * 7) % 23, 1 + i % 5) for i in range(100)]
+    df1 = spark.createDataFrame(edges, "src long, dst long, weight long")
+    df2 = df1.repartition(13)
+    a = sorted(
+        (r["node"], r["rank_scaled"])
+        for r in pagerank(df1, weight_col="weight", iterations=5).collect()
+    )
+    b = sorted(
+        (r["node"], r["rank_scaled"])
+        for r in pagerank(df2, weight_col="weight", iterations=5).collect()
+    )
+    assert a == b
