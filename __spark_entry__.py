@@ -782,6 +782,74 @@ def _q44_token_pagerank(spark, sf):
     return pr.select(F.col("node").alias("term"), "rank_scaled")
 
 
+def _q45_event_asof_join(spark, sf):
+    """AS-OF join (the temporal primitive Spark lacks natively,
+    SPARK-22947): every click event gains the value of the user's most
+    recent at-or-before view event, via the union-window formulation —
+    one shuffle on user_id, a per-key ordered window, no join
+    amplification.  The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
+    independent implementation of the same semantics, so a hash match
+    validates the formulation itself."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        asof_join,
+    )
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, views, key="user_id", ts="ts", payload="value",
+        payload_alias="last_view_value",
+    )
+    return out.select("event_id", "user_id", "value", "last_view_value")
+
+
+def _q46_token_triangles(spark, sf):
+    """Per-node triangle/wedge counts over the token co-occurrence graph
+    (local clustering structure; n_triangles/n_wedges is the clustering
+    coefficient, kept as two exact integers).  Node-iterator formulation:
+    orient edges low→high, self-join on the middle node, semi-join the
+    closing edge — all equi-joins, integer counts, engine-exact."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        triangle_stats,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            )
+        ).alias("token"),
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(30)
+        .select("token")
+    )
+    sel = toks.join(F.broadcast(top), "token")
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .select(
+            F.col("a.token").alias("term_a"), F.col("b.token").alias("term_b")
+        )
+        .distinct()
+    )
+    ts = triangle_stats(pairs, src="term_a", dst="term_b")
+    return ts.select(
+        F.col("node").alias("term"), "n_triangles", "n_wedges"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -830,6 +898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_url_canonical_groups": _q42_url_canonical_groups,
         "q43_benchmark_contamination": _q43_benchmark_contamination,
         "q44_token_pagerank": _q44_token_pagerank,
+        "q45_event_asof_join": _q45_event_asof_join,
+        "q46_token_triangles": _q46_token_triangles,
     }
 
 
@@ -1769,5 +1839,61 @@ def oracle_sql() -> dict[str, str]:
                 WHERE b.it < 6
             )
             SELECT node AS term, r AS rank_scaled FROM pr WHERE it = 6
+        """,
+        # q45: DuckDB's NATIVE ASOF LEFT JOIN — an independent
+        # implementation of the as-of semantics, not a replay of the
+        # Spark union-window formulation; the view side is pre-reduced
+        # to one row per (user, ts) in both engines so timestamp ties
+        # are deterministic
+        "q45_event_asof_join": """
+            WITH views AS (
+                SELECT user_id, ts, max(value) AS vv FROM events
+                WHERE event_type = 'view' GROUP BY 1, 2
+            ), clicks AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id, c.value,
+                   v.vv AS last_view_value
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        # q46: node-iterator triangle enumeration replayed with the same
+        # low→high orientation; all counts integer-exact
+        "q46_token_triangles": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 30
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS (
+                SELECT DISTINCT a.token AS u, b.token AS v
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+            ), deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                    SELECT u AS node FROM pairs
+                    UNION ALL SELECT v FROM pairs
+                ) GROUP BY 1
+            ), tris AS (
+                SELECT ab.u AS a, ab.v AS b, bc.v AS c
+                FROM pairs ab JOIN pairs bc ON ab.v = bc.u
+                WHERE EXISTS (
+                    SELECT 1 FROM pairs p WHERE p.u = ab.u AND p.v = bc.v
+                )
+            ), per_node AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS n FROM (
+                    SELECT unnest([a, b, c]) AS node FROM tris
+                ) GROUP BY 1
+            )
+            SELECT d.node AS term,
+                   coalesce(t.n, 0) AS n_triangles,
+                   CAST((d.deg * (d.deg - 1)) // 2 AS BIGINT) AS n_wedges
+            FROM deg d LEFT JOIN per_node t ON t.node = d.node
         """,
     }

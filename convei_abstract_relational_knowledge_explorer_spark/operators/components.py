@@ -436,3 +436,52 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_scaled"))
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle and wedge counts → (node, n_triangles, n_wedges).
+
+    Local clustering structure over the entity graph (n_triangles /
+    n_wedges is the local clustering coefficient; kept as two exact
+    integers so the result is engine- and partition-independent).  The
+    standard distributed formulation (Suri & Vassilvitskii, WWW'11
+    node-iterator): orient every edge low→high id, enumerate wedges
+    (a<b<c) by joining the oriented edge list with itself on the middle
+    node, then semi-join the closing edge (a,c).  Both joins are
+    equi-joins on node id — hash-partitioned, no cartesian anywhere; the
+    orientation bounds the wedge fan-out by the HIGH-degree endpoint's
+    lower-id neighbors, the classic skew cap.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    ab, bc = e.alias("ab"), e.alias("bc")
+    wedges = ab.join(bc, F.col("ab.v") == F.col("bc.u")).select(
+        F.col("ab.u").alias("a"), F.col("ab.v").alias("b"), F.col("bc.v").alias("c")
+    )
+    closing = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tris = wedges.join(closing, ["a", "c"], "left_semi")
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.expr("(deg * (deg - 1)) DIV 2").alias("n_wedges"),
+    )

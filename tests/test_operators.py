@@ -985,3 +985,55 @@ def test_pagerank_partition_invariant(spark):
         for r in pagerank(df2, weight_col="weight", iterations=5).collect()
     )
     assert a == b
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        asof_join,
+    )
+
+    T = datetime
+    left = spark.createDataFrame(
+        [
+            (1, 10, T(2024, 1, 1, 10, 0), 1.0),   # after two views → latest
+            (2, 10, T(2024, 1, 1, 8, 30), 2.0),   # between views → first view
+            (3, 10, T(2024, 1, 1, 7, 0), 3.0),    # before any view → NULL
+            (4, 20, T(2024, 1, 1, 9, 0), 4.0),    # tie ts with view → sees it
+            (5, 30, T(2024, 1, 1, 9, 0), 5.0),    # user with no views → NULL
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, T(2024, 1, 1, 8, 0), 100.0),
+            (10, T(2024, 1, 1, 9, 0), 200.0),
+            (20, T(2024, 1, 1, 9, 0), 300.0),
+            (20, T(2024, 1, 1, 9, 0), 250.0),     # (user,ts) dup → max wins
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(left, right, key="user_id", ts="ts",
+                           payload="value").collect()
+    }
+    assert out == {1: 200.0, 2: 100.0, 3: None, 4: 300.0, 5: None}
+
+
+def test_triangle_stats_known_graph(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        triangle_stats,
+    )
+
+    # K4 on {1,2,3,4} plus a pendant 5-1: K4 has 4 triangles (3 per node);
+    # node 1 has deg 4 → 6 wedges; node 5 has deg 1 → 0 wedges, 0 triangles
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["n_triangles"], r["n_wedges"])
+        for r in triangle_stats(df).collect()
+    }
+    assert got == {
+        1: (3, 6), 2: (3, 3), 3: (3, 3), 4: (3, 3), 5: (0, 0),
+    }
