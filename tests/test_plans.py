@@ -179,3 +179,27 @@ def test_linking_and_topic_dedup_spread_for_python(spark):
         .toString()
     )
     assert "REPARTITION_BY_NUM" in plan2 or "RoundRobinPartitioning" in plan2
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    """q45's as-of is the union-window formulation: the physical plan
+    must contain exactly ONE exchange (hash on user_id for the window)
+    and NO join operator at all — the scalable property that
+    distinguishes it from a range-join explosion."""
+    import re
+
+    df = entrymod.queries()["q45_event_asof_join"](spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan
+    # exactly one exchange keyed on user_id ALONE (the window's); the
+    # only other exchange is the right side's (user_id, ts) tie dedupe
+    assert len(re.findall(r"hashpartitioning\(user_id#\d+L, \d+\)", plan)) == 1
+    assert plan.count("Arguments: hashpartitioning") == 2, plan
+
+
+def test_contamination_bench_side_broadcasts(spark):
+    """q43: the benchmark gram set must broadcast — the training-corpus
+    side of the flagging join is never shuffled."""
+    df = entrymod.queries()["q43_benchmark_contamination"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
