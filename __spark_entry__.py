@@ -850,6 +850,55 @@ def _q46_token_triangles(spark, sf):
     )
 
 
+def _q47_bfs_distances(spark, sf):
+    """Multi-source BFS (Pregel-style frontier iteration as DataFrames)
+    from the three alphabetically-first head tokens over the
+    co-occurrence graph → (seed, term, dist).  Frontier expansion is one
+    equi-join + anti-join per round keyed on (seed, node) composites, so
+    k sources cost ONE pass; the oracle is a capped recursive CTE taking
+    min(dist) over all ≤8-hop walks — an independent formulation of the
+    same shortest-path semantics, integer-exact."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        bfs_distances,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            )
+        ).alias("token"),
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(30)
+        .select("token")
+    )
+    sel = toks.join(F.broadcast(top), "token")
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .select(
+            F.col("a.token").alias("term_a"), F.col("b.token").alias("term_b")
+        )
+        .distinct()
+    )
+    seeds = top.orderBy("token").limit(3).select(F.col("token").alias("node"))
+    out = bfs_distances(
+        pairs, seeds, src="term_a", dst="term_b", max_depth=8
+    )
+    return out.select(
+        "seed",
+        F.col("node").alias("term"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -900,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_token_pagerank": _q44_token_pagerank,
         "q45_event_asof_join": _q45_event_asof_join,
         "q46_token_triangles": _q46_token_triangles,
+        "q47_bfs_distances": _q47_bfs_distances,
     }
 
 
@@ -1895,5 +1945,39 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(t.n, 0) AS n_triangles,
                    CAST((d.deg * (d.deg - 1)) // 2 AS BIGINT) AS n_wedges
             FROM deg d LEFT JOIN per_node t ON t.node = d.node
+        """,
+        # q47: shortest-path semantics replayed by an INDEPENDENT
+        # formulation — min(dist) over all distinct ≤8-hop walks in a
+        # recursive CTE (UNION-distinct terminates the cycle walk) vs
+        # Spark's frontier BFS; integer-exact
+        "q47_bfs_distances": f"""
+            WITH RECURSIVE toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 30
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS (
+                SELECT DISTINCT a.token AS u, b.token AS v
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+            ), nbrs AS (
+                SELECT u, v FROM pairs
+                UNION SELECT v, u FROM pairs
+            ), seeds AS (
+                SELECT token AS s FROM top ORDER BY token LIMIT 3
+            ), walk(seed, node, dist) AS (
+                SELECT s, s, 0 FROM seeds
+              UNION
+                SELECT w.seed, n.v, w.dist + 1
+                FROM walk w JOIN nbrs n ON n.u = w.node
+                WHERE w.dist < 8
+            )
+            SELECT seed, node AS term, CAST(min(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY 1, 2
         """,
     }

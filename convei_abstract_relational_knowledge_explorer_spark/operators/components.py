@@ -485,3 +485,57 @@ def triangle_stats(
         F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
         F.expr("(deg * (deg - 1)) DIV 2").alias("n_wedges"),
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_depth: int = 8,
+) -> DataFrame:
+    """Multi-source BFS → (seed, node, dist): unweighted shortest hop
+    count from every seed over the undirected graph, up to ``max_depth``
+    (unreachable pairs omitted).
+
+    Frontier-style iteration — the textbook Pregel shape as DataFrames:
+    each round expands only LAST round's newly-settled (seed, node)
+    pairs through one equi-join on the edge list, min-aggregates, and
+    anti-joins against the settled set, so total work is O(edges ×
+    avg-eccentricity) not O(edges × rounds).  All quantities integer;
+    one scalar count per round for termination (same driver-loop
+    discipline as :func:`connected_components`).  Keys are (seed, node)
+    composites, so multi-source runs cost ONE pass, not one per seed —
+    the harmonic/closeness-centrality and ego-network idiom at scale.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nbrs = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    settled = (
+        seeds.select(F.col(seed_col).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    for depth in range(1, max_depth + 1):
+        grown = (
+            frontier.join(nbrs, frontier["node"] == nbrs["u"])
+            .select("seed", F.col("v").alias("node"), F.lit(depth).alias("dist"))
+            .distinct()
+            .join(settled, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if grown.isEmpty():
+            break
+        settled = settled.unionAll(grown).localCheckpoint(eager=True)
+        frontier = grown
+    return settled

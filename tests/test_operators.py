@@ -1037,3 +1037,22 @@ def test_triangle_stats_known_graph(spark):
     assert got == {
         1: (3, 6), 2: (3, 3), 3: (3, 3), 4: (3, 3), 5: (0, 0),
     }
+
+
+def test_bfs_distances_chain_graph(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        bfs_distances,
+    )
+
+    # chain 1-2-3-4-5 plus isolated edge 10-11; seeds {1, 10}
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (10,)], "node long")
+    got = {
+        (r["seed"], r["node"]): r["dist"]
+        for r in bfs_distances(e, seeds, max_depth=3).collect()
+    }
+    assert got == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3,  # 5 beyond max_depth
+        (10, 10): 0, (10, 11): 1,
+    }
