@@ -5,13 +5,17 @@ The flow every large-scale text-corpus pipeline runs before training
 declarative composition of this repo's operators:
 
     documents
+      │ 0. canonical-URL dedup    (urls.url_duplicates keeper anti-join,
+      │                            when a url column exists)
       │ 1. language filter        (text_analysis.language_scores)
       │ 2. quality gate           (text_analysis.quality_scores)
       │ 3. repetition gate        (text_analysis.repetition_scores)
       │ 4. exact dedup            (dedup.exact_duplicate_losers → anti-join)
       │ 5. near-dedup             (dedup.minhash_near_duplicates
       │                            → connected components → keeper only)
-      │ 6. shard assignment       (sampling.assign_shards)
+      │ 6. decontamination        (dedup.benchmark_contamination
+      │                            anti-join, when a benchmark is given)
+      │ 7. shard assignment       (sampling.assign_shards)
       ▼
     curated (doc_id, text, lang, n_chars, shard) + per-step stats
 
@@ -28,7 +32,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..operators import dedup, sampling, text_analysis
+from ..operators import dedup, sampling, text_analysis, urls
 from ..operators.components import connected_components
 
 
@@ -42,11 +46,21 @@ def curate_corpus(
     max_dup5_frac: float = 0.5,
     near_dup_threshold: float = 0.85,
     n_shards: int = 8,
+    url_col: str | None = None,
+    benchmark: DataFrame | None = None,
+    contamination_ngram: int = 13,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation flow; returns (curated_docs, per_step_counts).
 
     The counts dict records survivors after each gate — the numbers a
     curation report needs (each is one count job over a narrow plan).
+
+    ``url_col``: when given, stage 0 drops every non-keeper raw variant
+    of a canonical URL before any text gate runs (the cheapest dedup
+    first — one narrow canonicalization + one aggregate).
+    ``benchmark``: when given, docs sharing a verbatim
+    ``contamination_ngram``-token run with any benchmark doc are dropped
+    after near-dedup (GPT-3 appendix-C decontamination).
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -54,6 +68,16 @@ def curate_corpus(
         *[c for c in docs.columns if c not in (id_col, text_col)],
     )
     stats: dict[str, int] = {"input": base.count()}
+
+    if url_col is not None:
+        canon = base.select(
+            "doc_id", urls.canonicalize_url(url_col).alias("_curl")
+        )
+        keepers = canon.groupBy("_curl").agg(F.min("doc_id").alias("doc_id"))
+        base = base.join(
+            keepers.select("doc_id"), "doc_id", "left_semi"
+        )
+        stats["after_url_dedup"] = base.count()
 
     lang_ok = base.join(
         text_analysis.language_scores(base)
@@ -105,6 +129,13 @@ def curate_corpus(
     )
     near_ok = exact_ok.join(near_losers, "doc_id", "left_anti")
     stats["after_near_dedup"] = near_ok.count()
+
+    if benchmark is not None:
+        contaminated = dedup.benchmark_contamination(
+            near_ok, benchmark, n=contamination_ngram, text_col="text"
+        ).select("doc_id")
+        near_ok = near_ok.join(contaminated, "doc_id", "left_anti")
+        stats["after_decontamination"] = near_ok.count()
 
     size = (
         F.col("n_chars")

@@ -107,3 +107,44 @@ def test_curate_corpus_end_to_end(spark):
     assert stats["after_near_dedup"] == 2
     shards = {r["doc_id"]: r["shard"] for r in curated.collect()}
     assert set(shards.values()) <= {0, 1}
+
+
+def test_curate_corpus_url_dedup_and_decontamination(spark):
+    """Stage 0 (canonical-URL keeper) and the decontamination gate, both
+    opt-in: raw URL variants of one canonical page collapse to the
+    min-id keeper BEFORE text gates, and a doc sharing a verbatim 8-gram
+    with the benchmark is dropped AFTER near-dedup."""
+    from convei_abstract_relational_knowledge_explorer_spark.plans.curation import (
+        curate_corpus,
+    )
+
+    bench_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa stand in"
+    )
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs far today",
+         "https://ex.com/a?b=1"),
+        # same canonical URL as 0 (tracking junk) → dropped at stage 0
+        (1, "totally different text that would otherwise survive the gates",
+         "HTTPS://WWW.Ex.COM:443/a/?utm_source=x&b=1#frag"),
+        # contains a verbatim 8-gram from the benchmark → decontaminated
+        (2, "it begins and then " + " ".join(bench_text.split()[:8])
+         + " it ends with many other words of padding here today",
+         "https://ex.com/c"),
+        (3, "it is a completely different story about data and the many"
+            " ways of spark processing today", "https://ex.com/d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    curated, stats = curate_corpus(
+        docs, near_dup_threshold=0.5, n_shards=2,
+        url_col="url", benchmark=bench, contamination_ngram=8,
+    )
+    got = {r["doc_id"] for r in curated.collect()}
+    assert got == {0, 3}
+    assert stats["input"] == 4
+    assert stats["after_url_dedup"] == 3
+    assert stats["after_near_dedup"] == 3
+    assert stats["after_decontamination"] == 2
