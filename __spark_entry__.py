@@ -899,6 +899,54 @@ def _q47_bfs_distances(spark, sf):
     )
 
 
+def _q48_token_kcore(spark, sf):
+    """12-core of the strong co-occurrence graph (edges above the
+    integer-mean weight): the KG periphery-pruning pass (Seidman 1983)
+    that precedes expensive community/centrality analytics.  The peeling
+    loop (drop nodes with < 12 alive neighbors, cascade to fixed point)
+    is replayed by a recursive CTE advancing (round, node) the same
+    number of rounds; every quantity is integer, so cross-engine
+    equality is exact."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        k_core,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            )
+        ).alias("token"),
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(30)
+        .select("token")
+    )
+    sel = toks.join(F.broadcast(top), "token")
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("term_a"), F.col("b.token").alias("term_b")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    avg_w = pairs.agg(
+        F.expr("sum(w) DIV count(*)").alias("aw")
+    )
+    strong = pairs.crossJoin(F.broadcast(avg_w)).filter(
+        F.col("w") > F.col("aw")
+    )
+    core = k_core(strong, k=12, src="term_a", dst="term_b", max_rounds=8)
+    return core.select(F.col("node").alias("term"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -950,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_event_asof_join": _q45_event_asof_join,
         "q46_token_triangles": _q46_token_triangles,
         "q47_bfs_distances": _q47_bfs_distances,
+        "q48_token_kcore": _q48_token_kcore,
     }
 
 
@@ -1979,5 +2028,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT seed, node AS term, CAST(min(dist) AS BIGINT) AS dist
             FROM walk GROUP BY 1, 2
+        """,
+        # q48: the k-core peeling recurrence — alive(r+1) = nodes with
+        # ≥ k alive neighbors at round r — advanced 8 rounds (converged
+        # rounds are no-ops in both engines); integer-exact throughout
+        "q48_token_kcore": f"""
+            WITH RECURSIVE toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 30
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS (
+                SELECT a.token AS u, b.token AS v,
+                       CAST(count(*) AS BIGINT) AS w
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+            ), strong AS (
+                SELECT u, v FROM pairs
+                WHERE w > (SELECT sum(w) // count(*) FROM pairs)
+            ), nbrs AS (
+                SELECT u, v FROM strong
+                UNION ALL SELECT v, u FROM strong
+            ), core(rnd, node) AS (
+                SELECT 0, u FROM (SELECT DISTINCT u FROM nbrs)
+              UNION ALL
+                SELECT c.rnd + 1, c.node
+                FROM core c JOIN (
+                    SELECT c1.rnd, n.u, count(*) AS d
+                    FROM core c1 JOIN nbrs n ON n.v = c1.node
+                    GROUP BY 1, 2
+                ) dd ON dd.u = c.node AND dd.rnd = c.rnd
+                WHERE c.rnd < 8 AND dd.d >= 12
+            )
+            SELECT node AS term FROM core WHERE rnd = 8
         """,
     }

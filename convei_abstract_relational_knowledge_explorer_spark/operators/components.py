@@ -539,3 +539,51 @@ def bfs_distances(
         settled = settled.unionAll(grown).localCheckpoint(eager=True)
         frontier = grown
     return settled
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """The k-core of the undirected graph → (node,): the maximal subgraph
+    in which every node keeps degree ≥ k — the standard KG pruning pass
+    that trims low-connectivity periphery before expensive community/
+    centrality analytics (Seidman 1983; the peeling loop is the textbook
+    distributed formulation).
+
+    Each round is one semi-join-restricted degree count (edges with BOTH
+    endpoints alive → groupBy count) and one filter; nodes below k drop,
+    which may cascade — the loop runs to the fixed point (one scalar
+    count per round, early exit on stability), capped at ``max_rounds``.
+    All quantities integer; deterministic and partition-independent.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nbrs = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    alive = nbrs.select("u").distinct().localCheckpoint(eager=True)
+    n_prev = alive.count()
+    for _ in range(max_rounds):
+        deg = (
+            nbrs.join(alive, "u", "left_semi")
+            .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
+            .groupBy("u")
+            .agg(F.count("*").alias("d"))
+        )
+        alive = (
+            deg.filter(F.col("d") >= k).select("u").localCheckpoint(eager=True)
+        )
+        n_now = alive.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return alive.select(F.col("u").alias("node"))

@@ -1056,3 +1056,18 @@ def test_bfs_distances_chain_graph(spark):
         (1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3,  # 5 beyond max_depth
         (10, 10): 0, (10, 11): 1,
     }
+
+
+def test_k_core_cascades(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        k_core,
+    )
+
+    # K4 {1,2,3,4} plus a chain 4-5-6: k=2 must peel 6 first, then 5
+    # (cascade), leaving exactly the K4
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"] for r in k_core(df, k=2).collect()}
+    assert got == {1, 2, 3, 4}
+    # k=5: nothing survives
+    assert k_core(df, k=5).count() == 0
