@@ -947,6 +947,61 @@ def _q48_token_kcore(spark, sf):
     return core.select(F.col("node").alias("term"))
 
 
+def _q49_edit_distance_pairs(spark, sf):
+    """Entity-surface fuzzy matching via the symmetric-deletion
+    (SymSpell) similarity join: mention surfaces are tokens with a
+    deterministic 1-in-7 'OCR noise' corruption (portable md5 hash picks
+    the victim mention AND the dropped character position), so the corpus
+    genuinely contains typo edges; ``edit_distance_pairs`` recovers every
+    pair within Levenshtein distance 1 with an equi-join on deletion
+    variants.  The oracle is an INDEPENDENT brute-force formulation —
+    DuckDB's native levenshtein over a cross join of the same distinct
+    surfaces — so a hash match validates the blocking's exactness claim,
+    not just the arithmetic."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("pos", "token"),
+    )
+    hashed = toks.select(
+        (F.col("doc_id") * 128 + F.col("pos")).alias("mention_id"),
+        "token",
+        dedup.porthash64(
+            F.concat_ws(":", F.col("doc_id"), F.col("pos"), F.col("token"))
+        ).alias("h"),
+    )
+    # 1-in-7 mentions drop the character at 0-based index h % len
+    mentions = hashed.select(
+        "mention_id",
+        F.when(
+            F.col("h") % 7 == 0,
+            F.expr(
+                "concat(substring(token, 1, CAST(h % length(token) AS INT)),"
+                " substring(token, CAST(h % length(token) AS INT) + 2, 64))"
+            ),
+        )
+        .otherwise(F.col("token"))
+        .alias("surface"),
+    )
+    return dedup.edit_distance_pairs(
+        mentions, id_col="mention_id", text_col="surface"
+    )
+
+
+def _q50_repeated_substrings(spark, sf):
+    """ExactSubstr repetition profile (Lee et al., ACL 2022): for every
+    document, how many of its 8-token windows recur verbatim anywhere in
+    the corpus (``n_repeated``) and in other documents (``n_cross_doc``).
+    The suffix-array pass re-expressed as two partial-aggregatable
+    groupBys over 60-bit window hashes plus one equi-join; ``portable=
+    True`` swaps xxhash64 for the md5 porthash so the whole pass —
+    including the hash — replays verbatim in DuckDB."""
+    d = _t(spark, sf, "documents")
+    return dedup.repeated_substring_stats(d, n=8, portable=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -999,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_token_triangles": _q46_token_triangles,
         "q47_bfs_distances": _q47_bfs_distances,
         "q48_token_kcore": _q48_token_kcore,
+        "q49_edit_distance_pairs": _q49_edit_distance_pairs,
+        "q50_repeated_substrings": _q50_repeated_substrings,
     }
 
 
@@ -2067,5 +2124,74 @@ def oracle_sql() -> dict[str, str]:
                 WHERE c.rnd < 8 AND dd.d >= 12
             )
             SELECT node AS term FROM core WHERE rnd = 8
+        """,
+        # q49: the oracle is the brute-force DEFINITION of the pair set —
+        # DuckDB's native levenshtein over a cross join of distinct
+        # surfaces — vs Spark's symmetric-deletion equi-join blocking; a
+        # hash match proves the blocking loses no pair.  The corruption
+        # (victim choice AND deleted position) replays the md5 porthash.
+        "q49_edit_distance_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOK}) AS token,
+                       unnest(generate_series(
+                           0, len({_TOK}) - 1)) AS pos
+                FROM documents
+            ), hashed AS (
+                SELECT token,
+                       CAST('0x' || substr(md5(
+                           doc_id || ':' || pos || ':' || token), 1, 15)
+                           AS BIGINT) AS h
+                FROM toks
+            ), surf AS (
+                SELECT CASE WHEN h % 7 = 0 THEN
+                           substr(token, 1, CAST(h % len(token) AS INT))
+                           || substr(token,
+                                     CAST(h % len(token) AS INT) + 2, 64)
+                       ELSE token END AS raw
+                FROM hashed
+            ), frontier AS (
+                SELECT substr(array_to_string(regexp_extract_all(
+                           lower(raw), '[a-z0-9]+(?:-[a-z0-9]+)*'), ' '),
+                           1, 40) AS surface,
+                       CAST(count(*) AS BIGINT) AS n_docs
+                FROM surf GROUP BY 1 HAVING len(surface) > 0
+            )
+            SELECT a.surface AS surface_a, b.surface AS surface_b,
+                   CAST(levenshtein(a.surface, b.surface) AS INT) AS dist,
+                   a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+            FROM frontier a JOIN frontier b
+              ON a.surface < b.surface
+             AND levenshtein(a.surface, b.surface) <= 1
+        """,
+        # q50: the ExactSubstr profile replayed verbatim — same 8-token
+        # windows, same md5 porthash, same two-level aggregate; every
+        # output is an exact integer
+        "q50_repeated_substrings": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS toks FROM documents
+            ), w AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(toks) - 7),
+                           i -> CAST('0x' || substr(md5(
+                                    array_to_string(toks[i:i+7], ' ')),
+                                    1, 15) AS BIGINT))) AS g
+                FROM t WHERE len(toks) >= 8
+            ), per_doc AS (
+                SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                FROM w GROUP BY 1, 2
+            ), totals AS (
+                SELECT g, CAST(sum(c) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS nd
+                FROM per_doc GROUP BY 1
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN total >= 2 THEN c ELSE 0 END)
+                        AS BIGINT) AS n_repeated,
+                   CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END)
+                        AS BIGINT) AS n_cross_doc
+            FROM per_doc JOIN totals USING (g)
+            GROUP BY 1
         """,
     }

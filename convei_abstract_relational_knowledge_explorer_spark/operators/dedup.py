@@ -770,3 +770,167 @@ def benchmark_contamination(
             F.sum("n_bench_docs_g").cast("long").alias("n_bench_hits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# symmetric-deletion edit-distance join (entity-resolution blocking)
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    surface_len: int = 40,
+    max_edits: int = 1,
+) -> DataFrame:
+    """Exact Levenshtein-<=1 similarity join over normalized surface
+    prefixes via symmetric-deletion (SymSpell) blocking →
+    (surface_a, surface_b, dist, n_docs_a, n_docs_b).
+
+    The entity-resolution idiom the reference reaches with rapidfuzz
+    ratios over candidate lists (/root/reference/populate_cleaned_author_
+    affiliations.py fuzzy passes): here the candidate generation itself is
+    made a *distributive equi-join*.  Each distinct surface emits its
+    deletion neighborhood — itself plus every single-character deletion,
+    L+1 variants — and two surfaces within Levenshtein distance 1 are
+    GUARANTEED to share a variant (equal → share the identity variant;
+    substitution at i → both i-deletions equal; insert/delete → the
+    shorter string IS a deletion of the longer).  Candidates are verified
+    with the exact JVM ``levenshtein``, so blocking collisions never
+    surface and the pair set is exactly {(a, b) : ed(a, b) <= 1, a < b}.
+
+    100 TB shape: the frontier is DISTINCT surfaces (the simhash
+    distinct-signature trick — exact-duplicate mass, the dominant skew,
+    collapses to one row carrying its ``n_docs`` multiplicity before any
+    quadratic step), the neighborhood is O(L) per surface, and the join
+    is a plain string equi-join Catalyst shuffles on the variant key —
+    never an all-pairs comparison.  Deeper radii need deletion depth d
+    (C(L, d) variants — the documented SymSpell cost curve), so this
+    operator insists on ``max_edits=1`` rather than silently degrading
+    recall (the r02 SimHash lesson).
+    """
+    if max_edits != 1:
+        raise ValueError(
+            "edit_distance_pairs: deletion-depth-1 blocking is exact only "
+            "for max_edits=1; deeper radii need C(L,d) variants — extend "
+            "the neighborhood, don't widen the verify filter"
+        )
+    norm = F.expr(
+        f"array_join(regexp_extract_all(lower({text_col}),"
+        f" '[a-z0-9]+(?:-[a-z0-9]+)*', 0), ' ')"
+    )
+    frontier = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.substring(norm, 1, surface_len).alias("surface"),
+        )
+        .filter(F.length("surface") > 0)
+        .groupBy("surface")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    variants = frontier.select(
+        "surface",
+        "n_docs",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, length(surface)),"
+                " i -> if(i = 0, surface,"
+                f" concat(substring(surface, 1, i - 1),"
+                f" substring(surface, i + 1, {surface_len})))))"
+            )
+        ).alias("variant"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    return (
+        a.join(b, "variant")
+        .filter(F.col("a.surface") < F.col("b.surface"))
+        .select(
+            F.col("a.surface").alias("surface_a"),
+            F.col("b.surface").alias("surface_b"),
+            F.col("a.n_docs").alias("n_docs_a"),
+            F.col("b.n_docs").alias("n_docs_b"),
+        )
+        .distinct()
+        .filter(
+            F.levenshtein(F.col("surface_a"), F.col("surface_b")) <= max_edits
+        )
+        .select(
+            "surface_a",
+            "surface_b",
+            F.levenshtein(F.col("surface_a"), F.col("surface_b"))
+            .cast("int")
+            .alias("dist"),
+            "n_docs_a",
+            "n_docs_b",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-document exact-substring repetition profile (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def repeated_substring_stats(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document exact-substring repetition profile →
+    (doc_id, n_windows, n_repeated, n_cross_doc).
+
+    The ExactSubstr signal from "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., ACL 2022): for every document,
+    how many of its n-token windows occur verbatim MORE THAN ONCE in the
+    corpus (``n_repeated`` — includes within-doc repeats, the paper's
+    removal criterion) and in MORE THAN ONE document (``n_cross_doc`` —
+    the boilerplate/mirror signal).  Integer-exact outputs; the repeat
+    share is ``n_repeated / n_windows`` downstream.
+
+    Spark-first substitute for the paper's suffix array: positional
+    windows travel as 60-bit hashes (xxhash64; ``portable=True`` uses the
+    md5 porthash so the whole pass replays in ANSI SQL — q50), the
+    (doc, gram) level and the gram level are both partial-aggregatable
+    groupBys, and the per-doc rollup is one equi-join between them — the
+    same two-level-aggregate shape as q30.  A C4-scale boilerplate gram
+    (10^8 occurrences) is ONE row on the gram side; no group ever
+    materializes as an array.  All full-length windows: a doc with fewer
+    than ``n`` tokens emits nothing.
+    """
+    hash_fn = porthash64 if portable else F.xxhash64
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+(?:-[a-z0-9]+)*', 0)"
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+    )
+    windows = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", hash_fn(F.col("gram")).alias("g"))
+    )
+    per_doc = windows.groupBy("doc_id", "g").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    totals = per_doc.groupBy("g").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("nd"),
+    )
+    return (
+        per_doc.join(totals, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("total") >= 2, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_repeated"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_cross_doc"),
+        )
+    )

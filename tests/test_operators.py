@@ -1071,3 +1071,118 @@ def test_k_core_cascades(spark):
     assert got == {1, 2, 3, 4}
     # k=5: nothing survives
     assert k_core(df, k=5).count() == 0
+
+# ---------------------------------------------------------------------------
+# symmetric-deletion edit-distance join
+# ---------------------------------------------------------------------------
+
+
+def test_edit_distance_pairs_known_surfaces(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark"),
+            (2, "spork"),
+            (3, "spark plug"),
+            (4, "sparks"),
+            (5, "park"),
+            (6, "zzz"),
+            (7, "spark"),  # duplicate surface → multiplicity, never a pair
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["surface_a"], r["surface_b"], r["dist"], r["n_docs_a"],
+         r["n_docs_b"])
+        for r in dedup.edit_distance_pairs(docs).collect()
+    }
+    assert rows == {
+        ("park", "spark", 1, 1, 2),     # deletion
+        ("spark", "sparks", 1, 2, 1),   # insertion
+        ("spark", "spork", 1, 2, 1),    # substitution
+    }
+
+
+def test_edit_distance_pairs_matches_brute_force(spark):
+    """Exactness guarantee: the deletion-variant equi-join finds EVERY
+    pair within Levenshtein distance 1 — compared against the O(n²)
+    definition on a seeded random corpus."""
+    import itertools
+    import random
+
+    rng = random.Random(49)
+    alphabet = "abc"
+    surfaces = {
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        for _ in range(80)
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(surfaces), 2)
+        if lev(a, b) <= 1
+    }
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sorted(surfaces))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["surface_a"], r["surface_b"])
+        for r in dedup.edit_distance_pairs(docs).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_edit_distance_pairs_rejects_deeper_radius(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.edit_distance_pairs(docs, max_edits=2)
+
+
+# ---------------------------------------------------------------------------
+# cross-document exact-substring repetition profile
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_substring_stats_known_windows(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z x y z x y"),  # 6 windows at n=3, all repeated
+            (2, "x y z q q q"),      # shares "x y z" with doc 1
+            (3, "a b"),              # shorter than n → emits nothing
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_repeated"], r["n_cross_doc"])
+        for r in dedup.repeated_substring_stats(docs, n=3).collect()
+    }
+    assert got == {1: (6, 6, 2), 2: (4, 1, 1)}
+
+
+def test_repeated_substring_stats_portable_parity(spark):
+    """The md5 porthash family and the xxhash64 default count the same
+    windows — the hash is an implementation detail, not a semantic."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} a b c d e f g h w{i % 2}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    fast = {
+        tuple(r) for r in dedup.repeated_substring_stats(docs, n=4).collect()
+    }
+    portable = {
+        tuple(r)
+        for r in dedup.repeated_substring_stats(
+            docs, n=4, portable=True
+        ).collect()
+    }
+    assert fast == portable and len(fast) == 12
