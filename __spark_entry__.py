@@ -1002,6 +1002,106 @@ def _q50_repeated_substrings(spark, sf):
     return dedup.repeated_substring_stats(d, n=8, portable=True)
 
 
+def _q51_pii_redaction(spark, sf):
+    """PII scrub (the C4/Dolma/FineWeb curation stage): deterministic
+    synthetic PII — 1-in-3 documents gain an email, a dotted-quad IP and
+    a phone number derived from the portable hash — then JVM-regex
+    detection counts and chained redaction, RE2-compatible patterns
+    applied in a fixed order so DuckDB replays byte-identically.  The
+    redacted text itself is part of the checked value, so the oracle
+    certifies the masking, not just the counts."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.pii import (
+        detect_pii,
+        redact_pii,
+    )
+
+    d = _t(spark, sf, "documents")
+    h = dedup.porthash64(F.col("doc_id").cast("string"), "pii")
+    injected = d.select("doc_id", "text", h.alias("_h")).select(
+        "doc_id",
+        F.when(
+            F.col("_h") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10."),
+                (F.col("_h") % 256).cast("string"),
+                F.lit("."),
+                (F.col("_h") % 200).cast("string"),
+                F.lit("."),
+                (F.col("_h") % 100 + 1).cast("string"),
+                F.lit(" call 555-"),
+                (F.col("_h") % 900 + 100).cast("string"),
+                F.lit("-"),
+                (F.col("_h") % 9000 + 1000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    counts = detect_pii(injected)
+    red = redact_pii(injected).select(
+        "doc_id", F.col("text").alias("text_redacted")
+    )
+    return counts.join(red, "doc_id").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted"
+    )
+
+
+def _q52_sequence_packing(spark, sf):
+    """Concat-and-chunk sequence packing placement map: documents in
+    deterministic bucket-major hash order, cut into 256-token training
+    blocks.  Spark computes it as a distributed two-phase prefix sum
+    (per-bucket windows + a broadcast 64-row bucket-prefix join — no
+    single-partition window anywhere); the oracle computes the SAME
+    order with ONE global window, so the hash match proves the two-phase
+    scan equals the global scan.  All integers — engine-exact."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.packing import (
+        pack_documents,
+    )
+
+    d = _t(spark, sf, "documents")
+    return pack_documents(d, block_tokens=256)
+
+
+def _q53_temperature_sample(spark, sf):
+    """Temperature-scaled domain mixture (mC4/UniMax idiom): a skewed
+    domain column (half the corpus collapses into 'common-crawl', the
+    rest keeps its source) is rebalanced toward counts ∝ c_d^0.5 by
+    deterministic hash-threshold downsampling anchored at the smallest
+    domain.  sqrt/divide/multiply are IEEE-correctly-rounded, so the
+    per-domain threshold integer — and therefore the kept set — is
+    bit-identical in DuckDB.  Returns per-domain kept/total counts."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("common-crawl"))
+        .otherwise(F.col("source"))
+        .alias("domain"),
+    )
+    kept = temperature_sample(d, domain_col="domain", alpha=0.5)
+    return (
+        d.groupBy("domain")
+        .agg(F.count("*").cast("long").alias("n_total"))
+        .join(
+            kept.groupBy("domain").agg(
+                F.count("*").cast("long").alias("n_kept")
+            ),
+            "domain",
+            "left",
+        )
+        .select(
+            "domain",
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1056,6 +1156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_token_kcore": _q48_token_kcore,
         "q49_edit_distance_pairs": _q49_edit_distance_pairs,
         "q50_repeated_substrings": _q50_repeated_substrings,
+        "q51_pii_redaction": _q51_pii_redaction,
+        "q52_sequence_packing": _q52_sequence_packing,
+        "q53_temperature_sample": _q53_temperature_sample,
     }
 
 
@@ -1067,6 +1170,10 @@ _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+(?:-[a-z0-9]+)*')"
 
 
 def oracle_sql() -> dict[str, str]:
+    from convei_abstract_relational_knowledge_explorer_spark.operators.pii import (
+        PII_PATTERNS as _PII,
+    )
+
     stop_list = ", ".join(f"'{s}'" for s in STOP)
     term_values = ", ".join(f"('{t}')" for t in TERMS)
     lang_values = ", ".join(
@@ -2193,5 +2300,103 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_cross_doc
             FROM per_doc JOIN totals USING (g)
             GROUP BY 1
+        """,
+        # q51: injection, ordered detection, and chained redaction all
+        # replayed — the patterns are interpolated from pii.PII_PATTERNS
+        # (RE2-compatible by construction) so Spark and the oracle can
+        # never drift; the redacted text is part of the hashed value
+        "q51_pii_redaction": f"""
+            WITH h AS (
+                SELECT doc_id, text,
+                       CAST('0x' || substr(md5(
+                           doc_id || chr(31) || 'pii'), 1, 15)
+                           AS BIGINT) AS h
+                FROM documents
+            ), inj AS (
+                SELECT doc_id,
+                       CASE WHEN h % 3 = 0 THEN
+                           text || ' contact user' || doc_id
+                             || '@example.com from 10.' || (h % 256)
+                             || '.' || (h % 200) || '.' || (h % 100 + 1)
+                             || ' call 555-' || (h % 900 + 100)
+                             || '-' || (h % 9000 + 1000)
+                       ELSE text END AS t0
+                FROM h
+            ), masked AS (
+                SELECT doc_id, t0,
+                       regexp_replace(t0, '{_PII[0][1]}', '<EMAIL>', 'g')
+                           AS t1,
+                       regexp_replace(regexp_replace(t0,
+                           '{_PII[0][1]}', '<EMAIL>', 'g'),
+                           '{_PII[1][1]}', '<IP>', 'g') AS t2
+                FROM inj
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t0, '{_PII[0][1]}'))
+                        AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t1, '{_PII[1][1]}'))
+                        AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t2, '{_PII[2][1]}'))
+                        AS BIGINT) AS n_phone,
+                   regexp_replace(t2, '{_PII[2][1]}', '<PHONE>', 'g')
+                       AS text_redacted
+            FROM masked
+        """,
+        # q52: the oracle computes the SAME bucket-major order with ONE
+        # global window — an independent formulation proving the
+        # distributed two-phase prefix sum equals the global scan;
+        # all-integer placement map
+        "q52_sequence_packing": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+                       CAST('0x' || substr(md5(
+                           doc_id || chr(31) || 'pack'), 1, 15)
+                           AS BIGINT) AS h
+                FROM documents
+            ), cum AS (
+                SELECT doc_id, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           ORDER BY h % 64, h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           - n_tokens AS cum_before
+                FROM base WHERE n_tokens > 0
+            )
+            SELECT doc_id, n_tokens,
+                   cum_before // 256 AS start_block,
+                   cum_before % 256 AS start_offset,
+                   (cum_before + n_tokens - 1) // 256 AS end_block
+            FROM cum
+        """,
+        # q53: per-domain thresholds via sqrt/divide/multiply — each
+        # IEEE-correctly-rounded, so floor() lands on the same integer in
+        # both engines; membership is an integer hash compare
+        "q53_temperature_sample": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 'common-crawl'
+                            ELSE source END AS domain
+                FROM documents
+            ), c AS (
+                SELECT domain, CAST(count(*) AS BIGINT) AS c_d
+                FROM d GROUP BY 1
+            ), m AS (
+                SELECT min(c_d) AS c_min FROM c
+            ), t AS (
+                SELECT domain, c_d,
+                       CAST(floor(1048576.0 * (sqrt(c_min) / sqrt(c_d)))
+                            AS BIGINT) AS thresh
+                FROM c, m
+            ), kept AS (
+                SELECT d.domain, count(*) AS n_kept
+                FROM d JOIN t USING (domain)
+                WHERE CAST('0x' || substr(md5(
+                          d.domain || ':' || d.doc_id), 1, 15) AS BIGINT)
+                      % 1048576 < thresh
+                GROUP BY 1
+            )
+            SELECT c.domain, c.c_d AS n_total,
+                   CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
+            FROM c LEFT JOIN kept USING (domain)
         """,
     }

@@ -62,6 +62,66 @@ def sample_by_hash(
     return df.filter(F.pmod(h, F.lit(modulus)) < percent)
 
 
+def temperature_sample(
+    docs: DataFrame,
+    domain_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    resolution: int = 1 << 20,
+) -> DataFrame:
+    """Temperature-scaled domain rebalancing by deterministic
+    downsampling: keep each document of domain *d* with probability
+    ``p_d = (c_min / c_d) ** (1 - alpha)`` so the kept counts are
+    proportional to ``c_d ** alpha`` and the smallest domain survives
+    whole.
+
+    The multilingual/domain mixture idiom (temperature sampling, e.g.
+    mC4 / UniMax): ``alpha=1`` keeps the natural distribution, ``alpha=0``
+    flattens to uniform counts, values between interpolate.  Only
+    DOWNSAMPLES (anchored at the smallest domain) — upsampling is the
+    writer's job (repeat epochs), not the filter's.
+
+    Determinism and portability: acceptance is
+    ``porthash64(domain ':' id) % resolution < floor(resolution * p_d)``.
+    With ``alpha=0.5`` (the default) ``p_d = sqrt(c_min) / sqrt(c_d)``;
+    sqrt, divide, and multiply are each IEEE-correctly-rounded single
+    operations, so the threshold integer is bit-identical in any engine
+    and the sample is exactly replayable in ANSI SQL (q53) — no
+    ``rand()``, no partitioning dependence.
+
+    100 TB shape: one domain-count aggregate (map-side combinable, at
+    most |domains| rows), broadcast back, then a shuffle-free filter.
+    """
+    counts = docs.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count("*").cast("long").alias("c_d")
+    )
+    c_min = counts.agg(F.min("c_d").alias("c_min"))
+    if alpha == 0.5:
+        # sqrt is IEEE-correctly rounded (hardware), unlike libm pow —
+        # this branch is the bit-exact cross-engine one
+        p_d = F.sqrt(F.col("c_min")) / F.sqrt(F.col("c_d"))
+    else:
+        # pow is last-ulp engine-dependent; fine operationally, but
+        # oracle checks should use alpha=0.5
+        p_d = F.pow(F.col("c_min") / F.col("c_d"), F.lit(1.0 - alpha))
+    thresholds = counts.crossJoin(F.broadcast(c_min)).select(
+        "_dom",
+        "c_d",
+        F.floor(F.lit(float(resolution)) * p_d).cast("long").alias("_thresh"),
+    )
+    h = porthash64(
+        F.concat_ws(":", F.col(domain_col), F.col(id_col).cast("string"))
+    )
+    return (
+        docs.join(
+            F.broadcast(thresholds),
+            F.col(domain_col) == F.col("_dom"),
+        )
+        .filter(F.pmod(h, F.lit(resolution)) < F.col("_thresh"))
+        .drop("_dom", "c_d", "_thresh")
+    )
+
+
 def assign_shards(
     docs: DataFrame,
     n_shards: int = 8,

@@ -1186,3 +1186,162 @@ def test_repeated_substring_stats_portable_parity(spark):
         ).collect()
     }
     assert fast == portable and len(fast) == 12
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+
+def test_pii_detect_and_redact(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.pii import (
+        detect_pii,
+        redact_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_d@sub.example.org or x@y.io now"),
+            (2, "server at 192.168.001.1 and 10.0.0.255 up"),
+            (3, "call 555-123-4567 or 555.987.6543"),
+            (4, "clean text with no pii at all"),
+            # no \b between 'v' and '1' → version strings are NOT IPs
+            (5, "v1.2.3.4 release"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_ipv4"], r["n_phone"])
+        for r in detect_pii(docs).collect()
+    }
+    assert got == {
+        1: (2, 0, 0),
+        2: (0, 2, 0),
+        3: (0, 0, 2),
+        4: (0, 0, 0),
+        5: (0, 0, 0),
+    }
+    red = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
+    assert red[1] == "mail <EMAIL> or <EMAIL> now"
+    assert red[2] == "server at <IP> and <IP> up"
+    assert red[3] == "call <PHONE> or <PHONE>"
+    assert red[4] == "clean text with no pii at all"
+
+
+def test_pii_order_no_double_count(spark):
+    """A dotted quad is consumed by the IP pass and must NOT also count
+    as a phone; an email's digits must not leak into later patterns."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.pii import (
+        detect_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "u123.456@h.co then 123.456.7.8 then 123.456.7890")],
+        "doc_id long, text string",
+    )
+    r = detect_pii(docs).collect()[0]
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_documents_placement_invariants(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.packing import (
+        pack_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(3 + i % 7))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = pack_documents(docs, block_tokens=10).collect()
+    assert len(rows) == 40
+    # placements tile the concatenated token stream exactly: sort by
+    # (start_block, start_offset) and check contiguity from zero
+    placed = sorted(
+        (r["start_block"] * 10 + r["start_offset"], r["n_tokens"],
+         r["end_block"])
+        for r in rows
+    )
+    cursor = 0
+    for start, n, end_block in placed:
+        assert start == cursor
+        assert end_block == (start + n - 1) // 10
+        cursor += n
+    assert cursor == sum(3 + i % 7 for i in range(40))
+
+
+def test_pack_documents_partition_invariant(spark):
+    """The two-phase prefix sum must give the same placement regardless
+    of input partitioning (the property that makes it cluster-safe)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.packing import (
+        pack_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join("tok" for _ in range(1 + i % 5))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    one = {tuple(r) for r in pack_documents(docs.coalesce(1)).collect()}
+    many = {tuple(r) for r in pack_documents(docs.repartition(16)).collect()}
+    assert one == many
+
+
+def test_pack_documents_drops_empty(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.packing import (
+        pack_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in pack_documents(docs, block_tokens=2).collect()}
+    assert got == {1}
+    with pytest.raises(ValueError):
+        pack_documents(docs, block_tokens=0)
+
+
+# ---------------------------------------------------------------------------
+# temperature sampling
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_sample_rebalances(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    # 1600 docs in 'big', 100 in 'small': alpha=0.5 keeps small whole
+    # and downsamples big toward sqrt ratio (expected keep prob 0.25)
+    rows = [(i, "big") for i in range(1600)] + [
+        (10_000 + i, "small") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, domain string")
+    kept = temperature_sample(docs, domain_col="domain", alpha=0.5)
+    by_dom = {
+        r["domain"]: r["n"]
+        for r in kept.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_dom["small"] == 100  # smallest domain survives whole
+    # hash-threshold keep of p=0.25 over 1600 docs: binomial, generous
+    # bounds (±5 sigma ≈ ±87)
+    assert 300 < by_dom["big"] < 500
+    # alpha=1 keeps everything
+    assert temperature_sample(docs, "domain", alpha=1.0).count() == 1700
+
+
+def test_temperature_sample_deterministic(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, domain string")
+    one = {r["doc_id"] for r in temperature_sample(docs, "domain").collect()}
+    two = {
+        r["doc_id"]
+        for r in temperature_sample(docs.repartition(13), "domain").collect()
+    }
+    assert one == two and len(one) > 0
