@@ -1009,10 +1009,10 @@ def _q51_pii_redaction(spark, sf):
     detection counts and chained redaction, RE2-compatible patterns
     applied in a fixed order so DuckDB replays byte-identically.  The
     redacted text itself is part of the checked value, so the oracle
-    certifies the masking, not just the counts."""
+    certifies the masking, not just the counts.  Single narrow pass —
+    scrub_pii fuses counts and redaction, no self-join."""
     from convei_abstract_relational_knowledge_explorer_spark.operators.pii import (
-        detect_pii,
-        redact_pii,
+        scrub_pii,
     )
 
     d = _t(spark, sf, "documents")
@@ -1040,13 +1040,7 @@ def _q51_pii_redaction(spark, sf):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    counts = detect_pii(injected)
-    red = redact_pii(injected).select(
-        "doc_id", F.col("text").alias("text_redacted")
-    )
-    return counts.join(red, "doc_id").select(
-        "doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted"
-    )
+    return scrub_pii(injected)
 
 
 def _q52_sequence_packing(spark, sf):
@@ -1099,6 +1093,74 @@ def _q53_temperature_sample(spark, sf):
             "n_total",
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
+    )
+
+
+def _q54_kmv_distinct(spark, sf):
+    """Per-source distinct-shingle cardinality via the K-minimum-values
+    sketch (Bar-Yossef et al.): state is 64 hashes per group no matter
+    the cardinality — the bounded-memory substitute for an exact
+    countDistinct whose reducers would hold a head group's full key
+    population at 100 TB.  The ESTIMATOR ITSELF is oracle-checked: the
+    same md5 hashes, the same kth-order statistic, the same
+    floor((k-1)*2^60/h_k) arithmetic replayed in DuckDB."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    d = _t(spark, sf, "documents")
+    grams = (
+        d.select(
+            "source",
+            F.expr(
+                f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+            ).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1),"
+                    " i -> concat_ws(' ', slice(_toks, i, 2)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    return kmv_distinct(grams, "gram", k=64, by=["source"])
+
+
+def _q55_count_min(spark, sf):
+    """Count-min frequency sketch (Cormode-Muthukrishnan) over the token
+    stream: the corpus folds into a fixed 4x512 integer grid — the
+    groupBy key space is the grid, so map-side combine bounds every
+    exchange at 2048 rows per task and no reducer ever holds a Zipf-head
+    key's full mass.  Query the dictionary terms, return estimate next
+    to the exact count; the grid, the lane hashes (one md5, rotate/xor
+    lanes), and the per-lane min are all replayed verbatim in DuckDB."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        count_min_build,
+        count_min_query,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("token")
+    )
+    sketch = count_min_build(toks, "token", depth=4, width=512)
+    terms = spark.createDataFrame([(t,) for t in TERMS], "term string")
+    est = count_min_query(sketch, terms, "term", width=512)
+    exact = (
+        toks.join(F.broadcast(terms), toks["token"] == terms["term"])
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+    )
+    return est.join(exact, "term", "left").select(
+        "term",
+        "est",
+        F.coalesce(F.col("n_exact"), F.lit(0)).cast("long").alias("n_exact"),
     )
 
 
@@ -1159,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_pii_redaction": _q51_pii_redaction,
         "q52_sequence_packing": _q52_sequence_packing,
         "q53_temperature_sample": _q53_temperature_sample,
+        "q54_kmv_distinct": _q54_kmv_distinct,
+        "q55_count_min": _q55_count_min,
     }
 
 
@@ -2398,5 +2462,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.domain, c.c_d AS n_total,
                    CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
             FROM c LEFT JOIN kept USING (domain)
+        """,
+        # q54: the KMV estimator replayed — same seeded md5 hashes, same
+        # kth-order statistic, same floor((k-1)*2^60/h_k); 63*2^60 is
+        # exactly representable as a double and floor is unambiguous in
+        # both engines, so saturated estimates match bit-for-bit
+        "q54_kmv_distinct": f"""
+            WITH t AS (
+                SELECT source, {_TOK} AS t FROM documents
+            ), g AS (
+                SELECT source, concat_ws(' ', t[i], t[i + 1]) AS gram
+                FROM t,
+                     LATERAL (SELECT unnest(generate_series(1,
+                         greatest(len(t) - 1, 1))) AS i) s
+                WHERE len(t) >= 2
+            ), h AS (
+                SELECT DISTINCT source,
+                       CAST('0x' || substr(md5(
+                           gram || chr(31) || 'kmv'), 1, 15)
+                           AS BIGINT) AS h
+                FROM g
+            ), rn AS (
+                SELECT source, h,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY h) AS rn
+                FROM h
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   max(h) AS kth_hash,
+                   CAST(CASE WHEN count(*) < 64 THEN count(*)
+                        ELSE floor(63.0 * 1152921504606846976.0 / max(h))
+                        END AS BIGINT) AS n_distinct_est
+            FROM rn WHERE rn <= 64
+            GROUP BY 1
+        """,
+        # q55: grid build, lane hashes (one md5 → two 60-bit slices →
+        # rotate/xor lanes, the q24 idiom), and per-lane-min query all
+        # replayed; every quantity is an integer
+        "q55_count_min": f"""
+            WITH toks AS (
+                SELECT unnest({_TOK}) AS token FROM documents
+            ), hx AS (
+                SELECT token,
+                       CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                           AS h1,
+                       CAST('0x' || substr(md5(token), 17, 15) AS BIGINT)
+                           AS h2
+                FROM toks
+            ), lanes AS (
+                SELECT seed, (7 * seed + 3) % 60 AS r,
+                       (13 * seed + 5) % 60 AS r2
+                FROM (SELECT unnest(generate_series(0, 3)) AS seed)
+            ), grid AS (
+                SELECT l.seed AS lane,
+                       xor(
+                           ((h1 & ((1::BIGINT << (60 - l.r)) - 1)) << l.r)
+                               | (h1 >> (60 - l.r)),
+                           ((h2 & ((1::BIGINT << (60 - l.r2)) - 1)) << l.r2)
+                               | (h2 >> (60 - l.r2))
+                       ) % 512 AS cell,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM hx CROSS JOIN lanes l
+                GROUP BY 1, 2
+            ), terms AS (
+                SELECT unnest(['spark', 'window', 'merge', 'stream',
+                               'vector', 'hash']) AS term
+            ), probes AS (
+                SELECT term, l.seed AS lane,
+                       xor(
+                           ((th1 & ((1::BIGINT << (60 - l.r)) - 1)) << l.r)
+                               | (th1 >> (60 - l.r)),
+                           ((th2 & ((1::BIGINT << (60 - l.r2)) - 1)) << l.r2)
+                               | (th2 >> (60 - l.r2))
+                       ) % 512 AS cell
+                FROM (
+                    SELECT term,
+                           CAST('0x' || substr(md5(term), 1, 15) AS BIGINT)
+                               AS th1,
+                           CAST('0x' || substr(md5(term), 17, 15) AS BIGINT)
+                               AS th2
+                    FROM terms
+                ) CROSS JOIN lanes l
+            ), est AS (
+                SELECT p.term,
+                       CAST(min(coalesce(grid.c, 0)) AS BIGINT) AS est
+                FROM probes p
+                LEFT JOIN grid ON grid.lane = p.lane AND grid.cell = p.cell
+                GROUP BY 1
+            ), exact AS (
+                SELECT token AS term, CAST(count(*) AS BIGINT) AS n_exact
+                FROM toks WHERE token IN ('spark', 'window', 'merge',
+                                          'stream', 'vector', 'hash')
+                GROUP BY 1
+            )
+            SELECT est.term, est.est,
+                   CAST(coalesce(exact.n_exact, 0) AS BIGINT) AS n_exact
+            FROM est LEFT JOIN exact USING (term)
         """,
     }

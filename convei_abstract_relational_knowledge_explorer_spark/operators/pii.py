@@ -57,6 +57,33 @@ def detect_pii(
     return docs.select(F.col(id_col).alias("doc_id"), *counts)
 
 
+def scrub_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Counts AND redacted text in ONE projection →
+    (doc_id, n_email, n_ipv4, n_phone, text_redacted).
+
+    The audit form: what :func:`detect_pii` + :func:`redact_pii` would
+    give joined on doc_id, without the join — a single narrow
+    shuffle-free pass (Catalyst CSE shares the intermediate masked
+    stages between the count and replace expressions).
+    """
+    masked = F.col(text_col)
+    cols = []
+    for name, pat, token in PII_PATTERNS:
+        cols.append(
+            F.size(F.regexp_extract_all(masked, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        masked = F.regexp_replace(masked, pat, token)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *cols,
+        masked.alias("text_redacted"),
+    )
+
+
 def redact_pii(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1345,3 +1345,118 @@ def test_temperature_sample_deterministic(spark):
         for r in temperature_sample(docs.repartition(13), "domain").collect()
     }
     assert one == two and len(one) > 0
+
+
+def test_scrub_pii_equals_detect_plus_redact(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.pii import (
+        detect_pii,
+        redact_pii,
+        scrub_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "u123.456@h.co then 123.456.7.8 then 123.456.7890"),
+            (2, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    fused = {tuple(r) for r in scrub_pii(docs).collect()}
+    joined = {
+        tuple(r)
+        for r in detect_pii(docs)
+        .join(
+            redact_pii(docs).select(
+                "doc_id", F.col("text").alias("text_redacted")
+            ),
+            "doc_id",
+        )
+        .collect()
+    }
+    assert fused == joined
+
+
+# ---------------------------------------------------------------------------
+# bounded-state sketches
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_distinct_exact_below_k(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 10, f"key{i % 37}") for i in range(500)], "g int, k string"
+    )
+    got = {
+        r["g"]: (r["n_kept"], r["n_distinct_est"])
+        for r in kmv_distinct(df, "k", k=64, by=["g"]).collect()
+    }
+    # every group sees fewer than 64 distinct keys → sketch is exact
+    for g, (n_kept, est) in got.items():
+        truth = len({i % 37 for i in range(500) if i % 10 == g})
+        assert n_kept == truth and est == truth
+
+
+def test_kmv_distinct_estimate_accuracy(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    n = 20_000
+    df = spark.createDataFrame(
+        [(f"key{i}",) for i in range(n)], "k string"
+    )
+    r = kmv_distinct(df, "k", k=256).collect()[0]
+    assert r["n_kept"] == 256
+    # KMV relative error ~ 1/sqrt(k-1) ≈ 6.3%; allow 4 sigma
+    assert abs(r["n_distinct_est"] - n) / n < 0.25
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "k", k=1)
+
+
+def test_count_min_upper_bound_and_exactness(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        count_min_build,
+        count_min_query,
+    )
+
+    rows = [("hot",)] * 500 + [(f"cold{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string")
+    keys = spark.createDataFrame(
+        [("hot",), ("cold0",), ("absent",)], "k string"
+    )
+    # wide grid: collisions vanish, estimates are exact
+    wide = count_min_build(df, "k", depth=4, width=4096)
+    assert wide.count() <= 4 * 4096
+    got = {
+        r["k"]: r["est"]
+        for r in count_min_query(wide, keys, "k", width=4096).collect()
+    }
+    assert got == {"hot": 500, "cold0": 1, "absent": 0}
+    # narrow grid: still an UPPER bound on every true count
+    narrow = count_min_build(df, "k", depth=4, width=8)
+    got_n = {
+        r["k"]: r["est"]
+        for r in count_min_query(narrow, keys, "k", width=8).collect()
+    }
+    assert got_n["hot"] >= 500 and got_n["cold0"] >= 1 and got_n["absent"] >= 0
+
+
+def test_count_min_weighted(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        count_min_build,
+        count_min_query,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7)], "k string, w int"
+    )
+    sketch = count_min_build(df, "k", depth=4, width=1024, weight_col="w")
+    keys = spark.createDataFrame([("a",), ("b",)], "k string")
+    got = {
+        r["k"]: r["est"]
+        for r in count_min_query(sketch, keys, "k", width=1024).collect()
+    }
+    assert got == {"a": 15, "b": 7}

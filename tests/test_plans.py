@@ -203,3 +203,23 @@ def test_contamination_bench_side_broadcasts(spark):
     df = entrymod.queries()["q43_benchmark_contamination"](spark, SF)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_has_no_shuffle(spark):
+    """q51 is one narrow projection — counts and redaction fused, no
+    self-join, no Exchange anywhere in the plan."""
+    df = entrymod.queries()["q51_pii_redaction"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+
+
+def test_sequence_packing_no_global_sort(spark):
+    """q52's prefix sum must stay bucket-partitioned: per-bucket windows
+    plus a broadcast bucket-prefix join — the only single-partition
+    window allowed is the 64-row bucket-totals one (operating on the
+    aggregate, not the corpus)."""
+    df = entrymod.queries()["q52_sequence_packing"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # corpus-side window is hash-partitioned on bucket
+    assert "hashpartitioning(bucket" in plan
