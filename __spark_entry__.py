@@ -1164,6 +1164,104 @@ def _q55_count_min(spark, sf):
     )
 
 
+def _q56_histogram_quantiles(spark, sf):
+    """Per-source doc-length p50/p90/p99 via the log2-histogram
+    quantile sketch: per-group state is <= 64 counter rows no matter
+    the corpus size (vs the full-column sort an exact percentile needs
+    at 100 TB), and the integer-interpolated estimator replays
+    bit-identically in DuckDB — unlike approx_percentile, whose
+    sketch is engine-private."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    d = _t(spark, sf, "documents")
+    lengths = d.select("source", F.length("text").alias("n_chars"))
+    return histogram_quantiles(
+        lengths, "n_chars", percents=[50, 90, 99], by=["source"]
+    )
+
+
+def _q57_revenue_rollup(spark, sf):
+    """OLAP ROLLUP over (nation, year): subtotal and grand-total rows
+    in ONE aggregation pass (Spark expands grouping sets map-side —
+    one shuffle, not three scans).  lvl is the grouping_id bit mask so
+    the NULL-filled subtotal rows are unambiguous."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def _q58_bloom_pruned_join(spark, sf):
+    """Cross-job Bloom-filter join pruning: January-urgent order keys
+    fold into a 16384-bit portable filter (md5 lane family), the
+    lineitem probe is then a SHUFFLE-FREE narrow bit-test filter —
+    the pre-join pruning shape that cuts the shuffled probe volume
+    before an expensive exact join at 100 TB.  Returns the
+    no-false-negative audit row: bloom survivors vs exact semi-join
+    matches vs input."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").select("l_orderkey")
+    keys = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.month("o_orderdate") == 1)
+    ).select("o_orderkey")
+    pos = bloom_build(keys, "o_orderkey", num_bits=16384, depth=4)
+    passed = bloom_prune(li, "l_orderkey", pos, num_bits=16384, depth=4)
+    exact = li.join(
+        keys.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey",
+        "left_semi",
+    )
+    return (
+        li.agg(F.count("*").cast("long").alias("n_input"))
+        .crossJoin(
+            passed.agg(F.count("*").cast("long").alias("n_bloom_pass"))
+        )
+        .crossJoin(exact.agg(F.count("*").cast("long").alias("n_exact")))
+    )
+
+
+def _q59_bigram_coherence(spark, sf):
+    """Self-trained bigram LM quality scoring (the CCNet perplexity-
+    filter family) in fixed-point integer arithmetic: per-source doc
+    counts and mean coherence.  Integer sums are associative, so the
+    score survives any partitioning/plan change bit-identically —
+    the float log-prob formulation would not."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        bigram_coherence,
+    )
+
+    d = _t(spark, sf, "documents")
+    scored = bigram_coherence(d)
+    return (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.expr("sum(coherence) div count(*)")
+            .cast("long")
+            .alias("mean_coherence"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1223,6 +1321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_temperature_sample": _q53_temperature_sample,
         "q54_kmv_distinct": _q54_kmv_distinct,
         "q55_count_min": _q55_count_min,
+        "q56_histogram_quantiles": _q56_histogram_quantiles,
+        "q57_revenue_rollup": _q57_revenue_rollup,
+        "q58_bloom_pruned_join": _q58_bloom_pruned_join,
+        "q59_bigram_coherence": _q59_bigram_coherence,
     }
 
 
@@ -2559,5 +2661,147 @@ def oracle_sql() -> dict[str, str]:
             SELECT est.term, est.est,
                    CAST(coalesce(exact.n_exact, 0) AS BIGINT) AS n_exact
             FROM est LEFT JOIN exact USING (term)
+        """,
+        # q56: the log2-histogram estimator replayed — binary-length
+        # binning (length(bin(v)) == Spark's length(conv(v,10,2))),
+        # running-sum bin cumulative, integer rank and interpolation;
+        # every quantity is an integer so estimates match bit-for-bit
+        "q56_histogram_quantiles": """
+            WITH vals AS (
+                SELECT source, CAST(length(text) AS BIGINT) AS v
+                FROM documents
+            ), hist AS (
+                SELECT source, length(bin(v)) AS b,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM vals GROUP BY 1, 2
+            ), cum AS (
+                SELECT source, b, c,
+                       sum(c) OVER (PARTITION BY source ORDER BY b) AS cum,
+                       sum(c) OVER (PARTITION BY source) AS n
+                FROM hist
+            ), p AS (
+                SELECT unnest([50, 90, 99]) AS percent
+            ), picked AS (
+                SELECT source, percent, n, b, c, cum,
+                       (n - 1) * percent // 100 AS rank
+                FROM cum CROSS JOIN p
+                WHERE (n - 1) * percent // 100 >= cum - c
+                  AND (n - 1) * percent // 100 < cum
+            )
+            SELECT source, percent, CAST(n AS BIGINT) AS n,
+                   CAST((CASE WHEN b = 1 THEN 0
+                              ELSE 1::BIGINT << (b - 1) END)
+                        + ((rank - (cum - c))
+                           * (CASE WHEN b = 1 THEN 2
+                                   ELSE 1::BIGINT << (b - 1) END)) // c
+                        AS BIGINT) AS est
+            FROM picked
+        """,
+        # q57: native GROUP BY ROLLUP; lvl recomposed from per-column
+        # GROUPING bits in Spark's grouping_id order (first col = MSB)
+        "q57_revenue_rollup": """
+            SELECT n_name, year(o_orderdate) AS order_year,
+                   CAST(grouping(n_name) * 2
+                        + grouping(year(o_orderdate)) AS BIGINT) AS lvl,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_name, year(o_orderdate))
+        """,
+        # q58: the Bloom filter rebuilt from scratch in SQL — same md5
+        # lane family, same bit positions — and probed via set
+        # MEMBERSHIP (bool_and over a left join) instead of the packed
+        # words bitmask: an independent encoding, so a hash match also
+        # certifies the bitmask packing itself
+        "q58_bloom_pruned_join": """
+            WITH keys AS (
+                SELECT o_orderkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+                  AND month(o_orderdate) = 1
+            ), lanes AS (
+                SELECT seed, (7 * seed + 3) % 60 AS r,
+                       (13 * seed + 5) % 60 AS r2
+                FROM (SELECT unnest(generate_series(0, 3)) AS seed)
+            ), kh AS (
+                SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                            1, 15) AS BIGINT) AS h1,
+                       CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                            17, 15) AS BIGINT) AS h2
+                FROM keys
+            ), pos AS (
+                SELECT DISTINCT xor(
+                    ((h1 & ((1::BIGINT << (60 - r)) - 1)) << r)
+                        | (h1 >> (60 - r)),
+                    ((h2 & ((1::BIGINT << (60 - r2)) - 1)) << r2)
+                        | (h2 >> (60 - r2))
+                ) % 16384 AS p
+                FROM kh CROSS JOIN lanes
+            ), pk AS (
+                SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+                FROM lineitem GROUP BY 1
+            ), pkh AS (
+                SELECT l_orderkey, cnt,
+                       CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                            1, 15) AS BIGINT) AS h1,
+                       CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                            17, 15) AS BIGINT) AS h2
+                FROM pk
+            ), pl AS (
+                SELECT l_orderkey, cnt, xor(
+                    ((h1 & ((1::BIGINT << (60 - r)) - 1)) << r)
+                        | (h1 >> (60 - r)),
+                    ((h2 & ((1::BIGINT << (60 - r2)) - 1)) << r2)
+                        | (h2 >> (60 - r2))
+                ) % 16384 AS p
+                FROM pkh CROSS JOIN lanes
+            ), verdict AS (
+                SELECT pl.l_orderkey, min(pl.cnt) AS cnt,
+                       bool_and(pos.p IS NOT NULL) AS pass
+                FROM pl LEFT JOIN pos ON pl.p = pos.p
+                GROUP BY 1
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+                       AS n_input,
+                   (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT)
+                    FROM verdict WHERE pass) AS n_bloom_pass,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                    WHERE l_orderkey IN (SELECT o_orderkey FROM keys))
+                       AS n_exact
+        """,
+        # q59: the fixed-point bigram LM replayed — same grams, same
+        # (10^9 * c_ab) // c_a integer scores, same integer means;
+        # associative integer sums, no FP anywhere
+        "q59_bigram_coherence": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ), g AS (
+                SELECT doc_id, t[i] AS a,
+                       concat_ws(' ', t[i], t[i + 1]) AS gram
+                FROM t,
+                     LATERAL (SELECT unnest(generate_series(1,
+                         greatest(len(t) - 1, 1))) AS i) s
+                WHERE len(t) >= 2
+            ), mb AS (
+                SELECT gram, CAST(count(*) AS BIGINT) AS c_ab
+                FROM g GROUP BY 1
+            ), mu AS (
+                SELECT a, CAST(count(*) AS BIGINT) AS c_a
+                FROM g GROUP BY 1
+            ), sc AS (
+                SELECT doc_id, (1000000000 * c_ab) // c_a AS s
+                FROM g JOIN mb USING (gram) JOIN mu USING (a)
+            ), pd AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+                       CAST(sum(s) // count(*) AS BIGINT) AS coh
+                FROM sc GROUP BY 1
+            )
+            SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(coalesce(pd.nb, 0)) AS BIGINT) AS n_bigrams,
+                   CAST(sum(coalesce(pd.coh, 0)) // count(*) AS BIGINT)
+                       AS mean_coherence
+            FROM documents d LEFT JOIN pd USING (doc_id)
+            GROUP BY 1
         """,
     }

@@ -115,6 +115,94 @@ def count_min_build(
     )
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    percents: list[int] | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Log2-histogram quantile sketch →
+    (``by``..., percent, n, est) — one row per (group, percent).
+
+    Bins a non-negative integer value by its binary length (bin b holds
+    ``[2^(b-1), 2^b)``; bin 1 holds {0, 1}), so per-group state is at
+    most 64 counter rows no matter how many rows flow in — the
+    bounded-memory substitute for an exact percentile whose sort would
+    shuffle the full column at 100 TB.  The estimate is the target
+    bin's lower bound plus INTEGER-interpolated offset
+    ``lower + (offset * width) div count`` at 0-indexed rank
+    ``((n-1) * percent) div 100`` — every quantity is an integer, so
+    the approximation itself replays bit-identically in ANSI SQL (the
+    q44/q53 fixed-point idiom; contrast ``approx_percentile``, whose
+    sketch is engine-private).
+
+    Plan shape: one groupBy onto the bin key space (map-side combine
+    caps every exchange at 64 rows/group/task), then windows and the
+    percent cross join run over those 64-row groups — negligible.
+    Negative values are rejected at runtime (binary-length binning is
+    undefined for them).
+    """
+    pcts = list(percents or [50, 90, 99])
+    if any(p < 0 or p > 100 for p in pcts):
+        raise ValueError("percents must be within [0, 100]")
+    gcols = list(by or [])
+    v = F.col(value_col).cast("long")
+    binned = df.select(
+        *gcols,
+        F.when(
+            v < 0,
+            F.raise_error(
+                F.lit(f"histogram_quantiles: negative {value_col}")
+            ),
+        )
+        .otherwise(F.length(F.conv(v, 10, 2)))
+        .cast("int")
+        .alias("_bin"),
+    )
+    hist = binned.groupBy(*gcols, "_bin").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    part = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    )
+    cum = hist.withColumn(
+        "_cum", F.sum("_c").over(part.orderBy("_bin"))
+    ).withColumn("_n", F.sum("_c").over(part))
+    spark = df.sparkSession
+    pdf = F.broadcast(
+        spark.createDataFrame([(int(p),) for p in pcts], "percent int")
+    )
+    j = (
+        cum.join(pdf)
+        .withColumn("_rank", F.expr("(_n - 1) * percent div 100"))
+        .filter(
+            (F.col("_rank") >= F.col("_cum") - F.col("_c"))
+            & (F.col("_rank") < F.col("_cum"))
+        )
+        .withColumn(
+            "_lower",
+            F.expr(
+                "CASE WHEN _bin = 1 THEN 0L"
+                " ELSE shiftleft(1L, _bin - 1) END"
+            ),
+        )
+        .withColumn(
+            "_width",
+            F.expr(
+                "CASE WHEN _bin = 1 THEN 2L"
+                " ELSE shiftleft(1L, _bin - 1) END"
+            ),
+        )
+        .withColumn("_off", F.col("_rank") - (F.col("_cum") - F.col("_c")))
+    )
+    return j.select(
+        *gcols,
+        "percent",
+        F.col("_n").alias("n"),
+        F.expr("_lower + (_off * _width) div _c").cast("long").alias("est"),
+    )
+
+
 def count_min_query(
     sketch: DataFrame, keys: DataFrame, key_col: str, width: int = 1024
 ) -> DataFrame:
@@ -140,3 +228,71 @@ def count_min_query(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, num_bits: int = 16384, depth: int = 4
+) -> DataFrame:
+    """Portable Bloom filter build → (pos) — the distinct set bit
+    positions, at most ``num_bits`` rows no matter the key count.
+
+    Lane hashes come from the md5 rotate/xor family
+    (:func:`~.dedup.porthash_lanes`), so an ANSI-SQL oracle can rebuild
+    the identical filter and the no-false-negative guarantee is
+    checkable, unlike Spark's engine-private runtime bloom
+    (``spark.sql.optimizer.runtime.bloomFilter``), which this operator
+    mirrors for cases where the filter must cross a job/engine boundary
+    (e.g. ship tiny crawl-frontier filters to the next batch).
+    """
+    if num_bits < 2 or depth < 1:
+        raise ValueError("need num_bits >= 2 and depth >= 1")
+    h1, h2, lanes = porthash_lanes(F.col(key_col).cast("string"), depth)
+    return (
+        keys.select(h1.alias("_h1"), h2.alias("_h2"))
+        .select(
+            F.explode(
+                F.array(*[(lane % num_bits).cast("int") for lane in lanes])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_prune(
+    df: DataFrame,
+    key_col: str,
+    positions: DataFrame,
+    num_bits: int = 16384,
+    depth: int = 4,
+) -> DataFrame:
+    """Keep rows whose key MAY be in the filter (all ``depth`` bits
+    set) — no false negatives, tunable false positives.
+
+    The positions collect is bounded by ``num_bits`` (a sketch
+    artifact, the scalar-scale collect class this repo allows); the
+    probe side is then a SHUFFLE-FREE narrow filter — the bit test is
+    pure JVM against a packed words literal (32 bits per long, so no
+    sign-bit arithmetic anywhere), exactly how a pre-join pruning
+    filter should look before an expensive exact join at 100 TB.
+    """
+    words = [0] * ((num_bits + 31) // 32)
+    for (p,) in positions.select("pos").collect():
+        words[p // 32] |= 1 << (p % 32)
+    h1, h2, lanes = porthash_lanes(F.col(key_col).cast("string"), depth)
+    probed = df.withColumn("_h1", h1).withColumn("_h2", h2)
+    probed = probed.select(
+        *df.columns,
+        *[
+            (lane % num_bits).cast("int").alias(f"_p{i}")
+            for i, lane in enumerate(lanes)
+        ],
+        F.lit(words).alias("_mask"),
+    )
+    cond = None
+    for i in range(depth):
+        c = F.expr(
+            f"(element_at(_mask, cast(_p{i} div 32 as int) + 1)"
+            f" & shiftleft(1L, _p{i} % 32)) != 0"
+        )
+        cond = c if cond is None else (cond & c)
+    return probed.filter(cond).select(*df.columns)

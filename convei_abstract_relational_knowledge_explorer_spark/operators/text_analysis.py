@@ -286,3 +286,69 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
             F.coalesce("dup5_frac", F.lit(0.0)).alias("dup5_frac"),
         )
     )
+
+
+def bigram_coherence(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Self-trained bigram language-model quality score →
+    (doc_id, n_bigrams, coherence) — the CCNet-style LM filter family
+    (Wenzek et al., LREC'20) with the corpus itself as the model.
+
+    coherence = integer mean over a doc's bigram INSTANCES of the
+    scaled conditional frequency ``(scale * c(ab)) div c(a·)`` where
+    ``c(ab)`` is the corpus bigram count and ``c(a·)`` the count of
+    bigrams starting with ``a`` (so each per-prefix distribution sums
+    to ~scale).  Gibberish and boilerplate-free unique text score low;
+    repeated/templated text scores high — the standard perplexity
+    signal with the sign flipped, in FIXED-POINT integer arithmetic
+    (the q44 PageRank idiom): sums of integers are associative, so the
+    score is bit-identical across engines, partitionings, and plans —
+    unlike a float sum of log-probs, which is order-dependent.
+
+    Plan: one token scan → bigram explode; model counts are two partial-
+    aggregatable groupBys over the SAME bigram stream (Zipf-head safe —
+    counts, not gram lists); scoring joins each doc-gram to the two
+    model tables on their natural keys, then one groupBy(doc).  Docs
+    with < 2 tokens get n_bigrams = 0, coherence = 0 (kept, not
+    dropped — a quality filter must see every doc).
+    """
+    toks = _tokens(text_col)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    grams = base.filter(F.size("_toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1),"
+                " i -> struct(_toks[i - 1] AS a,"
+                " concat_ws(' ', _toks[i - 1], _toks[i]) AS gram))"
+            )
+        ).alias("_g"),
+    ).select("doc_id", "_g.a", "_g.gram")
+    model_bi = grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("_c_ab")
+    )
+    model_uni = grams.groupBy("a").agg(
+        F.count("*").cast("long").alias("_c_a")
+    )
+    scored = (
+        grams.join(model_bi, "gram")
+        .join(model_uni, "a")
+        .withColumn("_s", F.expr(f"({scale}L * _c_ab) div _c_a"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.expr("sum(_s) div count(*)").cast("long").alias("coherence"),
+    )
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("coherence", F.lit(0).cast("long")).alias("coherence"),
+        )
+    )

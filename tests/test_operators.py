@@ -1460,3 +1460,156 @@ def test_count_min_weighted(spark):
         for r in count_min_query(sketch, keys, "k", width=1024).collect()
     }
     assert got == {"a": 15, "b": 7}
+
+
+def _hist_quantile_ref(values, percents):
+    """Python reference for the log2-histogram integer estimator."""
+    from collections import Counter
+
+    bins = Counter(len(format(v, "b")) for v in values)
+    out = {}
+    n = len(values)
+    for p in percents:
+        rank = (n - 1) * p // 100
+        cum = 0
+        for b in sorted(bins):
+            c = bins[b]
+            if cum <= rank < cum + c:
+                lower = 0 if b == 1 else 1 << (b - 1)
+                width = 2 if b == 1 else 1 << (b - 1)
+                out[p] = lower + ((rank - cum) * width) // c
+                break
+            cum += c
+    return out
+
+
+def test_histogram_quantiles_matches_reference(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    values = [0, 1, 3, 7, 9, 100, 1000, 1001, 5000, 65536, 2**40]
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    got = {
+        r["percent"]: (r["n"], r["est"])
+        for r in histogram_quantiles(df, "v", percents=[0, 50, 90, 100]).collect()
+    }
+    ref = _hist_quantile_ref(values, [0, 50, 90, 100])
+    assert {p: e for p, (_, e) in got.items()} == ref
+    assert all(n == len(values) for n, _ in got.values())
+    # estimate brackets the true quantile's bin: p0 -> 0, p100 within top bin
+    assert got[0][1] == 0 and 2**40 <= got[100][1] < 2**41
+
+
+def test_histogram_quantiles_grouped_and_negative(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(1, 101)] + [("b", 1 << i) for i in range(20)],
+        "g string, v long",
+    )
+    rows = histogram_quantiles(df, "v", percents=[50], by=["g"]).collect()
+    got = {r["g"]: r["est"] for r in rows}
+    ref_a = _hist_quantile_ref(list(range(1, 101)), [50])[50]
+    ref_b = _hist_quantile_ref([1 << i for i in range(20)], [50])[50]
+    assert got == {"a": ref_a, "b": ref_b}
+    neg = spark.createDataFrame([(-1,)], "v long")
+    with pytest.raises(Exception, match="negative"):
+        histogram_quantiles(neg, "v").collect()
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "v", percents=[101])
+
+
+def test_bloom_prune_no_false_negatives(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(10)], "k string")
+    probe = spark.createDataFrame(
+        [(f"k{i}",) for i in range(1000)], "k string"
+    )
+    pos = bloom_build(keys, "k", num_bits=4096, depth=4)
+    assert pos.count() <= 40
+    survivors = {
+        r["k"] for r in bloom_prune(probe, "k", pos, 4096, 4).collect()
+    }
+    member = {f"k{i}" for i in range(10)}
+    assert member <= survivors          # no false negatives, ever
+    assert len(survivors) < 1000        # pruning actually happened
+    # deterministic: a second run returns the identical survivor set
+    again = {
+        r["k"] for r in bloom_prune(probe, "k", pos, 4096, 4).collect()
+    }
+    assert survivors == again
+
+
+def test_bloom_prune_is_narrow(spark):
+    """The probe is a shuffle-free filter: no Exchange, no Join."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    keys = spark.createDataFrame([("x",)], "k string")
+    probe = spark.createDataFrame([(f"k{i}",) for i in range(10)], "k string")
+    pos = bloom_build(keys, "k", num_bits=64, depth=2)
+    pruned = bloom_prune(probe, "k", pos, 64, 2)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def _bigram_ref(texts, scale=10**9):
+    import re
+    from collections import Counter
+
+    tok = re.compile(r"[a-z0-9]+(?:-[a-z0-9]+)*")
+    doc_toks = {i: tok.findall(t.lower()) for i, t in enumerate(texts)}
+    grams, unis = Counter(), Counter()
+    per_doc = {}
+    for i, ts in doc_toks.items():
+        per_doc[i] = [(ts[j], f"{ts[j]} {ts[j+1]}") for j in range(len(ts) - 1)]
+        for a, g in per_doc[i]:
+            grams[g] += 1
+            unis[a] += 1
+    out = {}
+    for i in doc_toks:
+        pairs = per_doc[i]
+        if not pairs:
+            out[i] = (0, 0)
+            continue
+        s = sum((scale * grams[g]) // unis[a] for a, g in pairs)
+        out[i] = (len(pairs), s // len(pairs))
+    return out
+
+
+def test_bigram_coherence_matches_reference(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        bigram_coherence,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the cat",
+        "completely unrelated words here",
+        "x",            # single token -> 0 bigrams, kept
+        "",             # empty -> kept
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["coherence"])
+        for r in bigram_coherence(docs).collect()
+    }
+    assert got == _bigram_ref(texts)
+    # sub-2-token docs are kept with zero scores, not dropped
+    assert got[3] == (0, 0) and got[4] == (0, 0)
+    # "the cat"/"the mat" split the mass after "the" -> doc 0 scores
+    # below the deterministic "sat on"-style certainty bigrams alone
+    assert 0 < got[0][1] < 10**9

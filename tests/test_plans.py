@@ -223,3 +223,14 @@ def test_sequence_packing_no_global_sort(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # corpus-side window is hash-partitioned on bucket
     assert "hashpartitioning(bucket" in plan
+
+
+def test_rollup_is_one_pass_expand(spark):
+    """q57's ROLLUP must be a single aggregation pass over an Expand of
+    the grouping sets — not three scans unioned."""
+    df = entrymod.queries()["q57_revenue_rollup"](spark, SF)
+    plan = _plan(df)
+    assert "Expand" in plan
+    # orders, customer, nation each scanned ONCE (formatted output lists
+    # every scan twice: tree line + details block)
+    assert plan.count("Scan parquet") <= 6
