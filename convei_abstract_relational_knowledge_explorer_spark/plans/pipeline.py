@@ -1238,7 +1238,10 @@ def incremental_update(
     fast-append stage holding more than this many data files is
     compacted (:meth:`Checkpointer.maybe_compact`) — the amortized
     retirement of small-files debt that appends accrue over hundreds of
-    increments.  ``None`` disables auto-compaction.
+    increments.  ``None`` disables auto-compaction.  The returned
+    DataFrames are (re)loaded AFTER any compaction, so their file
+    listings are always the post-swap ones — callers can act on them
+    without a REFRESH TABLE equivalent.
 
     The monthly-Common-Crawl shape: pages whose url is already in the
     ``documents`` stage are skipped (left-anti, the table-level form of
@@ -1747,6 +1750,7 @@ def incremental_update(
             # refresh stages (term_df, nodes, entity_stats, edges) are
             # rewritten whole each increment — only the fast-append
             # stages accrue small-files debt
+            compacted = False
             for append_stage in (
                 "documents",
                 "triples",
@@ -1756,7 +1760,20 @@ def incremental_update(
                 "entity_surfaces",
                 "surface_bands",
             ):
-                ck.maybe_compact(append_stage, max_files=compact_threshold)
+                if ck.maybe_compact(append_stage, max_files=compact_threshold):
+                    compacted = True
+            if compacted:
+                # compaction swapped stage directories out from under any
+                # DataFrame captured above — its FileIndex still lists the
+                # deleted pre-compaction files and the next action dies
+                # with FileNotFoundException.  Rebuild the returned frame
+                # from fresh post-swap listings.
+                if ck.done("topics"):
+                    all_triples = ck.load("triples").unionByName(
+                        ck.load("topics")
+                    )
+                else:
+                    all_triples = ck.load("triples")
 
     out = {
         "documents": ck.load("documents"),

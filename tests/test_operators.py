@@ -1613,3 +1613,47 @@ def test_bigram_coherence_matches_reference(spark):
     # "the cat"/"the mat" split the mass after "the" -> doc 0 scores
     # below the deterministic "sat on"-style certainty bigrams alone
     assert 0 < got[0][1] < 10**9
+
+
+def test_sketches_ignore_null_keys(spark):
+    """NULL keys/values must be ignored by every sketch: a NULL hash
+    sorts first in Spark but last in ANSI SQL (cross-engine skew), and
+    a NULL position would crash the bloom word packer."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        bloom_build,
+        bloom_prune,
+        count_min_build,
+        count_min_query,
+        histogram_quantiles,
+        kmv_distinct,
+    )
+
+    with_nulls = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "k string"
+    )
+    clean = spark.createDataFrame([("a",), ("b",)], "k string")
+
+    r = kmv_distinct(with_nulls, "k", k=8).collect()[0]
+    assert (r["n_kept"], r["n_distinct_est"]) == (2, 2)
+
+    probe = spark.createDataFrame([("a",), (None,), ("c",)], "k string")
+    pos = bloom_build(with_nulls, "k", num_bits=256, depth=3)
+    survivors = {
+        r["k"] for r in bloom_prune(probe, "k", pos, 256, 3).collect()
+    }
+    assert "a" in survivors and None not in survivors
+
+    sk = count_min_build(with_nulls, "k", depth=2, width=64)
+    sk_clean = count_min_build(clean, "k", depth=2, width=64)
+    assert {tuple(r) for r in sk.collect()} == {
+        tuple(r) for r in sk_clean.collect()
+    }
+    est = {
+        r["k"]: r["est"]
+        for r in count_min_query(sk, clean, "k", width=64).collect()
+    }
+    assert est == {"a": 1, "b": 1}
+
+    vals = spark.createDataFrame([(5,), (None,), (9,)], "v long")
+    rows = histogram_quantiles(vals, "v", percents=[50]).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 2

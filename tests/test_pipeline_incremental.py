@@ -742,3 +742,26 @@ def test_auto_compaction_retires_append_debt(spark, base_dir, tmp_path):
     )
     docs = tables["documents"]
     assert docs.count() == docs.select("url").distinct().count() == N_ALL + 40
+
+
+def test_incremental_returned_frames_survive_compaction(
+    spark, base_dir, tmp_path
+):
+    """compact_threshold=1 forces every fast-append stage to compact at
+    the end of the increment; the RETURNED DataFrames must still be
+    actionable afterwards.  Regression: all_triples was captured before
+    the compaction swapped the triples/topics directories, so its stale
+    FileIndex raised FileNotFoundException on the first count() (hit by
+    bench.py's sf0.1 pipeline run)."""
+    out = _clone(base_dir, tmp_path)
+    inc = incremental_update(
+        spark,
+        out,
+        web_pages(spark, N_ALL, partitions=4),
+        compact_threshold=1,
+    )
+    # every returned frame acts cleanly post-compaction
+    assert inc["triples"].count() > 0
+    assert inc["documents"].count() == N_ALL
+    assert inc["nodes"].count() > 0 and inc["edges"].count() > 0
+    assert inc["cleaned_affiliations"].count() > 0
