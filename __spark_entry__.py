@@ -1262,6 +1262,25 @@ def _q59_bigram_coherence(spark, sf):
     )
 
 
+def _q60_segment_priority_cube(spark, sf):
+    """CUBE over (market segment, order priority): all four grouping
+    sets — both margins, the full cross, and the grand total — in ONE
+    Expand-based aggregation pass (the q57 ROLLUP's sibling; together
+    they cover Spark's grouping-sets surface).  lvl = grouping_id
+    disambiguates NULL margin rows."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1325,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_revenue_rollup": _q57_revenue_rollup,
         "q58_bloom_pruned_join": _q58_bloom_pruned_join,
         "q59_bigram_coherence": _q59_bigram_coherence,
+        "q60_segment_priority_cube": _q60_segment_priority_cube,
     }
 
 
@@ -2803,5 +2823,16 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_coherence
             FROM documents d LEFT JOIN pd USING (doc_id)
             GROUP BY 1
+        """,
+        # q60: native GROUP BY CUBE; lvl recomposed from GROUPING bits
+        # in Spark's grouping_id order (first col = MSB)
+        "q60_segment_priority_cube": """
+            SELECT c_mktsegment, o_orderpriority,
+                   CAST(grouping(c_mktsegment) * 2
+                        + grouping(o_orderpriority) AS BIGINT) AS lvl,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY CUBE (c_mktsegment, o_orderpriority)
         """,
     }

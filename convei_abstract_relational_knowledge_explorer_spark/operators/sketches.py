@@ -49,10 +49,14 @@ def kmv_distinct(
     rule differs between engines) is unambiguous — the estimate is
     bit-identical cross-engine.
 
-    Plan shape: distinct (group, hash) → per-group ordered window capped
-    at k rows (hash-partitioned by group; the global case is a 1-group
-    window over at most k surviving rows per upstream partition — Spark
-    prunes with WindowGroupLimit) → one-row-per-group aggregate.
+    Plan shape: distinct (group, hash) → per-group ordered window
+    capped at k rows (hash-partitioned by group; Catalyst inserts
+    WindowGroupLimit, so each map task keeps only its local top-k per
+    group BEFORE the exchange — plan-tested).  The global (no ``by``)
+    case instead uses ``orderBy(h).limit(k)`` → TakeOrderedAndProject:
+    a bounded per-partition heap then a k-row merge, never a
+    single-partition window (WindowGroupLimit does not fire on a
+    constant partition spec — measured, not assumed).
     """
     if k < 2:
         raise ValueError("kmv_distinct needs k >= 2")
@@ -66,14 +70,13 @@ def kmv_distinct(
         .select(*gcols, h.alias("_h"))
         .distinct()
     )
-    w = (
-        Window.partitionBy(*gcols).orderBy("_h")
-        if gcols
-        else Window.partitionBy(F.lit(1)).orderBy("_h")
-    )
-    topk = hashes.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
-    )
+    if gcols:
+        w = Window.partitionBy(*gcols).orderBy("_h")
+        topk = hashes.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= k
+        )
+    else:
+        topk = hashes.orderBy("_h").limit(k)
     est_saturated = F.floor(
         F.lit(float((k - 1) * HASH_SPACE)) / F.max("_h")
     ).cast("long")

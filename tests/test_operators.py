@@ -1657,3 +1657,24 @@ def test_sketches_ignore_null_keys(spark):
     vals = spark.createDataFrame([(5,), (None,), (9,)], "v long")
     rows = histogram_quantiles(vals, "v", percents=[50]).collect()
     assert len(rows) == 1 and rows[0]["n"] == 2
+
+
+def test_kmv_plan_shapes(spark):
+    """Grouped path: WindowGroupLimit (per-map-task top-k before the
+    exchange).  Global path: TakeOrderedAndProject (bounded heap merge),
+    never a single-partition window."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    df = spark.createDataFrame(
+        [(i % 5, f"k{i}") for i in range(100)], "g int, k string"
+    )
+    assert "WindowGroupLimit" in plan(kmv_distinct(df, "k", k=8, by=["g"]))
+    gplan = plan(kmv_distinct(df, "k", k=8))
+    assert "TakeOrderedAndProject" in gplan and "Window" not in gplan

@@ -234,3 +234,12 @@ def test_rollup_is_one_pass_expand(spark):
     # orders, customer, nation each scanned ONCE (formatted output lists
     # every scan twice: tree line + details block)
     assert plan.count("Scan parquet") <= 6
+
+
+def test_cube_is_one_pass_expand(spark):
+    """q60's CUBE: all four grouping sets from one Expand pass, each
+    table scanned once (×2 lines in formatted output)."""
+    df = entrymod.queries()["q60_segment_priority_cube"](spark, SF)
+    plan = _plan(df)
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") <= 4
