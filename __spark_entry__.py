@@ -1281,6 +1281,79 @@ def _q60_segment_priority_cube(spark, sf):
     )
 
 
+def _q61_record_linkage(spark, sf):
+    """Fellegi-Sunter probabilistic record linkage over a
+    deterministically-dirtied customer table (each customer appears
+    twice; every third copy's name is case-mangled, every fifth's
+    segment replaced, every seventh's balance bucket shifted): blocked
+    candidate self-join on (nation, name-suffix — the digit suffix
+    survives the case perturbation, so blocking recall is 100%),
+    per-field agreement, integer-millibit log-likelihood-ratio score.
+    Returns the score histogram with true-duplicate counts — the FS
+    separation curve — so the oracle certifies the whole model:
+    blocking, agreement logic, weights, and threshold."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        block_candidates,
+        fs_score,
+    )
+
+    c = _t(spark, sf, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    base = c.select(
+        (F.col("c_custkey") * 2).alias("rec_id"),
+        "c_custkey",
+        "c_nationkey",
+        F.expr("right(c_name, 2)").alias("blk"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        bucket.alias("bal_bucket"),
+    )
+    dirty = c.select(
+        (F.col("c_custkey") * 2 + 1).alias("rec_id"),
+        "c_custkey",
+        "c_nationkey",
+        F.expr("right(c_name, 2)").alias("blk"),
+        F.when(F.col("c_custkey") % 3 == 0, F.upper(F.col("c_name")))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.when(F.col("c_custkey") % 7 == 0, bucket + 1)
+        .otherwise(bucket)
+        .alias("bal_bucket"),
+    )
+    records = base.unionByName(dirty)
+    pairs = block_candidates(records, "rec_id", ["c_nationkey", "blk"])
+    ag = pairs.select(
+        "c_custkey_l",
+        "c_custkey_r",
+        (F.col("name_l") == F.col("name_r")).alias("agree_name"),
+        (F.col("segment_l") == F.col("segment_r")).alias("agree_segment"),
+        (F.col("bal_bucket_l") == F.col("bal_bucket_r")).alias(
+            "agree_balance"
+        ),
+    )
+    scored = fs_score(
+        ag,
+        [
+            ("agree_name", 6539, -3822),       # m=.93 u=.01
+            ("agree_segment", 2278, -4737),    # m=.97 u=.20
+            ("agree_balance", 3170, -3170),    # m=.90 u=.10
+        ],
+    )
+    return scored.groupBy("score", "is_match").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("c_custkey_l") == F.col("c_custkey_r"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_true_dups"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1345,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_bloom_pruned_join": _q58_bloom_pruned_join,
         "q59_bigram_coherence": _q59_bigram_coherence,
         "q60_segment_priority_cube": _q60_segment_priority_cube,
+        "q61_record_linkage": _q61_record_linkage,
     }
 
 
@@ -2834,5 +2908,47 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY CUBE (c_mktsegment, o_orderpriority)
+        """,
+        # q61: the whole FS model replayed — same dirty table, same
+        # blocking join, same integer millibit weights, same threshold;
+        # every score is an integer sum, no runtime logs anywhere
+        "q61_record_linkage": """
+            WITH recs AS (
+                SELECT c_custkey * 2 AS rec_id, c_custkey, c_nationkey,
+                       right(c_name, 2) AS blk, c_name AS name,
+                       c_mktsegment AS segment,
+                       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+                FROM customer
+                UNION ALL
+                SELECT c_custkey * 2 + 1, c_custkey, c_nationkey,
+                       right(c_name, 2),
+                       CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
+                            ELSE c_name END,
+                       CASE WHEN c_custkey % 5 = 0 THEN 'PERTURBED'
+                            ELSE c_mktsegment END,
+                       CAST(floor(c_acctbal / 1000) AS BIGINT)
+                           + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END
+                FROM customer
+            ), p AS (
+                SELECT a.c_custkey AS ckl, b.c_custkey AS ckr,
+                       (a.name = b.name) AS ap,
+                       (a.segment = b.segment) AS ag,
+                       (a.bal_bucket = b.bal_bucket) AS ab
+                FROM recs a JOIN recs b
+                  ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+                 AND a.rec_id < b.rec_id
+            ), s AS (
+                SELECT ckl, ckr,
+                       CAST(CASE WHEN ap THEN 6539 ELSE -3822 END
+                            + CASE WHEN ag THEN 2278 ELSE -4737 END
+                            + CASE WHEN ab THEN 3170 ELSE -3170 END
+                            AS BIGINT) AS score
+                FROM p
+            )
+            SELECT score, score >= 0 AS is_match,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN ckl = ckr THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_true_dups
+            FROM s GROUP BY 1, 2
         """,
     }

@@ -1,0 +1,82 @@
+"""Fellegi-Sunter record-linkage scoring (Fellegi & Sunter, JASA 1969).
+
+The canonical probabilistic entity-resolution model behind Splink /
+RecordLinkage-toolkit style pipelines, re-expressed Spark-first: blocked
+candidate generation is a plain equi self-join (never all-pairs), and
+the match score is a SUM OF INTEGER FIELD WEIGHTS — the log-likelihood
+ratio ``sum_i log2(m_i/u_i or (1-m_i)/(1-u_i))`` in fixed-point
+millibits, the q44/q59 idiom: integer sums are associative, so scores
+are bit-identical across engines, partitionings, and plans, and the
+whole model replays verbatim in an ANSI-SQL oracle (runtime ``log`` in
+two engines would differ in the last ulp on exactly the rows that
+matter, the threshold boundary).
+
+The m/u parameters (P(field agrees | match) / P(field agrees |
+non-match)) are supplied by the caller as pre-derived integer weights —
+estimating them by EM is the documented delta vs a full Splink; with
+weights fixed, scoring is a pure narrow projection + groupBy.
+
+Scale shape: candidates come from blocking (each block a hash-join
+bucket), the score is computed per pair in one projection (codegen, no
+shuffle), and any aggregate over scores partial-aggregates map-side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: (agreement column, weight if it agrees, weight if it disagrees) —
+#: integer millibits: round(1000*log2(m/u)) / round(1000*log2((1-m)/(1-u)))
+FieldWeight = tuple[str, int, int]
+
+
+def block_candidates(
+    records: DataFrame, id_col: str, block_cols: list[str]
+) -> DataFrame:
+    """Upper-triangular candidate pairs within each block →
+    (``<id>_l``, ``<id>_r``, left/right payload columns suffixed _l/_r).
+
+    A plain equi self-join on the blocking key: the quadratic blow-up
+    is confined to single blocks (choose keys so blocks stay small —
+    the same contract as the MinHash/SimHash band joins), and the
+    ``id_l < id_r`` guard keeps one row per unordered pair.
+    """
+    if not block_cols:
+        raise ValueError("block_candidates needs at least one block column")
+    payload = [c for c in records.columns if c not in block_cols]
+    left = records.select(
+        *block_cols, *[F.col(c).alias(f"{c}_l") for c in payload]
+    )
+    right = records.select(
+        *block_cols, *[F.col(c).alias(f"{c}_r") for c in payload]
+    )
+    return left.join(right, block_cols).filter(
+        F.col(f"{id_col}_l") < F.col(f"{id_col}_r")
+    )
+
+
+def fs_score(
+    pairs: DataFrame, fields: list[FieldWeight], threshold: int = 0
+) -> DataFrame:
+    """Append ``score`` (millibits) and ``is_match`` to candidate pairs.
+
+    ``fields`` maps boolean agreement columns to their pre-derived
+    integer (agree, disagree) weights; NULL agreement (a field missing
+    on either side) contributes 0 — the standard FS treatment of
+    missingness.  One narrow projection, no shuffle.
+    """
+    if not fields:
+        raise ValueError("fs_score needs at least one field weight")
+    score = None
+    for col, w_a, w_d in fields:
+        term = (
+            F.when(F.col(col).isNull(), 0)
+            .when(F.col(col), F.lit(int(w_a)))
+            .otherwise(F.lit(int(w_d)))
+            .cast("long")
+        )
+        score = term if score is None else (score + term)
+    return pairs.withColumn("score", score).withColumn(
+        "is_match", F.col("score") >= threshold
+    )

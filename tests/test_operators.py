@@ -1678,3 +1678,65 @@ def test_kmv_plan_shapes(spark):
     assert "WindowGroupLimit" in plan(kmv_distinct(df, "k", k=8, by=["g"]))
     gplan = plan(kmv_distinct(df, "k", k=8))
     assert "TakeOrderedAndProject" in gplan and "Window" not in gplan
+
+
+def test_fs_score_and_blocking(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        block_candidates,
+        fs_score,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            (1, "b1", "555", "A"),
+            (2, "b1", "555", "A"),   # agrees with 1 on both fields
+            (3, "b1", "999", "B"),   # disagrees with both
+            (4, "b2", "555", "A"),   # other block: never paired with 1-3
+        ],
+        "rid long, blk string, phone string, seg string",
+    )
+    pairs = block_candidates(recs, "rid", ["blk"])
+    got_pairs = {(r["rid_l"], r["rid_r"]) for r in pairs.collect()}
+    assert got_pairs == {(1, 2), (1, 3), (2, 3)}  # upper-triangular, in-block
+
+    ag = pairs.select(
+        "rid_l", "rid_r",
+        (F.col("phone_l") == F.col("phone_r")).alias("a_phone"),
+        (F.col("seg_l") == F.col("seg_r")).alias("a_seg"),
+    )
+    scored = fs_score(ag, [("a_phone", 100, -50), ("a_seg", 30, -70)])
+    got = {
+        (r["rid_l"], r["rid_r"]): (r["score"], r["is_match"])
+        for r in scored.collect()
+    }
+    assert got == {
+        (1, 2): (130, True),
+        (1, 3): (-120, False),
+        (2, 3): (-120, False),
+    }
+    # NULL agreement contributes zero (FS missingness treatment)
+    nullpair = spark.createDataFrame(
+        [(1, 2, None, True)], "rid_l long, rid_r long, a_phone boolean, a_seg boolean"
+    )
+    r = fs_score(nullpair, [("a_phone", 100, -50), ("a_seg", 30, -70)]).collect()[0]
+    assert r["score"] == 30
+    with pytest.raises(ValueError):
+        fs_score(nullpair, [])
+    with pytest.raises(ValueError):
+        block_candidates(recs, "rid", [])
+
+
+def test_fs_scoring_is_narrow(spark):
+    """fs_score adds no shuffle: one projection over the pairs."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        fs_score,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, True)], "rid_l long, rid_r long, a boolean"
+    )
+    df = fs_score(pairs, [("a", 10, -10)])
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
