@@ -311,10 +311,12 @@ def bigram_coherence(
 
     Plan: one token scan → bigram explode; model counts are two partial-
     aggregatable groupBys over the SAME bigram stream (Zipf-head safe —
-    counts, not gram lists); scoring joins each doc-gram to the two
-    model tables on their natural keys, then one groupBy(doc).  Docs
-    with < 2 tokens get n_bigrams = 0, coherence = 0 (kept, not
-    dropped — a quality filter must see every doc).
+    counts, not gram lists); the scoring join runs over PER-(doc, gram)
+    COUNTS, not per-instance rows, so within-doc repetition (the Zipf
+    head of boilerplate pages) never multiplies the shuffle — the score
+    of a gram is constant, so weighting by the count is the identical
+    sum.  Docs with < 2 tokens get n_bigrams = 0, coherence = 0 (kept,
+    not dropped — a quality filter must see every doc).
     """
     toks = _tokens(text_col)
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
@@ -328,20 +330,19 @@ def bigram_coherence(
             )
         ).alias("_g"),
     ).select("doc_id", "_g.a", "_g.gram")
-    model_bi = grams.groupBy("gram").agg(
-        F.count("*").cast("long").alias("_c_ab")
+    per = grams.groupBy("doc_id", "a", "gram").agg(
+        F.count("*").cast("long").alias("_n")
     )
-    model_uni = grams.groupBy("a").agg(
-        F.count("*").cast("long").alias("_c_a")
-    )
+    model_bi = per.groupBy("gram").agg(F.sum("_n").cast("long").alias("_c_ab"))
+    model_uni = per.groupBy("a").agg(F.sum("_n").cast("long").alias("_c_a"))
     scored = (
-        grams.join(model_bi, "gram")
+        per.join(model_bi, "gram")
         .join(model_uni, "a")
         .withColumn("_s", F.expr(f"({scale}L * _c_ab) div _c_a"))
     )
     per_doc = scored.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_bigrams"),
-        F.expr("sum(_s) div count(*)").cast("long").alias("coherence"),
+        F.sum("_n").cast("long").alias("n_bigrams"),
+        F.expr("sum(_s * _n) div sum(_n)").cast("long").alias("coherence"),
     )
     return (
         base.select("doc_id")
