@@ -1354,6 +1354,58 @@ def _q61_record_linkage(spark, sf):
     )
 
 
+def _q62_token_scc(spark, sf):
+    """Strongly connected components of the DIRECTED token-succession
+    graph over the 150 most frequent tokens: distributed FW-BW peeling
+    (forward/backward min-label fixed points, settle f==b, shatter the
+    residual by (f,b) class).  scc_id = lexicographically smallest
+    member, so the decomposition is canonical and the oracle is free to
+    use an INDEPENDENT formulation — a recursive-CTE transitive closure
+    with mutual-reachability minima — and must still hash-match.
+    Direction is the semantics CC can't express: 'a precedes b' is not
+    'b precedes a'."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    d = _t(spark, sf, "documents")
+    # tokenize ONCE: the token-count subtree and the bigram subtree both
+    # consume _toks, and regexp tokenization is the expensive part of
+    # this query — materialize it (multi-consumer reuse, the standard
+    # persist-point; everything downstream is small)
+    base = d.select(
+        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias(
+            "_toks"
+        )
+    ).localCheckpoint(eager=True)
+    counts = (
+        base.select(F.explode("_toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("_n"))
+    )
+    top = counts.orderBy(F.col("_n").desc(), "token").limit(150).select(
+        "token"
+    )
+    grams = base.filter(F.size("_toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1),"
+                " i -> struct(_toks[i - 1] AS a, _toks[i] AS b))"
+            )
+        ).alias("_g")
+    ).select("_g.a", "_g.b")
+    edges = (
+        grams.filter(F.col("a") != F.col("b"))
+        .distinct()
+        .join(F.broadcast(top.withColumnRenamed("token", "a")), "a")
+        .join(F.broadcast(top.withColumnRenamed("token", "b")), "b")
+    )
+    scc = strongly_connected_components(edges, "a", "b")
+    return scc.groupBy("scc_id").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1419,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_bigram_coherence": _q59_bigram_coherence,
         "q60_segment_priority_cube": _q60_segment_priority_cube,
         "q61_record_linkage": _q61_record_linkage,
+        "q62_token_scc": _q62_token_scc,
     }
 
 
@@ -2950,5 +3003,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN ckl = ckr THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_true_dups
             FROM s GROUP BY 1, 2
+        """,
+        # q62: an INDEPENDENT SCC formulation — transitive closure by
+        # recursive CTE, scc_id = min over mutually-reachable nodes.
+        # SCC decomposition is canonical (min-member ids), so the
+        # closure result must equal the FW-BW peeling result exactly.
+        "q62_token_scc": f"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ), toks AS (
+                SELECT unnest(t) AS token FROM t
+            ), cnt AS (
+                SELECT token, count(*) AS n FROM toks GROUP BY 1
+            ), top AS (
+                SELECT token FROM cnt ORDER BY n DESC, token LIMIT 150
+            ), g AS (
+                SELECT t[i] AS a, t[i + 1] AS b
+                FROM t,
+                     LATERAL (SELECT unnest(generate_series(1,
+                         greatest(len(t) - 1, 1))) AS i) s
+                WHERE len(t) >= 2
+            ), e AS (
+                SELECT DISTINCT a AS u, b AS v FROM g
+                WHERE a <> b
+                  AND a IN (SELECT token FROM top)
+                  AND b IN (SELECT token FROM top)
+            ), reach(u, v) AS (
+                SELECT u, v FROM e
+                UNION
+                SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+            ), mutual AS (
+                SELECT r1.u AS node, r1.v AS other
+                FROM reach r1 JOIN reach r2
+                  ON r1.u = r2.v AND r1.v = r2.u
+            ), nodes AS (
+                SELECT u AS node FROM e UNION SELECT v FROM e
+            ), scc AS (
+                SELECT n.node,
+                       least(n.node, coalesce(min(m.other), n.node))
+                           AS scc_id
+                FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+                GROUP BY n.node
+            )
+            SELECT scc_id, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM scc GROUP BY 1
         """,
     }

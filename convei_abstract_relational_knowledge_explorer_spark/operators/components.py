@@ -587,3 +587,166 @@ def k_core(
             break
         n_prev = n_now
     return alive.select(F.col("u").alias("node"))
+
+
+def _min_reach_labels(
+    nodes: DataFrame, edges: DataFrame, forward: bool, max_prop: int
+) -> DataFrame:
+    """Fixed point of ``lab(u) = min(u, min over u→v of lab(v))`` →
+    (node, lab): the smallest label reachable FROM ``u`` along forward
+    edges (``forward=False`` reverses the edge list first, giving the
+    smallest label that can REACH ``u``).
+
+    Pregel-shaped with POINTER JUMPING: each iteration fuses the 1-hop
+    edge relaxation (``lab(u) ← min over u→v of lab(v)``, which alone
+    needs O(eccentricity) rounds) with the shortcut
+    ``lab(u) ← lab(lab(u))`` — sound because ``lab(u)`` is itself
+    reachable from ``u`` and reachability is transitive, and it doubles
+    label travel per round, so fixation lands in O(log diameter)
+    rounds.  Labels localCheckpointed per round (lineage cut), xor-hash
+    scalar convergence (the :func:`connected_components` discipline).
+    The fixed point is data-determined — any engine that iterates to
+    fixation gets identical labels — which is what lets the SCC oracle
+    use an independent formulation.  Raises if ``max_prop`` rounds
+    don't converge rather than returning a silent partial answer.
+    """
+    e = (
+        edges
+        if forward
+        else edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    lab = nodes.select(
+        "node", F.col("node").alias("lab")
+    ).localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_prop):
+        adopted = (
+            e.join(lab, e["v"] == lab["node"])
+            .select(F.col("u").alias("node"), "lab")
+        )
+        hopped = (
+            lab.unionAll(adopted)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        )
+        shortcut = (
+            hopped.alias("a")
+            .join(
+                hopped.select(
+                    F.col("node").alias("_ln"), F.col("lab").alias("_ll")
+                ),
+                F.col("a.lab") == F.col("_ln"),
+            )
+            .select(F.col("a.node").alias("node"), F.col("_ll").alias("lab"))
+        )
+        lab2 = (
+            hopped.unionAll(shortcut)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        stats = lab2.agg(
+            F.expr("bit_xor(xxhash64(node, lab))").alias("h")
+        ).collect()[0]
+        lab = lab2
+        if prev is not None and prev == stats["h"]:
+            return lab
+        prev = stats["h"]
+    raise RuntimeError(
+        f"min-label propagation did not converge in {max_prop} rounds"
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 20,
+    max_prop: int = 40,
+) -> DataFrame:
+    """SCC decomposition of a DIRECTED graph → (node, scc_id) with
+    ``scc_id`` = the smallest node id in the component (canonical, so
+    the result is independent of the algorithm — the oracle can use a
+    transitive-closure formulation and must still hash-match).
+
+    The distributed forward-backward peeling scheme (FW-BW-MS, McLendon
+    et al., and the Spark-native treatments that follow it): per round,
+    ``f(u)`` = min label forward-reachable from u, ``b(u)`` = min label
+    backward-reachable; nodes with ``f(u) == b(u) == m`` are exactly
+    SCC(m) for every settled pivot m SIMULTANEOUSLY (m reaches u and u
+    reaches m), and edges crossing distinct ``(f, b)`` classes can
+    never be intra-SCC, so the residual graph shatters into independent
+    classes — expected O(log n) peel rounds, never an all-pairs step.
+    Undirected CC (:func:`connected_components`) is the wrong tool
+    here: direction is the semantics (A links B ≠ B links A).
+
+    Self-loops are dropped; isolated nodes come back as singletons.
+    Raises after ``max_outer`` rounds instead of silently truncating.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    result = None
+    active_nodes, active_edges = nodes, e
+    for _ in range(max_outer):
+        if active_nodes.isEmpty():
+            break
+        f = _min_reach_labels(active_nodes, active_edges, True, max_prop)
+        b = _min_reach_labels(active_nodes, active_edges, False, max_prop)
+        lab = (
+            f.join(
+                b.select("node", F.col("lab").alias("_b")), "node"
+            ).select("node", F.col("lab").alias("_f"), "_b")
+        ).localCheckpoint(eager=True)
+        done = lab.filter(F.col("_f") == F.col("_b")).select(
+            "node", F.col("_f").alias("scc_id")
+        )
+        result = (
+            done
+            if result is None
+            else result.unionAll(done).localCheckpoint(eager=True)
+        )
+        remaining = lab.filter(F.col("_f") != F.col("_b"))
+        active_nodes = remaining.select("node").localCheckpoint(eager=True)
+        active_edges = (
+            active_edges.join(
+                remaining.select(
+                    F.col("node").alias("u"),
+                    F.col("_f").alias("_fu"),
+                    F.col("_b").alias("_bu"),
+                ),
+                "u",
+            )
+            .join(
+                remaining.select(
+                    F.col("node").alias("v"),
+                    F.col("_f").alias("_fv"),
+                    F.col("_b").alias("_bv"),
+                ),
+                "v",
+            )
+            .filter(
+                (F.col("_fu") == F.col("_fv")) & (F.col("_bu") == F.col("_bv"))
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"SCC peeling did not converge in {max_outer} rounds"
+        )
+    if result is None:  # edgeless input
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [], schema=nodes.select("node", F.col("node").alias("scc_id")).schema
+        )
+    return result

@@ -1740,3 +1740,57 @@ def test_fs_scoring_is_narrow(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+def test_scc_decomposition(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    def run(edge_list):
+        e = spark.createDataFrame(edge_list, "src string, dst string")
+        out = strongly_connected_components(e)
+        sccs = {}
+        for r in out.collect():
+            sccs.setdefault(r["scc_id"], set()).add(r["node"])
+        return sccs
+
+    # cycle a->b->c->a with a tail d->a: one 3-SCC plus singleton d
+    sccs = run([("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")])
+    assert sccs == {"a": {"a", "b", "c"}, "d": {"d"}}
+
+    # two 2-cycles joined by a ONE-WAY bridge stay separate SCCs
+    sccs = run(
+        [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"), ("b", "x")]
+    )
+    assert sccs == {"a": {"a", "b"}, "x": {"x", "y"}}
+
+    # pure DAG: every node its own SCC
+    sccs = run([("1", "2"), ("2", "3"), ("1", "3")])
+    assert sccs == {"1": {"1"}, "2": {"2"}, "3": {"3"}}
+
+    # nested: outer cycle traversing an inner cycle, all mutually
+    # reachable -> single SCC
+    sccs = run(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("d", "b")]
+    )
+    assert sccs == {"a": {"a", "b", "c", "d"}}
+
+
+def test_scc_partition_invariance(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    edges = [(f"n{i}", f"n{(i + 1) % 7}") for i in range(7)] + [
+        (f"m{i}", f"m{i + 1}") for i in range(6)
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    one = {tuple(r) for r in strongly_connected_components(e).collect()}
+    two = {
+        tuple(r)
+        for r in strongly_connected_components(e.repartition(13)).collect()
+    }
+    assert one == two
+    # the 7-cycle collapses, the m-path stays singletons
+    assert ("n3", "n0") in one and ("m3", "m3") in one
