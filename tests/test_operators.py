@@ -1794,3 +1794,81 @@ def test_scc_partition_invariance(spark):
     assert one == two
     # the 7-cycle collapses, the m-path stays singletons
     assert ("n3", "n0") in one and ("m3", "m3") in one
+
+
+def test_scc_random_digraph_vs_tarjan(spark):
+    """Seeded random digraph vs an iterative Tarjan reference — the
+    FW-BW peeling must reproduce the exact canonical decomposition."""
+    import random
+
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    rng = random.Random(20260818)
+    n = 40
+    edges = sorted({
+        (f"v{rng.randrange(n):02d}", f"v{rng.randrange(n):02d}")
+        for _ in range(120)
+    })
+    edges = [(a, b) for a, b in edges if a != b]
+
+    # iterative Tarjan (no recursion-depth issues)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    nodes_with_edges = sorted({x for e in edges for x in e})
+    index, low, onstack, st = {}, {}, set(), []
+    comps, counter = [], [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                st.append(v)
+                onstack.add(v)
+            recurse = False
+            succs = adj.get(v, [])
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if pi >= 0 and low[v] == index[v]:
+                comp = []
+                while True:
+                    w = st.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                comps.append(comp)
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for v in nodes_with_edges:
+        if v not in index:
+            strongconnect(v)
+    ref = {}
+    for comp in comps:
+        m = min(comp)
+        for v in comp:
+            ref[v] = m
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == ref
