@@ -1406,6 +1406,108 @@ def _q62_token_scc(spark, sf):
     )
 
 
+def _q63_link_prediction(spark, sf):
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang, EPJ B 2009)
+    over the top-60 token co-occurrence graph: for every NON-adjacent
+    pair, Σ 1/deg(z) across common neighbors z — the KG-completion
+    primitive (which entities SHOULD be linked but aren't; the graph-
+    materialize sibling of the reference's co-occurrence edge tables,
+    /root/reference/build_reports.py pair counting).  Each term is the
+    exact integer ``2^40 DIV deg`` so the score is associative and
+    bit-identical across engines and partitionings (the q61 fixed-point
+    idiom); wedge enumeration + one anti-join, all equi-joins."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        resource_allocation,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            )
+        ).alias("token"),
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(60)
+        .select("token")
+    )
+    sel = toks.join(F.broadcast(top), "token")
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .select(F.col("a.token").alias("u"), F.col("b.token").alias("v"))
+        .distinct()
+    )
+    return resource_allocation(pairs, src="u", dst="v")
+
+
+def _q64_negative_triples(spark, sf):
+    """Filtered negative sampling for KG-embedding training (Bordes et
+    al., TransE, NIPS'13): 3 deterministic hash-drawn object corruptions
+    per true (subj, pred, obj) triple, filtered against the true triple
+    set.  Entity ranks come from the two-phase bucket prefix-sum (no
+    global window); the oracle replays the draw with ONE global
+    row_number — the hash match proves the two-phase rank equals the
+    global rank."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        negative_triples,
+    )
+
+    p = _t(spark, sf, "part")
+    true_t = p.select(
+        F.col("p_brand").alias("subj"),
+        F.lit("OFFERS").alias("pred"),
+        F.col("p_type").alias("obj"),
+    ).distinct()
+    ents = p.select(F.col("p_type").alias("entity")).distinct()
+    return negative_triples(true_t, ents, k=3)
+
+
+def _q65_random_walks(spark, sf):
+    """Deterministic DeepWalk-style walk corpus (Perozzi et al., KDD'14)
+    over the top-30 token graph: 2 walks × 4 hops from every node, the
+    next hop chosen by seeded hash mod degree under partitioned
+    row_number neighbor ranks — the node-embedding training-corpus
+    generator, bit-identical across engines; the oracle advances the
+    SAME recurrence in a recursive CTE."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        random_walks,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            )
+        ).alias("token"),
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(30)
+        .select("token")
+    )
+    sel = toks.join(F.broadcast(top), "token")
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .select(F.col("a.token").alias("u"), F.col("b.token").alias("v"))
+        .distinct()
+    )
+    return random_walks(pairs, walk_len=4, walks_per_node=2, src="u", dst="v")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1472,6 +1574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_segment_priority_cube": _q60_segment_priority_cube,
         "q61_record_linkage": _q61_record_linkage,
         "q62_token_scc": _q62_token_scc,
+        "q63_link_prediction": _q63_link_prediction,
+        "q64_negative_triples": _q64_negative_triples,
+        "q65_random_walks": _q65_random_walks,
     }
 
 
@@ -3047,5 +3152,127 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT scc_id, CAST(count(*) AS BIGINT) AS n_nodes
             FROM scc GROUP BY 1
+        """,
+        # q63: the wedge formulation replayed directly; 1099511627776 =
+        # 2^40, the fixed-point RA scale (integer-exact in both engines)
+        "q63_link_prediction": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 60
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS (
+                SELECT DISTINCT a.token AS u, b.token AS v
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+            ), nbrs AS (
+                SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+            ), deg AS (
+                SELECT u AS z, CAST(count(*) AS BIGINT) AS deg
+                FROM nbrs GROUP BY 1
+            ), wedges AS (
+                SELECT a.v AS u, b.v AS v, d.deg AS deg_z
+                FROM nbrs a
+                JOIN nbrs b ON a.u = b.u AND a.v < b.v
+                JOIN deg d ON d.z = a.u
+            )
+            SELECT w.u, w.v,
+                   CAST(count(*) AS BIGINT) AS common_neighbors,
+                   CAST(sum(1099511627776 // w.deg_z) AS BIGINT) AS ra_score
+            FROM wedges w
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pairs p WHERE p.u = w.u AND p.v = w.v
+            )
+            GROUP BY 1, 2
+        """,
+        # q64: entity rank via ONE global row_number over (porthash,
+        # entity) — must equal the two-phase bucket-prefix rank because
+        # the bucket id is the hash's high bits (bucket-major ≡ hash
+        # order); draw, corrupt, and filter replayed verbatim
+        "q64_negative_triples": """
+            WITH ents AS (
+                SELECT DISTINCT p_type AS cand FROM part
+            ), idx AS (
+                SELECT cand,
+                       CAST(row_number() OVER (
+                           ORDER BY CAST('0x' || substr(md5(
+                               cand || chr(31) || 'neg'), 1, 15) AS BIGINT),
+                               cand
+                       ) - 1 AS BIGINT) AS idx
+                FROM ents
+            ), tt AS (
+                SELECT DISTINCT p_brand AS subj, 'OFFERS' AS pred,
+                       p_type AS obj
+                FROM part
+            ), drawn AS (
+                SELECT subj, pred, obj, j AS neg_idx,
+                       CAST('0x' || substr(md5(
+                           subj || chr(31) || pred || chr(31) || obj
+                           || chr(31) || CAST(j AS VARCHAR)
+                           || chr(31) || 'neg'), 1, 15) AS BIGINT)
+                       % (SELECT count(*) FROM ents) AS idx
+                FROM tt CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) js
+            ), cor AS (
+                SELECT d.subj, d.pred, i.cand AS obj_neg, d.neg_idx
+                FROM drawn d JOIN idx i USING (idx)
+                WHERE i.cand <> d.obj
+            )
+            SELECT c.subj, c.pred, c.obj_neg, c.neg_idx FROM cor c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM tt t
+                WHERE t.subj = c.subj AND t.pred = c.pred
+                  AND t.obj = c.obj_neg
+            )
+        """,
+        # q65: the walk recurrence advanced by a recursive CTE — same
+        # seeded hash, same row_number neighbor ranks, 4 hops, 2 walks
+        "q65_random_walks": f"""
+            WITH RECURSIVE toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 30
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS (
+                SELECT DISTINCT a.token AS u, b.token AS v
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+            ), nbrs AS (
+                SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+            ), ranked AS (
+                SELECT u AS node, v AS nxt,
+                       CAST(row_number() OVER (
+                           PARTITION BY u ORDER BY v
+                       ) - 1 AS BIGINT) AS rank
+                FROM nbrs
+            ), degs AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM ranked GROUP BY 1
+            ), wk(start, walk, step, node) AS (
+                SELECT node, w, 0, node
+                FROM degs CROSS JOIN (SELECT unnest([0, 1]) AS w) ws
+                UNION ALL
+                SELECT wk.start, wk.walk, wk.step + 1, r.nxt
+                FROM wk
+                JOIN degs d ON d.node = wk.node
+                JOIN ranked r ON r.node = wk.node
+                 AND r.rank = CAST('0x' || substr(md5(
+                         wk.start || chr(31)
+                         || CAST(wk.walk AS VARCHAR) || chr(31)
+                         || CAST(wk.step + 1 AS VARCHAR) || chr(31)
+                         || wk.node || chr(31) || 'walk'), 1, 15)
+                     AS BIGINT) % d.deg
+                WHERE wk.step < 4
+            )
+            SELECT start, walk, step, node FROM wk
         """,
     }

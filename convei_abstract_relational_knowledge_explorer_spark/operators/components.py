@@ -750,3 +750,151 @@ def strongly_connected_components(
             [], schema=nodes.select("node", F.col("node").alias("scc_id")).schema
         )
     return result
+
+
+def resource_allocation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1 << 40,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang, EPJ B 2009)
+    → (u, v, common_neighbors, ra_score) for NON-adjacent pairs u < v.
+
+    score(u, v) = Σ_{z ∈ N(u) ∩ N(v)} 1/deg(z) — the strongest of the
+    classic local similarity indices on co-occurrence graphs, and the
+    KG-completion primitive: which entity pairs SHOULD be linked but
+    aren't.  Kept exact: each term is ``scale DIV deg(z)`` in 64-bit
+    integers, so sums are associative and the result is bit-identical
+    across engines, partitionings and join orders (the q61 millibit
+    idiom; no runtime floats anywhere).
+
+    Shape: wedge enumeration through the middle node z — nbrs(z→u) ⋈
+    nbrs(z→v) on z, u < v — then one left-anti equi-join removes pairs
+    already adjacent.  All equi-joins, hash-partitioned; no cartesian.
+    The fan-out is Σ_z deg(z)², quadratic in hub degree — the standard
+    cap is ``max_degree``: hubs beyond it are EXCLUDED as middle nodes
+    (their 1/deg contribution is negligible by construction, which is
+    the whole point of the RA weighting; same skew rationale as the
+    LSH band-frequency frontier).  Pass None (default) for the exact
+    index.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nbrs = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = nbrs.groupBy(F.col("u").alias("z")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    if max_degree is not None:
+        deg = deg.filter(F.col("deg") <= max_degree)
+    mid = nbrs.select(F.col("u").alias("z"), F.col("v").alias("n")).join(
+        deg, "z"
+    )
+    a, b = mid.alias("a"), mid.alias("b")
+    wedges = a.join(
+        b, (F.col("a.z") == F.col("b.z")) & (F.col("a.n") < F.col("b.n"))
+    ).select(
+        F.col("a.n").alias("u"),
+        F.col("b.n").alias("v"),
+        F.col("a.deg").alias("deg_z"),
+    )
+    return (
+        wedges.join(e, ["u", "v"], "left_anti")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum(F.expr(f"{scale} DIV deg_z")).cast("long").alias("ra_score"),
+        )
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 1,
+    seed: str = "walk",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic DeepWalk-style random-walk corpus (Perozzi et al.,
+    KDD'14) → (start, walk, step, node), steps 0..walk_len.
+
+    The embedding-training corpus generator for KG nodes: from every
+    node, ``walks_per_node`` walks of ``walk_len`` hops over the
+    undirected graph.  "Random" is a seeded hash, not an RNG — at step
+    t on node c the walk takes neighbor ranked
+    ``porthash64(start⊕walk⊕t⊕c, seed) mod deg(c)`` under the
+    (partitioned) row_number ordering of N(c) — so the corpus is
+    bit-identical across engines, partitionings and retries, and a
+    recursive-CTE oracle can replay the exact recurrence.
+
+    Shape: neighbor ranks are ONE hash-partitioned window (partition by
+    node — never global); each hop is ONE equi-join on the composite
+    (node, rank) key.  walk_len joins total, frontier-sized each —
+    the Pregel shape, same discipline as :func:`bfs_distances`.
+    """
+    from .dedup import porthash64
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nbrs = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    ranked = nbrs.select(
+        F.col("u").alias("node"),
+        F.col("v").alias("nxt"),
+        (
+            F.row_number().over(Window.partitionBy("u").orderBy("v")) - 1
+        ).alias("rank"),
+    ).localCheckpoint(eager=True)
+    degs = ranked.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+
+    starts = degs.select(F.col("node").alias("start"))
+    walks = starts.select(
+        "start",
+        F.explode(F.array(*[F.lit(w) for w in range(walks_per_node)])).alias(
+            "walk"
+        ),
+    )
+    frontier = walks.select(
+        "start", "walk", F.lit(0).alias("step"), F.col("start").alias("node")
+    )
+    out = frontier
+    for step in range(1, walk_len + 1):
+        keyed = frontier.join(degs, "node").select(
+            "start",
+            "walk",
+            "node",
+            F.pmod(
+                porthash64(
+                    F.concat_ws(
+                        "\x1f",
+                        F.col("start").cast("string"),
+                        F.col("walk").cast("string"),
+                        F.lit(str(step)),
+                        F.col("node").cast("string"),
+                    ),
+                    seed,
+                ),
+                F.col("deg"),
+            ).alias("rank"),
+        )
+        frontier = (
+            keyed.join(ranked, ["node", "rank"])
+            .select(
+                "start",
+                "walk",
+                F.lit(step).alias("step"),
+                F.col("nxt").alias("node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(frontier)
+    return out

@@ -121,3 +121,108 @@ def parity_triples(triples: DataFrame) -> DataFrame:
         .select("subj", "pred", "obj")
         .distinct()
     )
+
+
+def negative_triples(
+    triples: DataFrame,
+    entities: DataFrame,
+    k: int = 2,
+    seed: str = "neg",
+    entity_col: str = "entity",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Filtered negative sampling for KG-embedding training (Bordes et
+    al., TransE, NIPS'13) → (subj, pred, obj_neg, neg_idx).
+
+    For every true (subj, pred, obj) triple, ``k`` corrupted negatives:
+    the object is replaced by a pseudo-random entity drawn from
+    ``entities`` by deterministic hash index, then FILTERED — a corrupt
+    candidate that equals the true object or collides with ANY true
+    (subj, pred, ·) triple is dropped (so negatives are guaranteed
+    false, the "filtered" protocol every KG-embedding paper evaluates
+    under).  Seeded-hash draws make the sample bit-identical across
+    engines, partitionings and retries.
+
+    Entity indexing is the scale story: the draw needs a dense 0..n-1
+    rank over the entity vocabulary, and ONE global row_number is a
+    single-partition sort.  Rank order is DEFINED as
+    (porthash64(entity), entity) and computed in two phases (the
+    pack_documents distributed prefix-sum idiom): ranks within
+    ``n_buckets`` hash-prefix buckets under a partitioned window, plus
+    broadcast bucket offsets from a B-row aggregate.  Bucket id is the
+    hash's HIGH bits, so bucket-major order IS hash order and the
+    DuckDB oracle can replay the rank with one global window.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import porthash64
+
+    h = porthash64(F.col("cand").cast("string"), seed)
+    bits = max(1, (n_buckets - 1).bit_length())
+    base = entities.select(F.col(entity_col).alias("cand")).distinct().select(
+        "cand",
+        h.alias("h"),
+        F.shiftright(h, 60 - bits).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("h", "cand")
+    local = base.withColumn("local_rank", F.row_number().over(w))
+    totals = base.groupBy("bucket").agg(F.count("*").alias("bucket_n"))
+    wp = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prefixes = totals.select(
+        "bucket",
+        (F.sum("bucket_n").over(wp) - F.col("bucket_n")).alias("bucket_prefix"),
+    )
+    indexed = local.join(F.broadcast(prefixes), "bucket").select(
+        "cand",
+        (F.col("bucket_prefix") + F.col("local_rank") - 1).alias("idx"),
+    )
+    n = indexed.count()
+    if n == 0:
+        raise ValueError("entities is empty")
+
+    true = triples.select("subj", "pred", "obj").distinct()
+    drawn = true.select(
+        "subj",
+        "pred",
+        "obj",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("neg_idx"),
+    ).select(
+        "subj",
+        "pred",
+        "obj",
+        "neg_idx",
+        F.pmod(
+            porthash64(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("subj").cast("string"),
+                    F.col("pred").cast("string"),
+                    F.col("obj").cast("string"),
+                    F.col("neg_idx").cast("string"),
+                ),
+                seed,
+            ),
+            F.lit(n),
+        ).alias("idx"),
+    )
+    # plain equi-join on idx: the entity vocabulary can be ~10^9 rows at
+    # the design scale, so no broadcast hint — AQE promotes it when small
+    corrupted = (
+        drawn.join(indexed, "idx")
+        .filter(F.col("cand") != F.col("obj"))
+        .select(
+            "subj",
+            "pred",
+            F.col("cand").alias("obj_neg"),
+            "neg_idx",
+        )
+    )
+    return corrupted.join(
+        true.select(
+            "subj", "pred", F.col("obj").alias("obj_neg")
+        ).distinct(),
+        ["subj", "pred", "obj_neg"],
+        "left_anti",
+    )

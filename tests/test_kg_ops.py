@@ -1,0 +1,116 @@
+"""KG-completion / embedding-training operators: Resource-Allocation link
+prediction, filtered negative sampling, deterministic random walks."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+    random_walks,
+    resource_allocation,
+)
+from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+    negative_triples,
+)
+
+SCALE = 1 << 40
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def test_resource_allocation_hand_graph(spark):
+    # a-b, a-c, b-c, c-d: the only non-adjacent pairs with a common
+    # neighbor are (a,d) and (b,d), both through c (deg 3).
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")])
+    got = {
+        (r["u"], r["v"]): (r["common_neighbors"], r["ra_score"])
+        for r in resource_allocation(e).collect()
+    }
+    assert got == {
+        ("a", "d"): (1, SCALE // 3),
+        ("b", "d"): (1, SCALE // 3),
+    }
+
+
+def test_resource_allocation_ignores_direction_and_dups(spark):
+    e1 = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")])
+    e2 = _edges(
+        spark,
+        [("b", "a"), ("c", "a"), ("b", "c"), ("c", "b"), ("d", "c"), ("c", "d")],
+    )
+    r1 = sorted(map(tuple, resource_allocation(e1).collect()))
+    r2 = sorted(map(tuple, resource_allocation(e2).collect()))
+    assert r1 == r2
+
+
+def test_resource_allocation_max_degree_excludes_hub(spark):
+    # With max_degree=2 the only shared neighbor c (deg 3) is no longer
+    # an eligible middle node: no predicted links survive.
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")])
+    assert resource_allocation(e, max_degree=2).count() == 0
+
+
+def test_random_walks_valid_and_deterministic(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    e = _edges(spark, pairs)
+    out = random_walks(e, walk_len=5, walks_per_node=2)
+    rows = [tuple(r) for r in out.collect()]
+    nodes = {"a", "b", "c", "d"}
+    # every (start, walk) chain is complete: steps 0..5, start at start
+    chains = {}
+    for start, walk, step, node in rows:
+        chains.setdefault((start, walk), {})[step] = node
+    assert set(chains) == {(n, w) for n in nodes for w in (0, 1)}
+    und = set()
+    for u, v in pairs:
+        und.add((u, v))
+        und.add((v, u))
+    for (start, _), steps in chains.items():
+        assert sorted(steps) == [0, 1, 2, 3, 4, 5]
+        assert steps[0] == start
+        for t in range(5):
+            assert (steps[t], steps[t + 1]) in und
+    # deterministic: identical on re-run
+    again = sorted(tuple(r) for r in random_walks(
+        e, walk_len=5, walks_per_node=2
+    ).collect())
+    assert sorted(rows) == again
+
+
+def test_negative_triples_filtered_and_bounded(spark):
+    true_rows = [
+        ("s1", "P", "o1"),
+        ("s1", "P", "o2"),
+        ("s2", "P", "o1"),
+        ("s2", "Q", "o3"),
+    ]
+    triples = spark.createDataFrame(true_rows, ["subj", "pred", "obj"])
+    ents = spark.createDataFrame(
+        [(f"o{i}",) for i in range(1, 9)], ["entity"]
+    )
+    neg = negative_triples(triples, ents, k=4)
+    rows = [tuple(r) for r in neg.collect()]
+    true_set = set(true_rows)
+    ent_set = {f"o{i}" for i in range(1, 9)}
+    assert rows, "expected at least one surviving negative"
+    assert len(rows) <= 4 * len(true_rows)
+    for subj, pred, obj_neg, neg_idx in rows:
+        assert (subj, pred, obj_neg) not in true_set
+        assert obj_neg in ent_set
+        assert 0 <= neg_idx < 4
+    # deterministic across invocations
+    again = sorted(
+        tuple(r) for r in negative_triples(triples, ents, k=4).collect()
+    )
+    assert sorted(rows) == again
+
+
+def test_negative_triples_empty_entities_raises(spark):
+    triples = spark.createDataFrame([("s", "P", "o")], ["subj", "pred", "obj"])
+    empty = spark.createDataFrame([], "entity string")
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        negative_triples(triples, empty)
