@@ -1508,6 +1508,24 @@ def _q65_random_walks(spark, sf):
 
 
 
+def _q66_jaccard_join(spark, sf):
+    """EXACT set-similarity self-join by prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. WWW'07): every document pair with token-set
+    Jaccard >= 0.9, zero false negatives by the prefix theorem — the
+    exact complement to the MinHash/SimHash approximate families.  The
+    oracle is the INDEPENDENT brute-force all-pairs formulation, so a
+    hash match certifies candidate-generation completeness, not just
+    the verify arithmetic.  Integer threshold test (1000·inter >=
+    900·union); no floats anywhere."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        jaccard_similarity_join,
+    )
+
+    d = _t(spark, sf, "documents")
+    return jaccard_similarity_join(d, threshold_millis=900)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1577,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_link_prediction": _q63_link_prediction,
         "q64_negative_triples": _q64_negative_triples,
         "q65_random_walks": _q65_random_walks,
+        "q66_jaccard_join": _q66_jaccard_join,
     }
 
 
@@ -3274,5 +3293,35 @@ def oracle_sql() -> dict[str, str]:
                 WHERE wk.step < 4
             )
             SELECT start, walk, step, node FROM wk
+        """,
+        # q66: brute-force all-pairs Jaccard — a DIFFERENT algorithm
+        # from Spark's prefix-filtered join; the match certifies the
+        # prefix candidate generation loses no pair (completeness
+        # theorem checked by data, not trust)
+        "q66_jaccard_join": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), sz AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM toks GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(count(*) AS BIGINT) AS n_inter
+                FROM toks a JOIN toks b
+                  ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), j AS (
+                SELECT i.doc_a, i.doc_b, i.n_inter,
+                       sa.n + sb.n - i.n_inter AS n_union
+                FROM inter i
+                JOIN sz sa ON sa.doc_id = i.doc_a
+                JOIN sz sb ON sb.doc_id = i.doc_b
+            )
+            SELECT doc_a, doc_b, n_inter, n_union,
+                   CAST((1000 * n_inter) // n_union AS BIGINT)
+                       AS jacc_millis
+            FROM j
+            WHERE 1000 * n_inter >= 900 * n_union
         """,
     }

@@ -934,3 +934,256 @@ def repeated_substring_stats(
             .alias("n_cross_doc"),
         )
     )
+
+
+def jaccard_similarity_join(
+    docs: DataFrame,
+    threshold_millis: int = 600,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_re: str = "[a-z0-9]+(?:-[a-z0-9]+)*",
+    bitset_max_vocab: int = 4096,
+) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (AllPairs /
+    PPJoin family: Bayardo, Ma & Srikant, WWW'07) →
+    (doc_a, doc_b, n_inter, n_union, jacc_millis) for every pair whose
+    token-set Jaccard ≥ threshold_millis/1000, doc_a < doc_b.
+
+    The exact complement to the MinHash (q24) and SimHash (q25)
+    APPROXIMATE families: zero false negatives by theorem, not by
+    tuning.  Two scale levers compose:
+
+    1. **Distinct-signature frontier** (the q25 idiom): documents with
+       identical token SETS collapse to one signature before any join,
+       so a duplicate cluster of multiplicity m costs 1 verify, not m²
+       (same-signature pairs are emitted directly with jacc = 1000; at
+       sf0.1 this shrinks the verify frontier 32×: 929k doc pairs from
+       29k signature pairs).
+    2. **Prefix filtering**: canonical token order is rare-first
+       (df asc, token asc); each signature indexes only its PREFIX —
+       the first ``|x| - ceil(t·|x|) + 1`` tokens — and candidates are
+       signature pairs sharing ≥1 prefix token.  Completeness: if
+       J(A,B) ≥ t, the canonically smallest shared token w has ≤
+       |A| - ceil(t|A|) unshared A-tokens before it (shared count ≥
+       ceil(t|A|)), so w is inside A's prefix, symmetrically B's — the
+       equi-join finds w.  Frequent tokens land at the END of the
+       order, so head-token df² blowup never enters the candidate join.
+
+    Verification is one ``array_intersect`` per candidate pair (JVM,
+    no explode — the naive candidates×tokens verify join materializes
+    every token of every candidate and was measured 20× slower);
+    per-signature arrays are bounded by document length, never by
+    group size.  The threshold test is integer
+    (``1000·inter ≥ t_millis·union``), ``jacc_millis = (1000·inter)
+    DIV union`` — bit-identical cross-engine, no floats.  The q66
+    oracle is the INDEPENDENT brute-force all-pairs formulation, so the
+    hash match certifies candidate completeness end to end.
+    """
+    from pyspark.sql.window import Window
+
+    if not 0 < threshold_millis <= 1000:
+        raise ValueError("threshold_millis must be in (0, 1000]")
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), '{token_re}', 0)"
+                )
+            )
+        ).alias("token"),
+    )
+    sets = toks.groupBy("doc").agg(
+        F.sort_array(F.collect_list("token")).alias("ts")
+    )
+    members = sets.select(
+        "doc", F.md5(F.concat_ws("\x1f", F.col("ts"))).alias("sig")
+    ).localCheckpoint(eager=True)
+    sigd = (
+        sets.select(
+            F.md5(F.concat_ws("\x1f", F.col("ts"))).alias("sig"),
+            "ts",
+            F.size("ts").cast("long").alias("n"),
+        )
+        .dropDuplicates(["sig"])
+        .localCheckpoint(eager=True)
+    )
+
+    # same-signature pairs: identical sets, J = 1 — no join needed
+    ma, mb = members.alias("ma"), members.alias("mb")
+    same = (
+        ma.join(mb, "sig")
+        .filter(F.col("ma.doc") < F.col("mb.doc"))
+        .join(sigd.select("sig", "n"), "sig")
+        .select(
+            F.col("ma.doc").alias("doc_a"),
+            F.col("mb.doc").alias("doc_b"),
+            F.col("n").alias("n_inter"),
+            F.col("n").alias("n_union"),
+            F.lit(1000).cast("long").alias("jacc_millis"),
+        )
+    )
+
+    # cross-signature: prefix-filtered candidates over the frontier
+    stoks = sigd.select("sig", "n", F.explode("ts").alias("token"))
+    dfc = stoks.groupBy("token").agg(F.count("*").alias("df"))
+    vocab = dfc.count()
+    pos = stoks.join(dfc, "token").select(
+        "sig",
+        "n",
+        "token",
+        F.row_number()
+        .over(Window.partitionBy("sig").orderBy("df", "token"))
+        .alias("pos"),
+    )
+    prefix = pos.filter(
+        F.col("pos")
+        <= F.col("n")
+        - F.expr(f"(({threshold_millis} * n) + 999) DIV 1000")
+        + F.lit(1)
+    ).select("sig", "token")
+    # Candidate self-join, skew-proofed.  A prefix token shared by c
+    # signatures contributes c²/2 candidate pairs THROUGH ONE JOIN KEY —
+    # on a duplicate-saturated or small-vocabulary corpus c reaches the
+    # frontier size itself and a plain token equi-join concentrates the
+    # whole quadratic in one task (measured: single-task GC death at
+    # sf0.1).  Blocked triangular self-join instead: signatures within a
+    # token group are row_numbered, grouped into blocks of ``_BLOCK``,
+    # and the left side is replicated to every block ≥ its own, so the
+    # pair space of one token spreads over (c/B)²/2 independent tasks.
+    # Candidates are verified BEFORE dedup (array_intersect is cheaper
+    # than a 10⁷-row distinct); distinct runs on the survivors only.
+    _BLOCK = 64
+    wtok = Window.partitionBy("token").orderBy("sig")
+    ptok = prefix.select(
+        "token",
+        "sig",
+        ((F.row_number().over(wtok) - 1) / _BLOCK).cast("long").alias("bi"),
+    )
+    nblocks = ptok.groupBy("token").agg(
+        (F.max("bi") + 1).alias("nb")
+    )
+    left = (
+        ptok.join(nblocks, "token")
+        .select(
+            "token",
+            F.col("sig").alias("sa"),
+            F.explode(
+                F.sequence(F.col("bi"), F.col("nb") - 1)
+            ).alias("bj"),
+        )
+    )
+    right = ptok.select(
+        "token", F.col("sig").alias("sb"), F.col("bi").alias("bj")
+    )
+    cands = (
+        left.join(right, ["token", "bj"])
+        .filter(F.col("sa") < F.col("sb"))
+        .select("sa", "sb")
+    )
+    # Verify regime (measured at sf0.1, 12M candidates): intersecting two
+    # ~25-element STRING arrays per candidate costs ~400 string hashes a
+    # row — 2 minutes of GC-bound burn.  When the vocabulary is small
+    # (``vocab ≤ bitset_max_vocab``), a token set is a fixed array of
+    # ⌈vocab/64⌉ longs and the intersection is bit_count(a AND b) per
+    # word — pure integer codegen, ~100× cheaper, and the verify frame
+    # carries longs instead of string arrays.  Token→bit ids come from a
+    # row_number over the vocabulary frame, which is ≤ bitset_max_vocab
+    # rows BY THE REGIME CHECK — the single-partition window is bounded,
+    # not corpus-sized.  Large-vocabulary corpora (the regime where
+    # prefix filtering shines and candidates are few) keep the
+    # array_intersect verify.
+    if vocab <= bitset_max_vocab:
+        n_words = (vocab + 63) // 64
+        ids = dfc.select(
+            "token",
+            (
+                F.row_number().over(Window.orderBy("df", "token")) - 1
+            ).alias("tid"),
+        )
+        sbits = (
+            stoks.join(ids, "token")
+            .groupBy("sig")
+            .agg(
+                *[
+                    F.sum(
+                        F.when(
+                            F.expr(f"tid DIV 64 = {w}"),
+                            F.expr(
+                                "shiftleft(CAST(1 AS BIGINT),"
+                                " CAST(tid % 64 AS INT))"
+                            ),
+                        ).otherwise(F.lit(0).cast("long"))
+                    ).alias(f"w{w}")
+                    for w in range(n_words)
+                ]
+            )
+            .select(
+                "sig",
+                F.array(*[f"w{w}" for w in range(n_words)]).alias("bits"),
+            )
+        )
+        sv = sbits.join(sigd.select("sig", "n"), "sig")
+        va = sv.select(
+            F.col("sig").alias("sa"),
+            F.col("bits").alias("ba"),
+            F.col("n").alias("na"),
+        )
+        vb = sv.select(
+            F.col("sig").alias("sb"),
+            F.col("bits").alias("bb"),
+            F.col("n").alias("nb"),
+        )
+        inter_expr = F.expr(
+            "aggregate(zip_with(ba, bb,"
+            " (x, y) -> CAST(bit_count(x & y) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+    else:
+        va = sigd.select(
+            F.col("sig").alias("sa"),
+            F.col("ts").alias("ba"),
+            F.col("n").alias("na"),
+        )
+        vb = sigd.select(
+            F.col("sig").alias("sb"),
+            F.col("ts").alias("bb"),
+            F.col("n").alias("nb"),
+        )
+        inter_expr = F.size(F.array_intersect("ba", "bb")).cast("long")
+    verified = (
+        cands.join(va, "sa")
+        .join(vb, "sb")
+        .select(
+            "sa",
+            "sb",
+            inter_expr.alias("n_inter"),
+            "na",
+            "nb",
+        )
+        .select(
+            "sa",
+            "sb",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+        )
+        .filter(
+            F.lit(1000) * F.col("n_inter")
+            >= F.lit(threshold_millis) * F.col("n_union")
+        )
+        .dropDuplicates(["sa", "sb"])
+    )
+    ea = members.select(F.col("sig").alias("sa"), F.col("doc").alias("da"))
+    eb = members.select(F.col("sig").alias("sb"), F.col("doc").alias("db"))
+    cross = (
+        verified.join(ea, "sa")
+        .join(eb, "sb")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "n_inter",
+            "n_union",
+            F.expr("(1000 * n_inter) DIV n_union").alias("jacc_millis"),
+        )
+    )
+    return same.unionByName(cross)
