@@ -1526,6 +1526,52 @@ def _q66_jaccard_join(spark, sf):
 
 
 
+def _q67_stratified_split(spark, sf):
+    """Deterministic EXACT-proportion train/val/test split stratified by
+    (lang, source): within each stratum rows are ranked by (porthash,
+    doc_id) — a seeded shuffle order, partitioned window — and integer
+    permille boundaries on the stratum size cut the ranges, so every
+    stratum's fractions are exact to rounding (a Bernoulli hash split
+    drifts O(√n) per stratum) and the assignment is reproducible and
+    engine-exact.  Full row-level oracle: the same rank + thresholds in
+    window SQL."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        stratified_split,
+    )
+
+    d = _t(spark, sf, "documents")
+    out = stratified_split(
+        d.select("doc_id", "lang", "source"),
+        strata_cols=["lang", "source"],
+        weights_millis={"train": 800, "val": 100, "test": 100},
+    )
+    return out.select("doc_id", "lang", "source", "split")
+
+
+
+def _q68_edge_intervals(spark, sf):
+    """Temporal-KG edge versioning (SCD-2 / gaps-and-islands): collapse
+    the (user_id, event_type) observation log into maximal same-state
+    runs with validity intervals and revision numbers — the queryable
+    edge HISTORY an incrementally-built KG needs for functional
+    predicates.  Two-rank island ids, one shuffle on the key; state is
+    floor(value) mod 5 (integer, engine-exact)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        edge_intervals,
+    )
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.pmod(F.floor("value").cast("long"), F.lit(5)).alias("state"),
+    )
+    return edge_intervals(
+        e, key_cols=["user_id", "event_type"], value_col="state"
+    ).withColumnRenamed("value", "state")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1596,6 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_negative_triples": _q64_negative_triples,
         "q65_random_walks": _q65_random_walks,
         "q66_jaccard_join": _q66_jaccard_join,
+        "q67_stratified_split": _q67_stratified_split,
+        "q68_edge_intervals": _q68_edge_intervals,
     }
 
 
@@ -3323,5 +3371,62 @@ def oracle_sql() -> dict[str, str]:
                        AS jacc_millis
             FROM j
             WHERE 1000 * n_inter >= 900 * n_union
+        """,
+        # q67: same rank recurrence in window SQL — hash order, integer
+        # permille boundaries on the stratum size
+        "q67_stratified_split": """
+            WITH ranked AS (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY CAST('0x' || substr(md5(
+                               CAST(doc_id AS VARCHAR) || chr(31)
+                               || 'split'), 1, 15) AS BIGINT), doc_id
+                       ) AS rnk,
+                       count(*) OVER (
+                           PARTITION BY lang, source
+                       ) AS n
+                FROM documents
+            )
+            SELECT doc_id, lang, source,
+                   CASE
+                       WHEN rnk <= (800 * n) // 1000 THEN 'train'
+                       WHEN rnk <= (900 * n) // 1000 THEN 'val'
+                       ELSE 'test'
+                   END AS split
+            FROM ranked
+        """,
+        # q68: the same two-row_number island id in window SQL; floor()
+        # on identical parquet doubles and integer mod are engine-exact
+        "q68_edge_intervals": """
+            WITH obs AS (
+                SELECT user_id, event_type, ts,
+                       CAST(floor(value) AS BIGINT) % 5 + CASE
+                           WHEN CAST(floor(value) AS BIGINT) % 5 < 0
+                           THEN 5 ELSE 0 END AS state
+                FROM events
+            ), runs AS (
+                SELECT user_id, event_type, state, ts,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, state
+                       ) - row_number() OVER (
+                           PARTITION BY user_id, event_type, state
+                           ORDER BY ts, state
+                       ) AS island
+                FROM obs
+            ), iv AS (
+                SELECT user_id, event_type, state,
+                       min(ts) AS valid_from, max(ts) AS valid_to,
+                       CAST(count(*) AS BIGINT) AS n_obs
+                FROM runs GROUP BY user_id, event_type, state, island
+            )
+            SELECT user_id, event_type, state, valid_from, valid_to,
+                   n_obs,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY valid_from, state
+                   ) AS INT) AS revision
+            FROM iv
         """,
     }

@@ -189,3 +189,67 @@ def assign_shards(
             ).cast("int").alias("shard"),
         )
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: list[str],
+    weights_millis: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic EXACT-proportion train/val/test split, stratified →
+    input columns + ``split``.
+
+    The eval-set constructor every training pipeline needs: within each
+    stratum (language, domain, quality band, …) the split fractions are
+    EXACT to integer rounding, not just expected — a hash-threshold
+    Bernoulli split (q31's idiom) drifts per stratum by O(√n), which at
+    small strata (rare languages) misallocates whole eval sets.  Rows
+    are ranked inside their stratum by ``(porthash64(id, salt), id)``
+    — a seeded shuffle order, partitioned window, never global — and
+    the first ``(w_train·n) DIV 1000`` go to train, the next slice to
+    val, the remainder to test; every boundary is integer arithmetic
+    on the stratum size n, so the assignment is bit-identical across
+    engines and partitionings and REPRODUCIBLE under re-runs (content-
+    addressed, the property random() splits lose on resume).
+
+    ``weights_millis`` maps split name → permille, must sum to 1000;
+    dict insertion order defines the rank ranges.  Skew note: one
+    window partitioned by stratum — a mega-stratum concentrates its
+    sort in one task; for corpora with one dominant stratum, pre-split
+    the stratum key (the assign_shards ``within=`` idiom) or accept
+    the per-stratum sort as the cost of exactness.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import porthash64
+
+    if weights_millis is None:
+        weights_millis = {"train": 800, "val": 100, "test": 100}
+    if sum(weights_millis.values()) != 1000:
+        raise ValueError("weights_millis must sum to 1000")
+    if any(w <= 0 for w in weights_millis.values()):
+        raise ValueError("weights must be positive")
+
+    h = porthash64(F.col(id_col).cast("string"), salt)
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col))
+    ranked = df.withColumn("_rank", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy(*strata_cols))
+    )
+    names = list(weights_millis)
+    cums = []
+    acc = 0
+    for name in names:
+        acc += weights_millis[name]
+        cums.append((name, acc))
+    expr = F.lit(names[-1])
+    # walk boundaries from the last-but-one down so earlier ranges win
+    for name, cum in reversed(cums[:-1]):
+        expr = F.when(
+            F.col("_rank") <= F.expr(f"({cum} * _n) DIV 1000"), F.lit(name)
+        ).otherwise(expr)
+    # ranges are nested upper bounds: rank <= (cum_i*n) DIV 1000 assigns
+    # the FIRST matching (smallest-cum) name because later whens wrap
+    # earlier ones as their otherwise branch
+    return ranked.withColumn("split", expr).drop("_rank", "_n")

@@ -66,3 +66,56 @@ def asof_join(
         .filter(F.col("_side") == 1)
         .select(*l_cols, payload_alias)
     )
+
+
+def edge_intervals(
+    observations: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Collapse an observation log into validity intervals (temporal-KG
+    edge versioning / SCD type 2) → key cols + (value, valid_from,
+    valid_to, n_obs, revision).
+
+    An incrementally-built KG observes functional predicates repeatedly
+    — (subj, pred) → obj at time t — and the queryable artifact is the
+    edge HISTORY: maximal runs of consecutive same-value observations
+    per key, each with its first/last timestamp and a 1-based revision
+    number (a value that flips A→B→A is three intervals, so this is
+    gaps-and-islands, NOT a groupBy on value).  The classic two-rank
+    island id — ``row_number() over (key ORDER BY ts) - row_number()
+    over (key, value ORDER BY ts)`` is constant exactly within a run —
+    costs ONE shuffle on the key; both windows and the final aggregate
+    share that partitioning (Catalyst reuses the sort), and nothing is
+    global.  Ties on ``ts`` are broken by ``value_col`` so the result
+    is engine-exact on duplicate timestamps.
+    """
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy(*key_cols).orderBy(ts_col, value_col)
+    w_val = Window.partitionBy(*key_cols, value_col).orderBy(
+        ts_col, value_col
+    )
+    runs = observations.select(
+        *key_cols,
+        F.col(value_col).alias("value"),
+        F.col(ts_col).alias("_ts"),
+        (
+            F.row_number().over(w_all) - F.row_number().over(w_val)
+        ).alias("_island"),
+    )
+    iv = runs.groupBy(*key_cols, "value", "_island").agg(
+        F.min("_ts").alias("valid_from"),
+        F.max("_ts").alias("valid_to"),
+        F.count("*").cast("long").alias("n_obs"),
+    )
+    w_rev = Window.partitionBy(*key_cols).orderBy("valid_from", "value")
+    return iv.select(
+        *key_cols,
+        "value",
+        "valid_from",
+        "valid_to",
+        "n_obs",
+        F.row_number().over(w_rev).alias("revision"),
+    )

@@ -114,3 +114,79 @@ def test_negative_triples_empty_entities_raises(spark):
 
     with pytest.raises(ValueError, match="empty"):
         negative_triples(triples, empty)
+
+
+def test_stratified_split_exact_proportions(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        stratified_split,
+    )
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_split(
+        df, ["lang"], {"train": 800, "val": 100, "test": 100}
+    )
+    got = out.groupBy("lang", "split").count().collect()
+    counts = {(r["lang"], r["split"]): r["count"] for r in got}
+    # de stratum: 67 rows -> train (800*67)//1000 = 53, val 60-53=7, rest 7
+    assert counts[("de", "train")] == 53
+    assert counts[("de", "val")] == (900 * 67) // 1000 - 53
+    assert counts[("de", "test")] == 67 - (900 * 67) // 1000
+    # en stratum: 133 rows
+    assert counts[("en", "train")] == (800 * 133) // 1000
+    # every row assigned exactly once, deterministically
+    assert out.count() == 200
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(
+        tuple(r)
+        for r in stratified_split(
+            df, ["lang"], {"train": 800, "val": 100, "test": 100}
+        ).collect()
+    )
+    assert a == b
+
+
+def test_stratified_split_validates_weights(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        stratified_split,
+    )
+    import pytest
+
+    df = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    with pytest.raises(ValueError, match="sum"):
+        stratified_split(df, ["lang"], {"train": 900, "val": 50})
+    with pytest.raises(ValueError, match="positive"):
+        stratified_split(df, ["lang"], {"train": 1100, "val": -100})
+
+
+def test_edge_intervals_islands(spark):
+    from datetime import datetime
+
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        edge_intervals,
+    )
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)
+    rows = [
+        # key (1, "p"): A,A,B,A -> three intervals (A revisits = new run)
+        (1, "p", t(0), "A"),
+        (1, "p", t(1), "A"),
+        (1, "p", t(2), "B"),
+        (1, "p", t(3), "A"),
+        # key (2, "p"): single run
+        (2, "p", t(0), "X"),
+        (2, "p", t(5), "X"),
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pred", "ts", "obj"])
+    out = edge_intervals(df, ["subj", "pred"], "obj")
+    got = sorted(
+        (r["subj"], r["pred"], r["value"], r["valid_from"].minute,
+         r["valid_to"].minute, r["n_obs"], r["revision"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "p", "A", 0, 1, 2, 1),
+        (1, "p", "A", 3, 3, 1, 3),
+        (1, "p", "B", 2, 2, 1, 2),
+        (2, "p", "X", 0, 5, 2, 1),
+    ]
