@@ -83,26 +83,28 @@ def edge_intervals(
     edge HISTORY: maximal runs of consecutive same-value observations
     per key, each with its first/last timestamp and a 1-based revision
     number (a value that flips A→B→A is three intervals, so this is
-    gaps-and-islands, NOT a groupBy on value).  The classic two-rank
-    island id — ``row_number() over (key ORDER BY ts) - row_number()
-    over (key, value ORDER BY ts)`` is constant exactly within a run —
-    costs ONE shuffle on the key; both windows and the final aggregate
-    share that partitioning (Catalyst reuses the sort), and nothing is
-    global.  Ties on ``ts`` are broken by ``value_col`` so the result
-    is engine-exact on duplicate timestamps.
+    gaps-and-islands, NOT a groupBy on value).  Island ids are a
+    running sum of change flags — ``lag(value)`` differs → +1 — under
+    ONE window partitioned by the key, so the whole operator is a
+    single shuffle (the textbook two-rank island id needs a SECOND
+    window partitioned by (key, value) — a second exchange; the q68
+    oracle uses that independent formulation, so the hash match also
+    cross-checks the two forms).  Ties on ``ts`` are broken by
+    ``value_col`` so the result is engine-exact on duplicate
+    timestamps.
     """
     from pyspark.sql.window import Window
 
     w_all = Window.partitionBy(*key_cols).orderBy(ts_col, value_col)
-    w_val = Window.partitionBy(*key_cols, value_col).orderBy(
-        ts_col, value_col
-    )
+    chg = F.when(
+        F.lag(value_col).over(w_all).eqNullSafe(F.col(value_col)), 0
+    ).otherwise(1)
     runs = observations.select(
         *key_cols,
         F.col(value_col).alias("value"),
         F.col(ts_col).alias("_ts"),
-        (
-            F.row_number().over(w_all) - F.row_number().over(w_val)
+        F.sum(chg).over(
+            w_all.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("_island"),
     )
     iv = runs.groupBy(*key_cols, "value", "_island").agg(
