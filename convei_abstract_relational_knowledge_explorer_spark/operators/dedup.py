@@ -935,6 +935,50 @@ def repeated_substring_stats(
         )
     )
 
+def _blocked_self_join(
+    items: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    block: int = 64,
+) -> DataFrame:
+    """All (sa, sb) pairs with sa < sb sharing a key row — skew-proof.
+
+    A key shared by c items contributes c²/2 pairs THROUGH ONE JOIN KEY;
+    on duplicate-saturated data c reaches the frontier size and a plain
+    self-equi-join concentrates the whole quadratic in one task
+    (measured: single-task GC death at sf0.1).  Blocked triangular form
+    instead: items within a key group are row_numbered, grouped into
+    blocks of ``block``, and the left side is replicated to every block
+    ≥ its own, so one key's pair space spreads over (c/B)²/2 independent
+    join keys.  Pairs sharing several keys are emitted once per key —
+    callers verify first and dedupe survivors (cheaper than a
+    pre-verify distinct on the full candidate stream).
+    """
+    from pyspark.sql.window import Window
+
+    wkey = Window.partitionBy(*key_cols).orderBy(id_col)
+    blocked = items.select(
+        *key_cols,
+        F.col(id_col).alias("_id"),
+        ((F.row_number().over(wkey) - 1) / block).cast("long").alias("_bi"),
+    )
+    nblocks = blocked.groupBy(*key_cols).agg(
+        (F.max("_bi") + 1).alias("_nb")
+    )
+    left = blocked.join(nblocks, key_cols).select(
+        *key_cols,
+        F.col("_id").alias("sa"),
+        F.explode(F.sequence(F.col("_bi"), F.col("_nb") - 1)).alias("_bj"),
+    )
+    right = blocked.select(
+        *key_cols, F.col("_id").alias("sb"), F.col("_bi").alias("_bj")
+    )
+    return (
+        left.join(right, [*key_cols, "_bj"])
+        .filter(F.col("sa") < F.col("sb"))
+        .select("sa", "sb")
+    )
+
 
 def jaccard_similarity_join(
     docs: DataFrame,
@@ -944,40 +988,50 @@ def jaccard_similarity_join(
     token_re: str = "[a-z0-9]+(?:-[a-z0-9]+)*",
     bitset_max_vocab: int = 4096,
 ) -> DataFrame:
-    """EXACT set-similarity self-join by prefix filtering (AllPairs /
-    PPJoin family: Bayardo, Ma & Srikant, WWW'07) →
-    (doc_a, doc_b, n_inter, n_union, jacc_millis) for every pair whose
-    token-set Jaccard ≥ threshold_millis/1000, doc_a < doc_b.
+    """EXACT set-similarity self-join (AllPairs/PPJoin family: Bayardo,
+    Ma & Srikant, WWW'07; pigeonhole partitioning: PartEnum,
+    Arasu-Ganti-Kaushik VLDB'06) → (doc_a, doc_b, n_inter, n_union,
+    jacc_millis) for every pair whose token-set Jaccard ≥
+    threshold_millis/1000, doc_a < doc_b.
 
     The exact complement to the MinHash (q24) and SimHash (q25)
     APPROXIMATE families: zero false negatives by theorem, not by
-    tuning.  Two scale levers compose:
+    tuning.  Composition of scale levers, all regime-adaptive:
 
     1. **Distinct-signature frontier** (the q25 idiom): documents with
-       identical token SETS collapse to one signature before any join,
-       so a duplicate cluster of multiplicity m costs 1 verify, not m²
-       (same-signature pairs are emitted directly with jacc = 1000; at
-       sf0.1 this shrinks the verify frontier 32×: 929k doc pairs from
-       29k signature pairs).
-    2. **Prefix filtering**: canonical token order is rare-first
-       (df asc, token asc); each signature indexes only its PREFIX —
-       the first ``|x| - ceil(t·|x|) + 1`` tokens — and candidates are
-       signature pairs sharing ≥1 prefix token.  Completeness: if
-       J(A,B) ≥ t, the canonically smallest shared token w has ≤
-       |A| - ceil(t|A|) unshared A-tokens before it (shared count ≥
-       ceil(t|A|)), so w is inside A's prefix, symmetrically B's — the
-       equi-join finds w.  Frequent tokens land at the END of the
-       order, so head-token df² blowup never enters the candidate join.
+       identical token SETS collapse to one md5 signature before any
+       join, so a duplicate cluster of multiplicity m costs 1 verify,
+       not m² (same-signature pairs are emitted directly with
+       jacc = 1000; 32× fewer verifies at sf0.1).
+    2. **Candidate generation.**  Small-vocabulary regime (``vocab ≤
+       bitset_max_vocab``): PIGEONHOLE CHUNKS — J(A,B) ≥ t bounds the
+       symmetric difference |AΔB| ≤ ⌊2m(1-t)/(1+t)⌋ =: d (m = largest
+       set), so splitting the bit-id space into k = d+1 chunks forces
+       any qualifying pair to agree EXACTLY on ≥1 chunk; candidates are
+       an equi-join on (chunk_id, chunk_content).  Replaces prefix
+       filtering here because a 31-token vocabulary leaves only ~15
+       distinct prefix tokens — measured 12.0M candidate pairs vs 1.4M
+       for the chunk scheme at sf0.1.  Large-vocabulary regime:
+       rare-first PREFIX FILTERING — each signature indexes its first
+       ``|x| - ceil(t·|x|) + 1`` tokens in (df asc, token) order; the
+       canonically smallest shared token of a qualifying pair provably
+       lands in both prefixes.  Both schemes run through
+       :func:`_blocked_self_join` (a hot key's c²/2 pair space spreads
+       over (c/B)² tasks instead of one).
+    3. **Verify.**  Small vocab: token sets as ⌈vocab/64⌉ packed longs,
+       intersection = Σ bit_count(a AND b) — pure integer codegen
+       (measured ~13× over string array_intersect at 12M candidates).
+       Large vocab: array_intersect on the sorted token arrays.
+       Verify-then-dedupe: duplicates from multi-key candidates are
+       dropped AFTER the threshold filter, on the small survivor set.
 
-    Verification is one ``array_intersect`` per candidate pair (JVM,
-    no explode — the naive candidates×tokens verify join materializes
-    every token of every candidate and was measured 20× slower);
-    per-signature arrays are bounded by document length, never by
-    group size.  The threshold test is integer
-    (``1000·inter ≥ t_millis·union``), ``jacc_millis = (1000·inter)
-    DIV union`` — bit-identical cross-engine, no floats.  The q66
-    oracle is the INDEPENDENT brute-force all-pairs formulation, so the
-    hash match certifies candidate completeness end to end.
+    The threshold test is integer (``1000·inter ≥ t_millis·union``),
+    ``jacc_millis = (1000·inter) DIV union`` — bit-identical
+    cross-engine, no floats.  The q66 oracle is the INDEPENDENT
+    brute-force all-pairs formulation, so the hash match certifies
+    candidate-generation completeness end to end.  Driver-side scalars
+    (vocab size, max set size) are metadata aggregates, same discipline
+    as the CC convergence counts.
     """
     from pyspark.sql.window import Window
 
@@ -993,18 +1047,17 @@ def jaccard_similarity_join(
             )
         ).alias("token"),
     )
-    sets = toks.groupBy("doc").agg(
-        F.sort_array(F.collect_list("token")).alias("ts")
-    )
-    members = sets.select(
-        "doc", F.md5(F.concat_ws("\x1f", F.col("ts"))).alias("sig")
-    ).localCheckpoint(eager=True)
-    sigd = (
-        sets.select(
-            F.md5(F.concat_ws("\x1f", F.col("ts"))).alias("sig"),
-            "ts",
-            F.size("ts").cast("long").alias("n"),
+    sets = (
+        toks.groupBy("doc")
+        .agg(F.sort_array(F.collect_list("token")).alias("ts"))
+        .select(
+            "doc", "ts", F.md5(F.concat_ws("\x1f", F.col("ts"))).alias("sig")
         )
+        .localCheckpoint(eager=True)
+    )
+    members = sets.select("doc", "sig")
+    sigd = (
+        sets.select("sig", "ts", F.size("ts").cast("long").alias("n"))
         .dropDuplicates(["sig"])
         .localCheckpoint(eager=True)
     )
@@ -1024,86 +1077,51 @@ def jaccard_similarity_join(
         )
     )
 
-    # cross-signature: prefix-filtered candidates over the frontier
     stoks = sigd.select("sig", "n", F.explode("ts").alias("token"))
     dfc = stoks.groupBy("token").agg(F.count("*").alias("df"))
     vocab = dfc.count()
-    pos = stoks.join(dfc, "token").select(
-        "sig",
-        "n",
-        "token",
-        F.row_number()
-        .over(Window.partitionBy("sig").orderBy("df", "token"))
-        .alias("pos"),
-    )
-    prefix = pos.filter(
-        F.col("pos")
-        <= F.col("n")
-        - F.expr(f"(({threshold_millis} * n) + 999) DIV 1000")
-        + F.lit(1)
-    ).select("sig", "token")
-    # Candidate self-join, skew-proofed.  A prefix token shared by c
-    # signatures contributes c²/2 candidate pairs THROUGH ONE JOIN KEY —
-    # on a duplicate-saturated or small-vocabulary corpus c reaches the
-    # frontier size itself and a plain token equi-join concentrates the
-    # whole quadratic in one task (measured: single-task GC death at
-    # sf0.1).  Blocked triangular self-join instead: signatures within a
-    # token group are row_numbered, grouped into blocks of ``_BLOCK``,
-    # and the left side is replicated to every block ≥ its own, so the
-    # pair space of one token spreads over (c/B)²/2 independent tasks.
-    # Candidates are verified BEFORE dedup (array_intersect is cheaper
-    # than a 10⁷-row distinct); distinct runs on the survivors only.
-    _BLOCK = 64
-    wtok = Window.partitionBy("token").orderBy("sig")
-    ptok = prefix.select(
-        "token",
-        "sig",
-        ((F.row_number().over(wtok) - 1) / _BLOCK).cast("long").alias("bi"),
-    )
-    nblocks = ptok.groupBy("token").agg(
-        (F.max("bi") + 1).alias("nb")
-    )
-    left = (
-        ptok.join(nblocks, "token")
-        .select(
-            "token",
-            F.col("sig").alias("sa"),
-            F.explode(
-                F.sequence(F.col("bi"), F.col("nb") - 1)
-            ).alias("bj"),
-        )
-    )
-    right = ptok.select(
-        "token", F.col("sig").alias("sb"), F.col("bi").alias("bj")
-    )
-    cands = (
-        left.join(right, ["token", "bj"])
-        .filter(F.col("sa") < F.col("sb"))
-        .select("sa", "sb")
-    )
-    # Verify regime (measured at sf0.1, 12M candidates): intersecting two
-    # ~25-element STRING arrays per candidate costs ~400 string hashes a
-    # row — 2 minutes of GC-bound burn.  When the vocabulary is small
-    # (``vocab ≤ bitset_max_vocab``), a token set is a fixed array of
-    # ⌈vocab/64⌉ longs and the intersection is bit_count(a AND b) per
-    # word — pure integer codegen, ~100× cheaper, and the verify frame
-    # carries longs instead of string arrays.  Token→bit ids come from a
-    # row_number over the vocabulary frame, which is ≤ bitset_max_vocab
-    # rows BY THE REGIME CHECK — the single-partition window is bounded,
-    # not corpus-sized.  Large-vocabulary corpora (the regime where
-    # prefix filtering shines and candidates are few) keep the
-    # array_intersect verify.
+
     if vocab <= bitset_max_vocab:
-        n_words = (vocab + 63) // 64
+        # ----- small-vocab regime: pigeonhole chunks + bitset verify.
+        # Token→bit ids from a row_number over the vocabulary frame,
+        # which is ≤ bitset_max_vocab rows BY THE REGIME CHECK — the
+        # single-partition window is bounded, not corpus-sized.
+        m_max = sigd.agg(F.max("n")).collect()[0][0] or 0
+        d_max = (2 * m_max * (1000 - threshold_millis)) // (
+            1000 + threshold_millis
+        )
+        k = d_max + 1
+        chunk_w = max(1, -(-vocab // k))
         ids = dfc.select(
             "token",
             (
                 F.row_number().over(Window.orderBy("df", "token")) - 1
             ).alias("tid"),
         )
+        tids = stoks.join(ids, "token")
+        filled = tids.groupBy(
+            "sig", F.expr(f"tid DIV {chunk_w}").alias("cid")
+        ).agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("tid")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("cval")
+        )
+        allc = sigd.select(
+            "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("cid"),
+        )
+        sch = allc.join(filled, ["sig", "cid"], "left").select(
+            "sig", "cid", F.coalesce("cval", F.lit("")).alias("cval")
+        )
+        cands = _blocked_self_join(sch, ["cid", "cval"], "sig")
+
+        n_words = (vocab + 63) // 64
         sbits = (
-            stoks.join(ids, "token")
-            .groupBy("sig")
+            tids.groupBy("sig")
             .agg(
                 *[
                     F.sum(
@@ -1140,6 +1158,24 @@ def jaccard_similarity_join(
             " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
     else:
+        # ----- large-vocab regime: rare-first prefix filter +
+        # array_intersect verify (candidates are few because prefixes
+        # are rare tokens; a 2-column sorted-array intersect per pair)
+        pos = stoks.join(dfc, "token").select(
+            "sig",
+            "n",
+            "token",
+            F.row_number()
+            .over(Window.partitionBy("sig").orderBy("df", "token"))
+            .alias("pos"),
+        )
+        prefix = pos.filter(
+            F.col("pos")
+            <= F.col("n")
+            - F.expr(f"(({threshold_millis} * n) + 999) DIV 1000")
+            + F.lit(1)
+        ).select("sig", "token")
+        cands = _blocked_self_join(prefix, ["token"], "sig")
         va = sigd.select(
             F.col("sig").alias("sa"),
             F.col("ts").alias("ba"),
@@ -1151,16 +1187,11 @@ def jaccard_similarity_join(
             F.col("n").alias("nb"),
         )
         inter_expr = F.size(F.array_intersect("ba", "bb")).cast("long")
+
     verified = (
         cands.join(va, "sa")
         .join(vb, "sb")
-        .select(
-            "sa",
-            "sb",
-            inter_expr.alias("n_inter"),
-            "na",
-            "nb",
-        )
+        .select("sa", "sb", inter_expr.alias("n_inter"), "na", "nb")
         .select(
             "sa",
             "sb",
