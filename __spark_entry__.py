@@ -1572,6 +1572,56 @@ def _q68_edge_intervals(spark, sf):
 
 
 
+def _q69_incremental_components(spark, sf):
+    """Incremental canonicalization: CC labels built from HALF the
+    corpus (even doc_ids), then the odd half's edges folded in by
+    contraction — each old component collapses to its min-member label,
+    the increment's edges map through the labels, CC runs on the
+    frontier-sized contracted graph only, and labels merge back.  The
+    oracle recomputes CC over the FULL edge set with a recursive-CTE
+    transitive closure — the hash match proves contract-and-merge ==
+    full recompute, canonical ids included (the monthly-crawl KG
+    maintenance path)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            )
+        ).alias("token"),
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(60)
+        .select("token")
+    )
+    sel = toks.join(F.broadcast(top), "token")
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .select(
+            "doc_id",
+            F.col("a.token").alias("u"),
+            F.col("b.token").alias("v"),
+        )
+    )
+    base = pairs.filter(F.col("doc_id") % 2 == 0).select("u", "v").distinct()
+    incr = pairs.filter(F.col("doc_id") % 2 == 1).select("u", "v").distinct()
+    labels = connected_components(base, src="u", dst="v")
+    out = connected_components_incremental(labels, incr, src="u", dst="v")
+    return out.select(F.col("node").alias("term"), "component")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1644,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_jaccard_join": _q66_jaccard_join,
         "q67_stratified_split": _q67_stratified_split,
         "q68_edge_intervals": _q68_edge_intervals,
+        "q69_incremental_components": _q69_incremental_components,
     }
 
 
@@ -3428,5 +3479,34 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY valid_from, state
                    ) AS INT) AS revision
             FROM iv
+        """,
+        # q69: full-recompute CC on the UNION of both halves via
+        # recursive-CTE transitive closure (min reachable node) — an
+        # independent algorithm; matching it proves the incremental
+        # contract-and-merge path exact, canonical ids included
+        "q69_incremental_components": f"""
+            WITH RECURSIVE toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 60
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS (
+                SELECT DISTINCT a.token AS u, b.token AS v
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+            ), nbrs AS (
+                SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+            ), reach(a, b) AS (
+                SELECT u, v FROM nbrs
+                UNION
+                SELECT r.a, n.v FROM reach r JOIN nbrs n ON r.b = n.u
+            )
+            SELECT a AS term, least(a, min(b)) AS component
+            FROM reach GROUP BY a
         """,
     }

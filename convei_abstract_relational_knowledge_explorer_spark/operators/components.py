@@ -898,3 +898,77 @@ def random_walks(
         )
         out = out.unionAll(frontier)
     return out
+
+
+def connected_components_incremental(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    comp_col: str = "component",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Fold a NEW edge batch into existing (node, component) labels
+    without re-running CC over the full graph → updated (node,
+    component) covering old and new nodes.
+
+    The monthly-crawl KG-maintenance primitive: canonicalization labels
+    exist for 10¹² nodes and an increment adds a sliver of edges — the
+    full alternating-star iteration over the whole graph would be
+    O(full) per increment.  Contraction instead: every labeled
+    component collapses to its label node (old label = min member id,
+    so the contracted node IS an original node), batch endpoints map
+    through their labels (unknown nodes map to themselves), edges
+    internal to an old component collapse to self-loops and vanish, and
+    :func:`connected_components` runs on the CONTRACTED graph — sized
+    by the increment plus the components it touches, not the corpus.
+    Exactness: contraction preserves connectivity, and min-label ids
+    are stable under it — min over contracted members equals min over
+    original members because each old label already is its component's
+    minimum; a test asserts incremental == full-recompute on random
+    graph splits.  Cost shape: two equi-joins to map endpoints (the
+    labels side is the big table — hash-partitioned, increment-sized
+    probe), then CC on the contracted sliver, then one label-keyed
+    join-back to update ONLY rows whose component merged (the
+    upsert_partitioned sink applies it as a partition-pruned merge).
+    """
+    e = (
+        new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(node_col).alias("node"), F.col(comp_col).alias("component")
+    )
+    lu = lab.select(
+        F.col("node").alias("u"), F.col("component").alias("cu")
+    )
+    lv = lab.select(
+        F.col("node").alias("v"), F.col("component").alias("cv")
+    )
+    contracted = (
+        e.join(lu, "u", "left")
+        .join(lv, "v", "left")
+        .select(
+            F.coalesce("cu", "u").alias("u"),
+            F.coalesce("cv", "v").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    sub = connected_components(
+        contracted, src="u", dst="v", max_iterations=max_iterations
+    )
+    relabel = sub.select(
+        F.col("node").alias("component"),
+        F.col("component").alias("_new_comp"),
+    )
+    updated_old = lab.join(relabel, "component", "left").select(
+        "node",
+        F.coalesce("_new_comp", F.col("component")).alias("component"),
+    )
+    new_rows = (
+        sub.join(lab.select("node"), "node", "left_anti")
+        .select("node", F.col("component"))
+    )
+    return updated_old.unionByName(new_rows)

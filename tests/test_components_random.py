@@ -131,3 +131,43 @@ def test_guarded_components_no_oversized(spark):
     got = {(r["node"], r["component"])
            for r in guarded_components(df, max_size=100).collect()}
     assert got == cc
+
+
+def test_incremental_cc_equals_full_recompute(spark):
+    """Contract-and-merge on a random edge split must equal CC on the
+    union — including new nodes, merged old components, and untouched
+    components — with identical canonical min-member ids."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    rng = random.Random(20260818)
+    for trial in range(3):
+        n = rng.randint(12, 40)
+        edges = list(
+            {
+                (min(a, b), max(a, b))
+                for _ in range(rng.randint(8, 60))
+                for a, b in [(rng.randrange(n), rng.randrange(n))]
+                if a != b
+            }
+        )
+        rng.shuffle(edges)
+        cut = rng.randint(1, max(1, len(edges) - 1))
+        base, incr = edges[:cut], edges[cut:]
+        if not base or not incr:
+            continue
+        bdf = spark.createDataFrame(base, ["src", "dst"])
+        idf = spark.createDataFrame(incr, ["src", "dst"])
+        full = spark.createDataFrame(edges, ["src", "dst"])
+        labels = connected_components(bdf)
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components_incremental(labels, idf).collect()
+        }
+        want = {
+            (r["node"], r["component"])
+            for r in connected_components(full).collect()
+        }
+        assert got == want, f"trial {trial}: {sorted(got ^ want)[:10]}"
