@@ -1622,6 +1622,54 @@ def _q69_incremental_components(spark, sf):
 
 
 
+def _q70_token_ktruss(spark, sf):
+    """12-truss of the strong co-occurrence graph (q48's sibling, edge
+    level, Cohen 2008): keep edges embedded in ≥10 triangles among
+    surviving edges, cascade to a bounded-round fixed point — the edge
+    denoiser that precedes community detection (single-doc coincidence
+    edges die first).  The oracle unrolls the identical peeling rounds
+    as chained MATERIALIZED CTEs; all integer, cross-engine exact."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        k_truss,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            )
+        ).alias("token"),
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(30)
+        .select("token")
+    )
+    sel = toks.join(F.broadcast(top), "token")
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("term_a"), F.col("b.token").alias("term_b")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    avg_w = pairs.agg(F.expr("sum(w) DIV count(*)").alias("aw"))
+    strong = pairs.crossJoin(F.broadcast(avg_w)).filter(
+        F.col("w") > F.col("aw")
+    )
+    truss = k_truss(strong, k=12, src="term_a", dst="term_b", rounds=6)
+    return truss.select(
+        F.col("u").alias("term_a"), F.col("v").alias("term_b")
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1695,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_stratified_split": _q67_stratified_split,
         "q68_edge_intervals": _q68_edge_intervals,
         "q69_incremental_components": _q69_incremental_components,
+        "q70_token_ktruss": _q70_token_ktruss,
     }
 
 
@@ -3508,5 +3557,73 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS term, least(a, min(b)) AS component
             FROM reach GROUP BY a
+        """,
+        # q70: the 6 peeling rounds unrolled as chained MATERIALIZED
+        # CTEs (inlining would expand the scan 3^6-fold); support joins
+        # are the identical wedge shape, all integer
+        "q70_token_ktruss": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 30
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS (
+                SELECT a.token AS u, b.token AS v,
+                       CAST(count(*) AS BIGINT) AS w
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+            ), t0 AS MATERIALIZED (
+                SELECT u, v FROM pairs
+                WHERE w > (SELECT sum(w) // count(*) FROM pairs)
+            ), n0 AS (
+                SELECT u, v FROM t0 UNION ALL SELECT v, u FROM t0
+            ), t1 AS MATERIALIZED (
+                SELECT e.u, e.v FROM t0 e
+                JOIN n0 a ON a.u = e.u
+                JOIN n0 b ON b.u = e.v AND b.v = a.v
+                GROUP BY e.u, e.v HAVING count(*) >= 10
+            ), n1 AS (
+                SELECT u, v FROM t1 UNION ALL SELECT v, u FROM t1
+            ), t2 AS MATERIALIZED (
+                SELECT e.u, e.v FROM t1 e
+                JOIN n1 a ON a.u = e.u
+                JOIN n1 b ON b.u = e.v AND b.v = a.v
+                GROUP BY e.u, e.v HAVING count(*) >= 10
+            ), n2 AS (
+                SELECT u, v FROM t2 UNION ALL SELECT v, u FROM t2
+            ), t3 AS MATERIALIZED (
+                SELECT e.u, e.v FROM t2 e
+                JOIN n2 a ON a.u = e.u
+                JOIN n2 b ON b.u = e.v AND b.v = a.v
+                GROUP BY e.u, e.v HAVING count(*) >= 10
+            ), n3 AS (
+                SELECT u, v FROM t3 UNION ALL SELECT v, u FROM t3
+            ), t4 AS MATERIALIZED (
+                SELECT e.u, e.v FROM t3 e
+                JOIN n3 a ON a.u = e.u
+                JOIN n3 b ON b.u = e.v AND b.v = a.v
+                GROUP BY e.u, e.v HAVING count(*) >= 10
+            ), n4 AS (
+                SELECT u, v FROM t4 UNION ALL SELECT v, u FROM t4
+            ), t5 AS MATERIALIZED (
+                SELECT e.u, e.v FROM t4 e
+                JOIN n4 a ON a.u = e.u
+                JOIN n4 b ON b.u = e.v AND b.v = a.v
+                GROUP BY e.u, e.v HAVING count(*) >= 10
+            ), n5 AS (
+                SELECT u, v FROM t5 UNION ALL SELECT v, u FROM t5
+            ), t6 AS MATERIALIZED (
+                SELECT e.u, e.v FROM t5 e
+                JOIN n5 a ON a.u = e.u
+                JOIN n5 b ON b.u = e.v AND b.v = a.v
+                GROUP BY e.u, e.v HAVING count(*) >= 10
+            )
+            SELECT u AS term_a, v AS term_b FROM t6
         """,
     }

@@ -190,3 +190,23 @@ def test_edge_intervals_islands(spark):
         (1, "p", "B", 2, 2, 1, 2),
         (2, "p", "X", 0, 5, 2, 1),
     ]
+
+
+def test_k_truss_hand_graph(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        k_truss,
+    )
+    import pytest
+
+    # K4 on {1,2,3,4} (each edge in 2 triangles) + pendant edge (4,5)
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(k4 + [(4, 5)], ["src", "dst"])
+    def edges(k):
+        return sorted(
+            (r["u"], r["v"]) for r in k_truss(df, k=k).collect()
+        )
+    assert edges(3) == sorted(k4)      # pendant dies, triangles stay
+    assert edges(4) == sorted(k4)      # K4 is a 4-truss
+    assert edges(5) == []              # support 2 < 3 -> full cascade
+    with pytest.raises(ValueError, match="k >= 3"):
+        k_truss(df, k=2)
