@@ -48,6 +48,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _token_sel(spark, sf, top_n):
+    """(doc_id, token) memberships restricted to the top_n tokens by
+    document frequency (ties broken by token) — the shared base of every
+    token co-occurrence graph query (q44, q46-q48, q63, q65, q69, q70).
+    Pair/weight/direction shaping stays per-query; this is only the
+    scan → distinct-explode → df-rank → semi-restrict common prefix."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            )
+        ).alias("token"),
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(top_n)
+        .select("token")
+    )
+    return toks.join(F.broadcast(top), "token")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Mention co-occurrence graph over the documents table: dictionary
     mentions (JVM contains-join) → upper-triangular pair counts → top pairs.
@@ -571,23 +596,7 @@ def _q38_topic_communities(spark, sf):
         modularity_refine,
     )
 
-    d = _t(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
-            )
-        ).alias("token"),
-    )
-    top = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .orderBy(F.desc("df"), F.asc("token"))
-        .limit(30)
-        .select("token")
-    )
-    sel = toks.join(F.broadcast(top), "token")
+    sel = _token_sel(spark, sf, 30)
     a, b = sel.alias("a"), sel.alias("b")
     pairs = (
         a.join(b, "doc_id")
@@ -739,23 +748,7 @@ def _q44_token_pagerank(spark, sf):
         pagerank,
     )
 
-    d = _t(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
-            )
-        ).alias("token"),
-    )
-    top = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .orderBy(F.desc("df"), F.asc("token"))
-        .limit(30)
-        .select("token")
-    )
-    sel = toks.join(F.broadcast(top), "token")
+    sel = _token_sel(spark, sf, 30)
     a, b = sel.alias("a"), sel.alias("b")
     pairs = (
         a.join(b, "doc_id")
@@ -818,23 +811,7 @@ def _q46_token_triangles(spark, sf):
         triangle_stats,
     )
 
-    d = _t(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
-            )
-        ).alias("token"),
-    )
-    top = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .orderBy(F.desc("df"), F.asc("token"))
-        .limit(30)
-        .select("token")
-    )
-    sel = toks.join(F.broadcast(top), "token")
+    sel = _token_sel(spark, sf, 30)
     a, b = sel.alias("a"), sel.alias("b")
     pairs = (
         a.join(b, "doc_id")
@@ -862,23 +839,7 @@ def _q47_bfs_distances(spark, sf):
         bfs_distances,
     )
 
-    d = _t(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
-            )
-        ).alias("token"),
-    )
-    top = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .orderBy(F.desc("df"), F.asc("token"))
-        .limit(30)
-        .select("token")
-    )
-    sel = toks.join(F.broadcast(top), "token")
+    sel = _token_sel(spark, sf, 30)
     a, b = sel.alias("a"), sel.alias("b")
     pairs = (
         a.join(b, "doc_id")
@@ -888,7 +849,13 @@ def _q47_bfs_distances(spark, sf):
         )
         .distinct()
     )
-    seeds = top.orderBy("token").limit(3).select(F.col("token").alias("node"))
+    seeds = (
+        sel.select("token")
+        .distinct()
+        .orderBy("token")
+        .limit(3)
+        .select(F.col("token").alias("node"))
+    )
     out = bfs_distances(
         pairs, seeds, src="term_a", dst="term_b", max_depth=8
     )
@@ -911,23 +878,7 @@ def _q48_token_kcore(spark, sf):
         k_core,
     )
 
-    d = _t(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
-            )
-        ).alias("token"),
-    )
-    top = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .orderBy(F.desc("df"), F.asc("token"))
-        .limit(30)
-        .select("token")
-    )
-    sel = toks.join(F.broadcast(top), "token")
+    sel = _token_sel(spark, sf, 30)
     a, b = sel.alias("a"), sel.alias("b")
     pairs = (
         a.join(b, "doc_id")
@@ -1420,23 +1371,7 @@ def _q63_link_prediction(spark, sf):
         resource_allocation,
     )
 
-    d = _t(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
-            )
-        ).alias("token"),
-    )
-    top = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .orderBy(F.desc("df"), F.asc("token"))
-        .limit(60)
-        .select("token")
-    )
-    sel = toks.join(F.broadcast(top), "token")
+    sel = _token_sel(spark, sf, 60)
     a, b = sel.alias("a"), sel.alias("b")
     pairs = (
         a.join(b, "doc_id")
@@ -1480,23 +1415,7 @@ def _q65_random_walks(spark, sf):
         random_walks,
     )
 
-    d = _t(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
-            )
-        ).alias("token"),
-    )
-    top = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .orderBy(F.desc("df"), F.asc("token"))
-        .limit(30)
-        .select("token")
-    )
-    sel = toks.join(F.broadcast(top), "token")
+    sel = _token_sel(spark, sf, 30)
     a, b = sel.alias("a"), sel.alias("b")
     pairs = (
         a.join(b, "doc_id")
@@ -1587,23 +1506,7 @@ def _q69_incremental_components(spark, sf):
         connected_components_incremental,
     )
 
-    d = _t(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
-            )
-        ).alias("token"),
-    )
-    top = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .orderBy(F.desc("df"), F.asc("token"))
-        .limit(60)
-        .select("token")
-    )
-    sel = toks.join(F.broadcast(top), "token")
+    sel = _token_sel(spark, sf, 60)
     a, b = sel.alias("a"), sel.alias("b")
     pairs = (
         a.join(b, "doc_id")
@@ -1633,23 +1536,7 @@ def _q70_token_ktruss(spark, sf):
         k_truss,
     )
 
-    d = _t(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
-            )
-        ).alias("token"),
-    )
-    top = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .orderBy(F.desc("df"), F.asc("token"))
-        .limit(30)
-        .select("token")
-    )
-    sel = toks.join(F.broadcast(top), "token")
+    sel = _token_sel(spark, sf, 30)
     a, b = sel.alias("a"), sel.alias("b")
     pairs = (
         a.join(b, "doc_id")

@@ -116,7 +116,7 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
-def porthash64(col, seed: int | None = None):
+def porthash64(col, seed: str | int | None = None):
     """Portable 60-bit hash: first 15 hex chars of md5 as a long.
 
     Identical expression exists in ANSI SQL / DuckDB
@@ -1062,15 +1062,18 @@ def jaccard_similarity_join(
         .localCheckpoint(eager=True)
     )
 
-    # same-signature pairs: identical sets, J = 1 — no join needed
-    ma, mb = members.alias("ma"), members.alias("mb")
+    # same-signature pairs: identical sets, J = 1 — generated through
+    # the blocked triangular join too (a duplicate cluster of
+    # multiplicity c must not push its c²/2 pairs through one sig key)
     same = (
-        ma.join(mb, "sig")
-        .filter(F.col("ma.doc") < F.col("mb.doc"))
+        _blocked_self_join(members, ["sig"], "doc")
+        .join(
+            members.select(F.col("doc").alias("sa"), "sig"), "sa"
+        )
         .join(sigd.select("sig", "n"), "sig")
         .select(
-            F.col("ma.doc").alias("doc_a"),
-            F.col("mb.doc").alias("doc_b"),
+            F.col("sa").alias("doc_a"),
+            F.col("sb").alias("doc_b"),
             F.col("n").alias("n_inter"),
             F.col("n").alias("n_union"),
             F.lit(1000).cast("long").alias("jacc_millis"),
@@ -1090,8 +1093,14 @@ def jaccard_similarity_join(
         d_max = (2 * m_max * (1000 - threshold_millis)) // (
             1000 + threshold_millis
         )
-        k = d_max + 1
-        chunk_w = max(1, -(-vocab // k))
+        # k capped at vocab and cid = (tid·k) DIV vocab: a balanced
+        # partition where EVERY chunk can hold tokens — ceil(vocab/k)
+        # width leaves trailing chunks empty for all signatures when k
+        # does not divide vocab (e.g. vocab=100, t=600 → k=51, width 2:
+        # cid 50 is empty everywhere, and agreeing on an always-empty
+        # chunk admits every pair — the all-pairs quadratic this filter
+        # exists to avoid)
+        k = min(d_max + 1, vocab)
         ids = dfc.select(
             "token",
             (
@@ -1100,7 +1109,7 @@ def jaccard_similarity_join(
         )
         tids = stoks.join(ids, "token")
         filled = tids.groupBy(
-            "sig", F.expr(f"tid DIV {chunk_w}").alias("cid")
+            "sig", F.expr(f"(tid * {k}) DIV {vocab}").alias("cid")
         ).agg(
             F.concat_ws(
                 ",",

@@ -95,7 +95,12 @@ def edge_intervals(
     """
     from pyspark.sql.window import Window
 
-    w_all = Window.partitionBy(*key_cols).orderBy(ts_col, value_col)
+    # asc_nulls_last pins Spark to DuckDB's ASC default (Spark sorts
+    # NULLS FIRST ascending) — a NULL state tied on ts must island
+    # identically in both engines
+    w_all = Window.partitionBy(*key_cols).orderBy(
+        F.asc_nulls_last(ts_col), F.asc_nulls_last(value_col)
+    )
     chg = F.when(
         F.lag(value_col).over(w_all).eqNullSafe(F.col(value_col)), 0
     ).otherwise(1)
@@ -112,7 +117,9 @@ def edge_intervals(
         F.max("_ts").alias("valid_to"),
         F.count("*").cast("long").alias("n_obs"),
     )
-    w_rev = Window.partitionBy(*key_cols).orderBy("valid_from", "value")
+    w_rev = Window.partitionBy(*key_cols).orderBy(
+        F.asc_nulls_last("valid_from"), F.asc_nulls_last("value")
+    )
     return iv.select(
         *key_cols,
         "value",
