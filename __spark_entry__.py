@@ -1557,6 +1557,55 @@ def _q70_token_ktruss(spark, sf):
 
 
 
+def _q71_personalized_pagerank(spark, sf):
+    """Personalized PageRank (Haveliwala, WWW'02) from the two
+    alphabetically-first head tokens: restart mass and dangling
+    redistribution go only to the seed set, giving seed-relative entity
+    relatedness over the KG — the 'which entities are close to THESE'
+    query that global PageRank (q44) cannot answer.  Same fixed-point
+    integer recurrence, so bit-identical cross-engine; the oracle
+    advances it six rounds in a recursive CTE with the seed-gated
+    restart term."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        pagerank,
+    )
+
+    sel = _token_sel(spark, sf, 30)
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("term_a"), F.col("b.token").alias("term_b")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+    edges = pairs.unionAll(
+        pairs.select(
+            F.col("term_b").alias("term_a"),
+            F.col("term_a").alias("term_b"),
+            "n_docs",
+        )
+    )
+    seeds = (
+        sel.select("token")
+        .distinct()
+        .orderBy("token")
+        .limit(2)
+        .select(F.col("token").alias("node"))
+    )
+    pr = pagerank(
+        edges,
+        src="term_a",
+        dst="term_b",
+        weight_col="n_docs",
+        iterations=6,
+        seeds=seeds,
+    )
+    return pr.select(F.col("node").alias("term"), "rank_scaled")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1631,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_edge_intervals": _q68_edge_intervals,
         "q69_incremental_components": _q69_incremental_components,
         "q70_token_ktruss": _q70_token_ktruss,
+        "q71_personalized_pagerank": _q71_personalized_pagerank,
     }
 
 
@@ -3512,5 +3562,60 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY e.u, e.v HAVING count(*) >= 10
             )
             SELECT u AS term_a, v AS term_b FROM t6
+        """,
+        # q71: q44's recurrence with the restart term gated on the seed
+        # set (per-seed share of the total restart mass); the symmetric
+        # graph has no dangling nodes, mirroring the Spark d_share=0
+        "q71_personalized_pagerank": f"""
+            WITH RECURSIVE toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 30
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS (
+                SELECT a.token AS u, b.token AS v,
+                       CAST(count(*) AS BIGINT) AS w
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+            ), nbrs AS (
+                SELECT u, v, w FROM pairs
+                UNION ALL SELECT v, u, w FROM pairs
+            ), outw AS (
+                SELECT u, CAST(sum(w) AS BIGINT) AS outw FROM nbrs GROUP BY 1
+            ), seeds AS (
+                SELECT u FROM outw ORDER BY u LIMIT 2
+            ), marked AS (
+                SELECT o.u,
+                       CASE WHEN s.u IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+                FROM outw o LEFT JOIN seeds s ON s.u = o.u
+            ), basev AS (
+                SELECT CAST(150000000 * (SELECT count(*) FROM outw)
+                       // (SELECT count(*) FROM seeds) AS BIGINT) AS be
+            ), pr(it, node, r) AS (
+                SELECT 0, u, CAST(1000000000 AS BIGINT) FROM outw
+              UNION ALL
+                SELECT b.it + 1, b.node,
+                       CAST(b.is_seed * (SELECT be FROM basev)
+                            + (85 * b.recv) // 100 AS BIGINT)
+                FROM (
+                    SELECT cur.it, cur.node, m.is_seed,
+                           CAST(coalesce(sum((p2.r * n.w) // o2.outw), 0)
+                            AS BIGINT) AS recv
+                    FROM pr cur
+                    JOIN marked m ON m.u = cur.node
+                    LEFT JOIN nbrs n ON n.v = cur.node
+                    LEFT JOIN pr p2 ON p2.node = n.u AND p2.it = cur.it
+                    LEFT JOIN outw o2 ON o2.u = n.u
+                    GROUP BY 1, 2, 3
+                ) b
+                WHERE b.it < 6
+            )
+            SELECT node AS term, r AS rank_scaled FROM pr WHERE it = 6
         """,
     }

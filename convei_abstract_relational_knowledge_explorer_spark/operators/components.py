@@ -341,6 +341,8 @@ def pagerank(
     iterations: int = 6,
     damping_pct: int = 85,
     scale: int = 10**9,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """Fixed-point integer PageRank → (node, rank_scaled).
 
@@ -373,6 +375,15 @@ def pagerank(
     rank ≤ n·scale and contributions multiply by integer weights —
     (n·scale)·w must stay < 2^63, i.e. w·n < 9.2e9 at scale=1e9; callers
     with heavier graphs lower ``scale``.
+
+    ``seeds``: personalized PageRank (Haveliwala, WWW'02) — the restart
+    mass and the dangling redistribution go ONLY to the seed set
+    (uniform share per seed, total mass preserved), giving
+    seed-relative entity relatedness over the KG instead of global
+    importance; seeds=None is classic uniform PageRank, bit-identical
+    to before.  Ranks still initialize uniformly (bounded-round
+    semantics: the oracle replays the same recurrence from the same
+    start).
     """
     w_expr = (
         F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
@@ -398,7 +409,21 @@ def pagerank(
         return edges.sparkSession.createDataFrame(
             [], "node long, rank_scaled long"
         )
-    base = ((100 - damping_pct) * scale) // 100
+    if seeds is None:
+        # uniform restart: every node is its own "seed"
+        marked = nodes.select("u", F.lit(1).alias("is_seed"))
+        n_restart = n_nodes
+    else:
+        sd = seeds.select(F.col(seed_col).alias("u")).distinct()
+        marked = nodes.join(
+            sd.select("u", F.lit(1).alias("is_seed")), "u", "left"
+        ).select("u", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+        n_restart = marked.agg(F.sum("is_seed")).collect()[0][0] or 0
+        if n_restart == 0:
+            raise ValueError("no seed appears in the graph")
+        marked = marked.localCheckpoint(eager=True)
+    # restart mass (1-d)·n·scale split over the restart set, per round
+    base_each = (((100 - damping_pct) * scale) // 100) * n_nodes // n_restart
 
     ranks = nodes.select("u", F.lit(scale).cast("long").alias("r"))
     for _ in range(iterations):
@@ -417,19 +442,19 @@ def pagerank(
             ranks.join(out_w, "u", "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d_total"))
             .select(
-                F.expr(f"d_total DIV {n_nodes}").alias("d_share")
+                F.expr(f"d_total DIV {n_restart}").alias("d_share")
             )
         )
         ranks = (
-            nodes.join(recv, "u", "left")
+            marked.join(recv, "u", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "u",
                 (
-                    F.lit(base)
+                    F.lit(base_each) * F.col("is_seed")
                     + F.expr(
-                        f"({damping_pct} * (coalesce(recv, 0) + d_share)) "
-                        f"DIV 100"
+                        f"({damping_pct} * (coalesce(recv, 0)"
+                        f" + d_share * is_seed)) DIV 100"
                     )
                 ).alias("r"),
             )

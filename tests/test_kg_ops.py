@@ -210,3 +210,46 @@ def test_k_truss_hand_graph(spark):
     assert edges(5) == []              # support 2 < 3 -> full cascade
     with pytest.raises(ValueError, match="k >= 3"):
         k_truss(df, k=2)
+
+
+def test_personalized_pagerank_dangling_to_seeds(spark):
+    """Directed chain with a dangling sink; restart AND dangling mass
+    must flow only to the seed. Verified against a Python replay of the
+    integer recurrence."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        pagerank,
+    )
+    import pytest
+
+    edges = [(1, 2, 1), (2, 3, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(
+            df, weight_col="w", iterations=4, seeds=seeds
+        ).collect()
+    }
+
+    scale, d = 10**9, 85
+    nodes, out_w = [1, 2, 3], {1: 1, 2: 1}
+    base_each = ((100 - d) * scale // 100) * len(nodes) // 1
+    r = {n: scale for n in nodes}
+    for _ in range(4):
+        recv = {n: 0 for n in nodes}
+        for u, v, w in edges:
+            recv[v] += (r[u] * w) // out_w[u]
+        d_share = sum(r[n] for n in nodes if n not in out_w) // 1
+        r = {
+            n: (base_each if n == 1 else 0)
+            + (d * (recv[n] + (d_share if n == 1 else 0))) // 100
+            for n in nodes
+        }
+    assert got == r
+
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(
+            df,
+            weight_col="w",
+            seeds=spark.createDataFrame([(99,)], ["node"]),
+        ).collect()
