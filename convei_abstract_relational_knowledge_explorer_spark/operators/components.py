@@ -818,16 +818,21 @@ def resource_allocation(
     )
     if max_degree is not None:
         deg = deg.filter(F.col("deg") <= max_degree)
+    # wedge enumeration through z is the single-hot-key c² self-join
+    # pattern (a hub z puts deg(z)²/2 pairs through ONE join key) — the
+    # same blocked triangular form as the q66 candidate join spreads it
+    # over (deg/B)² tasks; deg_z re-attaches by key afterwards
+    from .dedup import _blocked_self_join
+
     mid = nbrs.select(F.col("u").alias("z"), F.col("v").alias("n")).join(
-        deg, "z"
+        deg, "z", "inner"
     )
-    a, b = mid.alias("a"), mid.alias("b")
-    wedges = a.join(
-        b, (F.col("a.z") == F.col("b.z")) & (F.col("a.n") < F.col("b.n"))
-    ).select(
-        F.col("a.n").alias("u"),
-        F.col("b.n").alias("v"),
-        F.col("a.deg").alias("deg_z"),
+    wedges = _blocked_self_join(
+        mid.select("z", "n"), ["z"], "n", keep_keys=True
+    ).join(deg, "z").select(
+        F.col("sa").alias("u"),
+        F.col("sb").alias("v"),
+        F.col("deg").alias("deg_z"),
     )
     return (
         wedges.join(e, ["u", "v"], "left_anti")

@@ -940,6 +940,7 @@ def _blocked_self_join(
     key_cols: list[str],
     id_col: str,
     block: int = 64,
+    keep_keys: bool = False,
 ) -> DataFrame:
     """All (sa, sb) pairs with sa < sb sharing a key row — skew-proof.
 
@@ -973,10 +974,11 @@ def _blocked_self_join(
     right = blocked.select(
         *key_cols, F.col("_id").alias("sb"), F.col("_bi").alias("_bj")
     )
+    out_cols = ([*key_cols] if keep_keys else []) + ["sa", "sb"]
     return (
         left.join(right, [*key_cols, "_bj"])
         .filter(F.col("sa") < F.col("sb"))
-        .select("sa", "sb")
+        .select(*out_cols)
     )
 
 
