@@ -1606,6 +1606,21 @@ def _q71_personalized_pagerank(spark, sf):
 
 
 
+def _q72_document_chunks(spark, sf):
+    """RAG-style overlapping window chunking (64-token windows, 16
+    overlap): every document splits into deterministic, resume-stable
+    chunks — token slice + space-join, all JVM, zero shuffles after the
+    scan.  Oracle replays the closed-form chunk count and list_slice
+    windows verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    d = _t(spark, sf, "documents")
+    return chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1681,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_incremental_components": _q69_incremental_components,
         "q70_token_ktruss": _q70_token_ktruss,
         "q71_personalized_pagerank": _q71_personalized_pagerank,
+        "q72_document_chunks": _q72_document_chunks,
     }
 
 
@@ -3617,5 +3633,32 @@ def oracle_sql() -> dict[str, str]:
                 WHERE b.it < 6
             )
             SELECT node AS term, r AS rank_scaled FROM pr WHERE it = 6
+        """,
+        # q72: the same closed-form chunk count and 1-based list_slice
+        # windows; stride 48 = 64 - 16
+        "q72_document_chunks": f"""
+            WITH base AS (
+                SELECT doc_id, {_TOK} AS toks, len({_TOK}) AS n
+                FROM documents
+            ), nz AS (
+                SELECT doc_id, toks, CAST(n AS BIGINT) AS n,
+                       CASE WHEN n <= 64 THEN 1
+                            ELSE 1 + (n - 64 + 47) // 48 END AS n_chunks
+                FROM base WHERE n > 0
+            ), expl AS (
+                SELECT doc_id, toks, n,
+                       unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+                FROM nz
+            )
+            SELECT doc_id,
+                   CAST(chunk_idx AS INT) AS chunk_idx,
+                   CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+                   CAST(len(list_slice(toks, chunk_idx * 48 + 1,
+                                       chunk_idx * 48 + 64)) AS BIGINT)
+                       AS n_tok,
+                   array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+                                              chunk_idx * 48 + 64), ' ')
+                       AS chunk_text
+            FROM expl
         """,
     }

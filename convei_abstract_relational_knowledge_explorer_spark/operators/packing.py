@@ -112,3 +112,67 @@ def pack_documents(
             f"(cum_before + n_tokens - 1) DIV {block_tokens}"
         ).alias("end_block"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style overlapping window chunking → (doc_id, chunk_idx,
+    start_tok, n_tok, chunk_text).
+
+    The retrieval-index sibling of :func:`pack_documents`: instead of
+    concatenating documents into training blocks, each document splits
+    into windows of ``chunk_tokens`` tokens advancing by ``chunk_tokens
+    - overlap`` (trailing chunk may be shorter; a document shorter than
+    one window is one chunk).  Chunk text is the token sequence joined
+    by single spaces — a DOCUMENTED normalization that makes the output
+    deterministic and engine-exact (reconstructing original whitespace
+    would need byte offsets; the H1-normalized token stream is the
+    retrieval contract everywhere else in this repo, q12/q52).
+
+    Shape: tokenize once per document, then one ``sequence → explode``
+    over the chunk count and a JVM ``slice`` + ``array_join`` per chunk
+    — narrow after the explode, no shuffle at all (plan-testable), no
+    Python.  Chunk count is closed-form integer arithmetic
+    (``1 + ceil((n - chunk)/stride)``), so chunk ids are stable under
+    re-runs and across engines — the resume/backfill property the
+    pipeline's checkpointer relies on.
+    """
+    if chunk_tokens <= 0 or not 0 <= overlap < chunk_tokens:
+        raise ValueError("need chunk_tokens > 0 and 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).cast("long").alias("_n"),
+    ).filter(F.col("_n") > 0)
+    n_chunks = F.when(F.col("_n") <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.expr(f"(_n - {chunk_tokens} + {stride} - 1) DIV {stride}")
+    )
+    chunks = base.select(
+        "doc_id",
+        "_toks",
+        "_n",
+        F.explode(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    start = (F.col("chunk_idx").cast("long") * stride).alias("start_tok")
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start,
+        F.size(piece).cast("long").alias("n_tok"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -253,3 +253,35 @@ def test_personalized_pagerank_dangling_to_seeds(spark):
             weight_col="w",
             seeds=spark.createDataFrame([(99,)], ["node"]),
         ).collect()
+
+
+def test_chunk_documents_windows(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.packing import (
+        chunk_documents,
+    )
+    import pytest
+
+    long_doc = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, "a b c"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, chunk_tokens=64, overlap=16)
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_tok"], r["n_tok"],
+                                        r["chunk_text"])
+        for r in out.collect()
+    }
+    # doc 1: 100 tokens, stride 48 -> chunks at 0 (64), 48 (52)
+    assert set(rows) == {(1, 0), (1, 1), (2, 0)}
+    assert rows[(1, 0)][0:2] == (0, 64)
+    assert rows[(1, 1)][0:2] == (48, 52)
+    assert rows[(1, 1)][2].split(" ")[0] == "t48"
+    assert rows[(1, 1)][2].split(" ")[-1] == "t99"
+    assert rows[(2, 0)] == (0, 3, "a b c")
+    # overlap: last 16 tokens of chunk 0 are the first 16 of chunk 1
+    assert rows[(1, 0)][2].split(" ")[48:] == rows[(1, 1)][2].split(" ")[:16]
+    # narrow plan: no shuffle anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=16, overlap=16)
