@@ -48,7 +48,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _token_sel(spark, sf, top_n):
+def _token_sel(spark, sf, top_n, with_top=False):
     """(doc_id, token) memberships restricted to the top_n tokens by
     document frequency (ties broken by token) — the shared base of every
     token co-occurrence graph query (q44, q46-q48, q63, q65, q69, q70).
@@ -70,7 +70,8 @@ def _token_sel(spark, sf, top_n):
         .limit(top_n)
         .select("token")
     )
-    return toks.join(F.broadcast(top), "token")
+    sel = toks.join(F.broadcast(top), "token")
+    return (sel, top) if with_top else sel
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -839,7 +840,7 @@ def _q47_bfs_distances(spark, sf):
         bfs_distances,
     )
 
-    sel = _token_sel(spark, sf, 30)
+    sel, top = _token_sel(spark, sf, 30, with_top=True)
     a, b = sel.alias("a"), sel.alias("b")
     pairs = (
         a.join(b, "doc_id")
@@ -849,13 +850,7 @@ def _q47_bfs_distances(spark, sf):
         )
         .distinct()
     )
-    seeds = (
-        sel.select("token")
-        .distinct()
-        .orderBy("token")
-        .limit(3)
-        .select(F.col("token").alias("node"))
-    )
+    seeds = top.orderBy("token").limit(3).select(F.col("token").alias("node"))
     out = bfs_distances(
         pairs, seeds, src="term_a", dst="term_b", max_depth=8
     )
@@ -1587,12 +1582,15 @@ def _q71_personalized_pagerank(spark, sf):
             "n_docs",
         )
     )
+    # seeds must be EDGE-BEARING tokens (the oracle draws them from
+    # outw): a top-30 token that never co-occurs with another top-30
+    # token is not in the graph, and personalizing on it would diverge
+    # from the oracle (or raise) on corpora with an isolated head token
     seeds = (
-        sel.select("token")
+        edges.select(F.col("term_a").alias("node"))
         .distinct()
-        .orderBy("token")
+        .orderBy("node")
         .limit(2)
-        .select(F.col("token").alias("node"))
     )
     pr = pagerank(
         edges,

@@ -824,12 +824,14 @@ def resource_allocation(
     # over (deg/B)² tasks; deg_z re-attaches by key afterwards
     from .dedup import _blocked_self_join
 
+    # deg rides along as a key column (functionally dependent on z, so
+    # partitions and join keys are unchanged) — one deg join, not two
     mid = nbrs.select(F.col("u").alias("z"), F.col("v").alias("n")).join(
         deg, "z", "inner"
     )
     wedges = _blocked_self_join(
-        mid.select("z", "n"), ["z"], "n", keep_keys=True
-    ).join(deg, "z").select(
+        mid, ["z", "deg"], "n", keep_keys=True
+    ).select(
         F.col("sa").alias("u"),
         F.col("sb").alias("v"),
         F.col("deg").alias("deg_z"),

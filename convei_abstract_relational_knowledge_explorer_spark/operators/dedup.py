@@ -1068,10 +1068,7 @@ def jaccard_similarity_join(
     # the blocked triangular join too (a duplicate cluster of
     # multiplicity c must not push its c²/2 pairs through one sig key)
     same = (
-        _blocked_self_join(members, ["sig"], "doc")
-        .join(
-            members.select(F.col("doc").alias("sa"), "sig"), "sa"
-        )
+        _blocked_self_join(members, ["sig"], "doc", keep_keys=True)
         .join(sigd.select("sig", "n"), "sig")
         .select(
             F.col("sa").alias("doc_a"),
