@@ -1618,6 +1618,23 @@ def _q72_document_chunks(spark, sf):
     return chunk_documents(d, chunk_tokens=64, overlap=16)
 
 
+def _q73_bpe_merges(spark, sf):
+    """Distributed BPE tokenizer learning (Sennrich ACL'16): 12 merge
+    rounds over the distinct-word frequency table.  Words are carried as
+    double-space-delimited symbol strings so the greedy left-to-right
+    merge is a plain string replace — bit-identical in Spark and DuckDB
+    (RE2 has no lookbehind, so the textbook regex is out).  All counts
+    are exact integer sums; ties break (cnt DESC, a, b).  The oracle
+    unrolls the identical 12 rounds as chained MATERIALIZED CTEs (the
+    q70 idiom)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.tokenizer import (
+        learn_bpe,
+    )
+
+    d = _t(spark, sf, "documents")
+    return learn_bpe(d, n_merges=12)
+
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1695,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_token_ktruss": _q70_token_ktruss,
         "q71_personalized_pagerank": _q71_personalized_pagerank,
         "q72_document_chunks": _q72_document_chunks,
+        "q73_bpe_merges": _q73_bpe_merges,
     }
 
 
@@ -1703,6 +1721,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+(?:-[a-z0-9]+)*')"
+
+
+def _bpe_oracle(n_rounds: int) -> str:
+    """Unrolled BPE merge rounds (the q70 chained-MATERIALIZED-CTE
+    idiom): round r aggregates adjacent-pair counts from w{r-1}, takes
+    the (cnt DESC, a, b) argmax, and greedily replaces ' a  b ' with
+    ' ab ' — the identical double-space encoding and integer arithmetic
+    as operators/tokenizer.learn_bpe."""
+    parts = [
+        f"""
+            WITH w0 AS MATERIALIZED (
+                SELECT ' ' || regexp_replace(word, '(.)', '\\1  ', 'g')
+                           || '</w> ' AS s,
+                       CAST(count(*) AS BIGINT) AS freq
+                FROM (SELECT unnest({_TOK}) AS word FROM documents)
+                GROUP BY 1
+            )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""", e{r} AS (
+                SELECT syms, freq,
+                       unnest(generate_series(1, len(syms) - 1)) AS i
+                FROM (SELECT string_split(trim(s), '  ') AS syms, freq
+                      FROM w{r - 1})
+                WHERE len(syms) >= 2
+            ), b{r} AS MATERIALIZED (
+                SELECT a, b, a || b AS m, cnt FROM (
+                    SELECT syms[i] AS a, syms[i + 1] AS b,
+                           CAST(sum(freq) AS BIGINT) AS cnt
+                    FROM e{r} GROUP BY 1, 2
+                ) ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+            ), w{r} AS MATERIALIZED (
+                SELECT replace(w.s, ' ' || b.a || '  ' || b.b || ' ',
+                               ' ' || b.m || ' ') AS s, w.freq
+                FROM w{r - 1} w, b{r} b
+            )"""
+        )
+    union = "\n                UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, a AS lhs, b AS rhs,"
+        f" m AS merged, cnt AS pair_count FROM b{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    parts.append(f"\n            {union}")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3659,4 +3722,5 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text
             FROM expl
         """,
+        "q73_bpe_merges": _bpe_oracle(12),
     }
