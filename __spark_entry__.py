@@ -1635,6 +1635,57 @@ def _q73_bpe_merges(spark, sf):
     return learn_bpe(d, n_merges=12)
 
 
+def _q74_token_hits(spark, sf):
+    """Integer fixed-point HITS (Kleinberg JACM'99) over the WEIGHTED
+    directed token-succession graph (q62's digraph, with bigram
+    occurrence counts as weights): hubs point at good authorities,
+    authorities are pointed at by good hubs — the web-link
+    decomposition flat entity counts cannot express.  Each half-step
+    max-normalizes with (raw*scale) DIV max — exact longs throughout,
+    so the oracle can replay the recurrence verbatim as unrolled
+    MATERIALIZED CTE rounds and must hash-match."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        hits,
+    )
+
+    d = _t(spark, sf, "documents")
+    base = d.select(
+        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias(
+            "_toks"
+        )
+    ).localCheckpoint(eager=True)
+    counts = (
+        base.select(F.explode("_toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("_n"))
+    )
+    top = counts.orderBy(F.col("_n").desc(), "token").limit(60).select(
+        "token"
+    )
+    grams = (
+        base.filter(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1),"
+                    " i -> struct(_toks[i - 1] AS a, _toks[i] AS b))"
+                )
+            ).alias("_g")
+        )
+        .select("_g.a", "_g.b")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    edges = grams.join(
+        F.broadcast(top.withColumnRenamed("token", "a")), "a"
+    ).join(F.broadcast(top.withColumnRenamed("token", "b")), "b")
+    h = hits(edges, src="a", dst="b", weight_col="w", iterations=6)
+    return h.select(
+        F.col("node").alias("token"), "hub_scaled", "auth_scaled"
+    )
+
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1713,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_personalized_pagerank": _q71_personalized_pagerank,
         "q72_document_chunks": _q72_document_chunks,
         "q73_bpe_merges": _q73_bpe_merges,
+        "q74_token_hits": _q74_token_hits,
     }
 
 
@@ -1766,6 +1818,69 @@ def _bpe_oracle(n_rounds: int) -> str:
     )
     parts.append(f"\n            {union}")
     return "".join(parts)
+
+
+def _hits_oracle(n_rounds: int, scale: int = 10**6) -> str:
+    """Unrolled integer HITS rounds over the weighted token-succession
+    digraph — the identical max-normalized recurrence as
+    operators/components.hits, one (auth, hub) half-step pair per
+    round."""
+    head = f"""
+            WITH toks AS (
+                SELECT {_TOK} AS t FROM documents
+            ), counts AS (
+                SELECT token, count(*) AS n
+                FROM (SELECT unnest(t) AS token FROM toks) GROUP BY 1
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, n FROM counts
+                    ORDER BY n DESC, token ASC LIMIT 60
+                )
+            ), grams AS (
+                SELECT t[i] AS a, t[i + 1] AS b FROM (
+                    SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2
+                )
+            ), edges AS MATERIALIZED (
+                SELECT a, b, CAST(count(*) AS BIGINT) AS w
+                FROM grams
+                JOIN top ta ON ta.token = grams.a
+                JOIN top tb ON tb.token = grams.b
+                WHERE a <> b
+                GROUP BY 1, 2
+            ), nodes AS MATERIALIZED (
+                SELECT a AS node FROM edges UNION SELECT b FROM edges
+            ), h0 AS (
+                SELECT node, CAST({scale} AS BIGINT) AS sc FROM nodes
+            )"""
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        rounds.append(
+            f""", ar{r} AS (
+                SELECT e.b AS node, CAST(sum(h.sc * e.w) AS BIGINT) AS raw
+                FROM edges e JOIN h{r - 1} h ON h.node = e.a GROUP BY 1
+            ), a{r} AS MATERIALIZED (
+                SELECT n.node,
+                       CAST((coalesce(r.raw, 0) * {scale})
+                            // (SELECT greatest(max(raw), 1) FROM ar{r})
+                            AS BIGINT) AS sc
+                FROM nodes n LEFT JOIN ar{r} r USING (node)
+            ), hr{r} AS (
+                SELECT e.a AS node, CAST(sum(a.sc * e.w) AS BIGINT) AS raw
+                FROM edges e JOIN a{r} a ON a.node = e.b GROUP BY 1
+            ), h{r} AS MATERIALIZED (
+                SELECT n.node,
+                       CAST((coalesce(r.raw, 0) * {scale})
+                            // (SELECT greatest(max(raw), 1) FROM hr{r})
+                            AS BIGINT) AS sc
+                FROM nodes n LEFT JOIN hr{r} r USING (node)
+            )"""
+        )
+    tail = f"""
+            SELECT h.node AS token, h.sc AS hub_scaled, a.sc AS auth_scaled
+            FROM h{n_rounds} h JOIN a{n_rounds} a USING (node)
+        """
+    return head + "".join(rounds) + tail
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3723,4 +3838,5 @@ def oracle_sql() -> dict[str, str]:
             FROM expl
         """,
         "q73_bpe_merges": _bpe_oracle(12),
+        "q74_token_hits": _hits_oracle(6),
     }

@@ -463,6 +463,109 @@ def pagerank(
     return ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_scaled"))
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 8,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg, JACM 1999) → (node,
+    hub_scaled, auth_scaled).
+
+    The directed sibling of :func:`pagerank` for the materialized KG:
+    on a link-shaped graph, *authorities* are the entities good edges
+    point AT and *hubs* are the entities that point at good
+    authorities — the classic web-graph decomposition the reference's
+    flat per-entity counts (/root/reference/build_reports.py:167-200)
+    cannot express.  Mutual recursion: ``auth(v) = Σ_{u→v} hub(u)·w``,
+    ``hub(u) = Σ_{u→v} auth(v)·w``, renormalized each half-step.
+
+    ALL arithmetic is 64-bit integer (the q44 determinism-by-
+    quantization idiom): scores are multiples of 1/scale and each
+    half-step max-normalizes with ``(raw * scale) DIV max(raw)`` —
+    max over longs is exact and associative, integer division
+    truncates identically everywhere, so the result is bit-identical
+    across engines, partitionings, and join orders.  Max-normalization
+    (score ∈ [0, scale], best node exactly scale) is Kleinberg's
+    presentation; any per-step rescaling preserves the power-iteration
+    direction.  Overflow headroom: raw ≤ in_deg·w_max·scale, and the
+    normalization multiplies by scale, so ``in_deg·w_max·scale² <
+    2^63`` must hold — at the default scale=1e6 that allows
+    in_deg·w_max < 9.2e6 per node; heavier graphs lower ``scale``.
+
+    Scale shape per half-step: one equi-join of the score vector onto
+    the edge list (both keyed by node), one map-side-combinable hash
+    aggregate, one 1-row max broadcast — no driver collect in the
+    loop.  Scores localCheckpoint per iteration (flat lineage, the
+    :func:`pagerank` discipline).
+    """
+    w_expr = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    e = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"), w_expr.alias("w")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select("u")
+        .unionAll(e.select(F.col("v").alias("u")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if nodes.count() == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, hub_scaled long, auth_scaled long"
+        )
+
+    def _half_step(scores: DataFrame, out_key: str, in_key: str) -> DataFrame:
+        # raw(y) = Σ over edges keyed x→y of score(x)·w, then
+        # max-normalize back to [0, scale]
+        raw = (
+            e.join(scores.withColumnRenamed("node", out_key), out_key)
+            .select(
+                F.col(in_key).alias("node"),
+                (F.col("sc") * F.col("w")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("raw"))
+        )
+        mx = raw.agg(
+            F.greatest(F.max("raw"), F.lit(1)).alias("mx")
+        )
+        return (
+            nodes.select(F.col("u").alias("node"))
+            .join(raw, "node", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(
+                    f"(coalesce(raw, 0) * {scale}) DIV mx"
+                ).alias("sc"),
+            )
+        )
+
+    hubs = nodes.select(
+        F.col("u").alias("node"), F.lit(scale).cast("long").alias("sc")
+    )
+    auths = None
+    for _ in range(iterations):
+        auths = _half_step(hubs, "u", "v").localCheckpoint(eager=True)
+        hubs = _half_step(auths, "v", "u").localCheckpoint(eager=True)
+    return (
+        hubs.select("node", F.col("sc").alias("hub_scaled"))
+        .join(
+            auths.select("node", F.col("sc").alias("auth_scaled")), "node"
+        )
+    )
+
+
 def triangle_stats(
     edges: DataFrame,
     src: str = "src",

@@ -285,3 +285,63 @@ def test_chunk_documents_windows(spark):
     assert "Exchange" not in plan
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=16, overlap=16)
+
+
+def _ref_hits(edge_list, iterations, scale):
+    """Pure-python replay of the integer HITS recurrence."""
+    agg = {}
+    for u, v, w in edge_list:
+        if u != v:
+            agg[(u, v)] = agg.get((u, v), 0) + w
+    nodes = sorted({u for u, _ in agg} | {v for _, v in agg})
+    hub = {n: scale for n in nodes}
+
+    def half(scores, forward):
+        raw = {n: 0 for n in nodes}
+        for (u, v), w in agg.items():
+            if forward:
+                raw[v] += scores[u] * w
+            else:
+                raw[u] += scores[v] * w
+        mx = max(max(raw.values()), 1)
+        return {n: (raw[n] * scale) // mx for n in nodes}
+
+    for _ in range(iterations):
+        auth = half(hub, True)
+        hub = half(auth, False)
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_matches_integer_reference(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        hits,
+    )
+
+    edge_list = [
+        (1, 3, 2), (2, 3, 1), (1, 4, 1), (2, 4, 3), (3, 5, 1),
+        (5, 1, 2), (4, 2, 1), (2, 3, 4),  # dup edge: weights sum
+        (3, 3, 9),  # self loop: dropped
+    ]
+    df = spark.createDataFrame(edge_list, ["src", "dst", "w"])
+    got = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits(df, weight_col="w", iterations=5).collect()
+    }
+    assert got == _ref_hits(edge_list, 5, 10**6)
+
+
+def test_hits_star_structure(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        hits,
+    )
+
+    # a,b -> c : c is the authority, a,b are the (equal) hubs
+    df = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], ["src", "dst"]
+    )
+    got = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits(df, iterations=3).collect()
+    }
+    assert got["c"][1] == 10**6 and got["c"][0] == 0
+    assert got["a"] == got["b"] == (10**6, 0)
