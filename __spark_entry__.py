@@ -1686,6 +1686,53 @@ def _q74_token_hits(spark, sf):
     )
 
 
+def _q75_weighted_sssp(spark, sf):
+    """Multi-source WEIGHTED shortest paths (bounded Bellman-Ford, the
+    weighted sibling of q47's BFS): distance from the two highest-df
+    tokens over the top-60 co-occurrence graph, edge cost
+    1 + 1000 DIV n_docs (strong co-occurrence = cheap hop) — the
+    nearest-hub assignment primitive for KG entity neighborhoods.
+    Delta-relaxation in the engine is provably identical to the full
+    per-round relaxation the oracle replays (an unimproved node's
+    contributions were min-folded when it settled), so six unrolled
+    rounds must hash-match exactly."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        shortest_paths,
+    )
+
+    sel = _token_sel(spark, sf, 60)
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("term_a"), F.col("b.token").alias("term_b")
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "term_a",
+            "term_b",
+            F.expr("1 + 1000 DIV n_docs").cast("long").alias("cost"),
+        )
+    )
+    seeds = (
+        sel.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(2)
+        .select(F.col("token").alias("node"))
+    )
+    d = shortest_paths(
+        pairs,
+        seeds,
+        src="term_a",
+        dst="term_b",
+        weight_col="cost",
+        max_rounds=6,
+    )
+    return d.select(F.col("node").alias("token"), "dist")
+
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1765,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_document_chunks": _q72_document_chunks,
         "q73_bpe_merges": _q73_bpe_merges,
         "q74_token_hits": _q74_token_hits,
+        "q75_weighted_sssp": _q75_weighted_sssp,
     }
 
 
@@ -1879,6 +1927,58 @@ def _hits_oracle(n_rounds: int, scale: int = 10**6) -> str:
     tail = f"""
             SELECT h.node AS token, h.sc AS hub_scaled, a.sc AS auth_scaled
             FROM h{n_rounds} h JOIN a{n_rounds} a USING (node)
+        """
+    return head + "".join(rounds) + tail
+
+
+def _sssp_oracle(n_rounds: int) -> str:
+    """Unrolled bounded Bellman-Ford with FULL relaxation per round —
+    hash-identical to the engine's delta-relaxed form (see q75
+    docstring)."""
+    head = f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 60
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS (
+                SELECT a.token AS u, b.token AS v,
+                       CAST(1 + 1000 // count(*) AS BIGINT) AS w
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+            ), nbrs AS MATERIALIZED (
+                SELECT u, v, min(w) AS w FROM (
+                    SELECT u, v, w FROM pairs
+                    UNION ALL SELECT v, u, w FROM pairs
+                ) GROUP BY 1, 2
+            ), seeds AS (
+                SELECT token AS node FROM (
+                    SELECT token, count(*) AS df FROM sel GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 2
+                )
+            ), d0 AS (
+                SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds
+            )"""
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        rounds.append(
+            f""", d{r} AS MATERIALIZED (
+                SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                    SELECT node, dist FROM d{r - 1}
+                    UNION ALL
+                    SELECT n.v AS node, d.dist + n.w AS dist
+                    FROM d{r - 1} d JOIN nbrs n ON n.u = d.node
+                ) GROUP BY 1
+            )"""
+        )
+    tail = f"""
+            SELECT node AS token, dist FROM d{n_rounds}
         """
     return head + "".join(rounds) + tail
 
@@ -3839,4 +3939,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q73_bpe_merges": _bpe_oracle(12),
         "q74_token_hits": _hits_oracle(6),
+        "q75_weighted_sssp": _sssp_oracle(6),
     }

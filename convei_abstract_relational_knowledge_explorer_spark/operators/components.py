@@ -669,6 +669,95 @@ def bfs_distances(
     return settled
 
 
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    seed_col: str = "node",
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths → (node, dist): minimum
+    path cost from the nearest seed over the undirected graph, using at
+    most ``max_rounds`` edges (unreachable nodes omitted).
+
+    The weighted sibling of :func:`bfs_distances` — distance-to-
+    nearest-hub assignment over the materialized KG (which canonical
+    entity does each node orbit, and how tightly).  Bellman-Ford
+    rounds with the delta optimization: only nodes whose distance
+    IMPROVED last round relax their neighbors this round, which is
+    provably identical to full relaxation (an unimproved node's
+    contributions were already min-folded the round it settled) —
+    so the bounded-round result is exactly "min cost over paths of
+    ≤ max_rounds edges", the recurrence an oracle can replay with
+    FULL relaxation per round and still hash-match.
+
+    Parallel edges keep their cheapest weight; weights must be
+    non-negative integers (costs, not similarities — callers invert
+    similarity weights first).  All arithmetic is 64-bit integer.
+    Scale shape per round: one equi-join of the improved frontier onto
+    the adjacency list, one map-side-combinable min aggregate, one
+    min-merge join against the settled table; the frontier SHRINKS as
+    distances converge, so total work tracks the improvement wavefront,
+    not edges × rounds.  One scalar emptiness probe per round for
+    early stop (the :func:`connected_components` driver-loop
+    discipline).
+    """
+    w_expr = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    e = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"), w_expr.alias("w")
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    nbrs = (
+        e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(nbrs, frontier["node"] == nbrs["u"])
+            .select(
+                F.col("v").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            cand.join(
+                dist.withColumnRenamed("dist", "old"), "node", "left"
+            )
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionAll(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist
+
+
 def k_core(
     edges: DataFrame,
     k: int,

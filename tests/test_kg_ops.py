@@ -345,3 +345,66 @@ def test_hits_star_structure(spark):
     }
     assert got["c"][1] == 10**6 and got["c"][0] == 0
     assert got["a"] == got["b"] == (10**6, 0)
+
+
+def _ref_sssp(edge_list, seeds, rounds):
+    """Bounded-round Bellman-Ford with full relaxation per round."""
+    adj = {}
+    for u, v, w in edge_list:
+        if u == v:
+            continue
+        for a, b in ((u, v), (v, u)):
+            adj[(a, b)] = min(adj.get((a, b), w), w)
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        new = dict(dist)
+        for (u, v), w in adj.items():
+            if u in dist and dist[u] + w < new.get(v, float("inf")):
+                new[v] = dist[u] + w
+        dist = new
+    return dist
+
+
+def test_shortest_paths_weighted_vs_hops(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        shortest_paths,
+    )
+
+    # s-x direct costs 10; s-a-b-x costs 3: weighted picks the long way
+    edge_list = [("s", "x", 10), ("s", "a", 1), ("a", "b", 1), ("b", "x", 1)]
+    df = spark.createDataFrame(edge_list, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([("s",)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(df, seeds, weight_col="w").collect()
+    }
+    assert got == {"s": 0, "a": 1, "b": 2, "x": 3}
+    # bounded rounds: with 1 round only the direct edges relax
+    got1 = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(
+            df, seeds, weight_col="w", max_rounds=1
+        ).collect()
+    }
+    assert got1 == {"s": 0, "a": 1, "x": 10}
+
+
+def test_shortest_paths_matches_reference(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        shortest_paths,
+    )
+
+    # deterministic pseudo-random graph, multi-source, parallel edges
+    edge_list = [
+        (i % 7, (i * 3 + 1) % 7, (i * 5) % 9 + 1) for i in range(25)
+    ]
+    df = spark.createDataFrame(edge_list, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([(0,), (3,)], ["node"])
+    for rounds in (1, 2, 4):
+        got = {
+            r["node"]: r["dist"]
+            for r in shortest_paths(
+                df, seeds, weight_col="w", max_rounds=rounds
+            ).collect()
+        }
+        assert got == _ref_sssp(edge_list, {0, 3}, rounds), rounds
