@@ -1733,6 +1733,23 @@ def _q75_weighted_sssp(spark, sf):
     return d.select(F.col("node").alias("token"), "dist")
 
 
+def _q76_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining (DPR/SimCSE training pairs):
+    for each of 12 anchor vectors, the 8 most similar vectors whose
+    cosine sits BELOW the near-duplicate band (q26's 0.2 threshold) —
+    self excluded.  Brute-force over the bounded anchor slice (the q22
+    labeled-exactness pattern); output is ranks with vec_id tie-break,
+    no raw floats, and the fixture margins around the 0.2 threshold are
+    pinned by test_similarity margin checks."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 12)
+    return hard_negatives(emb, anchors, k=8, max_sim=0.2)
+
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1813,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_bpe_merges": _q73_bpe_merges,
         "q74_token_hits": _q74_token_hits,
         "q75_weighted_sssp": _q75_weighted_sssp,
+        "q76_hard_negatives": _q76_hard_negatives,
     }
 
 
@@ -3940,4 +3958,20 @@ def oracle_sql() -> dict[str, str]:
         "q73_bpe_merges": _bpe_oracle(12),
         "q74_token_hits": _hits_oracle(6),
         "q75_weighted_sssp": _sssp_oracle(6),
+        "q76_hard_negatives": """
+            SELECT anchor_id, negative_id, rank FROM (
+                SELECT a.vec_id AS anchor_id, e.vec_id AS negative_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        e.embedding, a.embedding) DESC,
+                                    e.vec_id
+                       ) AS rank
+                FROM embeddings e,
+                     (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id < 12) a
+                WHERE e.vec_id <> a.vec_id
+                  AND list_cosine_similarity(e.embedding, a.embedding) < 0.2
+            ) WHERE rank <= 8
+        """,
     }

@@ -76,6 +76,65 @@ def brute_force_top_k(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    k: int = 8,
+    max_sim: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_id_col: str = "vec_id",
+) -> DataFrame:
+    """Contrastive hard-negative mining → (anchor_id, negative_id,
+    rank): per anchor, the ``k`` MOST similar vectors that are NOT
+    near-duplicates — cosine strictly below ``max_sim``, self excluded.
+
+    The training-pair miner for dense-retrieval / contrastive embedding
+    training (DPR, SimCSE): random negatives are too easy, duplicates
+    are false negatives; the valuable band is "as similar as possible
+    while still being a different item".  ``max_sim`` should sit at the
+    corpus' near-duplicate threshold (the q26 dedup band), so the miner
+    composes with the dedup pipeline's own calibration.
+
+    Exactness contract: brute-force over a BOUNDED anchor slice (the
+    q22 labeled-exactness pattern — anchors broadcast, one pass over
+    the corpus, per-anchor window top-k compiled to
+    InferWindowGroupLimit).  The scale path for all-anchors mining is
+    the IVF kNN graph (:func:`knn_graph`) with the same band filter
+    applied to its candidate pairs.  Output carries ranks, never raw
+    floats — ties break by vec_id, so the result is stable wherever
+    the cosine margins exceed engine float noise (measured on the test
+    fixtures, same protocol as the q26 oracle).
+    """
+    target = _normed(embeddings, id_col, vec_col, "vec_id")
+    probes = _normed(anchors, anchor_id_col, vec_col, "anchor_id").select(
+        "anchor_id",
+        F.col("vec").alias("avec"),
+        F.col("norm").alias("anorm"),
+    )
+    scored = (
+        target.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            (
+                _dot(F.col("vec"), F.col("avec"))
+                / (F.col("norm") * F.col("anorm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") < max_sim)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", "rank")
+    )
+
+
 def brute_force_knn_graph(
     embeddings: DataFrame,
     k: int = 5,

@@ -57,3 +57,66 @@ def test_weighted_score_product(spark):
     got = {(r["dim_a"], r["dim_b"]): r["weighted_score"]
            for r in embedding.weighted_score_product(a, b).collect()}
     assert got == {(10, 20): pytest.approx(0.2), (11, 20): pytest.approx(0.08)}
+
+
+def test_hard_negatives_band_and_rank(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),        # anchor
+        (1, [0.99, 0.1]),       # near-dup (cos ~0.995): excluded
+        (2, [0.15, 0.99]),      # hard negative (cos ~0.148)
+        (3, [0.0, 1.0]),        # orthogonal (cos 0)
+        (4, [-1.0, 0.0]),       # opposite (cos -1)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    anchors = emb.filter("vec_id = 0")
+    got = [
+        (r.anchor_id, r.negative_id, r.rank)
+        for r in hard_negatives(emb, anchors, k=8, max_sim=0.2)
+        .orderBy("rank")
+        .collect()
+    ]
+    # self and the near-dup are gone; hardest (most similar) first
+    assert got == [(0, 2, 1), (0, 3, 2), (0, 4, 3)]
+    # k truncation
+    got_k = hard_negatives(emb, anchors, k=1, max_sim=0.2).collect()
+    assert [(r.anchor_id, r.negative_id) for r in got_k] == [(0, 2)]
+
+
+def test_hard_negatives_threshold_margin_on_fixture(spark):
+    """The q76 oracle compares a float cosine against 0.2 in two
+    engines; pin that no fixture pair sits within 1e-6 of the
+    threshold (the q26 tie-margin protocol)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from convei_abstract_relational_knowledge_explorer_spark.operators.similarity import (
+        _dot,
+        _normed,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    t = _normed(emb, "vec_id", "embedding", "vec_id")
+    a = _normed(
+        emb.filter(F.col("vec_id") < 12), "vec_id", "embedding", "anchor_id"
+    ).select(
+        "anchor_id", F.col("vec").alias("avec"), F.col("norm").alias("anorm")
+    )
+    margin = (
+        t.crossJoin(F.broadcast(a))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            F.abs(
+                _dot(F.col("vec"), F.col("avec"))
+                / (F.col("norm") * F.col("anorm"))
+                - F.lit(0.2)
+            ).alias("m")
+        )
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    assert margin > 1e-6, margin
