@@ -1750,6 +1750,39 @@ def _q76_hard_negatives(spark, sf):
     return hard_negatives(emb, anchors, k=8, max_sim=0.2)
 
 
+def _q77_neighborhood_function(spark, sf):
+    """ANF/HyperANF neighborhood function (Palmer KDD'02, Boldi-Vigna
+    WWW'11): per-node |ball(node, 3)| estimates over the SPARSIFIED
+    top-100 token co-occurrence graph (edges above mean weight, the q70
+    density filter), via bounded KMV sketches merged one hop per round.
+    Balls under k=16 are counted exactly; saturated balls use the same
+    portable-md5 / kth-order-statistic / floor((k-1)·2^60/h_k)
+    estimator as q54 — every quantity replayable, so the oracle unrolls
+    the identical three rounds and must hash-match."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        neighborhood_function,
+    )
+
+    sel = _token_sel(spark, sf, 100)
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("term_a"), F.col("b.token").alias("term_b")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+    thr = pairs.agg(F.expr("sum(n_docs) DIV count(*)").alias("thr"))
+    sparse = pairs.crossJoin(F.broadcast(thr)).filter(
+        F.col("n_docs") > F.col("thr")
+    )
+    nf = neighborhood_function(
+        sparse, src="term_a", dst="term_b", radius=3, k=16
+    )
+    return nf.select(F.col("node").alias("token"), "n_kept", "est_reach")
+
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1831,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_token_hits": _q74_token_hits,
         "q75_weighted_sssp": _q75_weighted_sssp,
         "q76_hard_negatives": _q76_hard_negatives,
+        "q77_neighborhood_function": _q77_neighborhood_function,
     }
 
 
@@ -1997,6 +2031,71 @@ def _sssp_oracle(n_rounds: int) -> str:
         )
     tail = f"""
             SELECT node AS token, dist FROM d{n_rounds}
+        """
+    return head + "".join(rounds) + tail
+
+
+def _anf_oracle(radius: int, k: int) -> str:
+    """Unrolled KMV sketch-merge rounds (ANF): one hop per round, each
+    node's sketch = k smallest portable-md5 hashes over the union of
+    its own and its neighbors' sketches — identical to
+    operators/components.neighborhood_function."""
+    head = f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 100
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS (
+                SELECT a.token AS u, b.token AS v,
+                       CAST(count(*) AS BIGINT) AS w
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+            ), t0 AS MATERIALIZED (
+                SELECT u, v FROM pairs
+                WHERE w > (SELECT sum(w) // count(*) FROM pairs)
+            ), nbrs AS MATERIALIZED (
+                SELECT u, v FROM t0 UNION SELECT v, u FROM t0
+            ), s0 AS MATERIALIZED (
+                SELECT node,
+                       CAST('0x' || substr(md5(
+                           node || chr(31) || 'anf'), 1, 15)
+                           AS BIGINT) AS h
+                FROM (SELECT DISTINCT u AS node FROM nbrs)
+            )"""
+    rounds = []
+    for r in range(1, radius + 1):
+        rounds.append(
+            f""", s{r} AS MATERIALIZED (
+                SELECT node, h FROM (
+                    SELECT node, h, row_number() OVER (
+                        PARTITION BY node ORDER BY h) AS rn
+                    FROM (
+                        SELECT DISTINCT node, h FROM (
+                            SELECT node, h FROM s{r - 1}
+                            UNION ALL
+                            SELECT n.v AS node, s.h
+                            FROM s{r - 1} s JOIN nbrs n ON n.u = s.node
+                        )
+                    )
+                ) WHERE rn <= {k}
+            )"""
+        )
+    tail = f"""
+            SELECT node AS token,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(CASE WHEN count(*) < {k} THEN count(*)
+                        ELSE floor({float(k - 1)} *
+                                   1152921504606846976.0 / max(h))
+                        END AS BIGINT) AS est_reach
+            FROM s{radius}
+            GROUP BY 1
         """
     return head + "".join(rounds) + tail
 
@@ -3974,4 +4073,5 @@ def oracle_sql() -> dict[str, str]:
                   AND list_cosine_similarity(e.embedding, a.embedding) < 0.2
             ) WHERE rank <= 8
         """,
+        "q77_neighborhood_function": _anf_oracle(3, 16),
     }

@@ -669,6 +669,85 @@ def bfs_distances(
     return settled
 
 
+def neighborhood_function(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    radius: int = 4,
+    k: int = 16,
+    hash_seed: str = "anf",
+) -> DataFrame:
+    """ANF / HyperANF-style neighborhood function → (node, n_kept,
+    est_reach): for every node, an estimate of |ball(node, radius)| —
+    how many nodes are within ``radius`` hops on the undirected graph.
+
+    The effective-diameter / reach-distribution primitive (Palmer-
+    Gibbons-Faloutsos ANF, KDD'02; Boldi-Vigna HyperANF, WWW'11): exact
+    per-node ball sizes need one BFS per node (quadratic); instead each
+    node carries a bounded K-minimum-values sketch of the hashed node
+    ids it has reached, and one round of sketch-merge per hop estimates
+    every ball at once.  Merging KMV sketches is "union the hash sets,
+    keep the k smallest" — associative, idempotent, and ORDER-FREE, so
+    the whole iteration is deterministic: same hashes (portable md5
+    lanes, the q24/q54 idiom), same k-th order statistic, same
+    ``floor((k-1)·2^60 / h_k)`` estimate in any engine.  Balls with
+    fewer than ``k`` members are counted EXACTLY (the sketch holds the
+    whole set).
+
+    Scale shape per round: one equi-join of the (node, hash) sketch
+    rows onto the adjacency list, one distinct, one per-node ordered
+    window capped at k rows (WindowGroupLimit keeps map-side state at
+    k per node BEFORE the exchange — the q54 plan shape).  State is
+    ≤ k rows per node regardless of graph size; rounds =
+    ``radius`` with no data-dependent convergence loop, so the oracle
+    unrolls the identical rounds.  HyperANF's HyperLogLog registers
+    would shrink the constant further; KMV keeps the exact-below-k
+    property and the cross-engine integer estimator, which is worth
+    more here.
+    """
+    from .dedup import porthash64
+    from .sketches import HASH_SPACE
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nbrs = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = nbrs.select(F.col("u").alias("node")).distinct()
+    sketch = nodes.select(
+        "node",
+        porthash64(F.col("node").cast("string"), hash_seed).alias("h"),
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy("h")
+    for _ in range(radius):
+        grown = sketch.join(nbrs, sketch["node"] == nbrs["u"]).select(
+            F.col("v").alias("node"), "h"
+        )
+        sketch = (
+            sketch.unionAll(grown)
+            .distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+    est_saturated = F.floor(
+        F.lit(float((k - 1) * HASH_SPACE)) / F.max("h")
+    ).cast("long")
+    return sketch.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.when(F.count("*") < k, F.count("*"))
+        .otherwise(est_saturated)
+        .cast("long")
+        .alias("est_reach"),
+    )
+
+
 def shortest_paths(
     edges: DataFrame,
     seeds: DataFrame,

@@ -408,3 +408,54 @@ def test_shortest_paths_matches_reference(spark):
             ).collect()
         }
         assert got == _ref_sssp(edge_list, {0, 3}, rounds), rounds
+
+
+def _port_md5(s, seed):
+    import hashlib
+
+    return int(hashlib.md5(f"{s}\x1f{seed}".encode()).hexdigest()[:15], 16)
+
+
+def test_neighborhood_function_exact_below_k(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        neighborhood_function,
+    )
+
+    # path a-b-c-d-e: ball sizes at radius 2 are 3,4,5,4,3
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(path, ["src", "dst"])
+    got = {
+        r["node"]: (r["n_kept"], r["est_reach"])
+        for r in neighborhood_function(df, radius=2, k=16).collect()
+    }
+    # |ball| < k  =>  exact counts
+    assert {n: e for n, (nk, e) in got.items()} == {
+        "a": 3, "b": 4, "c": 5, "d": 4, "e": 3
+    }
+    assert all(nk == e for nk, e in got.values())
+
+
+def test_neighborhood_function_saturated(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        neighborhood_function,
+    )
+
+    # star: hub reaches all 20 leaves at radius 1; k=8 saturates
+    leaves = [("hub", f"l{i:02d}") for i in range(20)]
+    df = spark.createDataFrame(leaves, ["src", "dst"])
+    got = {
+        r["node"]: (r["n_kept"], r["est_reach"])
+        for r in neighborhood_function(df, radius=1, k=8).collect()
+    }
+    # leaves see {self, hub}: exact 2
+    assert got["l00"] == (2, 2)
+    # hub saturates: replay the estimator on the same md5 hashes
+    hashes = sorted(
+        _port_md5(n, "anf") for n in ["hub"] + [f"l{i:02d}" for i in range(20)]
+    )
+    import math
+
+    want = math.floor(7.0 * float(1 << 60) / hashes[7])
+    assert got["hub"] == (8, want)
+    # estimate is in the right ballpark of the true 21
+    assert 5 <= got["hub"][1] <= 80
