@@ -1783,6 +1783,31 @@ def _q77_neighborhood_function(spark, sf):
     return nf.select(F.col("node").alias("token"), "n_kept", "est_reach")
 
 
+def _q78_sampled_neighborhoods(spark, sf):
+    """GraphSAGE layered neighbor sampling (Hamilton NIPS'17): the
+    [3, 2]-fanout message-passing edge sets for every root of the
+    top-60 token graph.  Sampling is content-addressed — neighbors
+    ranked by the portable hash of the (u, v) pair — so minibatch
+    fan-out is bounded (hubs contribute 3 neighbors, not their degree),
+    reproducible across runs/engines/partitionings, and the oracle
+    replays the identical rank prefix joins."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        sample_neighbors,
+    )
+
+    sel = _token_sel(spark, sf, 60)
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("term_a"), F.col("b.token").alias("term_b")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return sample_neighbors(pairs, fanouts=[3, 2], src="term_a", dst="term_b")
+
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1865,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_weighted_sssp": _q75_weighted_sssp,
         "q76_hard_negatives": _q76_hard_negatives,
         "q77_neighborhood_function": _q77_neighborhood_function,
+        "q78_sampled_neighborhoods": _q78_sampled_neighborhoods,
     }
 
 
@@ -4074,4 +4100,47 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 8
         """,
         "q77_neighborhood_function": _anf_oracle(3, 16),
+        "q78_sampled_neighborhoods": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 60
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS (
+                SELECT a.token AS u, b.token AS v
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+            ), nbrs AS (
+                SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+            ), ranked AS MATERIALIZED (
+                SELECT u, v, rn FROM (
+                    SELECT u, v, row_number() OVER (
+                        PARTITION BY u ORDER BY h, v) AS rn
+                    FROM (
+                        SELECT u, v,
+                               CAST('0x' || substr(md5(u || ':' || v
+                                   || chr(31) || 'sage'), 1, 15)
+                                   AS BIGINT) AS h
+                        FROM nbrs
+                    )
+                ) WHERE rn <= 3
+            ), hop1 AS (
+                SELECT u AS root, CAST(1 AS INT) AS hop, u, v
+                FROM ranked WHERE rn <= 3
+            ), hop2 AS (
+                SELECT c.root, CAST(2 AS INT) AS hop, r.u, r.v
+                FROM (SELECT DISTINCT root, v AS node FROM hop1) c
+                JOIN ranked r ON r.u = c.node
+                WHERE r.rn <= 2
+            )
+            SELECT root, hop, u, v FROM hop1
+            UNION ALL
+            SELECT root, hop, u, v FROM hop2
+        """,
     }

@@ -748,6 +748,78 @@ def neighborhood_function(
     )
 
 
+def sample_neighbors(
+    edges: DataFrame,
+    fanouts: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    hash_seed: str = "sage",
+) -> DataFrame:
+    """GraphSAGE-style layered neighbor sampling → (root, hop, u, v):
+    the sampled message-passing edges for a ``len(fanouts)``-layer GNN
+    minibatch over the undirected graph — hop 1 keeps ``fanouts[0]``
+    neighbors per root, hop 2 keeps ``fanouts[1]`` neighbors per hop-1
+    node, and so on (Hamilton, Ying & Leskovec, NIPS'17).
+
+    Sampling is DETERMINISTIC: node u's neighbor list is ranked by the
+    portable hash of the (u, v) pair (ties by v) and each hop keeps a
+    rank prefix — the content-addressed sampling idiom this repo uses
+    everywhere (q31/q53/q64): reproducible across runs, engines, and
+    partitionings, and a node's sample never changes when OTHER parts
+    of the graph change (no RNG state to coordinate across executors —
+    the property that makes distributed minibatch generation cheap).
+
+    Scale shape: the per-node rank prefix is computed ONCE on the
+    adjacency list (WindowGroupLimit caps map-side state at
+    max(fanouts) rows per node), then each hop is one equi-join of the
+    growing frontier onto that bounded ranked adjacency — fan-out is
+    Π fanouts by construction, never degree-driven, which is the whole
+    point of GraphSAGE at web scale (hub nodes contribute a bounded
+    sample, not their full neighborhood).
+    """
+    from .dedup import porthash64
+
+    if not fanouts or any(f <= 0 for f in fanouts):
+        raise ValueError("fanouts must be a non-empty list of positives")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nbrs = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    h = porthash64(
+        F.concat(
+            F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+        ),
+        hash_seed,
+    )
+    w = Window.partitionBy("u").orderBy("h", "v")
+    ranked = (
+        nbrs.withColumn("h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max(fanouts))
+        .localCheckpoint(eager=True)
+    )
+    # frontier carries (root, node): the nodes whose neighborhoods the
+    # next hop samples; per root, an expanded (root, node) pair expands
+    # ONCE (the sampled subgraph per root is an edge set, not a walk
+    # multiset — the DGL/PyG block convention)
+    cur = ranked.select(F.col("u").alias("root")).distinct()
+    cur = cur.select("root", F.col("root").alias("node"))
+    out = None
+    for hop, f in enumerate(fanouts, start=1):
+        layer = (
+            cur.join(ranked, cur["node"] == ranked["u"])
+            .filter(F.col("_rn") <= f)
+            .select("root", F.lit(hop).alias("hop"), "u", "v")
+        )
+        out = layer if out is None else out.unionAll(layer)
+        cur = layer.select("root", F.col("v").alias("node")).distinct()
+    return out
+
+
 def shortest_paths(
     edges: DataFrame,
     seeds: DataFrame,

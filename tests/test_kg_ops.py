@@ -459,3 +459,45 @@ def test_neighborhood_function_saturated(spark):
     assert got["hub"] == (8, want)
     # estimate is in the right ballpark of the true 21
     assert 5 <= got["hub"][1] <= 80
+
+
+def test_sample_neighbors_fanout_and_determinism(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        sample_neighbors,
+    )
+    import pytest
+
+    # hub with 10 leaves + a 3-cycle
+    edge_list = [("hub", f"l{i}") for i in range(10)] + [
+        ("x", "y"), ("y", "z"), ("z", "x"), ("x", "hub")
+    ]
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    out = sample_neighbors(df, fanouts=[3, 2]).collect()
+    rows = {(r.root, r.hop, r.u, r.v) for r in out}
+    assert len(rows) == len(out)  # edge-set semantics: no dup rows
+    # hop-1 fanout bound: every root samples <= 3 neighbors
+    from collections import Counter
+
+    h1 = Counter(r.root for r in out if r.hop == 1)
+    assert max(h1.values()) <= 3
+    # hub has 11 neighbors but contributes only 3 — degree never leaks
+    assert h1["hub"] == 3
+    # hop-2 expands only hop-1 children, <= 2 each
+    h1_children = {(r.root, r.v) for r in out if r.hop == 1}
+    h2_parents = Counter((r.root, r.u) for r in out if r.hop == 2)
+    assert set(h2_parents) <= h1_children
+    assert max(h2_parents.values()) <= 2
+    # deterministic: a rerun samples the identical edge set
+    again = {
+        (r.root, r.hop, r.u, r.v)
+        for r in sample_neighbors(df, fanouts=[3, 2]).collect()
+    }
+    assert again == rows
+    # a leaf's sample is hash-addressed: independent of list order
+    shuffled = spark.createDataFrame(edge_list[::-1], ["src", "dst"])
+    assert {
+        (r.root, r.hop, r.u, r.v)
+        for r in sample_neighbors(shuffled, fanouts=[3, 2]).collect()
+    } == rows
+    with pytest.raises(ValueError):
+        sample_neighbors(df, fanouts=[])
