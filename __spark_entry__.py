@@ -1809,6 +1809,19 @@ def _q78_sampled_neighborhoods(spark, sf):
 
 
 
+def _q79_collocations(spark, sf):
+    """PMI collocation mining (Church & Hanks CL'90): the 50 adjacent-
+    token bigrams most over-represented vs their positional marginals,
+    ranked by exact integer lift (PMI's monotone transform — no
+    runtime logs, bit-identical cross-engine).  min_count=5 is the
+    standard sparse-PMI guard; total order (lift, a, b) pins the cut."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        collocations,
+    )
+
+    return collocations(_t(spark, sf, "documents"), min_count=5, top_k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1891,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_hard_negatives": _q76_hard_negatives,
         "q77_neighborhood_function": _q77_neighborhood_function,
         "q78_sampled_neighborhoods": _q78_sampled_neighborhoods,
+        "q79_collocations": _q79_collocations,
     }
 
 
@@ -4142,5 +4156,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT root, hop, u, v FROM hop1
             UNION ALL
             SELECT root, hop, u, v FROM hop2
+        """,
+        # q79: identical integer lift — DuckDB's HUGEINT sums are cast
+        # back to BIGINT before the product so // matches Spark's div
+        "q79_collocations": f"""
+            WITH t AS (
+                SELECT {_TOK} AS t FROM documents
+            ), g AS (
+                SELECT t[i] AS a, t[i + 1] AS b
+                FROM t,
+                     LATERAL (SELECT unnest(generate_series(1,
+                         greatest(len(t) - 1, 1))) AS i) s
+                WHERE len(t) >= 2
+            ), p AS (
+                SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+                FROM g GROUP BY 1, 2
+            ), fa AS (
+                SELECT a, CAST(sum(n_ab) AS BIGINT) AS c_a
+                FROM p GROUP BY 1
+            ), sb AS (
+                SELECT b, CAST(sum(n_ab) AS BIGINT) AS c_b
+                FROM p GROUP BY 1
+            ), n AS (
+                SELECT CAST(sum(n_ab) AS BIGINT) AS n_total FROM p
+            )
+            SELECT a, b, n_ab,
+                   CAST((1000000 * n_total * n_ab) // (c_a * c_b)
+                       AS BIGINT) AS lift_micro
+            FROM p JOIN fa USING (a) JOIN sb USING (b) CROSS JOIN n
+            WHERE n_ab >= 5
+            ORDER BY lift_micro DESC, a, b
+            LIMIT 50
         """,
     }

@@ -353,3 +353,73 @@ def bigram_coherence(
             F.coalesce("coherence", F.lit(0).cast("long")).alias("coherence"),
         )
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+    scale: int = 10**6,
+) -> DataFrame:
+    """PMI collocation mining (Church & Hanks, CL'90) →
+    (a, b, n_ab, lift_micro): the ``top_k`` adjacent-token bigrams most
+    over-represented relative to their positional marginals — the
+    phrase-mining primitive behind multiword-entity vocabularies
+    (Mikolov NIPS'13 phrase pass uses the same score family).
+
+    Scored by LIFT in fixed-point integers —
+    ``lift_micro = (scale * N * c_ab) div (c_a* * c_*b)`` over the
+    bigram event space (``c_a*`` = bigrams starting with ``a``,
+    ``c_*b`` = bigrams ending with ``b``, ``N`` = total bigram
+    instances) — PMI is ``log`` of this ratio, a monotone transform, so
+    the integer ranking IS the PMI ranking with no runtime logs or
+    float sums anywhere (the q44/q59/q61 portability idiom): the
+    result is bit-identical across engines, partitionings, and plans.
+    ``min_count`` is the standard sparse-PMI guard (rare pairs get
+    unboundedly lucky); total order (lift desc, a, b) makes the
+    ``top_k`` cut deterministic.
+
+    Plan shape: one token scan → bigram explode; the pair table and
+    both marginals are partial-aggregatable counts over the SAME gram
+    stream (Zipf-safe — never a gram list); the marginal joins key on
+    single tokens AFTER the ``min_count`` filter has shrunk the pair
+    table, and the global cut is TakeOrderedAndProject (no full sort).
+    Integer headroom: scale·N·c_ab < 2^63 holds through ~10^5-doc
+    slices (10^6 · N · c_ab); the 100 TB path swaps ``scale`` for a
+    post-division rescale or decimal(38) — documented, not silent.
+    """
+    toks = _tokens(text_col)
+    grams = (
+        docs.select(toks.alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1),"
+                    " i -> struct(_toks[i - 1] AS a, _toks[i] AS b))"
+                )
+            ).alias("_g")
+        )
+        .select("_g.a", "_g.b")
+    )
+    pairs = grams.groupBy("a", "b").agg(F.count("*").cast("long").alias("n_ab"))
+    first = pairs.groupBy("a").agg(F.sum("n_ab").cast("long").alias("_c_a"))
+    second = pairs.groupBy("b").agg(F.sum("n_ab").cast("long").alias("_c_b"))
+    total = pairs.agg(F.sum("n_ab").cast("long").alias("_n_total"))
+    return (
+        pairs.filter(F.col("n_ab") >= min_count)
+        .join(first, "a")
+        .join(second, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.expr(f"({scale}L * _n_total * n_ab) div (_c_a * _c_b)")
+            .cast("long")
+            .alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), "a", "b")
+        .limit(top_k)
+    )

@@ -1872,3 +1872,36 @@ def test_scc_random_digraph_vs_tarjan(spark):
         for r in strongly_connected_components(e).collect()
     }
     assert got == ref
+
+
+def test_collocations_lift_ranking_and_min_count(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        collocations,
+    )
+
+    # "new york" always collocates; "the cat/dog/car/sun/hat" spreads
+    # "the" across many successors (low lift); "rare pair" appears once
+    # (killed by min_count)
+    docs = spark.createDataFrame(
+        [
+            (i, "new york " + "the " + w + " ")
+            for i, w in enumerate(["cat", "dog", "car", "sun", "hat"] * 2)
+        ]
+        + [(100, "rare pair")],
+        ["doc_id", "text"],
+    )
+    out = collocations(docs, min_count=2, top_k=10).collect()
+    assert [r.a for r in out][0] == "new"  # perfect collocation ranks first
+    got = {(r.a, r.b): (r.n_ab, r.lift_micro) for r in out}
+    assert ("rare", "pair") not in got  # min_count guard
+    # exact integer lift: N=31 bigrams (the rare doc counts in the
+    # marginals even though min_count kills its pair), c(new *)=10,
+    # c(* york)=10, n(new york)=10 -> 1e6*31*10 // 100 = 3_100_000
+    assert got[("new", "york")] == (10, 3_100_000)
+    # "the X": n=2, c(the *)=10, c(* X)=2 -> 1e6*31*2 // 20 = 3.1e6
+    # ("york the": n=10, c(york *)=10, c(* the)=10 -> same) — all
+    # surviving pairs tie at 3.1e6; ordering falls through to (a, b)
+    assert all(r.lift_micro == 3_100_000 for r in out)
+    assert [(r.a, r.b) for r in out] == sorted((r.a, r.b) for r in out)
+    # deterministic rerun
+    assert collocations(docs, min_count=2, top_k=10).collect() == out
