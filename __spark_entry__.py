@@ -1822,6 +1822,31 @@ def _q79_collocations(spark, sf):
     return collocations(_t(spark, sf, "documents"), min_count=5, top_k=50)
 
 
+def _q80_pareto_selection(spark, sf):
+    """Multi-objective data selection: the Pareto frontier (2-D
+    skyline) of documents over (length, vocabulary-richness) — the
+    docs no doc beats on BOTH axes; the axes trade off (longer docs
+    repeat tokens), so the frontier is the curation shortlist a single
+    weighted threshold cannot express.  Richness is exact integer
+    permille; the skyline itself is the bucketed prefix-scan operator
+    (no data-sized unpartitioned window)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        pareto_frontier,
+    )
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        token_stats,
+    )
+
+    stats = token_stats(_t(spark, sf, "documents")).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr("(1000 * n_distinct_tokens) div n_tokens")
+        .cast("long")
+        .alias("richness_milli"),
+    ).filter(F.col("n_tokens") > 0)
+    return pareto_frontier(stats, "n_tokens", "richness_milli")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1905,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_neighborhood_function": _q77_neighborhood_function,
         "q78_sampled_neighborhoods": _q78_sampled_neighborhoods,
         "q79_collocations": _q79_collocations,
+        "q80_pareto_selection": _q80_pareto_selection,
     }
 
 
@@ -4187,5 +4213,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_ab >= 5
             ORDER BY lift_micro DESC, a, b
             LIMIT 50
+        """,
+        # q80: the INDEPENDENT brute-force dominance formulation — the
+        # hash match certifies the bucketed prefix-scan skyline finds
+        # exactly the undominated set (the q66 completeness-by-data idiom)
+        "q80_pareto_selection": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(len(t) AS BIGINT) AS n_tokens,
+                       CAST((1000 * len(list_distinct(t))) // len(t)
+                           AS BIGINT) AS richness_milli
+                FROM (SELECT doc_id, {_TOK} AS t FROM documents)
+                WHERE len(t) > 0
+            )
+            SELECT a.doc_id, a.n_tokens, a.richness_milli FROM s a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM s b
+                WHERE b.n_tokens >= a.n_tokens
+                  AND b.richness_milli >= a.richness_milli
+                  AND (b.n_tokens > a.n_tokens
+                       OR b.richness_milli > a.richness_milli)
+            )
         """,
     }

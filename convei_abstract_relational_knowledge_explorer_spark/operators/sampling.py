@@ -253,3 +253,78 @@ def stratified_split(
     # the FIRST matching (smallest-cum) name because later whens wrap
     # earlier ones as their otherwise branch
     return ranked.withColumn("split", expr).drop("_rank", "_n")
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """2-D Pareto frontier (maximize both) → the input rows no other row
+    dominates — multi-objective data selection (skyline, Börzsönyi
+    ICDE'01): "keep documents where no document is simultaneously
+    longer AND richer" replaces a hand-tuned weighted threshold when
+    curation objectives trade off.
+
+    Dominance: row b dominates a iff x_b ≥ x_a AND y_b ≥ y_a with at
+    least one strict; exact duplicates survive together.  Both metrics
+    must be integers (the repo's cross-engine exactness protocol).
+
+    Scale shape — the classic 2-D skyline sort-scan made distributed
+    WITHOUT a global sort: dominance only needs, per distinct x, the
+    max y over all STRICTLY larger x.  That suffix-max is computed as a
+    two-level prefix scan (the q64 bucket-rank idiom): per-x max y
+    (partial-aggregatable groupBy), deterministic width-``bucket_width``
+    x-buckets, per-bucket suffix-max inside a bucket-PARTITIONED window
+    (bounded state), and a bucket-level running max over the tiny
+    bucket-summary frame (rows = value_range/bucket_width, broadcast
+    back).  Every data-sized shuffle keys on x or bucket; the only
+    unpartitioned window runs over the bucket-summary frame, whose row
+    count is bounded by value_range/bucket_width, not by n — the q37
+    rebuild property, applied at the metric-domain level.
+
+    frontier(a) ⇔ y_a = maxy(x_a)  (nothing at the same x beats it)
+               ∧ y_a > suffix_maxy(x > x_a)  (nothing longer ties-or-beats it)
+    """
+    s = df.withColumn("_x", F.col(x_col).cast("long")).withColumn(
+        "_y", F.col(y_col).cast("long")
+    )
+    perx = s.groupBy("_x").agg(F.max("_y").alias("_maxy"))
+    perx = perx.withColumn(
+        "_bkt", F.expr(f"_x div {int(bucket_width)}").cast("long")
+    )
+    # suffix max of _maxy over strictly larger x WITHIN the bucket
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.desc("_x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    perx = perx.withColumn("_sfx_in", F.max("_maxy").over(w_in))
+    # bucket summary: running max over strictly HIGHER buckets; the
+    # frame is value_range/bucket_width rows — tiny by construction
+    bkt = perx.groupBy("_bkt").agg(F.max("_maxy").alias("_bmax"))
+    w_b = (
+        Window.orderBy(F.desc("_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bkt = bkt.withColumn("_sfx_hi", F.max("_bmax").over(w_b)).select(
+        "_bkt", "_sfx_hi"
+    )
+    bound = (
+        perx.join(F.broadcast(bkt), "_bkt")
+        .withColumn(
+            "_sfx",
+            F.greatest(
+                F.coalesce("_sfx_in", F.lit(-(1 << 62))),
+                F.coalesce("_sfx_hi", F.lit(-(1 << 62))),
+            ),
+        )
+        .select("_x", "_maxy", "_sfx")
+    )
+    out = (
+        s.join(bound, "_x")
+        .filter((F.col("_y") == F.col("_maxy")) & (F.col("_y") > F.col("_sfx")))
+        .drop("_x", "_y", "_maxy", "_sfx")
+    )
+    return out

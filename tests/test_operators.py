@@ -1905,3 +1905,44 @@ def test_collocations_lift_ranking_and_min_count(spark):
     assert [(r.a, r.b) for r in out] == sorted((r.a, r.b) for r in out)
     # deterministic rerun
     assert collocations(docs, min_count=2, top_k=10).collect() == out
+
+
+def test_pareto_frontier_dominance_and_duplicates(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        pareto_frontier,
+    )
+
+    pts = [
+        ("a", 5, 1), ("h", 5, 1),          # duplicate corner: both kept
+        ("b", 4, 3), ("c", 4, 3),          # duplicate interior: both kept
+        ("d", 4, 2),                       # dominated by b (same x, y 3>2)
+        ("e", 3, 4),
+        ("f", 2, 4),                       # dominated by e (x 3>2, y ties)
+        ("g", 1, 5),
+    ]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    got = {r.id for r in pareto_frontier(df, "x", "y").collect()}
+    assert got == {"a", "h", "b", "c", "e", "g"}
+
+
+def test_pareto_frontier_matches_brute_force_random(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        pareto_frontier,
+    )
+    import random
+
+    rng = random.Random(2026)
+    pts = [(i, rng.randrange(200), rng.randrange(200)) for i in range(300)]
+    want = {
+        i
+        for i, x, y in pts
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y) for _, bx, by in pts
+        )
+    }
+    df = spark.createDataFrame(pts, ["id", "x", "y"]).repartition(7)
+    # multi-bucket path (width 8 -> ~25 buckets) and the degenerate
+    # single-bucket path must both equal brute force
+    for width in (8, 1 << 20):
+        got = {r.id for r in pareto_frontier(df, "x", "y", width).collect()}
+        assert got == want, width
