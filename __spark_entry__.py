@@ -1847,6 +1847,40 @@ def _q80_pareto_selection(spark, sf):
     return pareto_frontier(stats, "n_tokens", "richness_milli")
 
 
+def _q81_token_msf(spark, sf):
+    """Borůvka minimum spanning forest of the weighted token
+    co-occurrence graph (q75's cost = 1 + 1000 DIV n_docs) — the
+    single-linkage dendrogram backbone: cutting these 59 edges at any
+    threshold yields that threshold's token clusters, all granularities
+    from ONE run (the HDBSCAN-family hierarchy the flat CC/KMeans
+    substitutes could not express).  Unique forest by the total edge
+    order (cost, a, b); the oracle replays the identical Borůvka rounds
+    (struct-min picks + recursive-CTE label contraction) and must
+    hash-match."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        minimum_spanning_forest,
+    )
+
+    sel = _token_sel(spark, sf, 60)
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("term_a"), F.col("b.token").alias("term_b")
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "term_a",
+            "term_b",
+            F.expr("1 + 1000 DIV n_docs").cast("long").alias("cost"),
+        )
+    )
+    return minimum_spanning_forest(
+        pairs, src="term_a", dst="term_b", weight="cost"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1931,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_sampled_neighborhoods": _q78_sampled_neighborhoods,
         "q79_collocations": _q79_collocations,
         "q80_pareto_selection": _q80_pareto_selection,
+        "q81_token_msf": _q81_token_msf,
     }
 
 
@@ -2097,6 +2132,85 @@ def _sssp_oracle(n_rounds: int) -> str:
         )
     tail = f"""
             SELECT node AS token, dist FROM d{n_rounds}
+        """
+    return head + "".join(rounds) + tail
+
+
+def _msf_oracle(n_rounds: int) -> str:
+    """Unrolled Borůvka rounds over the q75 cost graph: per round a
+    row_number()-min edge pick per component label (identical total
+    order (w, u, v) as the engine's struct-min) and label contraction
+    via a per-round recursive-CTE closure over the SELECTION graph —
+    the q69/q70 replay idioms combined.  Rounds are idempotent after
+    convergence, so a fixed unroll ≥ log2(60) is exact."""
+    head = f"""
+            WITH RECURSIVE toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 60
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), ep AS MATERIALIZED (
+                SELECT a.token AS u, b.token AS v,
+                       CAST(1 + 1000 // count(*) AS BIGINT) AS w
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+            ), lbl0 AS (
+                SELECT node, node AS l FROM (
+                    SELECT u AS node FROM ep UNION SELECT v FROM ep
+                )
+            )"""
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        rounds.append(
+            f""", cr{r} AS MATERIALIZED (
+                SELECT e.u, e.v, e.w, la.l AS la, lb.l AS lb
+                FROM ep e JOIN lbl{p} la ON la.node = e.u
+                          JOIN lbl{p} lb ON lb.node = e.v
+                WHERE la.l <> lb.l
+            ), sel{r} AS MATERIALIZED (
+                SELECT DISTINCT u, v, w FROM (
+                    SELECT l, u, v, w, row_number() OVER (
+                        PARTITION BY l ORDER BY w, u, v) AS rn
+                    FROM (
+                        SELECT la AS l, u, v, w FROM cr{r}
+                        UNION ALL
+                        SELECT lb AS l, u, v, w FROM cr{r}
+                    )
+                ) WHERE rn = 1
+            ), lg{r} AS (
+                SELECT la.l AS x, lb.l AS y
+                FROM sel{r} s JOIN lbl{p} la ON la.node = s.u
+                              JOIN lbl{p} lb ON lb.node = s.v
+                UNION
+                SELECT lb.l, la.l
+                FROM sel{r} s JOIN lbl{p} la ON la.node = s.u
+                              JOIN lbl{p} lb ON lb.node = s.v
+            ), reach{r} AS (
+                SELECT x AS root, x AS m FROM lg{r}
+                UNION
+                SELECT rr.root, g.y FROM reach{r} rr
+                JOIN lg{r} g ON g.x = rr.m
+            ), lbl{r} AS MATERIALIZED (
+                SELECT o.node, coalesce(n.nl, o.l) AS l
+                FROM lbl{p} o LEFT JOIN (
+                    SELECT root AS l, min(m) AS nl FROM reach{r} GROUP BY 1
+                ) n ON n.l = o.l
+            )"""
+        )
+    sels = "\n                UNION ALL\n                ".join(
+        f"SELECT u, v, w FROM sel{r}" for r in range(1, n_rounds + 1)
+    )
+    tail = f"""
+            SELECT u AS term_a, v AS term_b, w AS cost FROM (
+                {sels}
+            )
         """
     return head + "".join(rounds) + tail
 
@@ -4235,4 +4349,5 @@ def oracle_sql() -> dict[str, str]:
                        OR b.richness_milli > a.richness_milli)
             )
         """,
+        "q81_token_msf": _msf_oracle(6),
     }

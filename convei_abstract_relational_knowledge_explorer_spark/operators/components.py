@@ -1404,3 +1404,101 @@ def k_truss(
             break
         prev = cur
     return e
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Borůvka minimum spanning forest → the (src, dst, weight) edges of
+    the MSF of the undirected graph — the single-linkage clustering
+    backbone (cutting the returned edges above any threshold yields
+    that threshold's clusters, ALL thresholds at once from one run —
+    the dendrogram HDBSCAN-family methods are built on, closing the
+    documented J11 granularity delta at the hierarchy level).
+
+    Deterministic and oracle-able: parallel edges collapse to their min
+    weight, and each component picks its minimum edge under the TOTAL
+    order (weight, a, b) — a unique key per edge, so the forest is
+    unique even with tied weights (no FP or RNG anywhere; integer
+    weights recommended, the repo's exactness protocol).
+
+    Scale shape — textbook distributed Borůvka (the MST algorithm with
+    O(log n) rounds of purely partial-aggregatable work): per round,
+    one struct-min groupBy per endpoint label (map-side combinable, no
+    gram lists), then label contraction via :func:`connected_components`
+    on the SELECTION graph only (one chosen edge per component — the
+    contraction input halves every round, so round cost shrinks
+    geometrically).  Components at least halve per round ⇒ ≤ log2(n)
+    rounds; the loop stops on a scalar cross-edge count (the k_core
+    early-stop idiom); every frontier frame is localCheckpointed so no
+    round recomputes prior lineage.
+    """
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"),
+            F.greatest(src, dst).alias("b"),
+            F.col(weight).alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    lbl = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    picked = []
+    for _ in range(max_rounds):
+        la = lbl.select(F.col("node").alias("a"), F.col("label").alias("_la"))
+        lb = lbl.select(F.col("node").alias("b"), F.col("label").alias("_lb"))
+        cross = (
+            e.join(la, "a")
+            .join(lb, "b")
+            .filter(F.col("_la") != F.col("_lb"))
+            .localCheckpoint(eager=True)
+        )
+        if cross.limit(1).count() == 0:
+            break
+        s = F.struct("w", "a", "b").alias("_s")
+        sel = (
+            cross.select(F.col("_la").alias("_l"), s)
+            .unionAll(cross.select(F.col("_lb").alias("_l"), s))
+            .groupBy("_l")
+            .agg(F.min("_s").alias("_s"))
+            .select("_s.w", "_s.a", "_s.b")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        picked.append(sel)
+        lg = (
+            sel.join(la, "a")
+            .join(lb, "b")
+            .select(F.col("_la").alias("x"), F.col("_lb").alias("y"))
+        )
+        comp = connected_components(lg, "x", "y")
+        lbl = (
+            lbl.join(
+                comp.withColumnRenamed("node", "label"), "label", "left"
+            )
+            .select(
+                "node", F.coalesce("component", "label").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    if not picked:
+        out = e.filter(F.lit(False))
+    else:
+        out = picked[0]
+        for p in picked[1:]:
+            out = out.unionAll(p)
+    return out.select(
+        F.col("a").alias(src), F.col("b").alias(dst), F.col("w").alias(weight)
+    )

@@ -501,3 +501,68 @@ def test_sample_neighbors_fanout_and_determinism(spark):
     } == rows
     with pytest.raises(ValueError):
         sample_neighbors(df, fanouts=[])
+
+
+def _kruskal(n_edges):
+    """Reference MSF under the total order (w, a, b): union-find Kruskal."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for w, a, b in sorted(n_edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.add((a, b, w))
+    return out
+
+
+def test_minimum_spanning_forest_ties_and_forest(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        minimum_spanning_forest,
+    )
+
+    # square + diagonal with a weight tie: (w=2, a, b) order must pick
+    # ("a","c") over ("b","c"); plus a disconnected 2-node island
+    edges = [
+        ("a", "b", 1), ("b", "c", 2), ("c", "d", 1), ("d", "a", 3),
+        ("a", "c", 2), ("x", "y", 7),
+        ("b", "a", 9),  # parallel reversed edge collapses to min w=1
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    got = {
+        (r.src, r.dst, r.weight)
+        for r in minimum_spanning_forest(df).collect()
+    }
+    assert got == {("a", "b", 1), ("c", "d", 1), ("a", "c", 2), ("x", "y", 7)}
+
+
+def test_minimum_spanning_forest_matches_kruskal_random(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        minimum_spanning_forest,
+    )
+    import random
+
+    rng = random.Random(81)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    seen = set()
+    for _ in range(160):
+        a, b = rng.sample(nodes, 2)
+        a, b = min(a, b), max(a, b)
+        if (a, b) not in seen:
+            seen.add((a, b))
+    # small weight range forces many ties -> exercises the total order
+    edges = [(a, b, rng.randrange(1, 6)) for a, b in sorted(seen)]
+    want = _kruskal([(w, a, b) for a, b, w in edges])
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"]).repartition(5)
+    got = {
+        (r.src, r.dst, r.weight)
+        for r in minimum_spanning_forest(df).collect()
+    }
+    assert got == want
