@@ -1881,6 +1881,24 @@ def _q81_token_msf(spark, sf):
     )
 
 
+def _q82_dsir_selection(spark, sf):
+    """DSIR importance selection (Xie et al., NeurIPS'23): the 100 docs
+    whose add-one-smoothed unigram log-likelihood ratio most favors the
+    TARGET domain (source src0+src1 as the in-domain proxy) over the
+    raw corpus — the importance weight behind domain-targeted
+    pretraining-data selection.  All scores are integer MILLI-LOG2
+    (msb by binary length + linear mantissa interpolation), so the
+    ranking is bit-identical cross-engine; the oracle replays the same
+    two count frames and the same fixed-point formula."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        dsir_importance,
+    )
+
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    return dsir_importance(docs, target, top_k=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1966,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_collocations": _q79_collocations,
         "q80_pareto_selection": _q80_pareto_selection,
         "q81_token_msf": _q81_token_msf,
+        "q82_dsir_selection": _q82_dsir_selection,
     }
 
 
@@ -1974,6 +1993,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+(?:-[a-z0-9]+)*')"
+
+
+def _ml2(x: str) -> str:
+    """DuckDB replay of operators/sampling._ML2: integer milli-log2 of
+    a positive BIGINT expression (msb via bin() string length, linear
+    mantissa interpolation in [1024, 2048) — pure integer arithmetic,
+    bit-identical to Spark's ``length(bin(x))``/``div`` form)."""
+    return (
+        f"(1000 * (length(bin({x})) - 1)"
+        f" + ((({x} * 1024) // (1::BIGINT << (length(bin({x})) - 1)))"
+        f" - 1024) * 1000 // 1024)"
+    )
 
 
 def _bpe_oracle(n_rounds: int) -> str:
@@ -4350,4 +4381,46 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "q81_token_msf": _msf_oracle(6),
+        # q82: the whole DSIR scorer replayed — same per-(doc, token)
+        # count frames, same add-one smoothing over the raw vocabulary,
+        # same integer milli-log2 (msb via bin() length + linear
+        # mantissa interpolation); every term is a BIGINT, no runtime
+        # logs or FP anywhere, so the hash must match bit-for-bit
+        "q82_dsir_selection": f"""
+            WITH per AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT doc_id, unnest({_TOK}) AS token
+                      FROM documents)
+                GROUP BY 1, 2
+            ), raw AS (
+                SELECT token, CAST(sum(n) AS BIGINT) AS c_r
+                FROM per GROUP BY 1
+            ), tgt AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS c_t
+                FROM (SELECT unnest({_TOK}) AS token FROM documents
+                      WHERE source IN ('src0', 'src1'))
+                GROUP BY 1
+            ), w AS (
+                SELECT raw.token,
+                       {_ml2("(coalesce(c_t, 0) + 1)")}
+                           - {_ml2("(c_r + 1)")} AS wt_milli
+                FROM raw LEFT JOIN tgt USING (token)
+            ), norm AS (
+                SELECT {_ml2("(t_inst + v)")}
+                           - {_ml2("(r_inst + v)")} AS len_milli
+                FROM (SELECT CAST(sum(c_r) AS BIGINT) AS r_inst,
+                             CAST(count(*) AS BIGINT) AS v FROM raw),
+                     (SELECT CAST(coalesce(sum(c_t), 0) AS BIGINT)
+                          AS t_inst FROM tgt)
+            )
+            SELECT per.doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(sum(n * wt_milli)
+                        - sum(n) * (SELECT len_milli FROM norm)
+                       AS BIGINT) AS score_milli
+            FROM per JOIN w USING (token)
+            GROUP BY 1
+            ORDER BY score_milli DESC, doc_id
+            LIMIT 100
+        """,
     }

@@ -328,3 +328,113 @@ def pareto_frontier(
         .drop("_x", "_y", "_maxy", "_sfx")
     )
     return out
+
+
+# deterministic integer milli-log2 of a POSITIVE integer column, by name:
+# msb via length(bin(x))-1 (pure integer both engines), then linear
+# interpolation of the mantissa in [1024, 2048) — max error ~0.086 log2
+# (~86 milli), monotone, zero floats/rounding-mode dependence anywhere.
+_ML2 = (
+    "(1000 * (length(bin({x})) - 1)"
+    " + ((({x} * 1024) div shiftleft(CAST(1 AS BIGINT),"
+    " length(bin({x})) - 1)) - 1024) * 1000 div 1024)"
+)
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """DSIR importance ranking (Xie et al., NeurIPS'23) →
+    (doc_id, n_tokens, score_milli): rank raw-corpus documents by how
+    much more likely they are under the TARGET (in-domain) unigram LM
+    than under the raw-corpus LM — the importance weight behind
+    domain-targeted pretraining-data selection.
+
+    score_milli = Σ_tokens n·[ml2(c_t+1) − ml2(c_r+1)]
+                  − n_tokens·[ml2(N_t) − ml2(N_r)]
+    i.e. the doc log-likelihood ratio under add-one-smoothed unigram
+    models (N = instance total + vocab size), in MILLI-LOG2 fixed
+    point: ``ml2`` is a pure-integer log2 approximation (msb by binary
+    string length + linear mantissa interpolation — deterministic and
+    bit-identical across engines, unlike ``ln``, whose last-ulp is
+    library-dependent; the documented ≤86-milli interpolation error is
+    a property of the SCORE DEFINITION, not a correctness hazard).
+
+    Plan shape: one token scan each over docs and target → per-(doc,
+    token) counts (the q59 Zipf-safe idiom — scores join per-COUNT
+    rows, never per-instance); the token weight table is one left join
+    of two partial-aggregatable count frames; the normalization
+    constants are one-row broadcast frames; the final cut is
+    TakeOrderedAndProject (no global sort).  Docs with zero tokens have
+    no likelihood under either model and are not ranked.
+    """
+    from .text_analysis import _tokens
+
+    def stream(df):
+        return (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(_tokens(text_col)).alias("token"),
+            )
+            .groupBy("doc_id", "token")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    per = stream(docs)
+    raw = per.groupBy("token").agg(F.sum("n").cast("long").alias("c_r"))
+    tgt = (
+        stream(target)
+        .groupBy("token")
+        .agg(F.sum("n").cast("long").alias("c_t"))
+    )
+    w = (
+        raw.join(tgt, "token", "left")
+        .withColumn("_ct1", F.coalesce("c_t", F.lit(0)).cast("long") + 1)
+        .withColumn("_cr1", F.col("c_r") + 1)
+        .withColumn(
+            "wt_milli",
+            F.expr(_ML2.format(x="_ct1")) - F.expr(_ML2.format(x="_cr1")),
+        )
+        .select("token", "wt_milli")
+    )
+    norm = (
+        raw.agg(
+            (F.sum("c_r") + F.count("*")).cast("long").alias("_nr"),
+        )
+        .crossJoin(
+            tgt.agg(
+                F.coalesce(F.sum("c_t"), F.lit(0)).cast("long").alias("_t_inst")
+            )
+        )
+        .crossJoin(raw.agg(F.count("*").cast("long").alias("_v")))
+        .select(
+            (F.col("_t_inst") + F.col("_v")).alias("_nt"), "_nr"
+        )
+        .withColumn(
+            "len_milli",
+            F.expr(_ML2.format(x="_nt")) - F.expr(_ML2.format(x="_nr")),
+        )
+        .select("len_milli")
+    )
+    return (
+        per.join(w, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("wt_milli")).cast("long").alias("_s"),
+        )
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_s") - F.col("n_tokens") * F.col("len_milli"))
+            .cast("long")
+            .alias("score_milli"),
+        )
+        .orderBy(F.desc("score_milli"), "doc_id")
+        .limit(top_k)
+    )

@@ -1946,3 +1946,59 @@ def test_pareto_frontier_matches_brute_force_random(spark):
     for width in (8, 1 << 20):
         got = {r.id for r in pareto_frontier(df, "x", "y", width).collect()}
         assert got == want, width
+
+
+def test_dsir_importance_matches_integer_replay(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        dsir_importance,
+    )
+    import re
+    from collections import Counter
+
+    # target domain talks about proteins; raw corpus is mixed
+    docs = [
+        (i, f"protein folding kinase pathway sample {i % 3}")
+        for i in range(6)
+    ] + [
+        (i, f"football match referee goal crowd {i % 4}")
+        for i in range(6, 14)
+    ] + [
+        (14, "protein football shared vocabulary text"),
+        (15, ""),  # zero tokens: must not be ranked
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(5)
+    target = df.filter(F.col("doc_id") < 6)
+    got = dsir_importance(df, target, top_k=10).collect()
+
+    # exact integer replay of the operator's own definition
+    def ml2(x):
+        p = x.bit_length() - 1
+        return 1000 * p + ((x * 1024) // (1 << p) - 1024) * 1000 // 1024
+
+    tok = re.compile(r"[a-z0-9]+(?:-[a-z0-9]+)*")
+    per = {i: Counter(tok.findall(t.lower())) for i, t in docs}
+    raw = Counter()
+    for c in per.values():
+        raw.update(c)
+    tgt = Counter()
+    for i in range(6):
+        tgt.update(per[i])
+    v = len(raw)
+    len_milli = ml2(sum(tgt.values()) + v) - ml2(sum(raw.values()) + v)
+    want = []
+    for i, c in per.items():
+        n_tok = sum(c.values())
+        if n_tok == 0:
+            continue
+        s = sum(
+            n * (ml2(tgt.get(t, 0) + 1) - ml2(raw[t] + 1))
+            for t, n in c.items()
+        )
+        want.append((i, n_tok, s - n_tok * len_milli))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    assert [(r.doc_id, r.n_tokens, r.score_milli) for r in got] == want[:10]
+    # semantics: every pure-target doc outranks every pure-football doc,
+    # with the mixed doc strictly between the two blocks
+    rank = {doc_id: k for k, (doc_id, _, _) in enumerate(want)}
+    assert max(rank[i] for i in range(6)) < rank[14]
+    assert rank[14] < min(rank[i] for i in range(6, 14))
