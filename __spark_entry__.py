@@ -1899,6 +1899,64 @@ def _q82_dsir_selection(spark, sf):
     return dsir_importance(docs, target, top_k=100)
 
 
+def _q83_token_entropy(spark, sf):
+    """Per-doc unigram Shannon entropy as a curation quality signal
+    (low entropy = keyword-stuffed / template spam), in the same
+    integer milli-log2 fixed point as q82 — the exact identity
+    H = log2 n − (1/n)·Σ c·log2 c with every term a BIGINT, so the
+    oracle replays it bit-for-bit."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        token_entropy,
+    )
+
+    return token_entropy(_t(spark, sf, "documents"))
+
+
+def _q84_skipgram_pairs(spark, sf):
+    """Word2vec training-pair extraction (Mikolov NIPS'13): ordered
+    skip-gram co-occurrence counts within a 3-token window, enumerated
+    inside the token array (nested transform + flatten — linear in
+    corpus size, no positional self-join), top-100 by
+    (n_pairs DESC, a, b)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        skipgram_pairs,
+    )
+
+    return skipgram_pairs(
+        _t(spark, sf, "documents"), window=3, min_count=5, top_k=100
+    )
+
+
+def _q85_zipf_fit(spark, sf):
+    """Corpus-health diagnostic: integer least-squares Zipf slope of
+    ml2(freq) vs ml2(rank) over the top-512 vocabulary — natural text
+    sits near −1000 milli; the whole fit (ranks, milli-log2 points,
+    closed-form slope/intercept) is exact BIGINT arithmetic with
+    truncating division, replayed verbatim by the oracle."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        zipf_fit,
+    )
+
+    return zipf_fit(_t(spark, sf, "documents"), top_v=512)
+
+
+def _q86_quality_keepers(spark, sf):
+    """RefinedWeb-style near-dup cluster resolution: MinHash+LSH
+    candidates (q24's portable md5 lanes) verified by the INTEGER
+    Jaccard comparison 1000·|∩| ≥ 500·|∪|, connected components, then
+    one struct-min aggregate per cluster picks the highest-quality
+    keeper (longest by tokens, tie → min doc_id) — no member arrays, so
+    mega clusters never land in one row.  Oracle replays candidates,
+    verify, recursive-CTE CC, and the keeper rule verbatim."""
+    return dedup.quality_keeper_clusters(
+        _t(spark, sf, "documents"),
+        k=2,
+        num_hashes=16,
+        bands=8,
+        threshold_milli=500,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1985,6 +2043,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_pareto_selection": _q80_pareto_selection,
         "q81_token_msf": _q81_token_msf,
         "q82_dsir_selection": _q82_dsir_selection,
+        "q83_token_entropy": _q83_token_entropy,
+        "q84_skipgram_pairs": _q84_skipgram_pairs,
+        "q85_zipf_fit": _q85_zipf_fit,
+        "q86_quality_keepers": _q86_quality_keepers,
     }
 
 
@@ -4422,5 +4484,168 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY score_milli DESC, doc_id
             LIMIT 100
+        """,
+        # q83: the entropy identity replayed in the same integer
+        # milli-log2 — truncating integer division both engines
+        "q83_token_entropy": f"""
+            WITH per AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT doc_id, unnest({_TOK}) AS token
+                      FROM documents)
+                GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST({_ml2("(sum(c))")}
+                        - sum(c * {_ml2("c")}) // sum(c)
+                       AS BIGINT) AS entropy_milli
+            FROM per GROUP BY 1
+        """,
+        # q84: the q59 linear double-LATERAL position idiom — j ranges
+        # over (i, i+3], identical ordered pairs, exact integer counts
+        "q84_skipgram_pairs": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ), g AS (
+                SELECT t, i FROM t,
+                     LATERAL (SELECT unnest(generate_series(1,
+                         len(t) - 1)) AS i) s
+                WHERE len(t) >= 2
+            ), p AS (
+                SELECT t[i] AS a, t[j] AS b
+                FROM g, LATERAL (SELECT unnest(generate_series(i + 1,
+                         least(i + 3, len(t)))) AS j) s2
+            )
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p GROUP BY 1, 2
+            HAVING count(*) >= 5
+            ORDER BY n_pairs DESC, a, b
+            LIMIT 100
+        """,
+        # q85: the identical integer least-squares fit — same top-512
+        # vocab cut, same milli-log2 points, same truncating divisions
+        # (DuckDB // and Spark div both truncate toward zero, so the
+        # negative slope is bit-identical)
+        "q85_zipf_fit": f"""
+            WITH f AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS f
+                FROM (SELECT unnest({_TOK}) AS token FROM documents)
+                GROUP BY 1
+            ), top AS (
+                SELECT CAST(row_number()
+                           OVER (ORDER BY f DESC, token) AS BIGINT) AS r,
+                       f
+                FROM f ORDER BY f DESC, token LIMIT 512
+            ), xy AS (
+                SELECT {_ml2("r")} AS x, {_ml2("f")} AS y FROM top
+            ), s AS (
+                SELECT CAST(count(*) AS BIGINT) AS v,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx
+                FROM xy
+            ), fit AS (
+                SELECT v, sx, sy,
+                       CAST((v * sxy - sx * sy) * 1000
+                            // nullif(v * sxx - sx * sx, 0)
+                           AS BIGINT) AS slope_milli
+                FROM s
+            )
+            SELECT v AS n_vocab, slope_milli,
+                   CAST((sy * 1000 - slope_milli * sx) // (v * 1000)
+                       AS BIGINT) AS intercept_milli
+            FROM fit
+        """,
+        # q86: candidates exactly as q24 (one md5 per shingle, 16 lanes
+        # by rotate/xor, 8 concat-keyed bands), integer Jaccard verify,
+        # min-label CC via the reach CTE, keeper = (n_tokens DESC,
+        # doc_id ASC) — every comparison integer, no FP thresholds
+        "q86_quality_keepers": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                           '[a-z0-9]+(?:-[a-z0-9]+)*') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', t[i], t[i + 1]) AS shingle
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(1,
+                         greatest(len(t) - 1, 1))) AS i) g
+                WHERE len(t) > 0
+            ), hx AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h1,
+                       CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT) AS h2
+                FROM sh
+            ), mh AS (
+                SELECT doc_id, s.seed,
+                       min(xor(
+                           ((h1 & ((1::BIGINT << (60 - s.r)) - 1)) << s.r)
+                               | (h1 >> (60 - s.r)),
+                           ((h2 & ((1::BIGINT << (60 - s.r2)) - 1)) << s.r2)
+                               | (h2 >> (60 - s.r2))
+                       )) AS h
+                FROM hx CROSS JOIN
+                     (SELECT seed, (7 * seed + 3) % 60 AS r,
+                             (13 * seed + 5) % 60 AS r2
+                      FROM (SELECT unnest(generate_series(0, 15)) AS seed)) s
+                GROUP BY 1, 2
+            ), sig AS (
+                SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY 1
+            ), banded AS (
+                SELECT doc_id, b.band,
+                       array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2],
+                                       ':') AS bucket
+                FROM sig CROSS JOIN
+                     (SELECT unnest(generate_series(0, 7)) AS band) b
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ), sz AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+                FROM cand c
+                JOIN sh x ON x.doc_id = c.doc_a
+                JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT i.doc_a, i.doc_b
+                FROM inter i
+                JOIN sz a ON a.doc_id = i.doc_a
+                JOIN sz b ON b.doc_id = i.doc_b
+                WHERE 1000 * i.n_common >= 500 * (a.n + b.n - i.n_common)
+            ), sym AS (
+                SELECT doc_a AS u, doc_b AS v2 FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs
+            ), nodes AS (
+                SELECT DISTINCT u AS node FROM sym
+            ), reach(node, r) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT s.v2, reach.r FROM reach JOIN sym s ON reach.node = s.u
+            ), cc AS (
+                SELECT node, min(r) AS component FROM reach GROUP BY 1
+            ), qual AS (
+                SELECT doc_id AS node, CAST(len(t) AS BIGINT) AS n_tokens
+                FROM toks
+            ), mem AS (
+                SELECT cc.component, cc.node, q.n_tokens,
+                       row_number() OVER (PARTITION BY cc.component
+                           ORDER BY q.n_tokens DESC, cc.node ASC) AS rk
+                FROM cc JOIN qual q USING (node)
+            )
+            SELECT CAST(component AS BIGINT) AS component,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(max(CASE WHEN rk = 1 THEN node END)
+                       AS BIGINT) AS keeper_doc_id,
+                   CAST(max(CASE WHEN rk = 1 THEN n_tokens END)
+                       AS BIGINT) AS keeper_tokens
+            FROM mem GROUP BY 1
         """,
     }

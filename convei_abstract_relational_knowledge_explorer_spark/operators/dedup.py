@@ -1226,3 +1226,88 @@ def jaccard_similarity_join(
         )
     )
     return same.unionByName(cross)
+
+
+def quality_keeper_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold_milli: int = 500,
+) -> DataFrame:
+    """RefinedWeb-style near-duplicate cluster resolution → one row per
+    duplicate CLUSTER: (component, n_members, keeper_doc_id,
+    keeper_tokens).  Instead of the curation default (keep min doc_id),
+    the keeper is the highest-QUALITY member — longest by token count,
+    ties to the smallest doc_id — the selection rule production corpora
+    use so boilerplate-trimmed fragments lose to their fullest copy.
+
+    Pipeline: MinHash+LSH candidates (the portable md5 lane family, as
+    q24) → exact-Jaccard verify join with the INTEGER comparison
+    ``1000·|∩| ≥ threshold_milli·|∪|`` (no FP threshold to drift
+    cross-engine) → connected components → one struct-min aggregate
+    ``min((-n_tokens, doc_id))`` per component (map-side combinable; no
+    per-component member arrays, so a C4-scale mega cluster never
+    materializes in one row).  Isolated documents are not emitted —
+    every output row is a real duplicate cluster (n_members ≥ 2).
+    """
+    from .components import connected_components
+    from .text_analysis import _tokens
+
+    sh = shingles(docs, id_col, text_col, k)
+    sigs = minhash_signatures(sh, num_hashes, hash_fn="md5")
+    cands = lsh_candidate_pairs(
+        sigs, bands, num_hashes // bands, bucket_fn="concat"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    pairs = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            F.lit(1000) * F.col("n_common")
+            >= F.lit(int(threshold_milli))
+            * (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    qual = docs.select(
+        F.col(id_col).alias("node"),
+        F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    return (
+        comp.join(qual, "node")
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min(
+                F.struct(
+                    (-F.col("n_tokens")).alias("_nq"),
+                    F.col("node").alias("_id"),
+                )
+            ).alias("_k"),
+        )
+        .select(
+            F.col("component").cast("long").alias("component"),
+            "n_members",
+            F.col("_k._id").cast("long").alias("keeper_doc_id"),
+            (-F.col("_k._nq")).cast("long").alias("keeper_tokens"),
+        )
+    )

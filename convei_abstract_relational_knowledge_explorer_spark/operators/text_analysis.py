@@ -8,7 +8,7 @@ rolling-hash document fingerprinting — all JVM-native column expressions
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import _dictdata as D
 
@@ -422,4 +422,166 @@ def collocations(
         )
         .orderBy(F.desc("lift_micro"), "a", "b")
         .limit(top_k)
+    )
+
+
+def token_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram token entropy → (doc_id, n_tokens,
+    entropy_milli): the Shannon entropy of the doc's own token
+    distribution, a standard curation quality signal — low entropy
+    flags keyword-stuffed / template / repetitive spam pages that
+    length and stopword ratios miss (complements the Gopher repetition
+    filters, which look at surface n-gram mass rather than the
+    distribution).
+
+    entropy_milli = ml2(n) − (Σ_t c_t·ml2(c_t)) DIV n  — the exact
+    identity H = log2 n − (1/n)·Σ c·log2 c evaluated in the integer
+    MILLI-LOG2 fixed point shared with :func:`~.sampling.dsir_importance`
+    (msb via bin() length + linear mantissa interpolation;
+    deterministic cross-engine, truncating division, documented
+    ≤86-milli interpolation error is part of the score definition).
+
+    Plan shape: one token scan → per-(doc, token) counts (Zipf-safe:
+    everything downstream is per-COUNT rows) → one per-doc sum.  Docs
+    with zero tokens have no distribution and are not scored.
+    """
+    from .sampling import _ML2
+
+    per = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(text_col)).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        per.withColumn("_cl", F.expr(_ML2.format(x="c")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("_cl")).cast("long").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.expr(_ML2.format(x="n_tokens"))
+                - F.expr("_s div n_tokens")
+            )
+            .cast("long")
+            .alias("entropy_milli"),
+        )
+    )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram co-occurrence pair counts (the word2vec training-pair
+    table, Mikolov NIPS'13) → (a, b, n_pairs): for every token
+    position i, count the ordered pairs (t[i], t[j]) with
+    i < j ≤ i+window, the positive examples an embedding trainer
+    consumes.  Top-k by the total order (n_pairs DESC, a, b).
+
+    Plan shape: the pairs are enumerated INSIDE the token array with a
+    nested ``transform`` + ``flatten`` (one JVM pass per doc, output
+    exactly n·window structs) — no positional self-join, so the cost
+    is linear in corpus size, not quadratic in document length; then
+    one groupBy and a TakeOrderedAndProject cut.  ``min_count``
+    drops the Zipf tail before the ranking.
+    """
+    toks = _tokens(text_col)
+    w = int(window)
+    pairs = (
+        docs.select(toks.alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(_toks) - 2),"
+                    " i -> transform("
+                    f"sequence(i + 1, least(i + {w}, size(_toks) - 1)),"
+                    " j -> struct(_toks[i] AS a, _toks[j] AS b))))"
+                )
+            ).alias("_g")
+        )
+        .select("_g.a", "_g.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= int(min_count))
+    )
+    return pairs.orderBy(F.desc("n_pairs"), "a", "b").limit(int(top_k))
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_v: int = 512,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf rank-frequency fit → ONE row (n_vocab, slope_milli,
+    intercept_milli): the least-squares slope of ml2(frequency) against
+    ml2(rank) over the ``top_v`` most frequent tokens — the standard
+    corpus-health diagnostic (natural text sits near slope ≈ −1000
+    milli, i.e. Zipf exponent ≈ 1; template/boilerplate-heavy or
+    synthetic corpora bend it).
+
+    Everything is exact integer arithmetic in the shared MILLI-LOG2
+    fixed point: x=ml2(rank), y=ml2(freq), then the closed-form
+    slope  = (V·Σxy − Σx·Σy)·1000 DIV (V·Σx² − Σx·Σx)  and
+    intercept = (Σy·1000 − slope·Σx) DIV (V·1000), both truncating
+    toward zero — identical semantics in Spark ``div`` and DuckDB
+    ``//``, so the oracle hash-matches including the negative slope.
+
+    Plan shape: token scan → vocab groupBy → ``TakeOrderedAndProject``
+    cut to ``top_v`` rows — the ONLY window runs over that bounded
+    ≤top_v-row frame (single partition by construction, never
+    data-sized), then one scalar aggregate.  Returns NULL slope when
+    fewer than 2 vocabulary rows exist.
+    """
+    from .sampling import _ML2
+
+    freq = (
+        docs.select(F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    top = freq.orderBy(F.desc("f"), "token").limit(int(top_v))
+    w = Window.orderBy(F.desc("f"), "token")  # bounded: <= top_v rows
+    xy = top.select(
+        F.row_number().over(w).cast("long").alias("r"), "f"
+    ).select(
+        F.expr(_ML2.format(x="r")).cast("long").alias("x"),
+        F.expr(_ML2.format(x="f")).cast("long").alias("y"),
+    )
+    return (
+        xy.agg(
+            F.count("*").cast("long").alias("v"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+        .withColumn(
+            "slope_milli",
+            F.expr(
+                "(v * sxy - sx * sy) * 1000"
+                " div nullif(v * sxx - sx * sx, 0)"
+            ).cast("long"),
+        )
+        .select(
+            F.col("v").alias("n_vocab"),
+            "slope_milli",
+            F.expr("(sy * 1000 - slope_milli * sx) div (v * 1000)")
+            .cast("long")
+            .alias("intercept_milli"),
+        )
     )

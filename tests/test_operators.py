@@ -2002,3 +2002,142 @@ def test_dsir_importance_matches_integer_replay(spark):
     rank = {doc_id: k for k, (doc_id, _, _) in enumerate(want)}
     assert max(rank[i] for i in range(6)) < rank[14]
     assert rank[14] < min(rank[i] for i in range(6, 14))
+
+
+def test_token_entropy_matches_integer_replay(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        token_entropy,
+    )
+    import re
+    from collections import Counter
+
+    docs = [
+        (0, "spam spam spam spam spam"),            # zero entropy
+        (1, "all tokens here are fully distinct"),  # max entropy = ml2(n)
+        (2, "a a b b c c d d"),
+        (3, "one token"),
+        (4, ""),                                    # unscored
+        (5, "x"),                                   # n=1 -> entropy 0
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(3)
+    got = {r.doc_id: (r.n_tokens, r.entropy_milli)
+           for r in token_entropy(df).collect()}
+
+    def ml2(x):
+        p = x.bit_length() - 1
+        return 1000 * p + ((x * 1024) // (1 << p) - 1024) * 1000 // 1024
+
+    tok = re.compile(r"[a-z0-9]+(?:-[a-z0-9]+)*")
+    want = {}
+    for i, t in docs:
+        c = Counter(tok.findall(t.lower()))
+        n = sum(c.values())
+        if n == 0:
+            continue
+        want[i] = (n, ml2(n) - sum(v * ml2(v) for v in c.values()) // n)
+    assert got == want
+    assert got[0][1] == 0 and got[5][1] == 0          # uniform repeat
+    assert got[1][1] == ml2(6)                        # all distinct
+    assert 0 < got[2][1] <= ml2(8)                    # in between
+
+
+def test_skipgram_pairs_matches_brute_force(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        skipgram_pairs,
+    )
+    import re
+    from collections import Counter
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat the cat the cat"),
+        (2, "solo"),
+        (3, ""),
+        (4, "alpha beta gamma delta epsilon zeta eta"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(3)
+    for window in (1, 3):
+        got = [
+            (r.a, r.b, r.n_pairs)
+            for r in skipgram_pairs(
+                df, window=window, min_count=1, top_k=1000
+            ).collect()
+        ]
+        tok = re.compile(r"[a-z0-9]+(?:-[a-z0-9]+)*")
+        want = Counter()
+        for _, t in docs:
+            ts = tok.findall(t.lower())
+            for i in range(len(ts) - 1):
+                for j in range(i + 1, min(i + window, len(ts) - 1) + 1):
+                    want[(ts[i], ts[j])] += 1
+        want_rows = sorted(
+            ((a, b, n) for (a, b), n in want.items()),
+            key=lambda r: (-r[2], r[0], r[1]),
+        )
+        assert got == want_rows, window
+
+
+def test_zipf_fit_matches_integer_replay(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        zipf_fit,
+    )
+    from collections import Counter
+
+    # synthetic Zipf corpus: token k appears ~ 1024 // rank times
+    words = []
+    for rank in range(1, 65):
+        words.extend([f"w{rank:03d}"] * (1024 // rank))
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text), (1, "w001 w002")], ["doc_id", "text"])
+    row = zipf_fit(df, top_v=32).collect()[0]
+
+    def ml2(x):
+        p = x.bit_length() - 1
+        return 1000 * p + ((x * 1024) // (1 << p) - 1024) * 1000 // 1024
+
+    def tdiv(a, b):  # truncate toward zero, like Spark div / DuckDB //
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    c = Counter(words)
+    c["w001"] += 1
+    c["w002"] += 1
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:32]
+    pts = [(ml2(r), ml2(f)) for r, (_, f) in enumerate(top, start=1)]
+    v = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = tdiv((v * sxy - sx * sy) * 1000, v * sxx - sx * sx)
+    intercept = tdiv(sy * 1000 - slope * sx, v * 1000)
+    assert (row.n_vocab, row.slope_milli, row.intercept_milli) == (
+        v, slope, intercept,
+    )
+    # a 1/rank corpus must fit slope near -1000 milli (exponent ~1)
+    assert -1100 < row.slope_milli < -900
+
+
+def test_quality_keeper_clusters_picks_longest(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        quality_keeper_clusters,
+    )
+
+    base = "alpha beta gamma delta epsilon"
+    docs = [
+        (1, base),                       # cluster A
+        (2, base + " zeta"),             # cluster A, longest -> keeper
+        (3, base),                       # cluster A
+        (10, "one two three four five six seven"),   # cluster B
+        (11, "one two three four five six seven"),   # cluster B (tie:
+                                                     #  keeper = min id)
+        (20, "totally unrelated content about other things"),  # isolated
+        (21, ""),                                              # empty
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(3)
+    got = {
+        r.component: (r.n_members, r.keeper_doc_id, r.keeper_tokens)
+        for r in quality_keeper_clusters(df, threshold_milli=500).collect()
+    }
+    # component id = min member id; keeper = longest, ties -> min id
+    assert got == {1: (3, 2, 6), 10: (2, 10, 7)}
