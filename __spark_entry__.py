@@ -1957,6 +1957,33 @@ def _q86_quality_keepers(spark, sf):
     )
 
 
+def _q87_source_overlap(spark, sf):
+    """Corpus-mixture diagnostic: the exact pairwise Jaccard matrix
+    between every source's distinct 2-shingle set (all 190 source
+    pairs, zero-overlap pairs included) — the check run before
+    assigning mixture weights so near-identical feeds are not counted
+    as independent.  Self-join keyed on the shingle (fan-out ≤
+    groups², never data-sized); jaccard is integer permille."""
+    return dedup.source_overlap_matrix(
+        _t(spark, sf, "documents"), group_col="source", k=2
+    )
+
+
+def _q88_event_funnel(spark, sf):
+    """Ordered conversion funnel view → click → purchase: per stage,
+    users whose stage-k event falls strictly after their earliest
+    qualifying stage-(k−1) event; conversion as integer permille of
+    stage-1.  One user-keyed join + min-ts aggregate per stage — no
+    windows, no per-user arrays."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        funnel_counts,
+    )
+
+    return funnel_counts(
+        _t(spark, sf, "events"), ["view", "click", "purchase"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2047,6 +2074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_skipgram_pairs": _q84_skipgram_pairs,
         "q85_zipf_fit": _q85_zipf_fit,
         "q86_quality_keepers": _q86_quality_keepers,
+        "q87_source_overlap": _q87_source_overlap,
+        "q88_event_funnel": _q88_event_funnel,
     }
 
 
@@ -4647,5 +4676,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CASE WHEN rk = 1 THEN n_tokens END)
                        AS BIGINT) AS keeper_tokens
             FROM mem GROUP BY 1
+        """,
+        # q87: identical distinct (source, 2-shingle) sets, identical
+        # integer permille — full matrix incl. zero-overlap pairs
+        "q87_source_overlap": f"""
+            WITH sh AS (
+                SELECT DISTINCT source AS grp,
+                       concat_ws(' ', t[i], t[i + 1]) AS shingle
+                FROM (SELECT source, {_TOK} AS t FROM documents),
+                     LATERAL (SELECT unnest(generate_series(1,
+                         greatest(len(t) - 1, 1))) AS i) g
+                WHERE len(t) > 0
+            ), sz AS (
+                SELECT grp, CAST(count(*) AS BIGINT) AS n
+                FROM sh GROUP BY 1
+            ), cm AS (
+                SELECT a.grp AS group_a, b.grp AS group_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.grp < b.grp
+                GROUP BY 1, 2
+            )
+            SELECT x.grp AS group_a, y.grp AS group_b,
+                   x.n AS n_a, y.n AS n_b,
+                   CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
+                   CAST((1000 * coalesce(cm.n_common, 0))
+                        // (x.n + y.n - coalesce(cm.n_common, 0))
+                       AS BIGINT) AS jaccard_milli
+            FROM sz x JOIN sz y ON x.grp < y.grp
+            LEFT JOIN cm ON cm.group_a = x.grp AND cm.group_b = y.grp
+        """,
+        # q88: the funnel recurrence replayed — earliest qualifying
+        # timestamp per stage, strict ordering, integer permille
+        "q88_event_funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t
+                GROUP BY 1
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t
+                GROUP BY 1
+            ), n AS (
+                SELECT CAST(count(*) AS BIGINT) AS n1 FROM v
+            ), u AS (
+                SELECT 1 AS stage, 'view' AS name,
+                       CAST(count(*) AS BIGINT) AS n_users FROM v
+                UNION ALL
+                SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+                UNION ALL
+                SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p
+            )
+            SELECT CAST(stage AS BIGINT) AS stage, name, n_users,
+                   CAST((1000 * n_users) // nullif(n1, 0)
+                       AS BIGINT) AS conv_milli
+            FROM u CROSS JOIN n
         """,
     }

@@ -179,3 +179,65 @@ def cumulative_by_year(
     /root/reference/plot_publication_geography_figures.py:243)."""
     w = Window.orderBy(year_col).rowsBetween(Window.unboundedPreceding, 0)
     return counts.withColumn("cumulative", F.sum(value_col).over(w))
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel → one row per stage: (stage, name,
+    n_users, conv_milli).  A user reaches stage k when an event of
+    stage k's type occurs STRICTLY AFTER their earliest qualifying
+    event of stage k−1 (the classic funnel recurrence: each stage
+    keeps the earliest qualifying timestamp, so the count is the
+    maximal set of users with an ordered chain).  ``conv_milli`` is
+    the integer permille of stage-1 reachers.
+
+    Plan shape: per stage one equi-join on the user key + one min-ts
+    aggregate — k−1 joins total, all keyed on ``user_col`` (AQE can
+    co-locate them), no windows, no per-user event arrays; stage
+    frames shrink monotonically so later joins are cheaper.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    cur = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    frames = [cur]
+    for s in stages[1:]:
+        cur = (
+            events.filter(F.col(type_col) == s)
+            .join(cur.select(user_col, F.col("_t").alias("_prev")), user_col)
+            .filter(F.col(ts_col) > F.col("_prev"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        frames.append(cur)
+    base = frames[0].agg(F.count("*").cast("long").alias("_n1"))
+    out = None
+    for i, (name, fr) in enumerate(zip(stages, frames), start=1):
+        row = (
+            fr.agg(F.count("*").cast("long").alias("n_users"))
+            .select(
+                F.lit(i).cast("long").alias("stage"),
+                F.lit(name).alias("name"),
+                "n_users",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return (
+        out.crossJoin(F.broadcast(base))
+        .select(
+            "stage",
+            "name",
+            "n_users",
+            F.expr("(1000 * n_users) div nullif(_n1, 0)")
+            .cast("long")
+            .alias("conv_milli"),
+        )
+    )

@@ -1311,3 +1311,62 @@ def quality_keeper_clusters(
             (-F.col("_k._nq")).cast("long").alias("keeper_tokens"),
         )
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 2,
+) -> DataFrame:
+    """Pairwise corpus-overlap matrix → (group_a, group_b, n_a, n_b,
+    n_common, jaccard_milli): the exact Jaccard similarity between the
+    distinct k-shingle SETS of every pair of sources — the standard
+    mixture diagnostic before weighting corpus sources (two feeds that
+    are 40% the same crawl must not be weighted as independent), and
+    the corpus-level sibling of per-document dedup.
+
+    Plan shape: one shingle scan → distinct (group, shingle) — the
+    frame is bounded by |vocab|·|groups|, not corpus size — → self
+    equi-join keyed on the SHINGLE (per-shingle fan-out is ≤ groups²,
+    never data-sized) → one count per pair; the full matrix (including
+    zero-overlap pairs) comes from the groups×groups frame, which is
+    tiny by construction.  ``jaccard_milli`` is the integer permille
+    ``1000·|∩| DIV |∪|`` — no FP anywhere.
+    """
+    sh = (
+        shingles(docs, group_col, text_col, k)
+        .withColumnRenamed("doc_id", "grp")
+        .distinct()
+    )
+    sizes = sh.groupBy("grp").agg(F.count("*").cast("long").alias("n"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.grp") < F.col("b.grp"))
+        .groupBy(
+            F.col("a.grp").alias("group_a"), F.col("b.grp").alias("group_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        sizes.select(F.col("grp").alias("group_a"), F.col("n").alias("n_a"))
+        .join(
+            sizes.select(
+                F.col("grp").alias("group_b"), F.col("n").alias("n_b")
+            ),
+            F.col("group_a") < F.col("group_b"),
+        )
+        .join(common, ["group_a", "group_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)).cast("long"))
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr("(1000 * n_common) div (n_a + n_b - n_common)")
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+    )

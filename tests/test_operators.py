@@ -2141,3 +2141,58 @@ def test_quality_keeper_clusters_picks_longest(spark):
     }
     # component id = min member id; keeper = longest, ties -> min id
     assert got == {1: (3, 2, 6), 10: (2, 10, 7)}
+
+
+def test_source_overlap_matrix_exact(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    docs = [
+        (1, "s1", "alpha beta gamma"),      # s1: {ab, bg}
+        (2, "s1", "alpha beta"),            # dup shingle, set unchanged
+        (3, "s2", "alpha beta delta"),      # s2: {ab, bd}
+        (4, "s3", "zeta eta"),              # s3: {ze} — disjoint
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    got = {
+        (r.group_a, r.group_b): (r.n_a, r.n_b, r.n_common, r.jaccard_milli)
+        for r in source_overlap_matrix(df, k=2).collect()
+    }
+    assert got == {
+        ("s1", "s2"): (2, 2, 1, 333),   # {ab} / {ab, bg, bd}
+        ("s1", "s3"): (2, 1, 0, 0),     # zero-overlap pair still emitted
+        ("s2", "s3"): (2, 1, 0, 0),
+    }
+
+
+def test_funnel_counts_strict_ordering(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        funnel_counts,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    s = dt.timedelta(seconds=1)
+    ev = [
+        # user 1: full ordered chain
+        (1, t0, "view"), (1, t0 + s, "click"), (1, t0 + 2 * s, "purchase"),
+        # user 2: purchase BEFORE click -> stops at click
+        (2, t0, "view"), (2, t0 + 2 * s, "click"), (2, t0 + s, "purchase"),
+        # user 3: click before any view -> stops at view
+        (3, t0 + s, "view"), (3, t0, "click"),
+        # user 4: never viewed -> not in funnel at all
+        (4, t0, "click"), (4, t0 + s, "purchase"),
+        # user 5: click at SAME ts as view -> strict ordering drops it
+        (5, t0, "view"), (5, t0, "click"),
+    ]
+    df = spark.createDataFrame(ev, ["user_id", "ts", "event_type"])
+    got = {
+        r.stage: (r.name, r.n_users, r.conv_milli)
+        for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {
+        1: ("view", 4, 1000),
+        2: ("click", 2, 500),
+        3: ("purchase", 1, 250),
+    }
