@@ -1984,6 +1984,51 @@ def _q88_event_funnel(spark, sf):
     )
 
 
+def _q89_rrf_fusion(spark, sf):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack SIGIR'09) of a
+    lexical BM25 top-100 over documents and a semantic cosine top-100
+    over embeddings (vec_id ≡ doc_id), each ranked by its own
+    deterministic (score DESC, id) row_number; fusion is exact integer
+    MICRO units 1000000 div (60 + rank) so the combined score has no
+    float-sum sensitivity.  Output = fused top-20 with both source
+    ranks (NULL where a list missed the doc)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.ranking import (
+        bm25_top_k,
+        rrf_fuse,
+    )
+
+    d = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    lex = bm25_top_k(
+        d, ["join", "merge", "stream", "window"], k=100
+    ).select("doc_id", "rank")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    sem = (
+        similarity.brute_force_top_k(emb, q, k=100)
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    fused = rrf_fuse([lex, sem], top_k=20)
+    return (
+        fused.join(
+            lex.select(
+                "doc_id", F.col("rank").cast("long").alias("lex_rank")
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            sem.select(
+                "doc_id", F.col("rank").cast("long").alias("sem_rank")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", "lex_rank", "sem_rank", "rrf_micro", "n_lists")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2076,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_quality_keepers": _q86_quality_keepers,
         "q87_source_overlap": _q87_source_overlap,
         "q88_event_funnel": _q88_event_funnel,
+        "q89_rrf_fusion": _q89_rrf_fusion,
     }
 
 
@@ -4736,5 +4782,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000 * n_users) // nullif(n1, 0)
                        AS BIGINT) AS conv_milli
             FROM u CROSS JOIN n
+        """,
+        # q89: both rankings replayed exactly (q41's BM25 with the same
+        # 6-dp rounding before ranking; q22's list_cosine_similarity
+        # rank), then the integer-micro RRF sum — 1000000 // (60+rank)
+        # — and the (rrf DESC, doc_id) top-20 cut.
+        "q89_rrf_fusion": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOK}) AS token FROM documents
+            ), dl AS (
+                SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+            ), stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM toks
+                WHERE token IN ('join', 'merge', 'stream', 'window')
+                GROUP BY 1, 2
+            ), df AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY 1
+            ), scored AS (
+                SELECT tf.doc_id,
+                       round(sum(
+                           ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                           * tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       ), 6) AS score
+                FROM tf JOIN df USING (token) JOIN dl USING (doc_id),
+                     stats
+                GROUP BY 1
+            ), lex AS (
+                SELECT doc_id, lex_rank FROM (
+                    SELECT doc_id,
+                           CAST(row_number() OVER (
+                               ORDER BY score DESC, doc_id
+                           ) AS BIGINT) AS lex_rank
+                    FROM scored
+                ) WHERE lex_rank <= 100
+            ), sem AS (
+                SELECT doc_id, sem_rank FROM (
+                    SELECT e.vec_id AS doc_id,
+                           CAST(row_number() OVER (
+                               ORDER BY list_cosine_similarity(
+                                   e.embedding, q.embedding
+                               ) DESC, e.vec_id
+                           ) AS BIGINT) AS sem_rank
+                    FROM embeddings e,
+                         (SELECT embedding FROM embeddings
+                          WHERE vec_id = 0) q
+                ) WHERE sem_rank <= 100
+            ), fused AS (
+                SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                       l.lex_rank, s.sem_rank,
+                       CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+                            + COALESCE(1000000 // (60 + s.sem_rank), 0)
+                           AS BIGINT) AS rrf_micro,
+                       CAST((l.doc_id IS NOT NULL)::INT
+                            + (s.doc_id IS NOT NULL)::INT
+                           AS BIGINT) AS n_lists
+                FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+            )
+            SELECT doc_id, lex_rank, sem_rank, rrf_micro, n_lists
+            FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20
         """,
     }

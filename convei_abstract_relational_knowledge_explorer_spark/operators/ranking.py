@@ -107,3 +107,59 @@ def bm25_top_k(docs: DataFrame, terms: list[str], k: int = 20,
         .withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "score")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    top_k: int | None = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings (Cormack, Clarke
+    & Büttcher, SIGIR'09) → (id, rrf_micro, n_lists): the standard way
+    a hybrid retriever combines a lexical (BM25) and a semantic
+    (embedding-cosine) ranking without score calibration — each list
+    contributes 1/(k0 + rank), summed per document.
+
+    Contributions are held in integer MICRO units
+    (``1_000_000 div (k0 + rank)``) so the fused score is exact BIGINT
+    arithmetic — deterministic cross-engine, no float-sum ordering
+    sensitivity — and the ranks themselves come from the caller's
+    already-deterministic (score DESC, id) row_numbers.
+
+    Plan shape: one unionByName of the (id, rank) lists (each already
+    top-k sized, so the union is k·N rows regardless of corpus size) →
+    one groupBy(id) sum → TakeOrderedAndProject for the final cut.
+    Nothing here ever touches the corpus again; at 100 TB the cost
+    lives entirely in the input rankings.
+
+    The reference ranks explorer hits with a single SQLite FTS score
+    (explorer HTML); fusion of independent rankers is the
+    training-data-pipeline extension (hybrid retrieval for hard-negative
+    mining and eval-set construction).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    tagged = None
+    for part in rankings:
+        sel = part.select(
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias("_rank"),
+        )
+        tagged = sel if tagged is None else tagged.unionByName(sel)
+    fused = (
+        tagged.withColumn(
+            "_contrib", F.expr(f"1000000 div ({int(k0)} + _rank)")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_contrib").cast("long").alias("rrf_micro"),
+            F.count("*").cast("long").alias("n_lists"),
+        )
+    )
+    if top_k is None:
+        return fused
+    return fused.orderBy(F.desc("rrf_micro"), F.asc(id_col)).limit(
+        int(top_k)
+    )

@@ -465,6 +465,38 @@ def test_bm25_scores_and_top_k(spark):
     assert [(r["rank"], r["doc_id"]) for r in top] == [(1, 1)]
 
 
+def test_rrf_fuse_hand_check(spark):
+    """RRF hand-check: integer-micro contributions sum exactly; a doc
+    in both lists beats a higher single-list rank; n_lists counts the
+    contributing rankers; top_k cut is (score DESC, id) deterministic."""
+    import pytest as _pytest
+
+    from convei_abstract_relational_knowledge_explorer_spark.operators.ranking import (
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(12, 1), (13, 2)], "doc_id long, rank long"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_micro"], r["n_lists"])
+        for r in rrf_fuse([lex, sem], top_k=None).collect()
+    }
+    # doc 12: 1000000//63 + 1000000//61 = 15873 + 16393
+    assert got[12] == (15873 + 16393, 2)
+    assert got[10] == (1000000 // 61, 1)
+    assert got[13] == (1000000 // 62, 1)
+    # both-list doc 12 outranks the rank-1 single-list doc 10
+    assert got[12][0] > got[10][0]
+    top = rrf_fuse([lex, sem], top_k=2).collect()
+    assert [r["doc_id"] for r in top] == [12, 10]
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+
+
 def test_dedup_topics_within_doc(spark):
     from convei_abstract_relational_knowledge_explorer_spark.operators.topics import (
         dedup_topics_within_doc,
