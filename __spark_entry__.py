@@ -2029,6 +2029,43 @@ def _q89_rrf_fusion(spark, sf):
     )
 
 
+def _q90_bpe_encoding(spark, sf):
+    """Distributed BPE ENCODING — the production half of the tokenizer
+    path (q73 learns the merge table; this query applies it to every
+    document).  Learns 12 merges with operators/tokenizer.learn_bpe,
+    then encodes the corpus per document with apply_bpe — a posexplode
+    into (doc_id, word) rows followed by 12 narrow greedy-replace
+    projections over the double-space symbol encoding, all JVM
+    whole-stage codegen, no shuffle until the final per-doc aggregate.
+    Output = the 20 documents with the largest subword-token budgets
+    (n_subwords counts the </w> terminal like the segmentation itself).
+    The oracle replays learning (q73's unrolled b1..b12 argmax CTEs)
+    AND per-document encoding (d1..d12 replace rounds) verbatim; a
+    hash match certifies the train-time/encode-time segmentation
+    identity the module docstring promises (tokenizer.py: round r of
+    learning IS a greedy application of merge r)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.tokenizer import (
+        apply_bpe,
+        learn_bpe,
+    )
+
+    d = _t(spark, sf, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in learn_bpe(d, n_merges=12).orderBy("merge_rank").collect()
+    ]
+    enc = apply_bpe(d, merges)
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.size("subwords")).cast("long").alias("n_subwords"),
+        )
+        .orderBy(F.desc("n_subwords"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2122,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_source_overlap": _q87_source_overlap,
         "q88_event_funnel": _q88_event_funnel,
         "q89_rrf_fusion": _q89_rrf_fusion,
+        "q90_bpe_encoding": _q90_bpe_encoding,
     }
 
 
@@ -2144,12 +2182,12 @@ def _ml2(x: str) -> str:
     )
 
 
-def _bpe_oracle(n_rounds: int) -> str:
-    """Unrolled BPE merge rounds (the q70 chained-MATERIALIZED-CTE
-    idiom): round r aggregates adjacent-pair counts from w{r-1}, takes
-    the (cnt DESC, a, b) argmax, and greedily replaces ' a  b ' with
-    ' ab ' — the identical double-space encoding and integer arithmetic
-    as operators/tokenizer.learn_bpe."""
+def _bpe_rounds_cte(n_rounds: int) -> str:
+    """The shared learning-round CTE chain for the BPE oracles: round r
+    aggregates adjacent-pair counts from w{r-1}, takes the (cnt DESC, a,
+    b) argmax b{r}, and greedily replaces ' a  b ' with ' ab ' — the
+    identical double-space encoding and integer arithmetic as
+    operators/tokenizer.learn_bpe."""
     parts = [
         f"""
             WITH w0 AS MATERIALIZED (
@@ -2180,12 +2218,62 @@ def _bpe_oracle(n_rounds: int) -> str:
                 FROM w{r - 1} w, b{r} b
             )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(n_rounds: int) -> str:
+    """Unrolled BPE merge LEARNING (q73, the q70 chained-MATERIALIZED-CTE
+    idiom): emit the per-round argmax rows."""
     union = "\n                UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS merge_rank, a AS lhs, b AS rhs,"
         f" m AS merged, cnt AS pair_count FROM b{r}"
         for r in range(1, n_rounds + 1)
     )
-    parts.append(f"\n            {union}")
+    return _bpe_rounds_cte(n_rounds) + f"\n            {union}"
+
+
+def _bpe_encode_oracle(n_rounds: int) -> str:
+    """Unrolled BPE ENCODING (q90): the same learned b1..b{n} argmaxes,
+    then per-DOCUMENT replace rounds d1..d{n} over (doc_id, word)
+    symbol strings — replaying apply_bpe's sequential-rank convention
+    exactly.  LEFT JOIN ON TRUE guards early-stopped rounds (an empty
+    b{r} leaves the segmentation unchanged, matching learn_bpe's early
+    stop).  Output: top-20 docs by subword-token count (ties by
+    doc_id), n_subwords counting the </w> terminal symbol exactly as
+    the Spark side's size(subwords)."""
+    parts = [_bpe_rounds_cte(n_rounds)]
+    parts.append(
+        f""", d0 AS (
+                SELECT doc_id,
+                       ' ' || regexp_replace(word, '(.)', '\\1  ', 'g')
+                           || '</w> ' AS s
+                FROM (SELECT doc_id, unnest({_TOK}) AS word
+                      FROM documents)
+            )"""
+    )
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""", d{r} AS (
+                SELECT d.doc_id,
+                       CASE WHEN b.a IS NULL THEN d.s
+                            ELSE replace(d.s,
+                                         ' ' || b.a || '  ' || b.b || ' ',
+                                         ' ' || b.m || ' ')
+                       END AS s
+                FROM d{r - 1} d LEFT JOIN b{r} b ON TRUE
+            )"""
+        )
+    parts.append(
+        f"""
+            SELECT doc_id, n_words, n_subwords FROM (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(len(string_split(trim(s), '  ')))
+                            AS BIGINT) AS n_subwords
+                FROM d{n_rounds} GROUP BY 1
+            )
+            ORDER BY n_subwords DESC, doc_id ASC LIMIT 20"""
+    )
     return "".join(parts)
 
 
@@ -4843,4 +4931,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lex_rank, sem_rank, rrf_micro, n_lists
             FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20
         """,
+        # q90: learning rounds b1..b12 (q73's CTEs) + per-document
+        # encode rounds d1..d12 — the train/encode segmentation
+        # identity checked end-to-end.
+        "q90_bpe_encoding": _bpe_encode_oracle(12),
     }
