@@ -2066,6 +2066,36 @@ def _q90_bpe_encoding(spark, sf):
     )
 
 
+def _q91_zorder_skipping(spark, sf):
+    """Data-layout economics, measured not argued: Z-order (Morton)
+    clustering vs linear sort, scored by the min/max FILE-SKIPPING both
+    layouts would get from parquet footers / Iceberg manifests on the
+    conjunctive box predicate l_partkey ∈ [400,599] ∧ l_suppkey ∈
+    [20,39].  operators/layout.py quantizes each dimension to 8 exact
+    integer bits ((v-min)*256 DIV span), interleaves (zorder) or
+    concatenates (linear) the bits, value-buckets rows into 64 file
+    groups (zkey*64 DIV 2^16 — no global sort, the q37 lesson), and
+    intersects each group's per-column [min,max] box with the
+    predicate.  Output: one row per layout with
+    (n_files_nonempty, files_scanned, rows_scanned, rows_matching) —
+    all exact BIGINTs, the oracle replays the identical shift/DIV
+    arithmetic.  rows_matching is layout-invariant by construction
+    (a built-in consistency check); rows_scanned is the number a
+    100 TB scan would actually read."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.layout import (
+        file_skipping_stats,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    cols = ["l_partkey", "l_suppkey"]
+    pred = {"l_partkey": (400, 599), "l_suppkey": (20, 39)}
+    z = file_skipping_stats(li, cols, pred, bits=8, n_files=64,
+                            layout="zorder")
+    lin = file_skipping_stats(li, cols, pred, bits=8, n_files=64,
+                              layout="linear")
+    return z.unionByName(lin).orderBy("layout")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2160,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_event_funnel": _q88_event_funnel,
         "q89_rrf_fusion": _q89_rrf_fusion,
         "q90_bpe_encoding": _q90_bpe_encoding,
+        "q91_zorder_skipping": _q91_zorder_skipping,
     }
 
 
@@ -2180,6 +2211,62 @@ def _ml2(x: str) -> str:
         f" + ((({x} * 1024) // (1::BIGINT << (length(bin({x})) - 1)))"
         f" - 1024) * 1000 // 1024)"
     )
+
+
+def _zorder_oracle(bits: int = 8, n_files: int = 64) -> str:
+    """q91 replay: exact integer quantization ((v-min)*2^bits DIV span),
+    Morton interleave (partkey on even bits, suppkey on odd — the
+    operators/layout.morton_key bit placement), linear concatenation
+    (partkey in the high bits), value-bucketed file ids (key*n_files
+    DIV keyspace), per-file min/max boxes, and the predicate-box
+    intersection — all in //-division BIGINT arithmetic."""
+    morton = " + ".join(
+        f"((qp // {1 << j}) % 2) * {1 << (2 * j)}"
+        f" + ((qs // {1 << j}) % 2) * {1 << (2 * j + 1)}"
+        for j in range(bits)
+    )
+    keyspace = 1 << (2 * bits)
+    legs = []
+    for layout, key in (("zorder", morton), ("linear", f"qp * {1 << bits} + qs")):
+        legs.append(
+            f"""SELECT '{layout}' AS layout,
+                   CAST(count(*) AS BIGINT) AS n_files_nonempty,
+                   CAST(sum(CASE WHEN hi_p >= 400 AND lo_p <= 599
+                                  AND hi_s >= 20 AND lo_s <= 39
+                            THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+                   CAST(sum(CASE WHEN hi_p >= 400 AND lo_p <= 599
+                                  AND hi_s >= 20 AND lo_s <= 39
+                            THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+                   CAST(sum(n_match) AS BIGINT) AS rows_matching
+            FROM (
+                SELECT (({key}) * {n_files}) // {keyspace} AS file_id,
+                       count(*) AS n_rows,
+                       sum(CASE WHEN l_partkey BETWEEN 400 AND 599
+                                 AND l_suppkey BETWEEN 20 AND 39
+                           THEN 1 ELSE 0 END) AS n_match,
+                       min(l_partkey) AS lo_p, max(l_partkey) AS hi_p,
+                       min(l_suppkey) AS lo_s, max(l_suppkey) AS hi_s
+                FROM q GROUP BY 1
+            )"""
+        )
+    union = "\n            UNION ALL ".join(legs)
+    return f"""
+            WITH bnd AS MATERIALIZED (
+                SELECT CAST(min(l_partkey) AS BIGINT) AS lop,
+                       CAST(max(l_partkey) AS BIGINT) AS hip,
+                       CAST(min(l_suppkey) AS BIGINT) AS los,
+                       CAST(max(l_suppkey) AS BIGINT) AS his
+                FROM lineitem
+            ), q AS MATERIALIZED (
+                SELECT l_partkey, l_suppkey,
+                       ((CAST(l_partkey AS BIGINT) - bnd.lop)
+                        * {1 << bits}) // (bnd.hip - bnd.lop + 1) AS qp,
+                       ((CAST(l_suppkey AS BIGINT) - bnd.los)
+                        * {1 << bits}) // (bnd.his - bnd.los + 1) AS qs
+                FROM lineitem, bnd
+            )
+            {union}
+            ORDER BY layout"""
 
 
 def _bpe_rounds_cte(n_rounds: int) -> str:
@@ -4935,4 +5022,8 @@ def oracle_sql() -> dict[str, str]:
         # encode rounds d1..d12 — the train/encode segmentation
         # identity checked end-to-end.
         "q90_bpe_encoding": _bpe_encode_oracle(12),
+        # q91: the Morton interleave, value-bucketed file groups, and
+        # min/max intersection replayed with the identical integer
+        # shift/DIV arithmetic for both layouts.
+        "q91_zorder_skipping": _zorder_oracle(),
     }
