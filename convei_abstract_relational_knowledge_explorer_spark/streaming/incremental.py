@@ -209,6 +209,106 @@ def stateful_sessionize(
     )
 
 
+def stateful_dedup_stream(
+    docs_stream: DataFrame,
+    key_col: str = "fingerprint",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    ttl_minutes: int | None = None,
+    watermark: str | None = "auto",
+) -> DataFrame:
+    """Streaming exact dedup across micro-batches — the ingest-path twin
+    of ``operators/dedup.exact_duplicates``: the FIRST document per key
+    is emitted exactly once (within a micro-batch, ties resolve to the
+    min ``(ts, id)`` — deterministic under any partitioning); every
+    later arrival of the key is dropped.  State per key = two epoch-
+    micros longs, nothing data-sized.
+
+    ``ttl_minutes=None`` (default): keys are remembered forever — exact
+    global first-arrival dedup, state growing with the DISTINCT key
+    count (the regime where you run the batch dedup as periodic
+    backfill instead).
+
+    ``ttl_minutes=k``: each key's state carries an ``EventTimeTimeout``
+    at ``last_seen + ttl``; once the event-time watermark passes it the
+    key is forgotten, so state is bounded by the keys ACTIVE within one
+    ttl window — the 10^12-doc crawl shape, where near-in-time
+    duplicates (re-crawls, mirror bursts) dominate.  A duplicate
+    arriving after its key expired re-emits: the documented recall
+    bound of bounded state, exactly the trade
+    ``stateful_sessionize`` documents for late events.
+
+    ``watermark="auto"`` sets the lateness delay to the ttl itself
+    (no-op when ``ttl_minutes=None``); pass an explicit duration to
+    decouple lateness tolerance from state lifetime.
+    Returns an append-mode stream of (key_col, id_col, first_ts).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    use_ttl = ttl_minutes is not None
+    if watermark == "auto":
+        watermark = f"{ttl_minutes} minutes" if use_ttl else None
+    if watermark is not None:
+        docs_stream = docs_stream.withWatermark(ts_col, watermark)
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed last_seen + ttl: forget the key
+            state.remove()
+            return
+        # a key with BOTH an expired timer and new data in the same
+        # micro-batch gets the data callback, not the timeout — detect
+        # logical expiry inline or the re-emission is silently deduped
+        expired = (
+            use_ttl
+            and state.exists
+            and state.getCurrentWatermarkMs()
+            > state.get[1] // 1000 + ttl_minutes * 60 * 1000
+        )
+        best: tuple | None = None
+        last_seen = state.get[1] if state.exists and not expired else 0
+        for pdf in pdf_iter:
+            for ts, i in zip(
+                pd.to_datetime(pdf[ts_col]), pdf[id_col]
+            ):
+                t_us = int(ts.value) // 1000
+                last_seen = max(last_seen, t_us)
+                cand = (t_us, int(i))
+                if best is None or cand < best:
+                    best = cand
+        fresh = expired or not state.exists
+        state.update((best[0] if fresh else state.get[0], last_seen))
+        if use_ttl:
+            state.setTimeoutTimestamp(
+                max(
+                    last_seen // 1000 + ttl_minutes * 60 * 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        if fresh:
+            out = pd.DataFrame(
+                [(key[0], best[1], best[0])],
+                columns=[key_col, id_col, "first_ts"],
+            )
+            out["first_ts"] = pd.to_datetime(out["first_ts"], unit="us")
+            yield out
+
+    return docs_stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{key_col} string, {id_col} long, first_ts timestamp"
+        ),
+        stateStructType="first_ts long, last_seen long",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def stream_graph_updates(
     spark: SparkSession,
     source_dir: str,

@@ -229,3 +229,119 @@ def test_stateful_sessionize_batch_parity(spark, tmp_path):
         if r["user_id"] != 999
     }
     assert got == expected
+
+
+def test_stateful_dedup_stream_first_arrival(spark, tmp_path):
+    """Exact streaming dedup (ttl=None): one emission per distinct key,
+    carrying the min (ts, id) of the FIRST micro-batch that contained
+    the key — later batches' duplicates (even with smaller ids) drop."""
+    import datetime as dt
+
+    from convei_abstract_relational_knowledge_explorer_spark.streaming.incremental import (
+        stateful_dedup_stream,
+    )
+
+    t0 = dt.datetime(2026, 2, 1, 0, 0, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    batch1 = [
+        ("fp_a", 10, m(5)),
+        ("fp_a", 3, m(5)),   # same ts: min id wins within the batch
+        ("fp_b", 20, m(1)),
+        ("fp_a", 7, m(2)),   # earlier ts: wins fp_a despite larger id
+    ]
+    batch2 = [
+        ("fp_a", 1, m(0)),   # earlier than everything — too late: dup
+        ("fp_c", 30, m(9)),
+        ("fp_b", 21, m(8)),
+    ]
+    feed = tmp_path / "dedup_feed"
+    feed.mkdir()
+    schema = "fingerprint string, doc_id long, ts timestamp"
+    for name, rows in (("f1", batch1), ("f2", batch2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(feed / name)
+        )
+        for p in (feed / name).glob("*.parquet"):
+            p.rename(feed / f"{name}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = (
+        stateful_dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["fingerprint"], r["doc_id"], r["first_ts"])
+        for r in spark.table("t_dedup_stream").collect()
+    }
+    assert got == {
+        ("fp_a", 7, m(2)),
+        ("fp_b", 20, m(1)),
+        ("fp_c", 30, m(9)),
+    }
+
+
+def test_stateful_dedup_stream_ttl_expiry(spark, tmp_path):
+    """With ttl, a key recurring AFTER the watermark passes
+    last_seen + ttl re-emits (state was dropped); a key recurring
+    within the ttl stays deduped."""
+    import datetime as dt
+
+    from convei_abstract_relational_knowledge_explorer_spark.streaming.incremental import (
+        stateful_dedup_stream,
+    )
+
+    t0 = dt.datetime(2026, 2, 1, 0, 0, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    feed = tmp_path / "dedup_ttl_feed"
+    feed.mkdir()
+    schema = "fingerprint string, doc_id long, ts timestamp"
+    batches = [
+        ("f1", [("fp_x", 1, m(0)), ("fp_y", 2, m(0))]),
+        # fp_y recurs within ttl (30m): deduped; watermark advances
+        ("f2", [("fp_y", 3, m(20)), ("fp_z", 4, m(20))]),
+        # far-future row pushes the watermark past every ttl
+        ("f3", [("fp_w", 5, m(10_000))]),
+        # fp_x expired: re-emits
+        ("f4", [("fp_x", 6, m(10_001))]),
+    ]
+    for name, rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(feed / name)
+        )
+        for p in (feed / name).glob("*.parquet"):
+            p.rename(feed / f"{name}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = (
+        stateful_dedup_stream(stream, ttl_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup_ttl")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["fingerprint"], r["doc_id"])
+        for r in spark.table("t_dedup_ttl").collect()
+    )
+    assert got == [
+        ("fp_w", 5),
+        ("fp_x", 1),
+        ("fp_x", 6),  # re-emitted after expiry
+        ("fp_y", 2),  # within-ttl recurrence stayed deduped
+        ("fp_z", 4),
+    ]
