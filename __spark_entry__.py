@@ -2096,6 +2096,24 @@ def _q91_zorder_skipping(spark, sf):
     return z.unionByName(lin).orderBy("layout")
 
 
+def _q92_ohlc_gapfill(spark, sf):
+    """Time-series resample: hourly OHLC bars per event_type over a
+    gap-filled spine with last-observation-carried-forward close
+    (operators/temporal.ohlc_downsample).  open/close select by
+    row_number under the TOTAL order (ts, event_id) — never float
+    argmin, so ties are deterministic cross-engine; high/low are pure
+    max/min selection (no float arithmetic); the spine is
+    |types|×|hours| metadata broadcast; LOCF is one per-group window
+    bounded by the spine length, not the data.  ~3.6k rows at sf0.01:
+    every empty hour appears with n_events=0 and the carried close."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        ohlc_downsample,
+    )
+
+    ev = _t(spark, sf, "events")
+    return ohlc_downsample(ev).orderBy("event_type", "bucket_ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2191,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_rrf_fusion": _q89_rrf_fusion,
         "q90_bpe_encoding": _q90_bpe_encoding,
         "q91_zorder_skipping": _q91_zorder_skipping,
+        "q92_ohlc_gapfill": _q92_ohlc_gapfill,
     }
 
 
@@ -5026,4 +5045,49 @@ def oracle_sql() -> dict[str, str]:
         # min/max intersection replayed with the identical integer
         # shift/DIV arithmetic for both layouts.
         "q91_zorder_skipping": _zorder_oracle(),
+        # q92: bars, spine, and LOCF replayed with the identical
+        # (ts, event_id) total order and generate_series spine.
+        "q92_ohlc_gapfill": """
+            WITH ranked AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                       value,
+                       row_number() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts ASC, event_id ASC) AS rn_f,
+                       row_number() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn_r
+                FROM events
+            ), bars AS MATERIALIZED (
+                SELECT event_type, bucket_ts,
+                       max(CASE WHEN rn_f = 1 THEN value END) AS open,
+                       max(value) AS high,
+                       min(value) AS low,
+                       max(CASE WHEN rn_r = 1 THEN value END) AS close,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM ranked GROUP BY 1, 2
+            ), bounds AS (
+                SELECT min(date_trunc('hour', ts)) AS lo,
+                       max(date_trunc('hour', ts)) AS hi
+                FROM events
+            ), spine AS (
+                SELECT g.event_type, t.bucket_ts
+                FROM (SELECT DISTINCT event_type FROM events) g,
+                     (SELECT unnest(generate_series(lo, hi,
+                                    INTERVAL 1 HOUR)) AS bucket_ts
+                      FROM bounds) t
+            )
+            SELECT s.event_type, s.bucket_ts,
+                   b.open, b.high, b.low, b.close,
+                   CAST(coalesce(b.n_events, 0) AS BIGINT) AS n_events,
+                   last_value(b.close IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.bucket_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS filled_close
+            FROM spine s
+            LEFT JOIN bars b
+              ON b.event_type = s.event_type
+             AND b.bucket_ts = s.bucket_ts
+            ORDER BY s.event_type, s.bucket_ts
+        """,
     }

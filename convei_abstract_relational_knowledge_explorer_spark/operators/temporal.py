@@ -128,3 +128,93 @@ def edge_intervals(
         "n_obs",
         F.row_number().over(w_rev).alias("revision"),
     )
+
+
+def ohlc_downsample(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Time-series downsampling to OHLC bars with a gap-filled spine —
+    the resample/last-observation-carried-forward pair every metrics
+    store needs and Spark has no primitive for.
+
+    Per (group, time-bucket): ``open``/``close`` are the values of the
+    bucket's first/last event under the TOTAL order (ts, id) — selected
+    by row_number, never arg-min on floats, so ts ties are
+    deterministic; ``high``/``low`` are max/min(value) (pure selection,
+    no float arithmetic — bit-identical cross-engine); ``n_events``
+    counts.  The spine is every bucket from the GLOBAL min to max
+    bucket cross-joined with the distinct groups (metadata-sized:
+    |groups| × |buckets|, broadcast side), left-joined to the bars;
+    empty buckets get n_events = 0 and ``filled_close`` carries the
+    last non-null close forward per group (window per group ordered by
+    bucket — bounded by the spine length, not the data, so the
+    partition-local sort is scale-safe).  Leading buckets before a
+    group's first event keep filled_close NULL.
+
+    Returns (group, bucket_ts, open, high, low, close, n_events,
+    filled_close).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    w_fwd = Window.partitionBy(group_col, "bucket_ts").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    w_rev = Window.partitionBy(group_col, "bucket_ts").orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    bars = (
+        events.select(
+            F.col(group_col),
+            b.alias("bucket_ts"),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(value_col).alias("__v"),
+        )
+        .withColumn("__rn_f", F.row_number().over(w_fwd))
+        .withColumn("__rn_r", F.row_number().over(w_rev))
+        .groupBy(group_col, "bucket_ts")
+        .agg(
+            F.max(F.when(F.col("__rn_f") == 1, F.col("__v"))).alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max(F.when(F.col("__rn_r") == 1, F.col("__v"))).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    lo, hi = events.agg(
+        F.min(b).alias("lo"), F.max(b).alias("hi")
+    ).collect()[0]  # two scalars — metadata
+    spark = events.sparkSession
+    spine_ts = spark.sql(
+        "SELECT explode(sequence(TIMESTAMP '{}', TIMESTAMP '{}',"
+        " INTERVAL 1 {})) AS bucket_ts".format(lo, hi, bucket)
+    )
+    spine = (
+        events.select(group_col).distinct().crossJoin(F.broadcast(spine_ts))
+    )
+    w_locf = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(bars, [group_col, "bucket_ts"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+        .withColumn(
+            "filled_close", F.last("close", ignorenulls=True).over(w_locf)
+        )
+        .select(
+            group_col,
+            "bucket_ts",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "filled_close",
+        )
+    )
