@@ -2114,6 +2114,60 @@ def _q92_ohlc_gapfill(spark, sf):
     return ohlc_downsample(ev).orderBy("event_type", "bucket_ts")
 
 
+def _q93_interval_join(spark, sf):
+    """Range (point-in-interval) join via the bucketed equi-join scheme
+    (operators/temporal.interval_join): order dates as points, a
+    deterministic lineitem slice as intervals ([l_shipdate, l_shipdate
+    + floor(l_quantity) days], one per 20th order's first line).  Spark
+    plans an equi-join on the 32-day bucket + a residual BETWEEN —
+    never BroadcastNestedLoop/cartesian; each qualifying pair meets in
+    exactly one bucket so no dedup.  The oracle is the NAIVE theta join
+    (DuckDB IEJoin) — hash equality certifies the decomposition.
+    Output: per interval, how many order dates fall inside and the
+    first/last such day; top-100 by count."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        interval_join,
+    )
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    pts = o.select(
+        F.col("o_orderkey").alias("pt_id"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("t"),
+    )
+    ivs = (
+        li.filter(
+            (F.col("l_orderkey") % 20 == 0) & (F.col("l_linenumber") == 1)
+        )
+        .select(
+            F.col("l_orderkey").alias("iv_id"),
+            F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("lo"),
+            F.col("l_quantity"),
+        )
+        .withColumn(
+            "hi",
+            F.col("lo")
+            + F.floor(F.col("l_quantity")).cast("long"),
+        )
+        .drop("l_quantity")
+    )
+    return (
+        interval_join(pts, ivs, bucket_width=32)
+        .groupBy("iv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.min("t").cast("long").alias("first_day"),
+            F.max("t").cast("long").alias("last_day"),
+        )
+        .orderBy(F.desc("n_points"), F.asc("iv_id"))
+        .limit(100)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2210,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_bpe_encoding": _q90_bpe_encoding,
         "q91_zorder_skipping": _q91_zorder_skipping,
         "q92_ohlc_gapfill": _q92_ohlc_gapfill,
+        "q93_interval_join": _q93_interval_join,
     }
 
 
@@ -5047,6 +5102,33 @@ def oracle_sql() -> dict[str, str]:
         "q91_zorder_skipping": _zorder_oracle(),
         # q92: bars, spine, and LOCF replayed with the identical
         # (ts, event_id) total order and generate_series spine.
+        # q93: the NAIVE theta join (DuckDB IEJoin) — equality with the
+        # bucketed decomposition certifies interval_join.
+        "q93_interval_join": """
+            WITH pts AS (
+                SELECT o_orderkey AS pt_id,
+                       date_diff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS t
+                FROM orders
+            ), ivs AS (
+                SELECT l_orderkey AS iv_id,
+                       date_diff('day', DATE '1970-01-01',
+                                 CAST(l_shipdate AS DATE))
+                           AS lo,
+                       date_diff('day', DATE '1970-01-01',
+                                 CAST(l_shipdate AS DATE))
+                           + CAST(floor(l_quantity) AS BIGINT) AS hi
+                FROM lineitem
+                WHERE l_orderkey % 20 = 0 AND l_linenumber = 1
+            )
+            SELECT iv_id,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(min(t) AS BIGINT) AS first_day,
+                   CAST(max(t) AS BIGINT) AS last_day
+            FROM pts JOIN ivs ON pts.t BETWEEN ivs.lo AND ivs.hi
+            GROUP BY 1
+            ORDER BY n_points DESC, iv_id ASC LIMIT 100
+        """,
         "q92_ohlc_gapfill": """
             WITH ranked AS (
                 SELECT event_type, date_trunc('hour', ts) AS bucket_ts,

@@ -218,3 +218,56 @@ def ohlc_downsample(
             "filled_close",
         )
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    t_col: str = "t",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: int = 32,
+) -> DataFrame:
+    """Point-in-interval join (``lo <= t <= hi``, closed) — the range
+    join Spark would otherwise plan as BroadcastNestedLoop or a full
+    cartesian.  Bucketed equi-join instead: every point owns exactly ONE
+    bucket (``t DIV w``), every interval explodes onto the buckets it
+    spans (fan-out = ``len DIV w + 1``, bounded by the caller choosing
+    ``bucket_width`` near the typical interval length), the join is a
+    plain shuffle-hash/sort-merge equi-join on the bucket, and the
+    residual ``BETWEEN`` filter lands pushed against the join output.
+    Each qualifying (point, interval) pair meets in exactly one bucket
+    — the point's — so there is NO post-join dedup (the usual cost of
+    chop-and-join schemes).
+
+    Coordinates must be integral (cast dates to day numbers / epochs
+    upstream).  Skew: a single interval spanning the whole domain
+    explodes onto every bucket — cap with a coarser ``bucket_width`` or
+    split the outlier tier; points never fan out at all, so point-side
+    skew needs nothing.
+
+    Returns points ⋈ intervals with all columns from both sides.
+    """
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    pts = points.withColumn(
+        "__bucket", F.expr(f"CAST({t_col} AS BIGINT) DIV {w}")
+    )
+    ivs = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.expr(
+                f"sequence(CAST({lo_col} AS BIGINT) DIV {w},"
+                f" CAST({hi_col} AS BIGINT) DIV {w})"
+            )
+        ),
+    )
+    return (
+        pts.join(ivs, "__bucket")
+        .filter(
+            (F.col(t_col) >= F.col(lo_col))
+            & (F.col(t_col) <= F.col(hi_col))
+        )
+        .drop("__bucket")
+    )

@@ -243,3 +243,19 @@ def test_cube_is_one_pass_expand(spark):
     plan = _plan(df)
     assert "Expand" in plan
     assert plan.count("Scan parquet") <= 4
+
+
+def test_interval_join_is_equi_join(spark):
+    """q93's range join must plan as an EQUI-join on the interval
+    bucket (hash/sort-merge/broadcast-hash), never the
+    BroadcastNestedLoopJoin / CartesianProduct a raw BETWEEN theta
+    join degenerates to."""
+    df = entrymod.queries()["q93_interval_join"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
