@@ -2168,6 +2168,25 @@ def _q93_interval_join(spark, sf):
     )
 
 
+def _q94_mad_anomalies(spark, sf):
+    """Robust outlier detection per event_type: exact median + MAD in
+    integer micro units, anomaly = |v - med| > 3·MAD
+    (operators/analytics.median_mad_anomalies).  Both median passes
+    run their cumulative window over DISTINCT-value counts (bounded by
+    the value domain, never a data-sized per-group sort — the scale
+    lesson from q37/q56), join back broadcast; micro units via
+    floor(v*1e6+0.5), the q36 cross-engine convention; even-n median
+    takes the documented lower middle.  One row per type."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        median_mad_anomalies,
+    )
+
+    ev = _t(spark, sf, "events")
+    return median_mad_anomalies(ev, "event_type", "value", k=3).orderBy(
+        "event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2265,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_zorder_skipping": _q91_zorder_skipping,
         "q92_ohlc_gapfill": _q92_ohlc_gapfill,
         "q93_interval_join": _q93_interval_join,
+        "q94_mad_anomalies": _q94_mad_anomalies,
     }
 
 
@@ -5102,6 +5122,54 @@ def oracle_sql() -> dict[str, str]:
         "q91_zorder_skipping": _zorder_oracle(),
         # q92: bars, spine, and LOCF replayed with the identical
         # (ts, event_id) total order and generate_series spine.
+        # q94: both median passes replayed as cumulative windows over
+        # distinct-value counts — identical lower-middle convention.
+        "q94_mad_anomalies": """
+            WITH vals AS (
+                SELECT event_type AS g,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+                FROM events
+            ), counts AS MATERIALIZED (
+                SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                FROM vals GROUP BY 1, 2
+            ), med AS MATERIALIZED (
+                SELECT g, min(v) AS med FROM (
+                    SELECT g, v,
+                           sum(c) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+                           sum(c) OVER (PARTITION BY g) AS n
+                    FROM counts
+                ) WHERE cum * 2 >= n + 1 GROUP BY 1
+            ), devs AS MATERIALIZED (
+                SELECT counts.g, abs(v - med) AS d, c
+                FROM counts JOIN med ON counts.g = med.g
+            ), dcounts AS (
+                SELECT g, d, CAST(sum(c) AS BIGINT) AS c
+                FROM devs GROUP BY 1, 2
+            ), mad AS MATERIALIZED (
+                SELECT g, min(d) AS mad FROM (
+                    SELECT g, d,
+                           sum(c) OVER (PARTITION BY g ORDER BY d
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+                           sum(c) OVER (PARTITION BY g) AS n
+                    FROM dcounts
+                ) WHERE cum * 2 >= n + 1 GROUP BY 1
+            )
+            SELECT devs.g AS event_type,
+                   CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(max(med.med) AS BIGINT) AS med_micro,
+                   CAST(max(mad.mad) AS BIGINT) AS mad_micro,
+                   CAST(sum(CASE WHEN d > 3 * mad.mad THEN c ELSE 0 END)
+                        AS BIGINT) AS n_anomalies,
+                   CAST(max(d) AS BIGINT) AS max_dev_micro
+            FROM devs
+            JOIN med ON devs.g = med.g
+            JOIN mad ON devs.g = mad.g
+            GROUP BY 1
+            ORDER BY event_type
+        """,
         # q93: the NAIVE theta join (DuckDB IEJoin) — equality with the
         # bucketed decomposition certifies interval_join.
         "q93_interval_join": """

@@ -241,3 +241,88 @@ def funnel_counts(
             .alias("conv_milli"),
         )
     )
+
+
+def _grouped_median(counts: DataFrame, value_col: str) -> DataFrame:
+    """Exact lower median per group from a (g, value, c) count table:
+    cumulative count over the DISTINCT values (vocab-sized window, never
+    a data-sized sort), median = min value whose 2*cum >= n+1."""
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("g")
+    return (
+        counts.withColumn("__cum", F.sum("c").over(w_cum))
+        .withColumn("__n", F.sum("c").over(w_all))
+        .filter(F.col("__cum") * 2 >= F.col("__n") + 1)
+        .groupBy("g")
+        .agg(F.min(value_col).alias("med"))
+    )
+
+
+def median_mad_anomalies(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 3,
+) -> DataFrame:
+    """Robust anomaly detection per group: median / MAD (median absolute
+    deviation) in exact integer MICRO units — an outlier is a value
+    with ``|v - med| > k * mad``.  Mean/stddev breaks under the very
+    outliers it hunts; median/MAD has a 50% breakdown point.
+
+    Scale shape: the input is reduced to per-(group, distinct-value)
+    COUNTS first, so both median passes run their cumulative-sum window
+    over the distinct-value table (bounded by the value domain, not the
+    row count) — no data-sized per-group sort anywhere; the two
+    medians join back broadcast (|groups| rows).  Micro conversion is
+    ``floor(v * 1e6 + 0.5)`` (the q36 convention — bit-reproducible
+    cross-engine, unlike CAST which truncates in Spark and rounds in
+    DuckDB).  Even-n median takes the LOWER middle (min value with
+    2*cum >= n+1) — a documented total-order convention, no float
+    averaging.  MAD = 0 (over half the group identical) flags every
+    other value — the textbook degeneracy, left to the caller's k.
+
+    Returns one row per group: (group, n_rows, med_micro, mad_micro,
+    n_anomalies, max_dev_micro).
+    """
+    vals = df.select(
+        F.col(group_col).alias("g"),
+        F.expr(
+            f"CAST(floor({value_col} * 1000000 + 0.5) AS BIGINT)"
+        ).alias("v"),
+    )
+    counts = vals.groupBy("g", "v").agg(F.count("*").alias("c"))
+    med = _grouped_median(counts.select("g", "v", "c"), "v")
+    devs = counts.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("d"), "c"
+    )
+    mad = _grouped_median(
+        devs.groupBy("g", "d").agg(F.sum("c").alias("c")), "d"
+    ).withColumnRenamed("med", "mad")
+    return (
+        devs.join(F.broadcast(mad), "g")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("d") > F.lit(k) * F.col("mad"), F.col("c"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+            F.max("d").cast("long").alias("max_dev_micro"),
+        )
+        .join(F.broadcast(med), "g")
+        .join(F.broadcast(mad), "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_rows",
+            F.col("med").cast("long").alias("med_micro"),
+            F.col("mad").cast("long").alias("mad_micro"),
+            "n_anomalies",
+            "max_dev_micro",
+        )
+    )
