@@ -2187,6 +2187,51 @@ def _q94_mad_anomalies(spark, sf):
     )
 
 
+def _q95_rolling_revenue(spark, sf):
+    """7-day ROLLING revenue per order priority — the value-based
+    RANGE window frame (rangeBetween(-6, 0) on the day number), which
+    unlike a ROWS frame stays correct across missing days without a
+    gap-filled spine.  Revenue is summed in integer micro units
+    (floor(p*1e6+0.5), the q36 convention) so the rolling sum is an
+    associative exact BIGINT — no float-order sensitivity.  The window
+    runs on the (priority, day) AGGREGATE table (|priorities|×|days|
+    rows, partitioned by priority), never on the order rows — the
+    scale-safe altitude for every rolling metric."""
+    o = _t(spark, sf, "orders")
+    daily = (
+        o.groupBy(
+            "o_orderpriority",
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("day_micro"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.withColumn(
+            "rolling7_micro", F.sum("day_micro").over(w).cast("long")
+        )
+        .withColumn(
+            "rolling7_orders", F.sum("n_orders").over(w).cast("long")
+        )
+        .orderBy("o_orderpriority", "day")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2285,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_ohlc_gapfill": _q92_ohlc_gapfill,
         "q93_interval_join": _q93_interval_join,
         "q94_mad_anomalies": _q94_mad_anomalies,
+        "q95_rolling_revenue": _q95_rolling_revenue,
     }
 
 
@@ -5122,6 +5168,30 @@ def oracle_sql() -> dict[str, str]:
         "q91_zorder_skipping": _zorder_oracle(),
         # q92: bars, spine, and LOCF replayed with the identical
         # (ts, event_id) total order and generate_series spine.
+        # q95: the identical RANGE frame over the daily aggregate.
+        "q95_rolling_revenue": """
+            WITH daily AS (
+                SELECT o_orderpriority,
+                       date_diff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS day,
+                       CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS day_micro,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT o_orderpriority, CAST(day AS BIGINT) AS day,
+                   day_micro, n_orders,
+                   CAST(sum(day_micro) OVER (
+                       PARTITION BY o_orderpriority ORDER BY day
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS rolling7_micro,
+                   CAST(sum(n_orders) OVER (
+                       PARTITION BY o_orderpriority ORDER BY day
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS rolling7_orders
+            FROM daily
+            ORDER BY o_orderpriority, day
+        """,
         # q94: both median passes replayed as cumulative windows over
         # distinct-value counts — identical lower-middle convention.
         "q94_mad_anomalies": """
