@@ -2232,6 +2232,39 @@ def _q95_rolling_revenue(spark, sf):
     )
 
 
+def _q96_metrics_unpivot(spark, sf):
+    """Wide→long reshape via the native ``unpivot`` operator (Spark's
+    Expand-based melt — one pass, no UNION of scans): the q01-style
+    per-(returnflag, linestatus) aggregate row fans its three integer
+    metrics (quantity micro-sum, price micro-sum, row count) into
+    (metric, value_micro) rows — the shape metric stores and long-form
+    plotting pipelines ingest.  All metrics are exact BIGINTs in micro
+    units so the reshape is type-uniform without float casts; the
+    oracle replays it as DuckDB UNPIVOT."""
+    li = _t(spark, sf, "lineitem")
+    wide = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(
+            F.expr("CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("qty_micro"),
+        F.sum(
+            F.expr(
+                "CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("price_micro"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["l_returnflag", "l_linestatus"],
+        ["qty_micro", "price_micro", "n_rows"],
+        "metric",
+        "value_micro",
+    ).orderBy("l_returnflag", "l_linestatus", "metric")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2331,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_interval_join": _q93_interval_join,
         "q94_mad_anomalies": _q94_mad_anomalies,
         "q95_rolling_revenue": _q95_rolling_revenue,
+        "q96_metrics_unpivot": _q96_metrics_unpivot,
     }
 
 
@@ -5168,6 +5202,25 @@ def oracle_sql() -> dict[str, str]:
         "q91_zorder_skipping": _zorder_oracle(),
         # q92: bars, spine, and LOCF replayed with the identical
         # (ts, event_id) total order and generate_series spine.
+        # q96: DuckDB UNPIVOT of the identical integer-micro wide row.
+        "q96_metrics_unpivot": """
+            WITH wide AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS qty_micro,
+                       CAST(sum(CAST(floor(l_extendedprice * 1000000
+                                           + 0.5)
+                                     AS BIGINT)) AS BIGINT)
+                           AS price_micro,
+                       CAST(count(*) AS BIGINT) AS n_rows
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_returnflag, l_linestatus, metric, value_micro
+            FROM wide
+            UNPIVOT (value_micro
+                     FOR metric IN (qty_micro, price_micro, n_rows))
+            ORDER BY l_returnflag, l_linestatus, metric
+        """,
         # q95: the identical RANGE frame over the daily aggregate.
         "q95_rolling_revenue": """
             WITH daily AS (
