@@ -259,3 +259,62 @@ def test_interval_join_is_equi_join(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The layout that amortizes the shuffle: two tables written
+    bucketed (bucketBy 8) + sorted on the join key join with ZERO
+    Exchange and ZERO extra Sort in the plan — at 100 TB this is the
+    difference between re-shuffling both fact tables on every join and
+    reading co-located buckets.  Results must equal the plain join."""
+    o = entrymod._t(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    li = entrymod._t(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # test tables are tiny — disable broadcast so the planner takes
+        # the SortMergeJoin path the bucket layout exists to serve
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (
+            o.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", str(tmp_path / "bkt_orders"))
+            .saveAsTable("bkt_orders")
+        )
+        (
+            li.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", str(tmp_path / "bkt_lineitem"))
+            .saveAsTable("bkt_lineitem")
+        )
+        joined = (
+            spark.table("bkt_orders")
+            .join(
+                spark.table("bkt_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = _plan(joined)
+        # the join itself runs on co-located buckets: no shuffle
+        # before the SortMergeJoin (the only exchange allowed is the
+        # final groupBy's — and even that reuses the bucket hash here)
+        assert "SortMergeJoin" in plan
+        pre_join = plan.split("SortMergeJoin")[0]
+        assert "Exchange" not in pre_join
+        expected = (
+            o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.count("*").alias("n"))
+        )
+        got = {(r["o_orderkey"], r["n"]) for r in joined.collect()}
+        want = {(r["o_orderkey"], r["n"]) for r in expected.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
