@@ -2265,6 +2265,134 @@ def _q96_metrics_unpivot(spark, sf):
     ).orderBy("l_returnflag", "l_linestatus", "metric")
 
 
+def _q97_priority_pivot(spark, sf):
+    """Long→wide reshape via native ``pivot`` with an EXPLICIT value
+    list (no extra distinct-values job, single shuffle, Expand-free
+    plan): per order-year, total revenue per priority as exact BIGINT
+    micro columns — the inverse of q96's unpivot and the shape BI
+    extract tables ship in.  The oracle replays it as conditional
+    aggregation (the portable PIVOT desugaring)."""
+    o = _t(spark, sf, "orders")
+    prios = [
+        "1-URGENT",
+        "2-HIGH",
+        "3-MEDIUM",
+        "4-NOT SPECIFIED",
+        "5-LOW",
+    ]
+    wide = (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderpriority", prios)
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)"
+                )
+            ).cast("long")
+        )
+    )
+    renamed = wide.select(
+        "order_year",
+        *[
+            F.col(f"`{p}`").alias(f"p{i + 1}_micro")
+            for i, p in enumerate(prios)
+        ],
+    )
+    return renamed.orderBy("order_year")
+
+
+_Q98_SPEC = {
+    "n_orders": ("count", "price_micro"),
+    "sum_micro": ("sum", "price_micro"),
+    "min_micro": ("min", "price_micro"),
+    "max_micro": ("max", "price_micro"),
+}
+
+
+def _q98_incremental_agg_merge(spark, sf):
+    """Incremental view maintenance: yesterday's aggregate STATE plus a
+    delta batch merges to exactly the full recompute — without touching
+    historical rows.  Orders split at 1997-01-01 into state/delta; each
+    side reduces to per-priority (count, sum, min, max) partials via
+    :func:`analytics.agg_state`, the merge is one union + hash agg
+    (:func:`analytics.merge_agg_states`), and avg derives AFTER the
+    merge (avg is not mergeable; sum/count are).  The oracle aggregates
+    the full table directly — green means merge(state, delta) ==
+    recompute, the identity a 100 TB daily pipeline lives on."""
+    o = _t(spark, sf, "orders").withColumn(
+        "price_micro",
+        F.expr("CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)"),
+    )
+    cutoff = F.lit("1997-01-01").cast("date")
+    state = analytics.agg_state(
+        o.filter(F.col("o_orderdate") < cutoff),
+        ["o_orderpriority"],
+        _Q98_SPEC,
+    )
+    delta = analytics.agg_state(
+        o.filter(F.col("o_orderdate") >= cutoff),
+        ["o_orderpriority"],
+        _Q98_SPEC,
+    )
+    merged = analytics.merge_agg_states(
+        [state, delta], ["o_orderpriority"], _Q98_SPEC
+    )
+    return merged.withColumn(
+        "avg_micro",
+        F.expr("sum_micro DIV n_orders").cast("long"),
+    ).orderBy("o_orderpriority")
+
+
+def _q99_cdc_apply(spark, sf):
+    """CDC changelog → snapshot: a three-op synthetic changelog over
+    orders (seq 1 insert for every key, seq 2 price-update for keys
+    ≡ 0 mod 7, seq 3 tombstone for keys ≡ 0 mod 13) compacts to the
+    final surviving row per key via :func:`temporal.apply_changelog` —
+    ONE map-side-combinable ``max_by`` aggregation, not a per-row
+    window (the upsert-compaction shape; reference analog: SQLite ON
+    CONFLICT DO UPDATE applied row-at-a-time, SURVEY §2 A7).  The
+    oracle replays the NET effect closed-form, so green proves the
+    changelog mechanics — union, last-writer-wins, tombstone drop —
+    produce exactly the declarative answer."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        apply_changelog,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.expr(
+            "CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)"
+        ).alias("price_micro"),
+    )
+    inserts = o.select(
+        "o_orderkey",
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        "price_micro",
+    )
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("price_micro") + F.lit(5000000).cast("long")).alias(
+            "price_micro"
+        ),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.lit(3).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("price_micro"),
+    )
+    changelog = inserts.unionByName(updates).unionByName(deletes)
+    snap = apply_changelog(
+        changelog, ["o_orderkey"], "seq", "op", delete_op="D"
+    )
+    return snap.select(
+        "o_orderkey", "seq", "price_micro"
+    ).orderBy("o_orderkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2365,6 +2493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_mad_anomalies": _q94_mad_anomalies,
         "q95_rolling_revenue": _q95_rolling_revenue,
         "q96_metrics_unpivot": _q96_metrics_unpivot,
+        "q97_priority_pivot": _q97_priority_pivot,
+        "q98_incremental_agg_merge": _q98_incremental_agg_merge,
+        "q99_cdc_apply": _q99_cdc_apply,
     }
 
 
@@ -5202,6 +5333,61 @@ def oracle_sql() -> dict[str, str]:
         "q91_zorder_skipping": _zorder_oracle(),
         # q92: bars, spine, and LOCF replayed with the identical
         # (ts, event_id) total order and generate_series spine.
+        # q97: PIVOT desugared to conditional aggregation — the
+        # portable long→wide identity.
+        "q97_priority_pivot": """
+            SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT)
+                       AS order_year,
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN CAST(floor(o_totalprice * 1000000 + 0.5)
+                                 AS BIGINT) END) AS BIGINT) AS p1_micro,
+                   CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                       THEN CAST(floor(o_totalprice * 1000000 + 0.5)
+                                 AS BIGINT) END) AS BIGINT) AS p2_micro,
+                   CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                       THEN CAST(floor(o_totalprice * 1000000 + 0.5)
+                                 AS BIGINT) END) AS BIGINT) AS p3_micro,
+                   CAST(sum(CASE WHEN o_orderpriority =
+                                      '4-NOT SPECIFIED'
+                       THEN CAST(floor(o_totalprice * 1000000 + 0.5)
+                                 AS BIGINT) END) AS BIGINT) AS p4_micro,
+                   CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                       THEN CAST(floor(o_totalprice * 1000000 + 0.5)
+                                 AS BIGINT) END) AS BIGINT) AS p5_micro
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        # q98: the oracle recomputes the aggregate over the FULL table
+        # in one pass — green certifies merge(state, delta) ==
+        # recompute exactly.
+        "q98_incremental_agg_merge": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_micro,
+                   CAST(min(CAST(floor(o_totalprice * 1000000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS min_micro,
+                   CAST(max(CAST(floor(o_totalprice * 1000000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS max_micro,
+                   CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5)
+                                 AS BIGINT))
+                        // count(*) AS BIGINT) AS avg_micro
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        # q99: the changelog's NET effect closed-form — updates win for
+        # keys ≡0 (mod 7), tombstones drop keys ≡0 (mod 13).
+        "q99_cdc_apply": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END
+                        AS BIGINT) AS seq,
+                   CAST(CAST(floor(o_totalprice * 1000000 + 0.5)
+                             AS BIGINT)
+                        + CASE WHEN o_orderkey % 7 = 0
+                               THEN 5000000 ELSE 0 END
+                        AS BIGINT) AS price_micro
+            FROM orders
+            WHERE o_orderkey % 13 <> 0
+            ORDER BY 1
+        """,
         # q96: DuckDB UNPIVOT of the identical integer-micro wide row.
         "q96_metrics_unpivot": """
             WITH wide AS (

@@ -326,3 +326,63 @@ def median_mad_anomalies(
             "max_dev_micro",
         )
     )
+
+
+# merge rules for mergeable aggregate states: how a partial column
+# combines with another partial of the same column.  count/sum both
+# merge by SUM; avg is NOT mergeable directly — derive it from
+# (sum, count) after the merge.
+_STATE_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def agg_state(
+    df: DataFrame, keys: list[str], spec: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Build a mergeable aggregate state: one partial row per key.
+
+    ``spec`` maps output column → (kind, input expression), kind ∈
+    {count, sum, min, max}.  The resulting frame is a STATE, not a
+    report: it can be unioned with later states and collapsed by
+    :func:`merge_agg_states` without touching the original rows —
+    the incremental-view-maintenance shape (reference analog: the
+    re-scan-everything report loop, /root/reference/build_reports.py;
+    SURVEY §2 A13/D9).  At 100 TB the point is that a daily delta
+    merges into yesterday's state in time proportional to the DELTA,
+    not the corpus.
+    """
+    aggs = []
+    for out, (kind, expr) in spec.items():
+        if kind == "count":
+            aggs.append(F.count(F.expr(expr)).cast("long").alias(out))
+        elif kind == "sum":
+            aggs.append(F.sum(F.expr(expr)).cast("long").alias(out))
+        elif kind == "min":
+            aggs.append(F.min(F.expr(expr)).alias(out))
+        elif kind == "max":
+            aggs.append(F.max(F.expr(expr)).alias(out))
+        else:
+            raise ValueError(f"unmergeable aggregate kind: {kind}")
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_agg_states(
+    states: list[DataFrame],
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Collapse aggregate states into one state per key.
+
+    Associativity/commutativity of {sum, min, max} (count merges as
+    sum) makes ``merge(agg_state(A), agg_state(B)) ==
+    agg_state(A ∪ B)`` exactly — the identity the q98 oracle checks
+    end-to-end.  One union + one map-side-combinable hash aggregation;
+    no re-read of the underlying data.
+    """
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    aggs = [
+        _STATE_MERGE[kind](F.col(out)).cast("long").alias(out)
+        for out, (kind, _) in spec.items()
+    ]
+    return merged.groupBy(*keys).agg(*aggs)

@@ -271,3 +271,42 @@ def interval_join(
         )
         .drop("__bucket")
     )
+
+
+def apply_changelog(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Materialize a snapshot from a CDC changelog: last-writer-wins per
+    key, tombstones removed.
+
+    The reference applies row changes one statement at a time through
+    SQLite upserts (/root/reference/build_database.py ON CONFLICT DO
+    UPDATE idiom, SURVEY §2 A7); the batch-at-scale equivalent is
+    compacting an ordered changelog — (key, seq, op, payload) rows where
+    op ∈ {upsert, delete} — down to the latest surviving row per key
+    (the Iceberg/Delta CDC-apply / upsert-compaction shape).
+
+    Shape chosen for 100 TB: ``max_by(struct(payload…), seq)`` in ONE
+    hash aggregation — partial (map-side) combinable, so each input
+    partition reduces its own duplicates before the single shuffle on
+    the key.  The window-function formulation (row_number over
+    key/seq desc) would shuffle every changelog row; this reduces first.
+    ``(key, seq)`` must be unique — enforce upstream or pre-aggregate —
+    otherwise the winner among seq ties is nondeterministic.
+    """
+    payload = [
+        c for c in changes.columns
+        if c not in set(key_cols) | {seq_col}
+    ]
+    compacted = changes.groupBy(*key_cols).agg(
+        F.max(seq_col).alias(seq_col),
+        *[
+            F.expr(f"max_by({c}, {seq_col})").alias(c)
+            for c in payload
+        ],
+    )
+    return compacted.filter(F.col(op_col) != delete_op).drop(op_col)

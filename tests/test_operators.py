@@ -2228,3 +2228,62 @@ def test_funnel_counts_strict_ordering(spark):
         2: ("click", 2, 500),
         3: ("purchase", 1, 250),
     }
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply + mergeable aggregate states
+# ---------------------------------------------------------------------------
+
+
+def test_apply_changelog_reinsert_after_delete(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        apply_changelog,
+    )
+
+    log = spark.createDataFrame(
+        [
+            # key 1: insert → update → delete → REINSERT: latest wins
+            (1, 1, "U", 10),
+            (1, 2, "U", 20),
+            (1, 3, "D", None),
+            (1, 4, "U", 40),
+            # key 2: insert → delete: tombstone removes it
+            (2, 1, "U", 11),
+            (2, 2, "D", None),
+            # key 3: single insert survives
+            (3, 1, "U", 33),
+        ],
+        "k long, seq long, op string, v long",
+    )
+    got = {
+        (r["k"], r["seq"], r["v"])
+        for r in apply_changelog(log, ["k"], "seq", "op").collect()
+    }
+    assert got == {(1, 4, 40), (3, 1, 33)}
+
+
+def test_merge_agg_states_equals_full_recompute(spark):
+    rows = [(i % 3, (i * 7) % 23) for i in range(200)]
+    df = spark.createDataFrame(rows, "g long, v long")
+    spec = {
+        "n": ("count", "v"),
+        "s": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    # adversarial split: uneven thirds, one slice empty for g=2
+    parts = [
+        df.filter(F.col("v") < 5),
+        df.filter((F.col("v") >= 5) & (F.col("v") < 6)),
+        df.filter(F.col("v") >= 6),
+    ]
+    states = [analytics.agg_state(p, ["g"], spec) for p in parts]
+    merged = {
+        (r["g"], r["n"], r["s"], r["lo"], r["hi"])
+        for r in analytics.merge_agg_states(states, ["g"], spec).collect()
+    }
+    direct = {
+        (r["g"], r["n"], r["s"], r["lo"], r["hi"])
+        for r in analytics.agg_state(df, ["g"], spec).collect()
+    }
+    assert merged == direct

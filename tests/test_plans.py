@@ -318,3 +318,40 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Partition pruning THROUGH a join: a fact table partitioned on the
+    join key, joined to a small filtered dim, must carry a
+    dynamicpruning subquery on the fact scan — at 100 TB this is what
+    turns "scan every date partition" into "scan the three partitions
+    the dim filter selects".  AQE + DPP are both on by default; the
+    assertion reads the optimized plan text."""
+    o = entrymod._t(spark, SF, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    o.write.mode("overwrite").partitionBy("yr").parquet(
+        str(tmp_path / "fact_by_year")
+    )
+    fact = spark.read.parquet(str(tmp_path / "fact_by_year"))
+    dim = spark.createDataFrame(
+        [(1995, "mid-decade"), (1996, "mid-decade"), (2005, "unused")],
+        "yr int, era string",
+    ).filter(F.col("era") == "mid-decade")
+    j = (
+        fact.join(dim, "yr")
+        .groupBy("era")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruned result equals the unpartitioned join
+    got = {(r["era"], r["n"]) for r in j.collect()}
+    want = {
+        (r["era"], r["n"])
+        for r in o.join(dim, "yr")
+        .groupBy("era")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
