@@ -2393,6 +2393,25 @@ def _q99_cdc_apply(spark, sf):
     ).orderBy("o_orderkey")
 
 
+def _q100_single_linkage_noise(spark, sf):
+    """HDBSCAN-style flat extraction over the q81 dendrogram: cut the
+    Borůvka MSF at cost 3 and take connected components of the kept
+    edges — single-linkage clusters at that distance, with nodes whose
+    every backbone edge was cut surfaced as ``is_noise`` singletons
+    (the noise concept the reference's HDBSCAN had and the flat
+    CC/KMeans substitutes lacked, SURVEY §2 J11).  The MSF is O(n)
+    rows, so EVERY threshold is this cheap once q81 has run.  Oracle:
+    the q81 unroll + the identical cut/closure/label replay."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        single_linkage_clusters,
+    )
+
+    msf = _q81_token_msf(spark, sf)
+    return single_linkage_clusters(
+        msf, threshold=3, src="term_a", dst="term_b", weight="cost"
+    ).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2496,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_priority_pivot": _q97_priority_pivot,
         "q98_incremental_agg_merge": _q98_incremental_agg_merge,
         "q99_cdc_apply": _q99_cdc_apply,
+        "q100_single_linkage_noise": _q100_single_linkage_noise,
     }
 
 
@@ -2861,6 +2881,54 @@ def _msf_oracle(n_rounds: int) -> str:
             )
         """
     return head + "".join(rounds) + tail
+
+
+def _slink_oracle(n_rounds: int, eps: int) -> str:
+    """q100: the q81 Borůvka unroll, then the single-linkage extraction
+    replayed — cut MSF edges with w > eps, recursive-CTE closure over
+    the kept subset, min-member cluster labels, singleton = noise."""
+    msf = _msf_oracle(n_rounds)
+    prefix, _, inner = msf.rpartition("SELECT u AS term_a")
+    del inner  # keep only the shared CTE chain; rebuild the tail
+    sels = "\n                UNION ALL\n                ".join(
+        f"SELECT u, v, w FROM sel{r}" for r in range(1, n_rounds + 1)
+    )
+    return (
+        prefix
+        + f""", msf AS MATERIALIZED (
+                SELECT u, v, w FROM (
+                {sels}
+                )
+            ), kept AS MATERIALIZED (
+                SELECT u, v FROM msf WHERE w <= {eps}
+            ), und AS MATERIALIZED (
+                SELECT DISTINCT u, v FROM (
+                    SELECT u, v FROM kept UNION ALL SELECT v, u FROM kept
+                )
+            ), reachS AS (
+                SELECT u AS root, u AS m FROM und
+                UNION
+                SELECT r.root, g.v FROM reachS r JOIN und g ON g.u = r.m
+            ), comp AS MATERIALIZED (
+                SELECT root AS node, min(m) AS cluster
+                FROM reachS GROUP BY 1
+            ), allnodes AS MATERIALIZED (
+                SELECT DISTINCT node FROM (
+                    SELECT u AS node FROM msf UNION ALL SELECT v FROM msf
+                )
+            ), labeled AS MATERIALIZED (
+                SELECT a.node, coalesce(c.cluster, a.node) AS cluster
+                FROM allnodes a LEFT JOIN comp c ON c.node = a.node
+            ), csize AS (
+                SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM labeled GROUP BY 1
+            )
+            SELECT l.node, l.cluster, s.cluster_size,
+                   s.cluster_size = 1 AS is_noise
+            FROM labeled l JOIN csize s USING (cluster)
+            ORDER BY 1
+        """
+    )
 
 
 def _anf_oracle(radius: int, k: int) -> str:
@@ -4998,6 +5066,8 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "q81_token_msf": _msf_oracle(6),
+        # q100: q81's unroll + the cut/closure/label extraction replay.
+        "q100_single_linkage_noise": _slink_oracle(6, 3),
         # q82: the whole DSIR scorer replayed — same per-(doc, token)
         # count frames, same add-one smoothing over the raw vocabulary,
         # same integer milli-log2 (msb via bin() length + linear

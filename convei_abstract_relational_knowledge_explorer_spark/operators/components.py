@@ -1502,3 +1502,55 @@ def minimum_spanning_forest(
     return out.select(
         F.col("a").alias(src), F.col("b").alias(dst), F.col("w").alias(weight)
     )
+
+
+def single_linkage_clusters(
+    msf_edges: DataFrame,
+    threshold: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Flat clusters + NOISE at one threshold from an MSF dendrogram.
+
+    The HDBSCAN-family extraction step over
+    :func:`minimum_spanning_forest` output: cut every backbone edge
+    with ``weight > threshold`` and take connected components of what
+    survives — exactly single-linkage clustering at that distance, for
+    ANY threshold, without re-touching the original graph (the MSF is
+    O(n) rows however dense the input was).  Nodes whose every
+    dendrogram edge was cut come back as singletons with
+    ``is_noise = true`` — the noise concept the flat CC/KMeans
+    substitutes for the reference's HDBSCAN
+    (/root/reference/multitopic_tracer.py:111-128) could not express
+    (SURVEY §2 J11's documented delta, closed at the extraction level).
+
+    Returns (node, cluster, cluster_size, is_noise); cluster = min
+    member (deterministic).  Scale shape: one filter over the O(n) MSF,
+    one :func:`connected_components` run on the kept subset (≤ n-1
+    edges), two map-side-combinable aggregations — the expensive part
+    (the MSF) is paid once for every threshold anyone ever asks for.
+    """
+    nodes = (
+        msf_edges.select(F.col(src).alias("node"))
+        .unionAll(msf_edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    kept = msf_edges.filter(F.col(weight) <= threshold)
+    cc = connected_components(kept, src=src, dst=dst)
+    labeled = (
+        nodes.join(cc, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("cluster"),
+        )
+    )
+    sizes = labeled.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster").select(
+        "node",
+        "cluster",
+        "cluster_size",
+        (F.col("cluster_size") == 1).alias("is_noise"),
+    )

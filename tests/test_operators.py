@@ -2287,3 +2287,31 @@ def test_merge_agg_states_equals_full_recompute(spark):
         for r in analytics.agg_state(df, ["g"], spec).collect()
     }
     assert merged == direct
+
+
+def test_single_linkage_clusters_threshold_and_noise(spark):
+    msf = spark.createDataFrame(
+        [
+            ("a", "b", 1),
+            ("b", "c", 2),
+            ("c", "d", 5),   # cut at threshold 2 → splits the chain
+            ("d", "e", 1),
+            ("f", "g", 9),   # cut → BOTH endpoints become noise
+        ],
+        "src string, dst string, weight long",
+    )
+    got = {
+        (r["node"], r["cluster"], r["cluster_size"], r["is_noise"])
+        for r in components.single_linkage_clusters(
+            msf, threshold=2
+        ).collect()
+    }
+    assert got == {
+        ("a", "a", 3, False),
+        ("b", "a", 3, False),
+        ("c", "a", 3, False),
+        ("d", "d", 2, False),
+        ("e", "d", 2, False),
+        ("f", "f", 1, True),
+        ("g", "g", 1, True),
+    }
