@@ -375,3 +375,52 @@ def stream_graph_updates(
             "the interrupted batch is journal-protected — rerun to resume"
         )
     return query
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    horizon: str = "1 hour",
+    left_watermark: str = "2 hours",
+    right_watermark: str = "3 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (click attribution shape).
+
+    Native Structured Streaming join: every LEFT event pairs with the
+    RIGHT events for the same key whose timestamp falls inside
+    ``[left_ts, left_ts + horizon]``.  Both sides carry watermarks and
+    the join condition carries the time range, so Spark derives a state
+    eviction bound on BOTH buffers — state is O(key-rate x horizon +
+    watermark slack), never unbounded (the property that makes this run
+    forever on a 100 TB/day event feed; without the range predicate a
+    stream-stream join must buffer each side indefinitely).
+
+    ``how="leftOuter"`` emits unmatched left rows (NULL right columns)
+    once the watermark proves no match can still arrive — the
+    "impression with no click" feed.  Batch twin: the SAME call on
+    batch frames gives the equality the tests assert (streaming
+    micro-batching must not change the result set).
+
+    The right side's key column comes back suffixed ``_r`` so the
+    result schema is unambiguous.
+    """
+    r_key = f"{key}_r"
+    rr = right.withColumnRenamed(key, r_key)
+    if left.isStreaming or rr.isStreaming:
+        lw = left.withWatermark(left_ts, left_watermark)
+        rw = rr.withWatermark(right_ts, right_watermark)
+    else:
+        lw, rw = left, rr
+    cond = (
+        (F.col(key) == F.col(r_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return lw.join(rw, cond, how)

@@ -345,3 +345,138 @@ def test_stateful_dedup_stream_ttl_expiry(spark, tmp_path):
         ("fp_y", 2),  # within-ttl recurrence stayed deduped
         ("fp_z", 4),
     ]
+
+
+def test_stream_interval_join_batch_and_stream_parity(spark, tmp_path):
+    """Watermarked stream-stream interval join (click attribution):
+    every impression pairs with same-key clicks inside
+    [imp_ts, imp_ts + 1h].  The streamed inner-join multiset must EQUAL
+    the batch twin's (same function, batch frames) — micro-batching
+    must not change the result set."""
+    import datetime as dt
+    import random
+
+    from convei_abstract_relational_knowledge_explorer_spark.streaming.incremental import (
+        stream_interval_join,
+    )
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    imps = [
+        (rng.randint(1, 6), t0 + dt.timedelta(minutes=rng.randint(0, 300)))
+        for _ in range(40)
+    ]
+    clicks = [
+        (rng.randint(1, 6), t0 + dt.timedelta(minutes=rng.randint(0, 360)))
+        for _ in range(40)
+    ]
+    H = dt.timedelta(hours=1)
+    expected = {
+        (k, it, ck, ct)
+        for (k, it) in imps
+        for (ck, ct) in clicks
+        if k == ck and it <= ct <= it + H
+    }
+    assert expected, "fixture must produce matches"
+
+    schema_l = "ad_id long, imp_ts timestamp"
+    schema_r = "ad_id long, click_ts timestamp"
+    ldf = spark.createDataFrame(imps, schema_l)
+    rdf = spark.createDataFrame(clicks, schema_r)
+
+    # batch twin: same call, batch frames
+    batch = {
+        (r["ad_id"], r["imp_ts"], r["ad_id_r"], r["click_ts"])
+        for r in stream_interval_join(
+            ldf, rdf, "ad_id", "imp_ts", "click_ts"
+        ).collect()
+    }
+    assert batch == expected
+
+    lsrc, rsrc = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    ldf.coalesce(1).write.parquet(lsrc)
+    rdf.coalesce(1).write.parquet(rsrc)
+    out = stream_interval_join(
+        spark.readStream.schema(schema_l).parquet(lsrc),
+        spark.readStream.schema(schema_r).parquet(rsrc),
+        "ad_id",
+        "imp_ts",
+        "click_ts",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssj_inner")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["ad_id"], r["imp_ts"], r["ad_id_r"], r["click_ts"])
+        for r in spark.table("t_ssj_inner").collect()
+    }
+    assert streamed == expected
+
+
+def test_stream_interval_join_left_outer_flush(spark, tmp_path):
+    """leftOuter: an impression with NO click inside its horizon emits
+    once with NULL right columns, but only after the watermark proves no
+    match can arrive — a far-future sentinel in a second micro-batch
+    pushes the watermark past every real impression's horizon."""
+    import datetime as dt
+
+    from convei_abstract_relational_knowledge_explorer_spark.streaming.incremental import (
+        stream_interval_join,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    imps = [(1, t0), (2, t0)]                          # key 2: no click
+    clicks = [(1, t0 + dt.timedelta(minutes=10))]
+    far = t0 + dt.timedelta(days=30)
+
+    lfeed, rfeed = tmp_path / "l", tmp_path / "r"
+    lfeed.mkdir(), rfeed.mkdir()
+    schema_l = "ad_id long, imp_ts timestamp"
+    schema_r = "ad_id long, click_ts timestamp"
+    spark.createDataFrame(imps, schema_l).coalesce(1).write.parquet(
+        str(lfeed / "f1")
+    )
+    spark.createDataFrame([(99, far)], schema_l).coalesce(1).write.parquet(
+        str(lfeed / "f2")
+    )
+    spark.createDataFrame(
+        clicks + [(99, far)], schema_r
+    ).coalesce(1).write.parquet(str(rfeed / "f1"))
+    for feed, subs in ((lfeed, ("f1", "f2")), (rfeed, ("f1",))):
+        for sub in subs:
+            for p in (feed / sub).glob("*.parquet"):
+                p.rename(feed / f"{sub}.parquet")
+
+    out = stream_interval_join(
+        spark.readStream.schema(schema_l)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(lfeed)),
+        spark.readStream.schema(schema_r).parquet(str(rfeed)),
+        "ad_id",
+        "imp_ts",
+        "click_ts",
+        how="leftOuter",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssj_outer")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        r
+        for r in spark.table("t_ssj_outer").collect()
+        if r["ad_id"] != 99
+    ]
+    matched = {r["ad_id"] for r in rows if r["click_ts"] is not None}
+    unmatched = {r["ad_id"] for r in rows if r["click_ts"] is None}
+    assert matched == {1}
+    assert unmatched == {2}
+    assert len(rows) == 2
