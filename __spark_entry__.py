@@ -2412,6 +2412,80 @@ def _q100_single_linkage_noise(spark, sf):
     ).orderBy("node")
 
 
+def _q101_rendezvous_shards(spark, sf):
+    """Rendezvous-hash placement + the reshard-stability contingency:
+    every doc is placed over 8 shards AND over the same 8 plus 4 new
+    ones via :func:`sampling.rendezvous_shards` (portable md5 argmax),
+    and the (shard_8, shard_12) pair counts form the migration matrix.
+    The rendezvous guarantee shows up as structure the oracle verifies
+    cell by cell: every off-diagonal row has shard_12 ∈ {s08..s11} —
+    keys move ONLY to new shards, never between old ones (mod-N hashing
+    reshuffles everything; this is why consistent placement exists).
+    Plan: two narrow per-row argmaxes, one groupBy — the only shuffle
+    is the final 8×12-cell aggregate."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        rendezvous_shards,
+    )
+
+    shards12 = [f"s{i:02d}" for i in range(12)]
+    d = _t(spark, sf, "documents").select("doc_id")
+    a = rendezvous_shards(
+        d, "doc_id", shards12[:8], out="shard_8", portable=True
+    )
+    a = rendezvous_shards(
+        a, "doc_id", shards12, out="shard_12", portable=True
+    )
+    return (
+        a.groupBy("shard_8", "shard_12")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("shard_8", "shard_12")
+    )
+
+
+def _q102_nucleus_tokens(spark, sf):
+    """Per-document nucleus (top-p) vocabulary truncation in exact
+    integers: token frequencies per doc, then :func:`sampling.
+    nucleus_mask` keeps the smallest (freq desc, token asc) prefix
+    whose mass reaches p=4/5 of the doc's tokens — the nucleus-sampling
+    support set applied as a curation statistic (how concentrated is
+    each document's vocabulary?).  ``5·cum_before < 4·total`` is
+    all-integer so the cut is bit-identical cross-engine.  Output: per
+    doc, nucleus size/mass vs full vocab size/mass.  Plan: one
+    explode→groupBy, one per-doc window — parallel in the doc
+    dimension, no global sort."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        nucleus_mask,
+    )
+
+    tf = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+                )
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    flagged = nucleus_mask(tf, ["doc_id"], "freq", ["tok"], 4, 5)
+    nf = F.col("is_nucleus")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.when(nf, 1)).alias("n_nucleus"),
+            F.coalesce(
+                F.sum(F.when(nf, F.col("freq"))), F.lit(0)
+            ).cast("long").alias("nucleus_mass"),
+            F.count("*").alias("n_vocab"),
+            F.sum("freq").cast("long").alias("total_mass"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2516,6 +2590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_incremental_agg_merge": _q98_incremental_agg_merge,
         "q99_cdc_apply": _q99_cdc_apply,
         "q100_single_linkage_noise": _q100_single_linkage_noise,
+        "q101_rendezvous_shards": _q101_rendezvous_shards,
+        "q102_nucleus_tokens": _q102_nucleus_tokens,
     }
 
 
@@ -5618,5 +5694,72 @@ def oracle_sql() -> dict[str, str]:
               ON b.event_type = s.event_type
              AND b.bucket_ts = s.bucket_ts
             ORDER BY s.event_type, s.bucket_ts
+        """,
+        # q101: the identical rendezvous argmax — same md5 porthash,
+        # same (wt desc, shard desc) tie-break — replayed as a cross
+        # join + row_number instead of Spark's array_max(struct).
+        "q101_rendezvous_shards": """
+            WITH shards AS (
+                SELECT 's' || lpad(CAST(i AS VARCHAR), 2, '0') AS shard,
+                       i
+                FROM range(12) t(i)
+            ), w AS (
+                SELECT d.doc_id, s.shard, s.i,
+                       CAST('0x' || substr(md5(
+                           CAST(d.doc_id AS VARCHAR) || chr(31) || s.shard
+                       ), 1, 15) AS BIGINT) AS wt
+                FROM documents d CROSS JOIN shards s
+            ), a8 AS (
+                SELECT doc_id, shard AS shard_8 FROM (
+                    SELECT doc_id, shard,
+                           row_number() OVER (
+                               PARTITION BY doc_id
+                               ORDER BY wt DESC, shard DESC) AS rn
+                    FROM w WHERE i < 8)
+                WHERE rn = 1
+            ), a12 AS (
+                SELECT doc_id, shard AS shard_12 FROM (
+                    SELECT doc_id, shard,
+                           row_number() OVER (
+                               PARTITION BY doc_id
+                               ORDER BY wt DESC, shard DESC) AS rn
+                    FROM w)
+                WHERE rn = 1
+            )
+            SELECT shard_8, shard_12, CAST(count(*) AS BIGINT) AS n_docs
+            FROM a8 JOIN a12 USING (doc_id)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        # q102: identical integer nucleus cut — cum-before frame,
+        # (freq desc, tok asc) order, 5·cum_before < 4·total.
+        "q102_nucleus_tokens": f"""
+            WITH tf AS (
+                SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq
+                FROM (SELECT doc_id, unnest({_TOK}) AS tok
+                      FROM documents)
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT doc_id, freq,
+                       CAST(coalesce(sum(freq) OVER (
+                           PARTITION BY doc_id
+                           ORDER BY freq DESC, tok
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+                       CAST(sum(freq) OVER (PARTITION BY doc_id)
+                            AS BIGINT) AS total
+                FROM tf
+            )
+            SELECT doc_id,
+                   CAST(count(*) FILTER (WHERE 5 * cum_before < 4 * total)
+                        AS BIGINT) AS n_nucleus,
+                   CAST(coalesce(sum(freq) FILTER (
+                        WHERE 5 * cum_before < 4 * total), 0)
+                        AS BIGINT) AS nucleus_mass,
+                   CAST(count(*) AS BIGINT) AS n_vocab,
+                   CAST(sum(freq) AS BIGINT) AS total_mass
+            FROM r
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
     }

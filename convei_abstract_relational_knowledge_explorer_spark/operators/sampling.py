@@ -438,3 +438,92 @@ def dsir_importance(
         .orderBy(F.desc("score_milli"), "doc_id")
         .limit(top_k)
     )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    key_col: str,
+    shards: list[str],
+    out: str = "shard",
+    portable: bool = False,
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) placement: each row goes to the
+    shard with the max hash(key, shard) — the reshard-STABLE alternative
+    to ``hash(key) % n``.
+
+    The property mod-hashing lacks: growing the shard set from N to N+k
+    moves ONLY the keys whose argmax lands on a NEW shard (expected
+    k/(N+k) of the corpus) and NEVER moves a key between two old shards
+    — mod-hashing reshuffles ~100% of keys on any N change.  That is the
+    placement contract a 100 TB store needs for incremental re-sharding,
+    consistent cache routing, and shard-affine join locality (the
+    reference pins everything to ONE SQLite file and has no analog; this
+    is the distributed replacement for that assumption).
+
+    Plan shape: one narrow ``array_max`` over |shards| hash structs per
+    row — NO shuffle, NO join, whole-stage-codegen friendly.  Cost is
+    O(|shards|) hashes per row; for |shards| beyond ~10^3 use two-level
+    rendezvous (rendezvous over shard GROUPS, then within the group) —
+    same argmax composition, noted not built.
+
+    ``portable=True`` swaps xxhash64 for the md5 porthash so the argmax
+    — hash, tie-break, everything — replays verbatim in ANSI SQL
+    (tie-break: higher shard id wins, matching ``ORDER BY wt DESC,
+    shard DESC LIMIT 1``; ties are 2^-60 events but the contract is
+    still deterministic).
+    """
+    key = F.col(key_col)
+    entries = []
+    for s in shards:
+        wt = (
+            porthash64(key, s)
+            if portable
+            else F.xxhash64(key, F.lit(s))
+        )
+        entries.append(F.struct(wt.alias("wt"), F.lit(s).alias("shard")))
+    return df.withColumn(out, F.array_max(F.array(*entries))["shard"])
+
+
+def nucleus_mask(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    tiebreak_cols: list[str],
+    p_num: int,
+    p_den: int,
+    flag: str = "is_nucleus",
+) -> DataFrame:
+    """Top-p (nucleus) truncation per group, in exact integer arithmetic.
+
+    Within each group, rows sorted by (weight desc, tiebreak asc) are
+    flagged while the cumulative weight BEFORE the row is still under
+    p_num/p_den of the group total: the smallest prefix whose mass
+    reaches p — the nucleus-sampling support set (Holtzman et al. 2019),
+    and equally the "keep the head that covers 80% of traffic" curation
+    rule.  The boundary row that crosses the threshold is KEPT (the set
+    must reach p, so the crossing row is in).
+
+    ``p_den * cum_before < p_num * total`` is all-integer when weights
+    are counts — bit-identical across engines, no float epsilon at the
+    cut (the q32/q89 micro-unit discipline).
+
+    Plan: one window per group partition (cum_before via ROWS UNBOUNDED
+    PRECEDING .. 1 PRECEDING, total via the unbounded frame) — groups
+    process in parallel, no global sort; skew ceiling is the largest
+    single group, the window's intrinsic lower bound.
+    """
+    order = [F.col(weight_col).desc()] + [F.asc(c) for c in tiebreak_cols]
+    wp = Window.partitionBy(*group_cols)
+    wo = wp.orderBy(*order)
+    cum_before = F.coalesce(
+        F.sum(weight_col).over(
+            wo.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    total = F.sum(weight_col).over(wp)
+    return df.withColumn(
+        flag,
+        F.lit(p_den).cast("long") * cum_before
+        < F.lit(p_num).cast("long") * total,
+    )

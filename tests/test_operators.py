@@ -2315,3 +2315,110 @@ def test_single_linkage_clusters_threshold_and_noise(spark):
         ("f", "f", 1, True),
         ("g", "g", 1, True),
     }
+
+
+def test_rendezvous_shards_reshard_stability(spark):
+    """The rendezvous contract: growing 4→6 shards moves keys ONLY onto
+    the new shards (never between old ones), moved fraction ≈ 2/6, and
+    placement is independent of row order/partitioning."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        rendezvous_shards,
+    )
+
+    keys = spark.range(0, 3000).withColumnRenamed("id", "k")
+    old = [f"s{i}" for i in range(4)]
+    new = old + ["s4", "s5"]
+    both = rendezvous_shards(
+        rendezvous_shards(keys, "k", old, out="a"), "k", new, out="b"
+    )
+    rows = both.collect()
+    moved = [r for r in rows if r["a"] != r["b"]]
+    # never between old shards
+    assert all(r["b"] in ("s4", "s5") for r in moved)
+    # expected 2/6 of keys move; loose 3-sigma-ish band
+    assert 0.25 < len(moved) / len(rows) < 0.42
+    # partitioning-independence: same assignment from a repartitioned df
+    again = {
+        r["k"]: r["b"]
+        for r in rendezvous_shards(
+            keys.repartition(7), "k", new, out="b"
+        ).collect()
+    }
+    assert again == {r["k"]: r["b"] for r in rows}
+
+
+def test_rendezvous_shards_portable_matches_duckdb(spark):
+    """portable=True replays verbatim in DuckDB (same md5 porthash,
+    same wt-desc/shard-desc argmax)."""
+    import duckdb
+
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        rendezvous_shards,
+    )
+
+    shards = [f"s{i}" for i in range(5)]
+    got = {
+        (r["k"], r["shard"])
+        for r in rendezvous_shards(
+            spark.range(0, 500).withColumnRenamed("id", "k"),
+            "k",
+            shards,
+            portable=True,
+        ).collect()
+    }
+    vals = ", ".join(f"('{s}')" for s in shards)
+    want = set(
+        duckdb.sql(
+            f"""
+            SELECT k, shard FROM (
+                SELECT k, shard, row_number() OVER (
+                    PARTITION BY k ORDER BY
+                    CAST('0x' || substr(md5(
+                        CAST(k AS VARCHAR) || chr(31) || shard
+                    ), 1, 15) AS BIGINT) DESC, shard DESC) AS rn
+                FROM range(500) t(k) CROSS JOIN (VALUES {vals}) s(shard)
+            ) WHERE rn = 1
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_nucleus_mask_integer_cut(spark):
+    """Hand-checked cut: freqs 5,3,2 at p=4/5 keep {5,3} (cum_before
+    8 !< 8 drops the tail); the boundary-crossing row is kept; a
+    singleton group is always its own nucleus; ties break on the
+    tiebreak column ascending."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        nucleus_mask,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "a", 5),
+            ("d1", "b", 3),
+            ("d1", "c", 2),
+            ("d2", "x", 7),
+            ("d3", "m", 2),   # tie on freq: 'm' < 'n' so m is the head
+            ("d3", "n", 2),
+            ("d3", "o", 1),
+        ],
+        "g string, tok string, freq long",
+    )
+    got = {
+        (r["g"], r["tok"]): r["is_nucleus"]
+        for r in nucleus_mask(
+            df, ["g"], "freq", ["tok"], 4, 5
+        ).collect()
+    }
+    assert got == {
+        ("d1", "a"): True,
+        ("d1", "b"): True,
+        ("d1", "c"): False,
+        ("d2", "x"): True,
+        # d3 total 5, p·total=4: cb(m)=0<4 keep, cb(n)=2<4 keep
+        # (crossing row), cb(o)=4 !<4 drop
+        ("d3", "m"): True,
+        ("d3", "n"): True,
+        ("d3", "o"): False,
+    }
