@@ -2486,6 +2486,85 @@ def _q102_nucleus_tokens(spark, sf):
     )
 
 
+def _q103_containment_pairs(spark, sf):
+    """EXACT directed set-containment self-join (the asymmetric
+    complement to q66's Jaccard): every ordered pair where ≥80% of the
+    sub document's bigram shingles appear in the sup document — subsumed
+    quotes / boilerplate-wrapped copies that Jaccard misses when sizes
+    differ (unigrams saturate on this template corpus: 144k pairs vs 50).
+    Rare-first prefix probe against a full-shingle index (pigeonhole: a
+    qualifying pair must share one of the sub's first n−⌈t·n⌉+1
+    rare-ordered shingles), distinct-signature frontier, integer verify
+    1000·inter ≥ 800·n_sub.  The oracle is the INDEPENDENT brute-force
+    directed all-pairs formulation, so a hash match certifies probe
+    completeness."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        containment_join,
+    )
+
+    d = _t(spark, sf, "documents")
+    return containment_join(d, threshold_millis=800)
+
+
+def _q104_entity_alignment(spark, sf):
+    """Reciprocal best-match entity alignment between two embedding
+    catalogs (even vec_ids vs odd vec_ids) under int8-quantized
+    maximum-inner-product search: keep (left, right) only when each is
+    the other's argmax.  The match score is the EXACT BIGINT dot of
+    q36-quantized vectors (scale = max|x|, an order-independent reduce)
+    so argmax and ties replay bit-identically in any engine — no float
+    accumulation order anywhere.  The KG-merge primitive: aligning
+    nodes across two independently-built graphs keeps only
+    self-certifying reciprocal matches."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.similarity import (
+        mutual_best_match,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    left = e.filter(F.col("vec_id") % 2 == 0)
+    right = e.filter(F.col("vec_id") % 2 == 1)
+    return mutual_best_match(left, right)
+
+
+def _q105_type_propagation(spark, sf):
+    """Semi-supervised entity-type propagation over the token
+    co-occurrence graph: the 8 highest-df tokens seed their first
+    letter as a 'type', then 3 synchronous rounds of weighted majority
+    vote (vote weight = co-occurrence doc count, integer) label every
+    node reachable from a seed; ties break to the smallest label, so
+    each round is a pure function of the previous one and the oracle
+    replays all 3 rounds as unrolled CTEs (the q44/q74 discipline).
+    The KG canonicalization step: a trusted seed dictionary types the
+    rest of the graph."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        propagate_labels,
+    )
+
+    sel, top = _token_sel(spark, sf, 40, with_top=True)
+    a, b = sel.alias("a"), sel.alias("b")
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("src"), F.col("b.token").alias("dst")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+    toks = sel.groupBy("token").agg(F.count("*").alias("df"))
+    seeds = (
+        toks.orderBy(F.desc("df"), F.asc("token"))
+        .limit(8)
+        .select(
+            F.col("token").alias("node"),
+            F.substring("token", 1, 1).alias("label"),
+        )
+    )
+    out = propagate_labels(
+        edges, seeds, weight_col="n_docs", rounds=3
+    )
+    return out.select(F.col("node").alias("term"), "label", "is_seed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2592,6 +2671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_single_linkage_noise": _q100_single_linkage_noise,
         "q101_rendezvous_shards": _q101_rendezvous_shards,
         "q102_nucleus_tokens": _q102_nucleus_tokens,
+        "q103_containment_pairs": _q103_containment_pairs,
+        "q104_entity_alignment": _q104_entity_alignment,
+        "q105_type_propagation": _q105_type_propagation,
     }
 
 
@@ -5761,5 +5843,152 @@ def oracle_sql() -> dict[str, str]:
             FROM r
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        # q103: INDEPENDENT brute-force directed all-pairs containment —
+        # a hash match certifies the prefix-probe candidate generation
+        # is complete, not just the verify arithmetic
+        "q103_containment_pairs": """
+            WITH t0 AS (
+                SELECT doc_id, regexp_extract_all(lower(text),
+                    '[a-z0-9]+(?:-[a-z0-9]+)*') AS t
+                FROM documents
+            ), toks AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', t[i], t[i + 1]) AS token
+                FROM t0,
+                     LATERAL (SELECT unnest(generate_series(1,
+                         greatest(len(t) - 1, 1))) AS i) g
+                WHERE len(t) > 0
+            ), sz AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM toks GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+                       CAST(count(*) AS BIGINT) AS n_inter
+                FROM toks a JOIN toks b
+                  ON a.token = b.token AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.doc_sub, i.doc_sup, s.n AS n_sub, i.n_inter,
+                   CAST((1000 * i.n_inter) // s.n AS BIGINT)
+                       AS cont_millis
+            FROM inter i JOIN sz s ON s.doc_id = i.doc_sub
+            WHERE 1000 * i.n_inter >= 800 * s.n
+        """,
+        # q104: the q36 quantization arithmetic verbatim (max-abs scale
+        # is order-independent; floor(+0.5) is the cross-engine round),
+        # then EXACT BIGINT dots and both argmax ranks replayed
+        "q104_entity_alignment": """
+            WITH e AS (
+                SELECT vec_id, embedding,
+                       greatest(list_aggregate(
+                           list_transform(embedding,
+                               x -> abs(CAST(x AS DOUBLE))), 'max'),
+                           1e-30) AS sc
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc
+                                           + 0.5) AS BIGINT)) AS qv
+                FROM e
+            ), ld AS (
+                SELECT vec_id AS left_id,
+                       unnest(generate_series(1, len(qv))) AS i,
+                       unnest(qv) AS x
+                FROM q WHERE vec_id % 2 = 0
+            ), rd AS (
+                SELECT vec_id AS right_id,
+                       unnest(generate_series(1, len(qv))) AS i,
+                       unnest(qv) AS x
+                FROM q WHERE vec_id % 2 = 1
+            ), dots AS (
+                SELECT ld.left_id, rd.right_id,
+                       CAST(sum(ld.x * rd.x) AS BIGINT) AS qdot
+                FROM ld JOIN rd USING (i)
+                GROUP BY 1, 2
+            ), bl AS (
+                SELECT left_id, right_id, qdot,
+                       row_number() OVER (PARTITION BY left_id
+                           ORDER BY qdot DESC, right_id) AS rk
+                FROM dots
+            ), br AS (
+                SELECT left_id, right_id,
+                       row_number() OVER (PARTITION BY right_id
+                           ORDER BY qdot DESC, left_id) AS rk
+                FROM dots
+            )
+            SELECT bl.left_id, bl.right_id, bl.qdot
+            FROM bl JOIN br
+              ON bl.left_id = br.left_id AND bl.right_id = br.right_id
+            WHERE bl.rk = 1 AND br.rk = 1
+        """,
+        # q105: the 3 synchronous majority-vote rounds unrolled as CTEs
+        # — integer vote weights, smallest-label ties, seeds clamped
+        "q105_type_propagation": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), dfc AS (
+                SELECT token, count(*) AS df FROM toks GROUP BY 1
+            ), top AS (
+                SELECT token FROM dfc ORDER BY df DESC, token LIMIT 40
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), edges0 AS (
+                SELECT a.token AS src, b.token AS dst,
+                       CAST(count(*) AS BIGINT) AS w
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+            ), nbrs AS (
+                SELECT src AS u, dst AS v, w FROM edges0
+                UNION ALL
+                SELECT dst AS u, src AS v, w FROM edges0
+            ), seeds AS (
+                SELECT token AS node, substr(token, 1, 1) AS label
+                FROM (SELECT token, count(*) AS df FROM sel GROUP BY 1)
+                ORDER BY df DESC, token LIMIT 8
+            ), l0 AS (SELECT node, label FROM seeds),
+            v1 AS (
+                SELECT n.v AS node, l.label, sum(n.w) AS wt
+                FROM nbrs n JOIN l0 l ON n.u = l.node GROUP BY 1, 2
+            ), p1 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node ORDER BY wt DESC, label) AS rk
+                    FROM v1)
+                WHERE rk = 1
+                  AND node NOT IN (SELECT node FROM seeds)
+            ), l1 AS (
+                SELECT * FROM l0 UNION ALL SELECT * FROM p1
+            ), v2 AS (
+                SELECT n.v AS node, l.label, sum(n.w) AS wt
+                FROM nbrs n JOIN l1 l ON n.u = l.node GROUP BY 1, 2
+            ), p2 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node ORDER BY wt DESC, label) AS rk
+                    FROM v2)
+                WHERE rk = 1
+                  AND node NOT IN (SELECT node FROM seeds)
+            ), l2 AS (
+                SELECT * FROM l0 UNION ALL SELECT * FROM p2
+            ), v3 AS (
+                SELECT n.v AS node, l.label, sum(n.w) AS wt
+                FROM nbrs n JOIN l2 l ON n.u = l.node GROUP BY 1, 2
+            ), p3 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node ORDER BY wt DESC, label) AS rk
+                    FROM v3)
+                WHERE rk = 1
+                  AND node NOT IN (SELECT node FROM seeds)
+            ), l3 AS (
+                SELECT * FROM l0 UNION ALL SELECT * FROM p3
+            )
+            SELECT node AS term, label,
+                   (node IN (SELECT node FROM seeds)) AS is_seed
+            FROM l3
         """,
     }

@@ -1554,3 +1554,85 @@ def single_linkage_clusters(
         "cluster_size",
         (F.col("cluster_size") == 1).alias("is_noise"),
     )
+
+
+def propagate_labels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    node_col: str = "node",
+    label_col: str = "label",
+    rounds: int = 3,
+) -> DataFrame:
+    """Semi-supervised entity-TYPE propagation → (node, label, is_seed):
+    ``rounds`` synchronous rounds of weighted majority vote from a small
+    seed-labeled set over the undirected graph.
+
+    The KG canonicalization step after components/communities: a handful
+    of nodes carry a trusted type (from the curated dictionary, the
+    reference's seed lists — populate_author_affiliations.py's alias
+    tables are exactly such seeds) and every other node takes the type
+    with the LARGEST total edge weight among its previously-labeled
+    neighbors.  Seeds are clamped (they never change); non-seeds
+    re-evaluate every round from the PREVIOUS round's labels — the
+    synchronous (Jacobi) schedule, which unlike the asynchronous variant
+    is deterministic under any partitioning.  Nodes with no labeled
+    neighbor stay unlabeled and are absent from the output.
+
+    Determinism: votes are integer weight sums (weight_col must be an
+    integer count; default 1 per edge), argmax ties break to the
+    SMALLEST label — so every round is a pure function of the previous
+    one and the whole run replays verbatim as ``rounds`` unrolled SQL
+    CTEs (the q44/q74 iterative-replay discipline).
+
+    Plan per round: one equi-join (edges ⋈ labels, shuffle on node id)
+    + one hash agg + one per-node window rank — all linear in |E|;
+    ``localCheckpoint`` per round truncates lineage exactly as
+    :func:`connected_components` does.  Rounds is a small constant
+    (label influence saturates at the graph diameter of the seeded
+    region), so total work is O(rounds·|E|).
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w"))
+    nbrs = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    sd = (
+        seeds.select(
+            F.col(node_col).alias("node"), F.col(label_col).alias("label")
+        )
+        .dropDuplicates(["node"])
+        .localCheckpoint(eager=True)
+    )
+    cur = sd
+    wv = Window.partitionBy("dst_node").orderBy(
+        F.desc("wt"), F.asc("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            nbrs.join(cur, nbrs["u"] == cur["node"])
+            .groupBy(F.col("v").alias("dst_node"), "label")
+            .agg(F.sum("w").alias("wt"))
+        )
+        picked = (
+            votes.withColumn("rk", F.row_number().over(wv))
+            .filter(F.col("rk") == 1)
+            .select(F.col("dst_node").alias("node"), "label")
+            .join(sd.select("node"), "node", "left_anti")
+        )
+        cur = sd.unionByName(picked).localCheckpoint(eager=True)
+    return cur.join(
+        sd.select("node", F.lit(True).alias("is_seed")), "node", "left"
+    ).select(
+        "node", "label", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
+    )

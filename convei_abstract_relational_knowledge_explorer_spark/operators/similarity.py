@@ -435,3 +435,94 @@ def knn_graph(
         .groupBy("src", "dst")
         .agg(F.max("weight").alias("weight"))
     )
+
+
+def mutual_best_match(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal best match (mutual-nearest) entity ALIGNMENT between two
+    embedding sets under int8-quantized maximum-inner-product search →
+    (left_id, right_id, qdot): the pairs where each side is the other's
+    argmax.
+
+    The KG-merge primitive: aligning author/affiliation/topic nodes
+    across two independently-built graphs (or two crawl snapshots) keeps
+    only RECIPROCAL best matches — the standard high-precision filter
+    (a one-directional best match is wrong whenever the true partner is
+    missing; reciprocity makes the match self-certifying).  The
+    reference links entities inside ONE store via alias dictionaries
+    (/root/reference/populate_author_affiliations.py); this is the
+    cross-store alignment step that store never needs.
+
+    Determinism at the core: vectors are int8-quantized with the q36
+    arithmetic (scale = max|x| — an ORDER-INDEPENDENT reduce, never a
+    float sum — then floor(x·127/scale + 0.5)), and the match score is
+    the EXACT BIGINT dot of the quantized vectors, so argmax + ties
+    ((qdot desc, id asc)) are bit-identical across engines and
+    partitionings — no float accumulation order anywhere (the trap that
+    makes naive cosine argmax irreproducible: a + b + c ≠ c + a + b in
+    doubles).  Quantized MIPS ranking approximates cosine ranking to
+    the int8 resolution; alignment keeps only mutual ARGMAX rows, so
+    the int8 rounding must flip a top-1 to matter at all.
+
+    Plan: the score join is |L|×|R| through ``crossJoin(broadcast(R))``
+    — the exactness baseline, right side bounded by contract (the q22
+    discipline).  At corpus scale, pre-block both sides with
+    :func:`ivf_assign` on a SHARED quantizer and run this per cell
+    (equi-join on cell), exactly as :func:`knn_graph` does; the
+    reciprocity join itself is two window ranks + one equi-join —
+    linear, shuffle on each side's id.
+    """
+    def _quant(df: DataFrame, out_id: str) -> DataFrame:
+        v = F.col(vec_col)
+        scale = F.greatest(
+            F.aggregate(
+                F.transform(v, lambda x: F.abs(x.cast("double"))),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ),
+            F.lit(1e-30),
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), v.alias("_v"), scale.alias("_s")
+        ).select(
+            out_id,
+            F.transform(
+                "_v",
+                lambda x: F.floor(
+                    x.cast("double") * 127.0 / F.col("_s") + 0.5
+                ).cast("long"),
+            ).alias(f"{out_id}_q"),
+        )
+
+    lq = _quant(left, "left_id")
+    rq = _quant(right, "right_id")
+    scored = lq.crossJoin(F.broadcast(rq)).select(
+        "left_id",
+        "right_id",
+        F.aggregate(
+            F.zip_with("left_id_q", "right_id_q", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qdot"),
+    )
+    wl = Window.partitionBy("left_id").orderBy(
+        F.desc("qdot"), F.asc("right_id")
+    )
+    wr = Window.partitionBy("right_id").orderBy(
+        F.desc("qdot"), F.asc("left_id")
+    )
+    best_l = (
+        scored.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") == 1)
+        .select("left_id", "right_id", "qdot")
+    )
+    best_r = (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("left_id", "right_id")
+    )
+    return best_l.join(best_r, ["left_id", "right_id"], "left_semi")

@@ -2422,3 +2422,172 @@ def test_nucleus_mask_integer_cut(spark):
         ("d3", "n"): True,
         ("d3", "o"): False,
     }
+
+
+# ---------------------------------------------------------------------------
+# containment join (q103)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_join_directed_and_identical(spark):
+    """Asymmetry: the subset doc points at the superset at C=1.0 while the
+    reverse direction is filtered; identical token sets pair BOTH ways via
+    the signature frontier."""
+    docs = spark.createDataFrame(
+        [
+            ("d1", "apple banana cherry"),
+            ("d2", "apple banana cherry date egg fig grape huck iris jack"),
+            ("d3", "zebra yak"),
+            ("d4", "cherry apple banana"),  # same unigram set as d1
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        (r["doc_sub"], r["doc_sup"], r["n_sub"], r["n_inter"],
+         r["cont_millis"])
+        for r in dedup.containment_join(
+            docs, threshold_millis=800, shingle_k=1
+        ).collect()
+    }
+    assert got == {
+        ("d1", "d2", 3, 3, 1000),
+        ("d4", "d2", 3, 3, 1000),
+        ("d1", "d4", 3, 3, 1000),
+        ("d4", "d1", 3, 3, 1000),
+    }
+
+
+def test_containment_join_matches_brute_force_random(spark):
+    """Prefix-probe completeness on a random corpus: every qualifying
+    ordered pair the brute force finds must come out of the blocked plan."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (f"d{i}", " ".join(rng.choices(vocab, k=rng.randint(3, 25))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    t = 600
+
+    def uni(text):
+        return set(text.split())
+
+    sets = {d: uni(t_) for d, t_ in rows}
+    expect = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if 1000 * inter >= t * len(sa):
+                expect.add((a, b, len(sa), inter, (1000 * inter) // len(sa)))
+    got = {
+        (r["doc_sub"], r["doc_sup"], r["n_sub"], r["n_inter"],
+         r["cont_millis"])
+        for r in dedup.containment_join(
+            docs, threshold_millis=t, shingle_k=1
+        ).collect()
+    }
+    assert got == expect
+    assert len(expect) > 5  # fixture actually exercises the join
+
+
+# ---------------------------------------------------------------------------
+# mutual best match (q104)
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_best_match_reciprocity(spark):
+    """Only reciprocal argmax pairs survive: L2's best is R1, but R1's
+    best (tie broken to the smaller left_id) is L0 — so L2 is unmatched."""
+    left = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.9, 0.1]), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    right = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["left_id"], r["right_id"], r["qdot"])
+        for r in similarity.mutual_best_match(left, right).collect()
+    }
+    assert got == {(0, 1, 127 * 127), (4, 3, 127 * 127)}
+
+
+def test_mutual_best_match_quantization_scale(spark):
+    """max|x| scale is per-vector: [0.5, 0.25] quantizes to [127, 64]
+    (floor(+0.5) rounding), not to the global scale."""
+    left = spark.createDataFrame(
+        [(0, [0.5, 0.25])], "vec_id long, embedding array<float>"
+    )
+    right = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    [row] = similarity.mutual_best_match(left, right).collect()
+    # q(left) = [127, floor(0.25*127/0.5 + .5)=64]; q(right) = [127, 127]
+    assert (row["left_id"], row["right_id"]) == (0, 1)
+    assert row["qdot"] == 127 * 127 + 64 * 127
+
+
+# ---------------------------------------------------------------------------
+# label propagation (q105)
+# ---------------------------------------------------------------------------
+
+
+def test_propagate_labels_majority_ties_and_rounds(spark):
+    """Weighted majority with smallest-label ties, seeds clamped, the
+    synchronous schedule reaching one hop per round, unreachable nodes
+    absent."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "c", 2), ("b", "c", 1),   # c: X=2 > Y=1 → X
+            ("a", "d", 1), ("b", "d", 1),   # d: tie → smallest label X
+            ("c", "e", 1),                  # e labeled only in round 2
+            ("b", "a", 100),                # seed a must NOT flip to Y
+            ("f", "g", 5),                  # no seeded neighbor → absent
+        ],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame(
+        [("a", "X"), ("b", "Y")], "node string, label string"
+    )
+
+    r1 = {
+        (r["node"], r["label"], r["is_seed"])
+        for r in components.propagate_labels(
+            edges, seeds, weight_col="w", rounds=1
+        ).collect()
+    }
+    assert r1 == {
+        ("a", "X", True), ("b", "Y", True),
+        ("c", "X", False), ("d", "X", False),
+    }
+
+    r2 = {
+        (r["node"], r["label"], r["is_seed"])
+        for r in components.propagate_labels(
+            edges, seeds, weight_col="w", rounds=2
+        ).collect()
+    }
+    assert r2 == r1 | {("e", "X", False)}
+
+
+def test_propagate_labels_default_weight_multiplicity(spark):
+    """Default weight is 1 per input row and the symmetrize+groupBy SUMS
+    multiplicity — a reversed duplicate of an edge doubles its vote."""
+    edges = spark.createDataFrame(
+        [("s1", "n", None), ("n", "s1", None), ("s2", "n", None)],
+        "src string, dst string, w long",
+    ).select("src", "dst")
+    seeds = spark.createDataFrame(
+        [("s1", "B"), ("s2", "A")], "node string, label string"
+    )
+    got = {
+        (r["node"], r["label"])
+        for r in components.propagate_labels(edges, seeds, rounds=1).collect()
+    }
+    # s1 edge appears twice in the input but sums to w=2 vs s2's w=1 → B wins
+    assert got == {("s1", "B"), ("s2", "A"), ("n", "B")}
