@@ -2565,6 +2565,86 @@ def _q105_type_propagation(spark, sf):
     return out.select(F.col("node").alias("term"), "label", "is_seed")
 
 
+def _q106_coverage_selection(spark, sf):
+    """Greedy maximum-coverage data selection: 5 rounds picking the
+    document that covers the most still-uncovered top-40 vocabulary
+    tokens (ties to the smallest doc_id) — the (1−1/e) facility-location
+    selection behind coverage-balanced corpus subsetting, the set-cover
+    complement to q82's DSIR distribution matching.  Integer gains +
+    smallest-id ties make every round a pure function of the previous
+    one; the oracle unrolls all 5 rounds as CTEs (q105's discipline)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        greedy_max_coverage,
+    )
+
+    sel = _token_sel(spark, sf, 40)
+    return greedy_max_coverage(
+        sel, k=5, set_col="doc_id", elem_col="token"
+    )
+
+
+def _q107_event_transitions(spark, sf):
+    """First-order Markov transition mining over per-user event streams:
+    adjacent (src → next) pairs ordered by (ts, event_id), each source
+    state's top-3 successors with the exact integer transition
+    probability (1000·n_pairs DIV n_src over the pair universe).  One
+    lead-window per user partition + WindowGroupLimit top-k — no global
+    sort anywhere."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        transition_topk,
+    )
+
+    return transition_topk(_t(spark, sf, "events"), top_k=3)
+
+
+def _q108_degree_mixing(spark, sf):
+    """Degree-mixing profile k_nn(k) of the token co-occurrence graph:
+    mean neighbor degree per degree class in exact integer arithmetic —
+    the scale-free diagnostic that decides whether hub salting matters
+    (decreasing = disassortative, hubs touch leaves).  Degrees over the
+    DISTINCT undirected edge set; both endpoint samples per edge;
+    mean_nbr_deg_milli = (1000·Σ nbr_deg) DIV n_ends."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        degree_mixing,
+    )
+
+    sel = _token_sel(spark, sf, 30)
+    a, b = sel.alias("a"), sel.alias("b")
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .select(
+            F.col("a.token").alias("src"), F.col("b.token").alias("dst")
+        )
+        .distinct()
+    )
+    return degree_mixing(edges)
+
+
+def _q109_snapshot_diff(spark, sf):
+    """Crawl-snapshot delta between two deterministic views of the
+    documents table (old = doc_id%7≠0; new = doc_id%5≠0 with text
+    revised when doc_id%11=0): added / removed / changed per doc_id,
+    content compared by one null-sentinel md5 digest per row so the
+    full-outer join shuffles 2 columns however wide the snapshot is.
+    The oracle is the INDEPENDENT column-wise IS DISTINCT FROM
+    formulation — a hash match certifies the digest comparison is
+    equality-faithful."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+        snapshot_diff,
+    )
+
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, key_cols=["doc_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2674,6 +2754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_containment_pairs": _q103_containment_pairs,
         "q104_entity_alignment": _q104_entity_alignment,
         "q105_type_propagation": _q105_type_propagation,
+        "q106_coverage_selection": _q106_coverage_selection,
+        "q107_event_transitions": _q107_event_transitions,
+        "q108_degree_mixing": _q108_degree_mixing,
+        "q109_snapshot_diff": _q109_snapshot_diff,
     }
 
 
@@ -5990,5 +6074,164 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS term, label,
                    (node IN (SELECT node FROM seeds)) AS is_seed
             FROM l3
+        """,
+        # q106: all 5 greedy rounds unrolled — integer gains, smallest
+        # doc_id ties, rounds with no positive gain emit nothing
+        "q106_coverage_selection": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1)
+                ORDER BY df DESC, token LIMIT 40
+            ), m AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), g1 AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+                FROM m GROUP BY 1
+            ), w1 AS (
+                SELECT doc_id, gain FROM g1
+                ORDER BY gain DESC, doc_id LIMIT 1
+            ), c1 AS (
+                SELECT DISTINCT token FROM m JOIN w1 USING (doc_id)
+            ), g2 AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM m
+                WHERE token NOT IN (SELECT token FROM c1) GROUP BY 1
+            ), w2 AS (
+                SELECT doc_id, gain FROM g2
+                ORDER BY gain DESC, doc_id LIMIT 1
+            ), c2 AS (
+                SELECT token FROM c1 UNION
+                SELECT token FROM m JOIN w2 USING (doc_id)
+            ), g3 AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM m
+                WHERE token NOT IN (SELECT token FROM c2) GROUP BY 1
+            ), w3 AS (
+                SELECT doc_id, gain FROM g3
+                ORDER BY gain DESC, doc_id LIMIT 1
+            ), c3 AS (
+                SELECT token FROM c2 UNION
+                SELECT token FROM m JOIN w3 USING (doc_id)
+            ), g4 AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM m
+                WHERE token NOT IN (SELECT token FROM c3) GROUP BY 1
+            ), w4 AS (
+                SELECT doc_id, gain FROM g4
+                ORDER BY gain DESC, doc_id LIMIT 1
+            ), c4 AS (
+                SELECT token FROM c3 UNION
+                SELECT token FROM m JOIN w4 USING (doc_id)
+            ), g5 AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM m
+                WHERE token NOT IN (SELECT token FROM c4) GROUP BY 1
+            ), w5 AS (
+                SELECT doc_id, gain FROM g5
+                ORDER BY gain DESC, doc_id LIMIT 1
+            ), sel AS (
+                SELECT CAST(1 AS BIGINT) AS round, doc_id, gain FROM w1
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), doc_id, gain FROM w2
+                UNION ALL
+                SELECT CAST(3 AS BIGINT), doc_id, gain FROM w3
+                UNION ALL
+                SELECT CAST(4 AS BIGINT), doc_id, gain FROM w4
+                UNION ALL
+                SELECT CAST(5 AS BIGINT), doc_id, gain FROM w5
+            )
+            SELECT round, doc_id, gain,
+                   CAST(sum(gain) OVER (ORDER BY round) AS BIGINT)
+                       AS covered_total
+            FROM sel
+        """,
+        # q107: lead-window pair mining replayed verbatim — (ts,
+        # event_id) ordering, integer milli probabilities
+        "q107_event_transitions": """
+            WITH pairs AS (
+                SELECT event_type AS src_event,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS next_event
+                FROM events
+            ), cnt AS (
+                SELECT src_event, next_event,
+                       CAST(count(*) AS BIGINT) AS n_pairs
+                FROM pairs WHERE next_event IS NOT NULL
+                GROUP BY 1, 2
+            ), tot AS (
+                SELECT src_event, CAST(sum(n_pairs) AS BIGINT) AS n_src
+                FROM cnt GROUP BY 1
+            ), ranked AS (
+                SELECT c.src_event, c.next_event, c.n_pairs,
+                       CAST((1000 * c.n_pairs) // t.n_src AS BIGINT)
+                           AS prob_milli,
+                       CAST(row_number() OVER (
+                           PARTITION BY c.src_event
+                           ORDER BY c.n_pairs DESC, c.next_event
+                       ) AS BIGINT) AS rk
+                FROM cnt c JOIN tot t USING (src_event)
+            )
+            SELECT * FROM ranked WHERE rk <= 3
+        """,
+        # q108: degrees over the distinct undirected edge set, both
+        # endpoint samples per edge, integer milli mean
+        "q108_degree_mixing": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), dfc AS (
+                SELECT token, count(*) AS df FROM toks GROUP BY 1
+            ), top AS (
+                SELECT token FROM dfc ORDER BY df DESC, token LIMIT 30
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), e0 AS (
+                SELECT DISTINCT a.token AS u, b.token AS v
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+            ), und AS (
+                SELECT u, v FROM e0
+                UNION
+                SELECT v AS u, u AS v FROM e0
+            ), deg AS (
+                SELECT u, CAST(count(*) AS BIGINT) AS d
+                FROM und GROUP BY 1
+            ), ends AS (
+                SELECT dx.d AS degree, dy.d AS nbr_deg
+                FROM und
+                JOIN deg dx ON dx.u = und.u
+                JOIN deg dy ON dy.u = und.v
+            )
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_ends,
+                   CAST(sum(nbr_deg) AS BIGINT) AS sum_nbr_deg,
+                   CAST((1000 * CAST(sum(nbr_deg) AS BIGINT))
+                        // count(*) AS BIGINT) AS mean_nbr_deg_milli
+            FROM ends GROUP BY 1
+        """,
+        # q109: the INDEPENDENT column-wise IS DISTINCT FROM diff — a
+        # hash match certifies the digest compare is equality-faithful
+        "q109_snapshot_diff": """
+            WITH o AS (
+                SELECT * FROM documents WHERE doc_id % 7 <> 0
+            ), n AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0
+                            THEN text || ' [rev2]' ELSE text END AS text,
+                       lang, source, n_chars
+                FROM documents WHERE doc_id % 5 <> 0
+            ), d AS (
+                SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                       CASE
+                           WHEN o.doc_id IS NULL THEN 'added'
+                           WHEN n.doc_id IS NULL THEN 'removed'
+                           WHEN (o.text IS DISTINCT FROM n.text)
+                             OR (o.lang IS DISTINCT FROM n.lang)
+                             OR (o.source IS DISTINCT FROM n.source)
+                             OR (o.n_chars IS DISTINCT FROM n.n_chars)
+                           THEN 'changed'
+                       END AS status
+                FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+            )
+            SELECT doc_id, status FROM d WHERE status IS NOT NULL
         """,
     }

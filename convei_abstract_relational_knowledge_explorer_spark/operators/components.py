@@ -1636,3 +1636,64 @@ def propagate_labels(
     ).select(
         "node", "label", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
     )
+
+
+def degree_mixing(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree-mixing summary (assortativity profile) → one row per
+    degree class: (degree, n_ends, sum_nbr_deg, mean_nbr_deg_milli).
+
+    k_nn(k) — the mean degree of the neighbors of degree-k nodes — is
+    THE standard scale-free-graph diagnostic (Pastor-Satorras et al.,
+    PRL 2001): decreasing k_nn(k) = disassortative (hubs touch leaves,
+    the web/KG signature), increasing = assortative (social-graph
+    signature).  Over a KG's entity graph it answers "do head entities
+    link to other heads?" — which decides whether hub salting matters
+    for the join plan (the skew.py rationale, measured rather than
+    assumed).
+
+    Exact integer arithmetic end to end: degrees are counts over the
+    DISTINCT undirected edge set (self-loops dropped, duplicate and
+    reversed input rows collapse), each undirected edge contributes
+    both (deg u, deg v) and (deg v, deg u) endpoint samples, and
+    ``mean_nbr_deg_milli = (1000·Σ nbr_deg) DIV n_ends``.  The global
+    assortativity coefficient is recoverable from these rows in exact
+    rational form: with M = Σ n_ends, Sx = Σ degree·n_ends,
+    Sxx = Σ degree²·n_ends, Sxy = Σ degree·sum_nbr_deg,
+    r = (M·Sxy − Sx²) / (M·Sxx − Sx²).
+
+    Plan: one symmetrize + distinct, one degree hash-agg, TWO
+    broadcast-or-shuffle joins of the edge list against the (node,
+    degree) frame, one final hash-agg keyed by the (bounded) degree
+    class — linear in |E|, no windows, no collects.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    ends = (
+        und.join(deg.withColumnRenamed("d", "dx"), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dy")), "v"
+        )
+        .select("dx", "dy")
+    )
+    return (
+        ends.groupBy(F.col("dx").alias("degree"))
+        .agg(
+            F.count("*").cast("long").alias("n_ends"),
+            F.sum("dy").cast("long").alias("sum_nbr_deg"),
+        )
+        .select(
+            "degree",
+            "n_ends",
+            "sum_nbr_deg",
+            F.expr("(1000 * sum_nbr_deg) DIV n_ends").alias(
+                "mean_nbr_deg_milli"
+            ),
+        )
+    )

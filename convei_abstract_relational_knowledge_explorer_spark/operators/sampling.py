@@ -527,3 +527,74 @@ def nucleus_mask(
         F.lit(p_den).cast("long") * cum_before
         < F.lit(p_num).cast("long") * total,
     )
+
+
+def greedy_max_coverage(
+    items: DataFrame,
+    k: int = 5,
+    set_col: str = "set_id",
+    elem_col: str = "element",
+) -> DataFrame:
+    """Greedy MAXIMUM-COVERAGE selection → (round, set_id, gain,
+    covered_total): pick up to ``k`` sets, each round the one covering
+    the most still-uncovered elements, ties to the SMALLEST set id.
+
+    The facility-location form of training-data selection: choose the
+    ``k`` documents whose union covers the largest slice of the
+    vocabulary (or of any membership universe — domains, n-grams,
+    entities).  The greedy rule is the classic (1 − 1/e)-approximation
+    to the NP-hard optimum (Nemhauser/Wolsey/Fisher 1978) and is the
+    selection behind coverage-balanced corpus subsetting — the
+    set-cover complement to q82's distribution-matching DSIR.
+
+    Determinism: gains are integer counts, argmax ties break to the
+    smallest set id, so the whole run is a pure function of the input
+    and replays as ``k`` unrolled SQL CTE rounds (the q44/q74/q105
+    discipline).  Selection stops early when every coverable element
+    is covered (a round with no positive gain emits nothing).
+
+    Plan per round: one left-anti join (memberships vs the covered-set
+    frame, shuffle on element) + one hash agg + one
+    TakeOrderedAndProject(1) — the winner is a SCALAR collect (the CC
+    convergence idiom), and the covered frame is localCheckpointed so
+    round r's lineage does not replay rounds 1..r-1.  k is a small
+    constant; total work O(k·|items|).  The per-round global argmax is
+    inherently sequential — the price of the greedy guarantee.
+    """
+    m = (
+        items.select(
+            F.col(set_col).alias("sid"), F.col(elem_col).alias("elem")
+        )
+        .dropDuplicates(["sid", "elem"])
+        .localCheckpoint(eager=True)
+    )
+    covered = m.select("elem").limit(0).localCheckpoint(eager=True)
+    spark = items.sparkSession
+    out_rows: list[tuple] = []
+    total = 0
+    for rnd in range(1, k + 1):
+        win = (
+            m.join(covered, "elem", "left_anti")
+            .groupBy("sid")
+            .agg(F.count("*").cast("long").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("sid"))
+            .limit(1)
+            .collect()
+        )
+        if not win:
+            break
+        sid, gain = win[0]["sid"], win[0]["gain"]
+        total += int(gain)
+        out_rows.append((rnd, sid, int(gain), total))
+        covered = (
+            covered.unionByName(
+                m.filter(F.col("sid") == F.lit(sid)).select("elem")
+            )
+            .dropDuplicates(["elem"])
+            .localCheckpoint(eager=True)
+        )
+    schema = (
+        f"round long, {set_col} {dict(items.dtypes)[set_col]}, "
+        "gain long, covered_total long"
+    )
+    return spark.createDataFrame(out_rows, schema)

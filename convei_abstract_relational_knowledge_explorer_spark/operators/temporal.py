@@ -310,3 +310,62 @@ def apply_changelog(
         ],
     )
     return compacted.filter(F.col(op_col) != delete_op).drop(op_col)
+
+
+def transition_topk(
+    events: DataFrame,
+    top_k: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition mining → (src_event, next_event,
+    n_pairs, prob_milli, rk): per-key event streams ordered by
+    (ts, tiebreak) yield consecutive (src → next) pairs; emit each
+    source state's ``top_k`` successors by count with the exact
+    integer transition probability.
+
+    The clickstream/session model behind next-page prediction and
+    funnel diagnosis: P(next | src) estimated from adjacent pairs.
+    ``prob_milli = (1000·n_pairs) DIV n_src`` is exact integer
+    arithmetic over the SAME pair universe both numerator and
+    denominator (n_src counts outgoing pairs, not raw events, so a
+    key's terminal event contributes no mass) — bit-identical across
+    engines.  Ordering ties on ``ts`` break by ``tiebreak_col`` so the
+    pair sequence is a pure function of the data, never of arrival or
+    partition order (the q18 sessionization discipline).
+
+    Plan: one `lead` window per key partition (parallel across keys, no
+    global sort), one pair hash-agg (map-side combinable), one
+    per-source agg for totals, one per-source window rank for the
+    top-k cut (WindowGroupLimit pushes the rank filter) — all JVM,
+    linear in |events|.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("src_event"),
+            F.lead(type_col).over(w).alias("next_event"),
+        )
+        .filter(F.col("next_event").isNotNull())
+        .groupBy("src_event", "next_event")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    totals = pairs.groupBy("src_event").agg(
+        F.sum("n_pairs").alias("n_src")
+    )
+    wr = Window.partitionBy("src_event").orderBy(
+        F.desc("n_pairs"), F.asc("next_event")
+    )
+    return (
+        pairs.join(totals, "src_event")
+        .select(
+            "src_event",
+            "next_event",
+            "n_pairs",
+            F.expr("(1000 * n_pairs) DIV n_src").alias("prob_milli"),
+            F.row_number().over(wr).alias("rk"),
+        )
+        .filter(F.col("rk") <= top_k)
+    )

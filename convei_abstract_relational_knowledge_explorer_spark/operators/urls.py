@@ -89,3 +89,62 @@ def url_duplicates(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str] | None = None,
+    hash_cols: list[str] | None = None,
+) -> DataFrame:
+    """Crawl-snapshot delta → (key…, status ∈ added|removed|changed):
+    full-outer join of two snapshots on the key, content compared by a
+    null-sentinel md5 over ``hash_cols``; unchanged rows are dropped.
+
+    The recrawl primitive: between two Common-Crawl-style snapshots of
+    the same url space, downstream stages only need the DELTA (new
+    pages to extract, vanished pages to tombstone, changed pages to
+    re-extract) — the batch analog of the CDC changelog q99 applies,
+    produced from full snapshots when no changelog exists.
+
+    Content equality is md5 over hash_cols concatenated with a \\x1f
+    separator and a per-column NULL sentinel (``\\x00∅``) — so NULL vs
+    empty-string vs absent column all compare distinctly, and the
+    comparison is one fixed-width digest per row rather than N wide
+    column comparisons shuffled twice.
+
+    Plan: both sides reduce to (key, digest) BEFORE the join (column
+    pruning reaches the scans; the shuffle carries 2 columns however
+    wide the snapshot is), then one full-outer sort-merge join on the
+    key and a three-way CASE — linear, one shuffle per side, no
+    windows.  Precondition: the key is unique within each snapshot
+    (the crawl key is the url); duplicate keys multiply join rows —
+    dedupe upstream (url_duplicates) rather than here, so the cost is
+    paid once per snapshot, not once per diff.
+    """
+    key_cols = key_cols or ["url"]
+    hash_cols = hash_cols or [
+        c for c in old.columns if c not in key_cols
+    ]
+    digest = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00∅"))
+                for c in hash_cols
+            ],
+        )
+    )
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return df.select(*key_cols, digest.alias(f"_h_{name}"))
+
+    o, n = side(old, "old"), side(new, "new")
+    joined = o.join(n, key_cols, "full_outer")
+    return joined.select(
+        *key_cols,
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .alias("status"),
+    ).filter(F.col("status").isNotNull())

@@ -2591,3 +2591,160 @@ def test_propagate_labels_default_weight_multiplicity(spark):
     }
     # s1 edge appears twice in the input but sums to w=2 vs s2's w=1 → B wins
     assert got == {("s1", "B"), ("s2", "A"), ("n", "B")}
+
+
+def test_greedy_max_coverage_greedy_not_largest(spark):
+    """Classic instance where greedy order matters: after A={1,2,3,4}
+    is taken, B={1,2,5} has residual gain 1 while C={5,6,7} has 3 —
+    greedy picks C second; B's residual is then 0 so the run stops at
+    two rows even with k=5 (no positive-gain round emits)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        greedy_max_coverage,
+    )
+
+    items = spark.createDataFrame(
+        [("A", e) for e in [1, 2, 3, 4]]
+        + [("B", e) for e in [1, 2, 5]]
+        + [("C", e) for e in [5, 6, 7]],
+        "set_id string, element long",
+    )
+    got = [
+        (r["round"], r["set_id"], r["gain"], r["covered_total"])
+        for r in greedy_max_coverage(items, k=5)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == [(1, "A", 4, 4), (2, "C", 3, 7)]
+
+
+def test_greedy_max_coverage_ties_and_dups(spark):
+    """Gain ties break to the smallest set id, and duplicate
+    (set, element) rows count once."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        greedy_max_coverage,
+    )
+
+    items = spark.createDataFrame(
+        [("Z", 1), ("Z", 2), ("Z", 2), ("A", 3), ("A", 4), ("A", 4)],
+        "set_id string, element long",
+    )
+    got = [
+        (r["round"], r["set_id"], r["gain"])
+        for r in greedy_max_coverage(items, k=2).orderBy("round").collect()
+    ]
+    assert got == [(1, "A", 2), (2, "Z", 2)]
+
+
+def test_transition_topk_order_and_probs(spark):
+    """One user's stream a→b→a→b→c (ts ties broken by event_id) gives
+    a: {b:2}, b: {a:1, c:1}; prob_milli is exact integer DIV over the
+    pair universe (terminal event c contributes no mass)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        transition_topk,
+    )
+
+    events = spark.createDataFrame(
+        [
+            ("u1", 1, 10, "a"),
+            ("u1", 2, 20, "b"),
+            # ts tie at 30: event_id orders a(3) before b(4)
+            ("u1", 3, 30, "a"),
+            ("u1", 4, 30, "b"),
+            ("u1", 5, 40, "c"),
+        ],
+        "user_id string, event_id long, ts long, event_type string",
+    )
+    got = {
+        (r["src_event"], r["next_event"]): (
+            r["n_pairs"],
+            r["prob_milli"],
+            r["rk"],
+        )
+        for r in transition_topk(events, top_k=3).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 1000, 1),
+        ("b", "a"): (1, 500, 1),
+        ("b", "c"): (1, 500, 2),
+    }
+
+
+def test_transition_topk_cut_and_tiebreak(spark):
+    """top_k=1 keeps only each source's best successor; count ties
+    break alphabetically on next_event."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        transition_topk,
+    )
+
+    events = spark.createDataFrame(
+        [
+            ("u1", 1, 1, "s"), ("u1", 2, 2, "x"),
+            ("u2", 3, 1, "s"), ("u2", 4, 2, "m"),
+        ],
+        "user_id string, event_id long, ts long, event_type string",
+    )
+    got = [
+        (r["src_event"], r["next_event"])
+        for r in transition_topk(events, top_k=1).collect()
+    ]
+    assert got == [("s", "m")]
+
+
+def test_degree_mixing_star_graph(spark):
+    """Star c-{l1,l2,l3}: the degree-3 class sees mean neighbor degree
+    1, the degree-1 class sees 3.  Self-loops and reversed/duplicate
+    input rows collapse before degrees are counted."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        degree_mixing,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("c", "l1"), ("l1", "c"),  # reversed duplicate
+            ("c", "l2"), ("c", "l2"),  # duplicate
+            ("c", "l3"),
+            ("c", "c"),                # self-loop dropped
+        ],
+        "src string, dst string",
+    )
+    got = {
+        r["degree"]: (r["n_ends"], r["sum_nbr_deg"], r["mean_nbr_deg_milli"])
+        for r in degree_mixing(edges).collect()
+    }
+    assert got == {3: (3, 3, 1000), 1: (3, 9, 3000)}
+
+
+def test_snapshot_diff_statuses_and_null_sentinel(spark):
+    """added/removed/changed classified; unchanged rows dropped; NULL
+    vs empty string compare as DIFFERENT (the \\x00 sentinel)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [
+            ("u1", "same", 1),
+            ("u2", "before", 2),
+            ("u3", "gone", 3),
+            ("u5", None, 5),
+        ],
+        "url string, body string, n long",
+    )
+    new = spark.createDataFrame(
+        [
+            ("u1", "same", 1),
+            ("u2", "after", 2),
+            ("u4", "fresh", 4),
+            ("u5", "", 5),
+        ],
+        "url string, body string, n long",
+    )
+    got = {
+        r["url"]: r["status"] for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        "u2": "changed",
+        "u3": "removed",
+        "u4": "added",
+        "u5": "changed",
+    }
