@@ -2645,6 +2645,183 @@ def _q109_snapshot_diff(spark, sf):
     return snapshot_diff(old, new, key_cols=["doc_id"])
 
 
+def _kg_triples(spark, sf):
+    """Deterministic mixed-cardinality triple store synthesized from the
+    TPC-H graph — the shared input of the KG-construction queries
+    q110/q111: IN_NATION (customer→nation, N:1), SUP_NATION
+    (supplier→nation, N:1), IN_REGION (nation→region, N:1), HAS_NAME
+    (nation→name, 1:1), OFFERS (brand→type, N:M), PLACED_BY
+    (order→customer, N:1), FROM_REGION (customer→region, the derived
+    closure facts), ORDER_NATION (order→nation, only for
+    o_orderkey%3=0 — a deliberately PARTIAL relation so rule
+    confidence lands strictly between 0 and 1000)."""
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    o = _t(spark, sf, "orders")
+    p = _t(spark, sf, "part")
+
+    def tr(df, subj, pred, obj):
+        return df.select(
+            F.concat(F.lit(subj[0]), F.col(subj[1]).cast("string")).alias(
+                "subj"
+            ),
+            F.lit(pred).alias("pred"),
+            F.concat(F.lit(obj[0]), F.col(obj[1]).cast("string")).alias(
+                "obj"
+            ),
+        )
+
+    nk = n.select("n_nationkey", "n_regionkey", "n_name")
+    cust_region = c.join(
+        F.broadcast(nk), c.c_nationkey == nk.n_nationkey
+    )
+    return (
+        tr(c, ("C", "c_custkey"), "IN_NATION", ("N", "c_nationkey"))
+        .unionByName(
+            tr(s, ("S", "s_suppkey"), "SUP_NATION", ("N", "s_nationkey"))
+        )
+        .unionByName(
+            tr(n, ("N", "n_nationkey"), "IN_REGION", ("R", "n_regionkey"))
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("N"), F.col("n_nationkey").cast("string")
+                         ).alias("subj"),
+                F.lit("HAS_NAME").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+        .unionByName(
+            p.select(
+                F.col("p_brand").alias("subj"),
+                F.lit("OFFERS").alias("pred"),
+                F.col("p_type").alias("obj"),
+            )
+        )
+        .unionByName(
+            tr(o, ("O", "o_orderkey"), "PLACED_BY", ("C", "o_custkey"))
+        )
+        .unionByName(
+            cust_region.select(
+                F.concat(F.lit("C"), F.col("c_custkey").cast("string")
+                         ).alias("subj"),
+                F.lit("FROM_REGION").alias("pred"),
+                F.concat(F.lit("R"), F.col("n_regionkey").cast("string")
+                         ).alias("obj"),
+            )
+        )
+        .unionByName(
+            tr(
+                o.filter(F.col("o_orderkey") % 3 == 0).join(
+                    F.broadcast(
+                        c.select("c_custkey", "c_nationkey")
+                    ),
+                    o.o_custkey == F.col("c_custkey"),
+                ),
+                ("O", "o_orderkey"),
+                "ORDER_NATION",
+                ("N", "c_nationkey"),
+            )
+        )
+    )
+
+
+def _q110_relation_cardinality(spark, sf):
+    """Relation-cardinality profiling (TBox induction) over the mixed
+    TPC-H triple store: per predicate, exact triple/endpoint counts,
+    max fan-out/fan-in, AMIE functionality in integer milli units, and
+    the 1:1 / 1:N / N:1 / N:M classification — the first pass a KG
+    builder runs on freshly extracted triples.  Two hash-agg chains +
+    one tiny join on pred; no windows."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        relation_cardinality,
+    )
+
+    return relation_cardinality(_kg_triples(spark, sf))
+
+
+def _q111_path_rules(spark, sf):
+    """AMIE-style length-2 closed-rule mining over the same triple
+    store: every r1(x,y) ∧ r2(y,z) ⇒ r3(x,z) with support ≥ 5, exact
+    integer confidence (support DIV body pairs) and head coverage.
+    PLACED_BY ∘ IN_NATION ⇒ ORDER_NATION lands near 333 milli by
+    construction (the partial relation), IN_NATION ∘ IN_REGION ⇒
+    FROM_REGION at 1000 — the rule-mining step that turns extractions
+    into an inference-capable KG."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        mine_path_rules,
+    )
+
+    return mine_path_rules(_kg_triples(spark, sf), min_support=5)
+
+
+def _q112_ranking_eval(spark, sf):
+    """Filtered link-prediction evaluation (the TransE protocol) of a
+    co-occurrence scorer on the OFFERS relation: candidates = every
+    (brand, type) pair with score = number of parts carrying that
+    combination; truths = pairs that exist; test = the deterministic
+    porthash%5=0 slice of truths.  Ranks are filtered (other true
+    types of the same brand excluded), ties break on type ascending;
+    hits@1/3/10, MRR in micro units and mean rank in milli units are
+    all exact integers."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        porthash64,
+    )
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        ranking_eval,
+    )
+
+    p = _t(spark, sf, "part")
+    truths = (
+        p.select(F.col("p_brand").alias("subj"), F.col("p_type").alias("obj"))
+        .distinct()
+    )
+    types = p.select(F.col("p_type").alias("obj")).distinct()
+    counts = p.groupBy(
+        F.col("p_brand").alias("subj"), F.col("p_type").alias("obj")
+    ).agg(F.count("*").cast("long").alias("score"))
+    scored = (
+        truths.select("subj")
+        .distinct()
+        .crossJoin(F.broadcast(types))
+        .join(counts, ["subj", "obj"], "left")
+        .select(
+            "subj", "obj", F.coalesce("score", F.lit(0)).cast("long").alias("score")
+        )
+    )
+    test = truths.filter(
+        porthash64(F.concat(F.col("subj"), F.lit("|"), F.col("obj")), "rk")
+        % 5
+        == 0
+    )
+    return ranking_eval(scored, test, truths, ks=(1, 3, 10))
+
+
+def _q113_sorted_neighborhood(spark, sf):
+    """Blocked sorted-neighborhood candidate generation (Hernández &
+    Stolfo SIGMOD'95) over customers: within each nation block, sort by
+    (acctbal, custkey) and pair each record with its next 2 successors
+    — n·w candidate pairs instead of n²/2, the linear-output blocking
+    regime for record linkage.  Rank arithmetic makes adjacency an
+    equi-join key (no range join, no global sort)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        sorted_neighborhood,
+    )
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    return sorted_neighborhood(
+        c,
+        id_col="c_custkey",
+        sort_cols=["c_acctbal"],
+        block_cols=["c_nationkey"],
+        window=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2758,6 +2935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_event_transitions": _q107_event_transitions,
         "q108_degree_mixing": _q108_degree_mixing,
         "q109_snapshot_diff": _q109_snapshot_diff,
+        "q110_relation_cardinality": _q110_relation_cardinality,
+        "q111_path_rules": _q111_path_rules,
+        "q112_ranking_eval": _q112_ranking_eval,
+        "q113_sorted_neighborhood": _q113_sorted_neighborhood,
     }
 
 
@@ -2766,6 +2947,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+(?:-[a-z0-9]+)*')"
+
+# DuckDB twin of _kg_triples — the shared mixed-cardinality triple store
+# of q110/q111 (8 relations over the TPC-H graph; ORDER_NATION partial).
+_KG_TRIPLES_SQL = """trip AS (
+                SELECT 'C' || CAST(c_custkey AS VARCHAR) AS subj,
+                       'IN_NATION' AS pred,
+                       'N' || CAST(c_nationkey AS VARCHAR) AS obj
+                FROM customer
+                UNION ALL
+                SELECT 'S' || CAST(s_suppkey AS VARCHAR), 'SUP_NATION',
+                       'N' || CAST(s_nationkey AS VARCHAR)
+                FROM supplier
+                UNION ALL
+                SELECT 'N' || CAST(n_nationkey AS VARCHAR), 'IN_REGION',
+                       'R' || CAST(n_regionkey AS VARCHAR)
+                FROM nation
+                UNION ALL
+                SELECT 'N' || CAST(n_nationkey AS VARCHAR), 'HAS_NAME',
+                       n_name
+                FROM nation
+                UNION ALL
+                SELECT p_brand, 'OFFERS', p_type FROM part
+                UNION ALL
+                SELECT 'O' || CAST(o_orderkey AS VARCHAR), 'PLACED_BY',
+                       'C' || CAST(o_custkey AS VARCHAR)
+                FROM orders
+                UNION ALL
+                SELECT 'C' || CAST(c_custkey AS VARCHAR), 'FROM_REGION',
+                       'R' || CAST(n_regionkey AS VARCHAR)
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                UNION ALL
+                SELECT 'O' || CAST(o_orderkey AS VARCHAR), 'ORDER_NATION',
+                       'N' || CAST(c_nationkey AS VARCHAR)
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE o_orderkey % 3 = 0
+            )"""
 
 
 def _ml2(x: str) -> str:
@@ -6233,5 +6450,139 @@ def oracle_sql() -> dict[str, str]:
                 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
             )
             SELECT doc_id, status FROM d WHERE status IS NOT NULL
+        """,
+        # q110/q111 share the synthesized mixed-cardinality triple store
+        # (_kg_triples twin): 8 relations over the TPC-H graph, ORDER_NATION
+        # deliberately partial (o_orderkey%3=0) for non-trivial confidences
+        "q110_relation_cardinality": f"""
+            WITH {_KG_TRIPLES_SQL},
+            t AS (SELECT DISTINCT subj, pred, obj FROM trip),
+            outs AS (
+                SELECT pred, subj, CAST(count(*) AS BIGINT) AS fo
+                FROM t GROUP BY 1, 2
+            ), oo AS (
+                SELECT pred, CAST(sum(fo) AS BIGINT) AS n_triples,
+                       CAST(count(*) AS BIGINT) AS n_subj,
+                       CAST(max(fo) AS BIGINT) AS max_out
+                FROM outs GROUP BY 1
+            ), ins AS (
+                SELECT pred, obj, CAST(count(*) AS BIGINT) AS fi
+                FROM t GROUP BY 1, 2
+            ), ii AS (
+                SELECT pred, CAST(count(*) AS BIGINT) AS n_obj,
+                       CAST(max(fi) AS BIGINT) AS max_in
+                FROM ins GROUP BY 1
+            )
+            SELECT pred, n_triples, n_subj, n_obj, max_out, max_in,
+                   CAST((1000 * n_subj) // n_triples AS BIGINT)
+                       AS functionality_milli,
+                   CAST((1000 * n_obj) // n_triples AS BIGINT)
+                       AS inv_functionality_milli,
+                   CASE WHEN max_out = 1 AND max_in = 1 THEN '1:1'
+                        WHEN max_in = 1 THEN '1:N'
+                        WHEN max_out = 1 THEN 'N:1'
+                        ELSE 'N:M' END AS card_class
+            FROM oo JOIN ii USING (pred)
+        """,
+        "q111_path_rules": f"""
+            WITH {_KG_TRIPLES_SQL},
+            t AS (SELECT DISTINCT subj, pred, obj FROM trip),
+            body AS (
+                SELECT DISTINCT a.pred AS r1, b.pred AS r2,
+                       a.subj AS x, b.obj AS z
+                FROM t a JOIN t b ON a.obj = b.subj
+                WHERE a.subj <> b.obj
+            ), heads AS (
+                SELECT subj AS x, pred AS r3, obj AS z
+                FROM t WHERE subj <> obj
+            ), nh AS (
+                SELECT r3, CAST(count(*) AS BIGINT) AS n_head
+                FROM heads GROUP BY 1
+            ), sup AS (
+                SELECT r1, r2, r3, CAST(count(*) AS BIGINT) AS support
+                FROM body JOIN heads USING (x, z)
+                GROUP BY 1, 2, 3 HAVING count(*) >= 5
+            ), nb AS (
+                SELECT r1, r2, CAST(count(*) AS BIGINT) AS n_body
+                FROM body GROUP BY 1, 2
+            )
+            SELECT r1, r2, r3, support, n_body, n_head,
+                   CAST((1000 * support) // n_body AS BIGINT) AS conf_milli,
+                   CAST((1000 * support) // n_head AS BIGINT) AS hc_milli
+            FROM sup JOIN nb USING (r1, r2) JOIN nh USING (r3)
+        """,
+        # q112: the filtered TransE ranking protocol replayed — porthash
+        # test split, tie-break on type ascending, integer micro/milli units
+        "q112_ranking_eval": """
+            WITH truths AS (
+                SELECT DISTINCT p_brand AS subj, p_type AS obj FROM part
+            ), counts AS (
+                SELECT p_brand AS subj, p_type AS obj,
+                       CAST(count(*) AS BIGINT) AS score
+                FROM part GROUP BY 1, 2
+            ), types AS (
+                SELECT DISTINCT p_type AS obj FROM part
+            ), scored AS (
+                SELECT s.subj, t.obj,
+                       coalesce(c.score, 0) AS score
+                FROM (SELECT DISTINCT subj FROM truths) s
+                CROSS JOIN types t
+                LEFT JOIN counts c ON c.subj = s.subj AND c.obj = t.obj
+            ), test AS (
+                SELECT subj, obj FROM truths
+                WHERE CAST('0x' || substr(md5(
+                          subj || '|' || obj || chr(31) || 'rk'
+                      ), 1, 15) AS BIGINT) % 5 = 0
+            ), ts AS (
+                SELECT t.subj, t.obj AS tobj, s.score AS tscore
+                FROM test t
+                JOIN scored s ON s.subj = t.subj AND s.obj = t.obj
+            ), better AS (
+                SELECT ts.subj, ts.tobj, CAST(count(*) AS BIGINT) AS n_better
+                FROM ts
+                JOIN scored c ON c.subj = ts.subj
+                LEFT JOIN truths f ON f.subj = c.subj AND f.obj = c.obj
+                WHERE (f.subj IS NULL OR c.obj = ts.tobj)
+                  AND (c.score > ts.tscore
+                       OR (c.score = ts.tscore AND c.obj < ts.tobj))
+                GROUP BY 1, 2
+            ), ranks AS (
+                SELECT CAST(coalesce(b.n_better, 0) + 1 AS BIGINT) AS rank
+                FROM ts
+                LEFT JOIN better b
+                  ON b.subj = ts.subj AND b.tobj = ts.tobj
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_test,
+                   CAST(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits1,
+                   CAST(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits3,
+                   CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits10,
+                   CAST(sum(1000000 // rank) // count(*) AS BIGINT)
+                       AS mrr_micro,
+                   CAST((1000 * sum(rank)) // count(*) AS BIGINT)
+                       AS mean_rank_milli
+            FROM ranks
+        """,
+        # q113: rank-difference replay of the blocked sorted-neighborhood
+        # pairing — (acctbal, custkey) order, window 2
+        "q113_sorted_neighborhood": """
+            WITH ranked AS (
+                SELECT c_nationkey, c_custkey,
+                       row_number() OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY c_acctbal, c_custkey
+                       ) AS rk
+                FROM customer
+            )
+            SELECT a.c_nationkey,
+                   a.c_custkey AS c_custkey_l,
+                   b.c_custkey AS c_custkey_r,
+                   CAST(b.rk - a.rk AS BIGINT) AS dist
+            FROM ranked a
+            JOIN ranked b
+              ON a.c_nationkey = b.c_nationkey
+             AND b.rk - a.rk BETWEEN 1 AND 2
         """,
     }

@@ -24,7 +24,7 @@ shuffle), and any aggregate over scores partial-aggregates map-side.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 #: (agreement column, weight if it agrees, weight if it disagrees) —
 #: integer millibits: round(1000*log2(m/u)) / round(1000*log2((1-m)/(1-u)))
@@ -79,4 +79,67 @@ def fs_score(
         score = term if score is None else (score + term)
     return pairs.withColumn("score", score).withColumn(
         "is_match", F.col("score") >= threshold
+    )
+
+
+def sorted_neighborhood(
+    records: DataFrame,
+    id_col: str,
+    sort_cols: list[str],
+    block_cols: list[str],
+    window: int = 2,
+) -> DataFrame:
+    """Blocked sorted-neighborhood candidate generation (Hernández &
+    Stolfo, SIGMOD'95) → (block…, ``<id>_l``, ``<id>_r``, dist): within
+    each block, records sorted by ``sort_cols`` (ties broken by the id
+    so the order is a pure function of the data) pair with their next
+    ``window`` successors.
+
+    The linear-output complement to ``block_candidates``: a block of n
+    records emits ≈ n·w pairs instead of n²/2 — the regime for blocks
+    too big to pair exhaustively but whose near-duplicates sort
+    adjacently (names, addresses, canonical URLs).  Multi-pass SNM is
+    just this called once per sort key with the unions deduped.
+
+    Plan: one row_number window PER BLOCK partition (parallel across
+    blocks, no global sort — the q37/q107 discipline), one explode of
+    the 1..window offset sequence, one equi self-join on
+    (block, rank+offset) — rank arithmetic turns the "adjacent in
+    sort order" predicate into an equi-join key, so there is no range
+    join and no skew beyond the block sizes themselves.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not block_cols:
+        raise ValueError(
+            "sorted_neighborhood needs block columns; a truly global "
+            "sort order would single-thread the window at scale — "
+            "block first (multi-pass SNM) instead"
+        )
+    w = Window.partitionBy(*block_cols).orderBy(
+        *[F.col(c) for c in sort_cols], F.col(id_col)
+    )
+    ranked = records.select(
+        *block_cols,
+        F.col(id_col).alias("_id"),
+        F.row_number().over(w).cast("long").alias("_rk"),
+    )
+    probes = ranked.select(
+        *block_cols,
+        F.col("_id").alias(f"{id_col}_l"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(window)))
+        ).alias("dist"),
+        F.col("_rk"),
+    ).withColumn("_rk", (F.col("_rk") + F.col("dist")).cast("long"))
+    return probes.join(
+        ranked.select(
+            *block_cols, F.col("_id").alias(f"{id_col}_r"), "_rk"
+        ),
+        [*block_cols, "_rk"],
+    ).select(
+        *block_cols,
+        f"{id_col}_l",
+        f"{id_col}_r",
+        F.col("dist").cast("long").alias("dist"),
     )

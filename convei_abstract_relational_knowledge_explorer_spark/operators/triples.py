@@ -226,3 +226,264 @@ def negative_triples(
         ["subj", "pred", "obj_neg"],
         "left_anti",
     )
+
+
+def relation_cardinality(triples: DataFrame) -> DataFrame:
+    """Relation-cardinality profiling (schema / TBox induction) → one
+    row per predicate: (pred, n_triples, n_subj, n_obj, max_out,
+    max_in, functionality_milli, inv_functionality_milli, card_class
+    ∈ 1:1 | 1:N | N:1 | N:M).
+
+    THE first pass of KG construction over extracted triples: before a
+    relation can be stored, validated, or embedded, the builder must
+    know whether it is functional (everyone has ONE birthplace) or
+    multi-valued (a paper has MANY authors).  ``max_out`` is the
+    largest distinct-object fan-out of any subject, ``max_in`` the
+    largest distinct-subject fan-in of any object;
+    ``functionality_milli = (1000·n_subj) DIV n_triples`` is AMIE's
+    functionality score (Galárraga et al., WWW'13) in exact integer
+    milli units — 1000 means perfectly functional.
+
+    The classification uses the observed extremes: max_out = max_in =
+    1 → ``1:1``; only fan-out exceeds 1 → ``1:N``; only fan-in →
+    ``N:1``; both → ``N:M``.
+
+    Plan: one distinct over (s,p,o), then two (pred, endpoint)
+    hash-agg chains (groupBy(pred, subj) → countDistinct obj →
+    per-pred max; mirrored for obj) joined on the (tiny) pred key —
+    every stage map-side combinable, linear in |triples|, no windows.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    out = (
+        t.groupBy("pred", "subj")
+        .agg(F.count("*").cast("long").alias("fo"))
+        .groupBy("pred")
+        .agg(
+            F.sum("fo").cast("long").alias("n_triples"),
+            F.count("*").cast("long").alias("n_subj"),
+            F.max("fo").cast("long").alias("max_out"),
+        )
+    )
+    inn = (
+        t.groupBy("pred", "obj")
+        .agg(F.count("*").cast("long").alias("fi"))
+        .groupBy("pred")
+        .agg(
+            F.count("*").cast("long").alias("n_obj"),
+            F.max("fi").cast("long").alias("max_in"),
+        )
+    )
+    return (
+        out.join(inn, "pred")
+        .select(
+            "pred",
+            "n_triples",
+            "n_subj",
+            "n_obj",
+            "max_out",
+            "max_in",
+            F.expr("(1000 * n_subj) DIV n_triples").alias(
+                "functionality_milli"
+            ),
+            F.expr("(1000 * n_obj) DIV n_triples").alias(
+                "inv_functionality_milli"
+            ),
+            F.when(
+                (F.col("max_out") == 1) & (F.col("max_in") == 1), "1:1"
+            )
+            .when(F.col("max_in") == 1, "1:N")
+            .when(F.col("max_out") == 1, "N:1")
+            .otherwise("N:M")
+            .alias("card_class"),
+        )
+    )
+
+
+def mine_path_rules(
+    triples: DataFrame,
+    min_support: int = 1,
+    max_mid_degree: int | None = None,
+) -> DataFrame:
+    """AMIE-style length-2 closed-rule mining → (r1, r2, r3, support,
+    n_body, n_head, conf_milli, hc_milli): for every rule
+    ``r1(x,y) ∧ r2(y,z) ⇒ r3(x,z)``, the exact integer support
+    (distinct (x,z) pairs satisfying body AND head), PCA-free standard
+    confidence ``conf_milli = (1000·support) DIV n_body`` and head
+    coverage ``hc_milli = (1000·support) DIV n_head`` (Galárraga et
+    al., WWW'13, §4) — the rule-mining step that turns an extracted
+    triple store into an inference-capable KG.
+
+    Reflexive bindings x = z are excluded from both body and head
+    universes (a rule that only proves self-loops is noise), and all
+    counts are over DISTINCT entity pairs, so duplicate extractions
+    carry no weight.
+
+    ``max_mid_degree`` drops middle entities y whose total degree
+    (in+out over distinct triples) exceeds the cap BEFORE the
+    body self-join — the hub guard: one celebrity y of degree 10⁶
+    would otherwise contribute 10¹² body pairs.  The same
+    rare-first discipline as the co-occurrence and containment
+    joins; None means no cap.
+
+    Plan: distinct triples; optional degree filter (two hash aggs +
+    one semi join); body = one equi self-join on the middle entity
+    (shuffle on y) → distinct (r1,r2,x,z); head = left join of body
+    pairs against the triple set on (x,z) (shuffle on the pair);
+    three hash aggs.  No windows, no cross joins; cost is bounded by
+    Σ_y deg_in(y)·deg_out(y) — exactly what the hub cap bounds.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    if max_mid_degree is not None:
+        deg = (
+            t.select(F.col("subj").alias("e"))
+            .unionAll(t.select(F.col("obj").alias("e")))
+            .groupBy("e")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") <= max_mid_degree)
+            .select("e")
+        )
+        mid_ok = deg
+    else:
+        mid_ok = None
+    left = t.select(
+        F.col("subj").alias("x"),
+        F.col("pred").alias("r1"),
+        F.col("obj").alias("y"),
+    )
+    right = t.select(
+        F.col("subj").alias("y"),
+        F.col("pred").alias("r2"),
+        F.col("obj").alias("z"),
+    )
+    if mid_ok is not None:
+        left = left.join(mid_ok.select(F.col("e").alias("y")), "y", "left_semi")
+        right = right.join(
+            mid_ok.select(F.col("e").alias("y")), "y", "left_semi"
+        )
+    body = (
+        left.join(right, "y")
+        .filter(F.col("x") != F.col("z"))
+        .select("r1", "r2", "x", "z")
+        .distinct()
+    )
+    heads = t.filter(F.col("subj") != F.col("obj")).select(
+        F.col("subj").alias("x"),
+        F.col("pred").alias("r3"),
+        F.col("obj").alias("z"),
+    )
+    n_head = heads.groupBy("r3").agg(
+        F.count("*").cast("long").alias("n_head")
+    )
+    matched = (
+        body.join(heads, ["x", "z"])
+        .groupBy("r1", "r2", "r3")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    n_body = body.groupBy("r1", "r2").agg(
+        F.count("*").cast("long").alias("n_body")
+    )
+    return (
+        matched.join(n_body, ["r1", "r2"])
+        .join(n_head, "r3")
+        .select(
+            "r1",
+            "r2",
+            "r3",
+            "support",
+            "n_body",
+            "n_head",
+            F.expr("(1000 * support) DIV n_body").alias("conf_milli"),
+            F.expr("(1000 * support) DIV n_head").alias("hc_milli"),
+        )
+    )
+
+
+def ranking_eval(
+    scored: DataFrame,
+    test: DataFrame,
+    truths: DataFrame,
+    ks: tuple[int, ...] = (1, 3, 10),
+) -> DataFrame:
+    """Filtered link-prediction ranking evaluation (the TransE protocol,
+    Bordes et al., NIPS'13) → ONE row: (n_test, hits_K per K,
+    mrr_micro, mean_rank_milli), all exact integers.
+
+    For each test pair (subj, obj*) the rank of obj* among the scored
+    candidates for subj is ``1 + #{obj' : better(obj', obj*)}`` where
+    better = higher score, ties broken by obj ascending (a pure
+    function of the data — no nondeterministic tie handling), and
+    candidates appearing in ``truths`` (the full known-true set, train
+    ∪ test) are FILTERED out except obj* itself — the standard
+    filtered setting that stops a model being punished for ranking a
+    different true answer first.
+
+    ``mrr_micro = (Σ 1000000 DIV rank) DIV n_test`` and
+    ``mean_rank_milli = (1000·Σ rank) DIV n_test`` — bit-identical
+    across engines, no floats.
+
+    Plan: candidates join test on subj (shuffle on subj; the test
+    side is small — broadcast when it fits), one anti-condition for
+    the filter (left join against truths, keep unmatched-or-self),
+    one hash agg per test pair for the rank, one global agg.  The
+    per-subject candidate list is the caller's contract — pass
+    blocked candidates (IVF cells, recordlinkage blocks) at scale,
+    never an unblocked entity cross join.
+    """
+    cand = scored.select(
+        "subj", F.col("obj").alias("cobj"), F.col("score").cast("long")
+    )
+    tst = test.select("subj", F.col("obj").alias("tobj"))
+    true_score = cand.join(
+        tst.withColumnRenamed("tobj", "cobj"), ["subj", "cobj"]
+    ).select(
+        "subj",
+        F.col("cobj").alias("tobj"),
+        F.col("score").alias("tscore"),
+    )
+    filt = truths.select(
+        "subj", F.col("obj").alias("cobj"), F.lit(True).alias("is_true")
+    ).distinct()
+    better = (
+        cand.join(filt, ["subj", "cobj"], "left")
+        .join(true_score, "subj")
+        .filter(
+            (F.col("is_true").isNull() | (F.col("cobj") == F.col("tobj")))
+            & (
+                (F.col("score") > F.col("tscore"))
+                | (
+                    (F.col("score") == F.col("tscore"))
+                    & (F.col("cobj") < F.col("tobj"))
+                )
+            )
+        )
+        .groupBy("subj", "tobj")
+        .agg(F.count("*").cast("long").alias("n_better"))
+    )
+    ranks = (
+        true_score.join(better, ["subj", "tobj"], "left")
+        .select(
+            "subj",
+            "tobj",
+            (F.coalesce(F.col("n_better"), F.lit(0)) + 1)
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    aggs = [F.count("*").cast("long").alias("n_test")]
+    for k in ks:
+        aggs.append(
+            F.sum((F.col("rank") <= k).cast("long"))
+            .cast("long")
+            .alias(f"hits{k}")
+        )
+    aggs.append(
+        F.sum(F.expr("1000000 DIV rank")).cast("long").alias("rr_sum")
+    )
+    aggs.append(F.sum("rank").cast("long").alias("rank_sum"))
+    return ranks.agg(*aggs).select(
+        "n_test",
+        *[f"hits{k}" for k in ks],
+        F.expr("(rr_sum) DIV n_test").alias("mrr_micro"),
+        F.expr("(1000 * rank_sum) DIV n_test").alias("mean_rank_milli"),
+    )

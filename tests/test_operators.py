@@ -2748,3 +2748,158 @@ def test_snapshot_diff_statuses_and_null_sentinel(spark):
         "u4": "added",
         "u5": "changed",
     }
+
+
+def test_relation_cardinality_classes(spark):
+    """One relation per class; duplicate triples collapse before any
+    counting; functionality is exact integer milli."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        relation_cardinality,
+    )
+
+    t = spark.createDataFrame(
+        [
+            # 1:1 — bijection a↔x, b↔y
+            ("a", "ONE", "x"), ("b", "ONE", "y"), ("b", "ONE", "y"),
+            # 1:N — a fans out, objects have one subject each
+            ("a", "FAN", "x"), ("a", "FAN", "y"), ("b", "FAN", "z"),
+            # N:1 — many subjects, one object
+            ("a", "IN", "x"), ("b", "IN", "x"),
+            # N:M
+            ("a", "MM", "x"), ("a", "MM", "y"), ("b", "MM", "x"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        r["pred"]: (
+            r["n_triples"], r["n_subj"], r["n_obj"],
+            r["max_out"], r["max_in"],
+            r["functionality_milli"], r["card_class"],
+        )
+        for r in relation_cardinality(t).collect()
+    }
+    assert got == {
+        "ONE": (2, 2, 2, 1, 1, 1000, "1:1"),
+        "FAN": (3, 2, 3, 2, 1, 666, "1:N"),
+        "IN": (2, 2, 1, 1, 2, 1000, "N:1"),
+        "MM": (3, 2, 2, 2, 2, 666, "N:M"),
+    }
+
+
+def test_mine_path_rules_confidence_and_reflexive(spark):
+    """R1(x,y) ∧ R2(y,z) ⇒ H(x,z): 2 of 3 body pairs carry the head →
+    conf 666; the reflexive body pair (a,R1,m),(m,R2,a) is excluded
+    from both body and head universes."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        mine_path_rules,
+    )
+
+    t = spark.createDataFrame(
+        [
+            ("a", "R1", "m"), ("b", "R1", "m"), ("c", "R1", "n"),
+            ("m", "R2", "x"), ("n", "R2", "y"),
+            ("m", "R2", "a"),          # would make reflexive body (a,a)
+            ("a", "H", "x"), ("c", "H", "y"),
+            ("d", "H", "d"),           # reflexive head excluded
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = {
+        (r["r1"], r["r2"], r["r3"]): (
+            r["support"], r["n_body"], r["n_head"],
+            r["conf_milli"], r["hc_milli"],
+        )
+        for r in mine_path_rules(t, min_support=1).collect()
+    }
+    # body R1∘R2 pairs: (a,x),(b,x),(c,y),(b,a) — (a,a) reflexive dropped
+    assert rows[("R1", "R2", "H")] == (2, 4, 2, 500, 1000)
+
+
+def test_mine_path_rules_hub_cap(spark):
+    """max_mid_degree drops hub middles BEFORE the body join: with the
+    hub h (degree 4) capped out, no body pairs survive."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        mine_path_rules,
+    )
+
+    t = spark.createDataFrame(
+        [
+            ("a", "R1", "h"), ("b", "R1", "h"),
+            ("h", "R2", "x"), ("h", "R2", "y"),
+            ("a", "H", "x"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    assert mine_path_rules(t, min_support=1).count() == 1
+    assert mine_path_rules(t, min_support=1, max_mid_degree=3).count() == 0
+
+
+def test_ranking_eval_filtered_ranks_and_ties(spark):
+    """Hand-checked filtered protocol: for (s, o1) the higher-scored o2
+    is ANOTHER truth → filtered out → rank 1; for (s2, p1) the tie with
+    p0 breaks on obj ascending → p0 better → rank 2."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        ranking_eval,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            ("s", "o1", 5), ("s", "o2", 9), ("s", "o3", 1),
+            ("s2", "p0", 7), ("s2", "p1", 7), ("s2", "p2", 2),
+        ],
+        "subj string, obj string, score long",
+    )
+    truths = spark.createDataFrame(
+        [("s", "o1"), ("s", "o2"), ("s2", "p1")],
+        "subj string, obj string",
+    )
+    test = spark.createDataFrame(
+        [("s", "o1"), ("s2", "p1")], "subj string, obj string"
+    )
+    row = ranking_eval(scored, test, truths, ks=(1, 3)).collect()[0]
+    # ranks: (s,o1)=1 (o2 filtered), (s2,p1)=2 (p0 ties, p0<p1)
+    assert (
+        row["n_test"], row["hits1"], row["hits3"],
+        row["mrr_micro"], row["mean_rank_milli"],
+    ) == (2, 1, 2, 750000, 1500)
+
+
+def test_sorted_neighborhood_blocks_and_window(spark):
+    """Pairs stay inside blocks, reach exactly `window` successors in
+    (sort, id) order, and dist records the rank gap."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        sorted_neighborhood,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            ("A", 1, 10), ("A", 2, 20), ("A", 3, 20), ("A", 4, 30),
+            ("B", 5, 10), ("B", 6, 40),
+        ],
+        "blk string, rid long, k long",
+    )
+    got = {
+        (r["blk"], r["rid_l"], r["rid_r"], r["dist"])
+        for r in sorted_neighborhood(
+            recs, id_col="rid", sort_cols=["k"], block_cols=["blk"], window=2
+        ).collect()
+    }
+    assert got == {
+        ("A", 1, 2, 1), ("A", 1, 3, 2),
+        ("A", 2, 3, 1), ("A", 2, 4, 2),
+        ("A", 3, 4, 1),
+        ("B", 5, 6, 1),
+    }
+
+
+def test_sorted_neighborhood_validates(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        sorted_neighborhood,
+    )
+    import pytest as _pt
+
+    recs = spark.createDataFrame([("A", 1)], "blk string, rid long")
+    with _pt.raises(ValueError):
+        sorted_neighborhood(recs, "rid", ["rid"], ["blk"], window=0)
+    with _pt.raises(ValueError):
+        sorted_neighborhood(recs, "rid", ["rid"], [], window=1)
