@@ -2822,6 +2822,160 @@ def _q113_sorted_neighborhood(spark, sf):
     )
 
 
+def _hearst_corpus(spark, sf):
+    """Documents with a deterministic doc_id%7-keyed Hearst suffix
+    appended (the q27/q109 derived-view precedent — the synthetic
+    corpus contains no natural lexico-syntactic patterns): three of
+    the residues inject one pattern each, one injects two patterns in
+    a single sentence, the rest inject nothing."""
+    d = _t(spark, sf, "documents")
+    r = F.col("doc_id") % 7
+    suffix = (
+        F.when(r == 0, F.lit(" engines such as spark"))
+        .when(r == 1, F.lit(" scans and other operators"))
+        .when(r == 2, F.lit(" systems including duckdb"))
+        .when(r == 3, F.lit(" formats such as parquet including arrow"))
+        .otherwise(F.lit(""))
+    )
+    return d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+
+
+def _q114_hearst_pairs(spark, sf):
+    """Hearst-pattern hypernym mining (Hearst COLING'92) — the
+    taxonomy-seeding IS-A extractor: three lexico-syntactic patterns
+    (X such as Y / Y and other X / X including Y) as paired
+    regexp_extract_all group scans zipped positionally, aggregated to
+    (pattern, hyper, hypo) support counts.  All JVM regex inside one
+    codegen pass over the scan; the corpus is the deterministic
+    injected view (_hearst_corpus)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.extract import (
+        hearst_pairs,
+    )
+
+    return (
+        hearst_pairs(_hearst_corpus(spark, sf))
+        .groupBy("pattern", "hyper", "hypo")
+        .agg(
+            F.count("*").cast("long").alias("n_mentions"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def _q115_truth_discovery(spark, sf):
+    """Knowledge-fusion truth discovery (TruthFinder family, Yin
+    KDD'07) in integer fixed point: sources claim a language value for
+    each doc_id%97 bucket; two alternations of fact-confidence =
+    Σ claimant trust → winner per bucket (ties to smallest value) →
+    trust = milli fraction of claims agreeing with winners.  Every step
+    exact-integer and tie-deterministic, so the oracle unrolls both
+    rounds as CTEs."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        truth_discovery,
+    )
+
+    claims = _t(spark, sf, "documents").select(
+        "source",
+        (F.col("doc_id") % 97).alias("obj"),
+        F.col("lang").alias("val"),
+    )
+    return truth_discovery(claims, rounds=2)
+
+
+def _q116_lf_diagnostics(spark, sf):
+    """Snorkel-style labeling-function diagnostics (Ratner VLDB'18):
+    five keyword/length LFs vote pos/neg over documents; per LF the
+    exact fired / overlap (co-fired) / conflict (co-fired with a
+    disagreeing label) counts — the triage table a weak-supervision
+    pipeline reads before training a label model.  Votes are one
+    explode over an array of codegen'd conditions; diagnostics need
+    only a per-doc pre-aggregate joined back — linear, never
+    LF-pairwise."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        label_votes,
+        lf_summary,
+    )
+
+    d = _t(spark, sf, "documents")
+    lfs = [
+        ("kw_fast", F.col("text").contains("fast"), "pos"),
+        ("kw_slow", F.col("text").contains("slow"), "neg"),
+        ("kw_big", F.col("text").contains("big"), "pos"),
+        ("kw_filter", F.col("text").contains("filter"), "neg"),
+        ("len_long", F.col("n_chars") >= 240, "pos"),
+    ]
+    return lf_summary(label_votes(d, lfs))
+
+
+def _q117_landmark_distances(spark, sf):
+    """Landmark (pivot) distance sketch over the token graph: BFS from
+    the 3 highest-df landmarks (one multi-seed pass), then for a
+    porthash-sampled set of token pairs the triangle-inequality upper
+    bound est = min over landmarks of d(u,l)+d(l,v) — the distance
+    oracle used for KG path queries when exact all-pairs is
+    unaffordable.  The oracle replays the BFS as a capped recursive
+    CTE (q47's shape) and takes the same min."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        bfs_distances,
+    )
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        porthash64,
+    )
+
+    sel = _token_sel(spark, sf, 30)
+    a, b = sel.alias("a"), sel.alias("b")
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .select(
+            F.col("a.token").alias("src"), F.col("b.token").alias("dst")
+        )
+        .distinct()
+    )
+    landmarks = (
+        sel.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(3)
+        .select(F.col("token").alias("node"))
+    )
+    dist = bfs_distances(edges, landmarks, max_depth=4)
+    toks = sel.select("token").distinct()
+    pairs = (
+        toks.select(F.col("token").alias("term_a"))
+        .crossJoin(F.broadcast(toks.select(F.col("token").alias("term_b"))))
+        .filter(F.col("term_a") < F.col("term_b"))
+        .filter(
+            porthash64(
+                F.concat(F.col("term_a"), F.lit("|"), F.col("term_b")),
+                "lm",
+            )
+            % 5
+            == 0
+        )
+    )
+    du = dist.select(
+        F.col("seed").alias("l"),
+        F.col("node").alias("term_a"),
+        F.col("dist").alias("da"),
+    )
+    dv = dist.select(
+        F.col("seed").alias("l"),
+        F.col("node").alias("term_b"),
+        F.col("dist").alias("db"),
+    )
+    return (
+        pairs.join(du, "term_a")
+        .join(dv, ["term_b", "l"])
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.min(F.col("da") + F.col("db")).cast("long").alias("est_dist")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2939,6 +3093,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_path_rules": _q111_path_rules,
         "q112_ranking_eval": _q112_ranking_eval,
         "q113_sorted_neighborhood": _q113_sorted_neighborhood,
+        "q114_hearst_pairs": _q114_hearst_pairs,
+        "q115_truth_discovery": _q115_truth_discovery,
+        "q116_lf_diagnostics": _q116_lf_diagnostics,
+        "q117_landmark_distances": _q117_landmark_distances,
     }
 
 
@@ -6584,5 +6742,174 @@ def oracle_sql() -> dict[str, str]:
             JOIN ranked b
               ON a.c_nationkey = b.c_nationkey
              AND b.rk - a.rk BETWEEN 1 AND 2
+        """,
+        # q114: each pattern = two group-indexed regexp_extract_all arrays
+        # paired positionally (the LATERAL index idiom from q24's oracle)
+        "q114_hearst_pairs": """
+            WITH corpus AS (
+                SELECT doc_id, lower(text ||
+                    CASE doc_id % 7
+                        WHEN 0 THEN ' engines such as spark'
+                        WHEN 1 THEN ' scans and other operators'
+                        WHEN 2 THEN ' systems including duckdb'
+                        WHEN 3 THEN ' formats such as parquet including arrow'
+                        ELSE '' END) AS t2
+                FROM documents
+            ), p1 AS (
+                SELECT doc_id, regexp_extract_all(t2,
+                           '([a-z0-9-]+) such as ([a-z0-9-]+)', 1) AS hs,
+                       regexp_extract_all(t2,
+                           '([a-z0-9-]+) such as ([a-z0-9-]+)', 2) AS xs
+                FROM corpus
+            ), p2 AS (
+                SELECT doc_id, regexp_extract_all(t2,
+                           '([a-z0-9-]+) and other ([a-z0-9-]+)', 2) AS hs,
+                       regexp_extract_all(t2,
+                           '([a-z0-9-]+) and other ([a-z0-9-]+)', 1) AS xs
+                FROM corpus
+            ), p3 AS (
+                SELECT doc_id, regexp_extract_all(t2,
+                           '([a-z0-9-]+) including ([a-z0-9-]+)', 1) AS hs,
+                       regexp_extract_all(t2,
+                           '([a-z0-9-]+) including ([a-z0-9-]+)', 2) AS xs
+                FROM corpus
+            ), inst AS (
+                SELECT doc_id, 'such_as' AS pattern, hs[i] AS hyper,
+                       xs[i] AS hypo
+                FROM p1, LATERAL (SELECT unnest(generate_series(1,
+                    len(hs))) AS i) g
+                UNION ALL
+                SELECT doc_id, 'and_other', hs[i], xs[i]
+                FROM p2, LATERAL (SELECT unnest(generate_series(1,
+                    len(hs))) AS i) g
+                UNION ALL
+                SELECT doc_id, 'including', hs[i], xs[i]
+                FROM p3, LATERAL (SELECT unnest(generate_series(1,
+                    len(hs))) AS i) g
+            )
+            SELECT pattern, hyper, hypo,
+                   CAST(count(*) AS BIGINT) AS n_mentions,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM inst GROUP BY 1, 2, 3
+        """,
+        # q115: both fixed-point rounds unrolled — uniform 500 start,
+        # winner ties to smallest value, integer milli trust
+        "q115_truth_discovery": """
+            WITH c AS (
+                SELECT DISTINCT source, doc_id % 97 AS obj, lang AS val
+                FROM documents
+            ), t0 AS (
+                SELECT source, CAST(500 AS BIGINT) AS trust
+                FROM (SELECT DISTINCT source FROM c)
+            ), conf1 AS (
+                SELECT obj, val, CAST(sum(trust) AS BIGINT) AS conf
+                FROM c JOIN t0 USING (source) GROUP BY 1, 2
+            ), win1 AS (
+                SELECT obj, val AS winner FROM (
+                    SELECT obj, val, row_number() OVER (
+                        PARTITION BY obj ORDER BY conf DESC, val
+                    ) AS rk FROM conf1
+                ) WHERE rk = 1
+            ), t1 AS (
+                SELECT source,
+                       CAST((1000 * sum(CASE WHEN val = winner
+                            THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+                           AS trust
+                FROM c JOIN win1 USING (obj) GROUP BY 1
+            ), conf2 AS (
+                SELECT obj, val, CAST(sum(trust) AS BIGINT) AS conf
+                FROM c JOIN t1 USING (source) GROUP BY 1, 2
+            ), win2 AS (
+                SELECT obj, val AS winner FROM (
+                    SELECT obj, val, row_number() OVER (
+                        PARTITION BY obj ORDER BY conf DESC, val
+                    ) AS rk FROM conf2
+                ) WHERE rk = 1
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_claims,
+                   CAST((1000 * sum(CASE WHEN val = winner
+                        THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+                       AS trust_milli
+            FROM c JOIN win2 USING (obj) GROUP BY 1
+        """,
+        # q116: the five LFs replayed as UNION ALL vote emitters; the
+        # diagnostics via the same per-doc pre-aggregate
+        "q116_lf_diagnostics": """
+            WITH votes AS (
+                SELECT doc_id, 'kw_fast' AS lf, 'pos' AS label
+                FROM documents WHERE text LIKE '%fast%'
+                UNION ALL
+                SELECT doc_id, 'kw_slow', 'neg'
+                FROM documents WHERE text LIKE '%slow%'
+                UNION ALL
+                SELECT doc_id, 'kw_big', 'pos'
+                FROM documents WHERE text LIKE '%big%'
+                UNION ALL
+                SELECT doc_id, 'kw_filter', 'neg'
+                FROM documents WHERE text LIKE '%filter%'
+                UNION ALL
+                SELECT doc_id, 'len_long', 'pos'
+                FROM documents WHERE n_chars >= 240
+            ), per_doc AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lfs,
+                       CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+                FROM votes GROUP BY 1
+            )
+            SELECT lf, CAST(count(*) AS BIGINT) AS n_fired,
+                   CAST(sum(CASE WHEN n_lfs > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_overlap,
+                   CAST(sum(CASE WHEN n_labels > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_conflict
+            FROM votes JOIN per_doc USING (doc_id) GROUP BY 1
+        """,
+        # q117: BFS from the 3 df-top landmarks replayed as a capped
+        # recursive CTE (q47's shape), then the same triangle-bound min
+        "q117_landmark_distances": f"""
+            WITH RECURSIVE toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 30
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS (
+                SELECT DISTINCT a.token AS u, b.token AS v
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+            ), nbrs AS (
+                SELECT u, v FROM pairs
+                UNION SELECT v, u FROM pairs
+            ), dfc AS (
+                SELECT token, count(*) AS df FROM sel GROUP BY 1
+            ), lm AS (
+                SELECT token AS s FROM dfc
+                ORDER BY df DESC, token LIMIT 3
+            ), walk(seed, node, dist) AS (
+                SELECT s, s, 0 FROM lm
+              UNION
+                SELECT w.seed, n.v, w.dist + 1
+                FROM walk w JOIN nbrs n ON n.u = w.node
+                WHERE w.dist < 4
+            ), d AS (
+                SELECT seed, node, CAST(min(dist) AS BIGINT) AS dist
+                FROM walk GROUP BY 1, 2
+            ), cand AS (
+                SELECT a.token AS term_a, b.token AS term_b
+                FROM (SELECT DISTINCT token FROM sel) a
+                JOIN (SELECT DISTINCT token FROM sel) b
+                  ON a.token < b.token
+                WHERE CAST('0x' || substr(md5(
+                          a.token || '|' || b.token || chr(31) || 'lm'
+                      ), 1, 15) AS BIGINT) % 5 = 0
+            )
+            SELECT c.term_a, c.term_b,
+                   CAST(min(da.dist + db.dist) AS BIGINT) AS est_dist
+            FROM cand c
+            JOIN d da ON da.node = c.term_a
+            JOIN d db ON db.node = c.term_b AND db.seed = da.seed
+            GROUP BY 1, 2
         """,
     }

@@ -82,3 +82,62 @@ def extract_documents(web_pages: DataFrame, lang: str | None = None) -> DataFram
         ).alias("abstract"),
         F.when(has_affil, last).alias("affiliations"),
     )
+
+
+# Hearst-pattern bank: (pattern_name, regex, hypernym group, hyponym group).
+# Single-token captures keep the regex portable — Spark (Java regex) and
+# DuckDB (RE2) agree on sequential non-overlapping scans of these shapes.
+HEARST_PATTERNS: tuple[tuple[str, str, int, int], ...] = (
+    ("such_as", r"([a-z0-9-]+) such as ([a-z0-9-]+)", 1, 2),
+    ("and_other", r"([a-z0-9-]+) and other ([a-z0-9-]+)", 2, 1),
+    ("including", r"([a-z0-9-]+) including ([a-z0-9-]+)", 1, 2),
+)
+
+
+def hearst_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hearst-pattern hypernym extraction (Hearst, COLING'92) →
+    (``id_col``, pattern, hyper, hypo): one row per pattern instance —
+    the lexico-syntactic IS-A miner that seeds a taxonomy from raw web
+    text ("engines such as spark" ⇒ spark IS-A engine).
+
+    Three classic patterns (X *such as* Y; Y *and other* X;
+    X *including* Y) over lowercased text, single-token noun slots.
+    Each pattern is TWO ``regexp_extract_all`` calls (hyper group, hypo
+    group) zipped positionally — the i-th elements of both arrays come
+    from the i-th match, so the pairing is exact without any per-row
+    Python.  All three scans are narrow projections of one text column;
+    Catalyst collapses them into a single WholeStageCodegen pass over
+    the scan — no shuffle until the caller aggregates.
+
+    Duplicate instances within a document are KEPT (instance-level
+    output); aggregate to (hyper, hypo) support counts at the call
+    site, where the doc-frequency threshold belongs.
+    """
+    parts = []
+    for name, pat, gh, gx in HEARST_PATTERNS:
+        zipped = F.arrays_zip(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{pat}', {gh})"
+            ).alias("hyper"),
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{pat}', {gx})"
+            ).alias("hypo"),
+        )
+        parts.append(
+            docs.select(
+                F.col(id_col),
+                F.lit(name).alias("pattern"),
+                F.explode(zipped).alias("m"),
+            ).select(
+                id_col,
+                "pattern",
+                F.col("m.hyper").alias("hyper"),
+                F.col("m.hypo").alias("hypo"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

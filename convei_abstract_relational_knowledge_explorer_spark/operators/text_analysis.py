@@ -8,7 +8,7 @@ rolling-hash document fingerprinting — all JVM-native column expressions
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..functions import _dictdata as D
 
@@ -583,5 +583,114 @@ def zipf_fit(
             F.expr("(sy * 1000 - slope_milli * sx) div (v * 1000)")
             .cast("long")
             .alias("intercept_milli"),
+        )
+    )
+
+
+def label_votes(
+    docs: DataFrame,
+    lfs: list[tuple[str, Column, str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weak-supervision labeling-function votes (the Snorkel data
+    model, Ratner et al. VLDB'18) → long frame (``id_col``, lf, label):
+    each labeling function is (name, boolean fire condition, label);
+    a row is emitted only where the LF fires — abstains are absent by
+    construction.
+
+    One narrow select building an array of per-LF structs + one
+    explode with a null filter — no shuffle, no UDF; the conditions
+    are arbitrary JVM Column expressions (keyword hits, length gates,
+    metadata predicates), so the whole vote matrix stays inside
+    WholeStageCodegen over the document scan.
+    """
+    if not lfs:
+        raise ValueError("label_votes needs at least one labeling function")
+    votes = F.array(
+        *[
+            F.when(
+                cond,
+                F.struct(
+                    F.lit(name).alias("lf"), F.lit(label).alias("label")
+                ),
+            )
+            for name, cond, label in lfs
+        ]
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(votes).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select(id_col, F.col("v.lf").alias("lf"), F.col("v.label").alias("label"))
+    )
+
+
+def majority_label(votes: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document majority vote over a ``label_votes`` frame →
+    (``id_col``, n_votes, label, margin): label = the plurality label
+    (COUNT ties break to the smallest label string — deterministic),
+    margin = winner count − runner-up count (0 on a tie).  Two hash
+    aggs + one per-doc window rank over the (bounded) label domain.
+    """
+    from pyspark.sql import Window
+
+    per_label = votes.groupBy(id_col, "label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("n"), F.asc("label"))
+    ranked = per_label.withColumn("rk", F.row_number().over(w))
+    top2 = (
+        ranked.filter(F.col("rk") <= 2)
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("label"))).alias("label"),
+            F.max(F.when(F.col("rk") == 1, F.col("n"))).cast("long").alias("_n1"),
+            F.coalesce(
+                F.max(F.when(F.col("rk") == 2, F.col("n"))), F.lit(0)
+            ).cast("long").alias("_n2"),
+        )
+    )
+    totals = votes.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_votes")
+    )
+    return (
+        totals.join(top2, id_col)
+        .select(
+            id_col,
+            "n_votes",
+            "label",
+            (F.col("_n1") - F.col("_n2")).cast("long").alias("margin"),
+        )
+    )
+
+
+def lf_summary(votes: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-labeling-function diagnostics over a ``label_votes`` frame →
+    (lf, n_fired, n_overlap, n_conflict): THE Snorkel analysis triple —
+    coverage (how often the LF fires), overlap (fires alongside at
+    least one other LF), conflict (fires alongside an LF voting a
+    DIFFERENT label) — computed exactly, used to decide which noisy
+    rules to keep before training a label model.
+
+    Plan: one per-doc pre-aggregate (n LFs fired, distinct labels
+    voted) broadcast-or-shuffle joined back to the vote frame, then one
+    hash agg per LF.  A doc's vote row conflicts when the doc carries
+    >1 distinct label — the per-LF attribution needs no pair join, so
+    cost is linear in |votes|, never quadratic in LFs.
+    """
+    per_doc = votes.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lfs"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+    )
+    return (
+        votes.join(per_doc, id_col)
+        .groupBy("lf")
+        .agg(
+            F.count("*").cast("long").alias("n_fired"),
+            F.sum((F.col("n_lfs") > 1).cast("long"))
+            .cast("long")
+            .alias("n_overlap"),
+            F.sum((F.col("n_labels") > 1).cast("long"))
+            .cast("long")
+            .alias("n_conflict"),
         )
     )

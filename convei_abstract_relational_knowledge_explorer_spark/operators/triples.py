@@ -487,3 +487,85 @@ def ranking_eval(
         F.expr("(rr_sum) DIV n_test").alias("mrr_micro"),
         F.expr("(1000 * rank_sum) DIV n_test").alias("mean_rank_milli"),
     )
+
+
+def truth_discovery(
+    claims: DataFrame,
+    rounds: int = 2,
+    source_col: str = "source",
+    obj_col: str = "obj",
+    val_col: str = "val",
+) -> DataFrame:
+    """Iterative truth discovery / source-reliability estimation
+    (TruthFinder family, Yin et al. KDD'07, in integer fixed point) →
+    (source, n_claims, trust_milli): ``rounds`` alternations of
+
+      fact confidence(o, v) = Σ trust of the sources claiming (o, v)
+      winner(o)             = argmax confidence, ties to smallest v
+      trust(s)              = (1000 · #claims of s that agree with the
+                               winner) DIV #claims of s
+
+    starting from uniform trust 500 — the knowledge-fusion step that
+    resolves CONFLICTING extractions (three crawlers claim different
+    values for the same attribute; believe the reliable ones, and
+    judge reliability by agreement with the consensus).  All
+    arithmetic is exact integer milli units and every tie breaks
+    deterministically, so round r is a pure function of round r−1 and
+    the whole run replays as unrolled SQL CTEs.
+
+    Claims are deduped to distinct (source, obj, val) first — a source
+    repeating itself gains no weight.  Plan per round: one equi-join
+    of claims against the (small) trust frame, two hash aggs, one
+    per-object window rank over distinct (obj, val) candidates (bounded
+    by the value domain, not the claim count), one agreement join.
+    The trust frame is localCheckpointed per round so lineage stays
+    flat (the connected-components discipline).
+    """
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError("truth_discovery needs rounds >= 1")
+    c = claims.select(
+        F.col(source_col).alias("source"),
+        F.col(obj_col).alias("obj"),
+        F.col(val_col).alias("val"),
+    ).distinct()
+    c = c.localCheckpoint(eager=True)
+    trust = (
+        c.select("source")
+        .distinct()
+        .withColumn("trust_milli", F.lit(500).cast("long"))
+    )
+    w = Window.partitionBy("obj").orderBy(
+        F.desc("conf"), F.asc("val")
+    )
+    for _ in range(rounds):
+        conf = (
+            c.join(trust, "source")
+            .groupBy("obj", "val")
+            .agg(F.sum("trust_milli").cast("long").alias("conf"))
+        )
+        winners = (
+            conf.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("obj", F.col("val").alias("winner"))
+        )
+        trust = (
+            c.join(winners, "obj")
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_claims"),
+                F.sum(
+                    (F.col("val") == F.col("winner")).cast("long")
+                ).alias("n_agree"),
+            )
+            .select(
+                "source",
+                "n_claims",
+                F.expr("(1000 * n_agree) DIV n_claims").alias(
+                    "trust_milli"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return trust.select("source", "n_claims", "trust_milli")

@@ -2903,3 +2903,125 @@ def test_sorted_neighborhood_validates(spark):
         sorted_neighborhood(recs, "rid", ["rid"], ["blk"], window=0)
     with _pt.raises(ValueError):
         sorted_neighborhood(recs, "rid", ["rid"], [], window=1)
+
+
+def test_hearst_pairs_patterns_and_direction(spark):
+    """All three patterns extract with the right hyper/hypo direction
+    ('Y and other X' reverses); two instances in one doc both emit;
+    uppercase folds."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.extract import (
+        hearst_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Engines such as spark are fast"),
+            (2, "scans and other operators run"),
+            (3, "systems including duckdb work"),
+            (4, "formats such as parquet including arrow"),
+            (5, "no pattern here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["pattern"], r["hyper"], r["hypo"])
+        for r in hearst_pairs(docs).collect()
+    }
+    assert got == {
+        (1, "such_as", "engines", "spark"),
+        (2, "and_other", "operators", "scans"),
+        (3, "including", "systems", "duckdb"),
+        (4, "such_as", "formats", "parquet"),
+        (4, "including", "parquet", "arrow"),
+    }
+
+
+def test_truth_discovery_converges_on_majority(spark):
+    """Two honest sources vs one liar over two objects: round 1 already
+    crowns the majority values, honest sources reach trust 1000, the
+    liar 0; a source repeating a claim gains no weight."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        truth_discovery,
+    )
+
+    claims = spark.createDataFrame(
+        [
+            ("s1", 1, "en"), ("s2", 1, "en"), ("s3", 1, "de"),
+            ("s1", 2, "fr"), ("s2", 2, "fr"), ("s3", 2, "es"),
+            ("s3", 2, "es"),  # duplicate claim — deduped
+        ],
+        "source string, obj long, val string",
+    )
+    got = {
+        r["source"]: (r["n_claims"], r["trust_milli"])
+        for r in truth_discovery(claims, rounds=2).collect()
+    }
+    assert got == {
+        "s1": (2, 1000), "s2": (2, 1000), "s3": (2, 0),
+    }
+
+
+def test_truth_discovery_tie_breaks_to_smallest_value(spark):
+    """Equal-confidence candidates: the winner is the smallest value,
+    so the run is a pure function of the data."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        truth_discovery,
+    )
+
+    claims = spark.createDataFrame(
+        [("a", 1, "zz"), ("b", 1, "aa")],
+        "source string, obj long, val string",
+    )
+    got = {
+        r["source"]: r["trust_milli"]
+        for r in truth_discovery(claims, rounds=1).collect()
+    }
+    assert got == {"a": 0, "b": 1000}
+
+
+def test_label_votes_majority_and_summary(spark):
+    """Votes emit only where LFs fire; majority breaks count ties to
+    the smallest label with margin 0; lf_summary counts overlap and
+    conflict exactly."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        label_votes,
+        lf_summary,
+        majority_label,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast slow"),   # pos + neg → conflict, tie
+            (2, "fast big"),    # pos + pos → overlap, no conflict
+            (3, "slow"),        # single vote
+            (4, "nothing"),     # abstain everywhere
+        ],
+        "doc_id long, text string",
+    )
+    lfs = [
+        ("f", F.col("text").contains("fast"), "pos"),
+        ("s", F.col("text").contains("slow"), "neg"),
+        ("b", F.col("text").contains("big"), "pos"),
+    ]
+    votes = label_votes(docs, lfs)
+    assert votes.count() == 5  # doc4 absent
+
+    maj = {
+        r["doc_id"]: (r["n_votes"], r["label"], r["margin"])
+        for r in majority_label(votes).collect()
+    }
+    assert maj == {
+        1: (2, "neg", 0),   # tie pos/neg → smallest label 'neg'
+        2: (2, "pos", 2),   # both votes pos → one label group, margin 2-0
+        3: (1, "neg", 1),
+    }
+
+    summ = {
+        r["lf"]: (r["n_fired"], r["n_overlap"], r["n_conflict"])
+        for r in lf_summary(votes).collect()
+    }
+    assert summ == {
+        "f": (2, 2, 1),
+        "s": (2, 1, 1),
+        "b": (1, 1, 0),
+    }
