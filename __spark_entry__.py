@@ -2976,6 +2976,69 @@ def _q117_landmark_distances(spark, sf):
     )
 
 
+def _q118_random_projection(spark, sf):
+    """Johnson–Lindenstrauss ±1 random projection (Achlioptas PODS'01)
+    over the embeddings table, unnested to (vec_id, j, coord): the
+    dimensionality-reduction front of an ANN pipeline in EXACT BIGINT
+    arithmetic — q36's bit-reproducible int8 quantization feeds a fixed
+    LCG-parity sign matrix, so every projected coordinate is an integer
+    an ANSI oracle replays verbatim.  Narrow transforms only (zero
+    shuffle before the final explode)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.embedding import (
+        random_project,
+    )
+
+    proj = random_project(_t(spark, sf, "embeddings"), out_dim=8)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("j", "coord")
+    ).select("vec_id", F.col("j").cast("long").alias("j"), "coord")
+
+
+def _q119_kmv_set_ops(spark, sf):
+    """Theta-sketch set algebra (Dasgupta et al., Theta-Sketch
+    Framework) over per-source KMV token sketches: |A∪B|, |A∩B| and
+    Jaccard for every source pair WITHOUT shuffling full key
+    populations — each source reduces to its 64 smallest distinct token
+    hashes first, all pair arithmetic runs over ≤128-row sketches, and
+    unsaturated sketches degenerate to exact counts.  The estimator
+    itself (kth-order statistic, match counting, floor arithmetic) is
+    replayed in DuckDB."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        kmv_set_ops,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("token"),
+    )
+    return kmv_set_ops(toks, key_col="token", set_col="source", k=64)
+
+
+def _q120_positional_postings(spark, sf):
+    """Positional inverted-index construction: one posting row per
+    (token, doc) with tf and the 0-based position list — the
+    search-index build job at the grain that keeps every output row
+    bounded by ONE document's length (a stopword's postings spread over
+    its documents, never one mega-array row — the exact-dedup keeper
+    lesson applied to index build).  posexplode → (token, doc)
+    hash-agg; shuffle key (token, doc) has no hot reducer by
+    construction."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        positional_postings,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+        ).alias("tokens"),
+    )
+    return positional_postings(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3097,6 +3160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_truth_discovery": _q115_truth_discovery,
         "q116_lf_diagnostics": _q116_lf_diagnostics,
         "q117_landmark_distances": _q117_landmark_distances,
+        "q118_random_projection": _q118_random_projection,
+        "q119_kmv_set_ops": _q119_kmv_set_ops,
+        "q120_positional_postings": _q120_positional_postings,
     }
 
 
@@ -6911,5 +6977,107 @@ def oracle_sql() -> dict[str, str]:
             JOIN d da ON da.node = c.term_a
             JOIN d db ON db.node = c.term_b AND db.seed = da.seed
             GROUP BY 1, 2
+        """,
+        # q118: q36's quantization (same scale, same floor(+0.5)) feeds
+        # the LCG-parity ±1 sign matrix; every coordinate is an exact
+        # BIGINT sum so the replay is bit-identical
+        "q118_random_projection": """
+            WITH e AS (
+                SELECT vec_id, embedding,
+                       greatest(list_aggregate(
+                           list_transform(embedding,
+                               x -> abs(CAST(x AS DOUBLE))), 'max'),
+                           1e-30) AS sc
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id, i - 1 AS i,
+                       CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0
+                                  / sc + 0.5) AS BIGINT) AS qv
+                FROM e, LATERAL (SELECT unnest(generate_series(1,
+                         len(embedding))) AS i) s
+            )
+            SELECT vec_id, j,
+                   CAST(sum(qv * (1 - 2 * (((1103515245::BIGINT
+                        * (j * 131 + i) + 12345) // 65536) % 2)))
+                       AS BIGINT) AS coord
+            FROM q, LATERAL (SELECT unnest(generate_series(0, 7))
+                             AS j) t
+            GROUP BY 1, 2
+        """,
+        # q119: the theta rule replayed — per-set top-64 hash sketch,
+        # merged top-64 per pair, kth-order-statistic theta, match
+        # counting, and the same floor((k-1)·2^60/theta) double op
+        "q119_kmv_set_ops": f"""
+            WITH toks AS (
+                SELECT DISTINCT source AS s,
+                       CAST('0x' || substr(md5(
+                           token || chr(31) || 'kmv'), 1, 15)
+                           AS BIGINT) AS h
+                FROM (SELECT source, unnest({_TOK}) AS token
+                      FROM documents)
+                WHERE token IS NOT NULL
+            ), topk AS (
+                SELECT s, h FROM (
+                    SELECT s, h, row_number() OVER (
+                        PARTITION BY s ORDER BY h) AS rn
+                    FROM toks
+                ) WHERE rn <= 64
+            ), sets AS (SELECT DISTINCT s FROM topk),
+            pairs AS (
+                SELECT a.s AS set_a, b.s AS set_b
+                FROM sets a JOIN sets b ON a.s < b.s
+            ), merged AS (
+                SELECT p.set_a, p.set_b, t.h,
+                       max(CASE WHEN t.s = p.set_a THEN 1 ELSE 0 END)
+                           AS in_a,
+                       max(CASE WHEN t.s = p.set_b THEN 1 ELSE 0 END)
+                           AS in_b
+                FROM pairs p
+                JOIN topk t ON t.s = p.set_a OR t.s = p.set_b
+                GROUP BY 1, 2, 3
+            ), ranked AS (
+                SELECT * FROM (
+                    SELECT set_a, set_b, h, in_a, in_b,
+                           row_number() OVER (PARTITION BY set_a, set_b
+                                              ORDER BY h) AS rn
+                    FROM merged
+                ) WHERE rn <= 64
+            ), agg AS (
+                SELECT set_a, set_b,
+                       CAST(count(*) AS BIGINT) AS n_merged,
+                       CAST(sum(in_a * in_b) AS BIGINT) AS matches,
+                       max(h) AS theta
+                FROM ranked GROUP BY 1, 2
+            ), u AS (
+                SELECT set_a, set_b, n_merged, matches,
+                       CAST(CASE WHEN n_merged >= 64 THEN
+                           floor(63.0 * 1152921504606846976.0 / theta)
+                           ELSE n_merged END AS BIGINT) AS union_est
+                FROM agg
+            )
+            SELECT set_a, set_b, n_merged, matches, union_est,
+                   CAST(CASE WHEN n_merged >= 64
+                        THEN (matches * union_est) // 64
+                        ELSE matches END AS BIGINT) AS inter_est,
+                   CAST(CASE WHEN n_merged >= 64
+                        THEN (1000 * matches) // 64
+                        ELSE (1000 * matches) // n_merged
+                        END AS BIGINT) AS jaccard_milli
+            FROM u
+        """,
+        # q120: unnest-with-position → (token, doc) grain, ordered
+        # integer position list serialized identically
+        "q120_positional_postings": f"""
+            WITH t AS (
+                SELECT doc_id, i - 1 AS pos, tk[i] AS token
+                FROM (SELECT doc_id, {_TOK} AS tk FROM documents),
+                     LATERAL (SELECT unnest(generate_series(1, len(tk)))
+                              AS i) s
+            )
+            SELECT token, doc_id,
+                   CAST(count(*) AS BIGINT) AS tf,
+                   string_agg(CAST(pos AS VARCHAR), ','
+                              ORDER BY pos) AS positions_csv
+            FROM t GROUP BY 1, 2
         """,
     }

@@ -185,3 +185,49 @@ def quantize_embeddings(
             F.round("scale", 6).alias("scale"),
         )
     )
+
+
+def random_project(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random-sign projection over int8-quantized
+    vectors → (``id_col``, proj: array<long>): y_j = Σ_i q_i · s(j,i)
+    with q the q36 quantization (floor(x·127/scale + 0.5) — proven
+    bit-reproducible cross-engine) and s(j,i) ∈ {−1, +1} drawn from a
+    fixed LCG parity ((1103515245·(131j+i)+12345) DIV 2¹⁶ mod 2) — the
+    classic ±1 JL matrix (Achlioptas, JL lemma variant, PODS'01) whose
+    distance-preservation needs only 4-wise independence, which the
+    LCG's mixed bits provide for these index ranges.
+
+    The dimensionality-reduction front of an ANN pipeline: project
+    d-dim embeddings to ``out_dim`` EXACT BIGINT coordinates (no float
+    accumulation order anywhere — the q104 discipline), then hand the
+    short vectors to LSH/IVF.  Entirely JVM higher-order expressions
+    (transform + aggregate) over the array column — ZERO shuffle, one
+    codegen pass, the same narrow-transform shape as q36.
+    """
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    sc = (
+        f"greatest(aggregate(transform({vec_col}, "
+        f"x -> abs(CAST(x AS DOUBLE))), 0.0D, "
+        f"(acc, x) -> greatest(acc, x)), 1e-30D)"
+    )
+    proj = (
+        f"transform(sequence(0, {out_dim - 1}), j -> "
+        f"aggregate(sequence(0, size({vec_col}) - 1), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + "
+        f"CAST(floor(CAST({vec_col}[i] AS DOUBLE) * 127.0D / _sc + 0.5D) "
+        f"AS BIGINT) * "
+        f"(1 - 2 * (((CAST(1103515245 AS BIGINT) * (j * 131 + i) + 12345) "
+        f"DIV 65536) % 2))))"
+    )
+    return (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col), F.expr(sc).alias("_sc")
+        )
+        .select(F.col(id_col), F.expr(proj).alias("proj"))
+    )

@@ -338,3 +338,103 @@ def bloom_prune(
         )
         cond = c if cond is None else (cond & c)
     return probed.filter(cond).select(*df.columns)
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    key_col: str,
+    set_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Theta-sketch-style set algebra over per-group KMV sketches →
+    (set_a, set_b, n_merged, matches, union_est, inter_est,
+    jaccard_milli) for every unordered group pair: estimate
+    |A∪B|, |A∩B|, and Jaccard WITHOUT ever shuffling the full key
+    populations — each group is reduced to its k smallest distinct key
+    hashes first, and all pair arithmetic runs over ≤2k-row sketches.
+
+    The theta rule (Dasgupta et al., the Theta-Sketch Framework): merge
+    the two sketches, keep the k smallest hashes; theta = the kth value;
+    ``matches`` = how many of those k appear in BOTH sketches;
+    ``union_est = floor((k−1)·2⁶⁰ / theta)``;
+    ``inter_est = (matches · union_est) DIV k``;
+    ``jaccard_milli = (1000 · matches) DIV k``.  When the merged sketch
+    is NOT saturated (< k distinct hashes, so neither input sketch was
+    saturated) every estimate degenerates to the EXACT count — matching
+    :func:`kmv_distinct`'s exactness contract.  Same portable md5 hash
+    (seed ``kmv``), same floor division — bit-identical in ANSI SQL.
+
+    Plan: distinct (set, hash) → per-set WindowGroupLimit top-k (k rows
+    per set leave the map side) → pair fan-out via two equi-joins
+    against the (tiny) pair frame → per-pair hash-dedup + window rank ≤
+    k → one agg.  Everything after the first distinct is bounded by
+    #sets·k rows; the full key universe is touched exactly once.
+    """
+    if k < 2:
+        raise ValueError("kmv_set_ops needs k >= 2")
+    h = porthash64(F.col(key_col).cast("string"), "kmv")
+    hashes = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(set_col).alias("s"), h.alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy("s").orderBy("_h")
+    topk = hashes.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    ).select("s", "_h")
+    sets = topk.select("s").distinct()
+    pairs = (
+        sets.select(F.col("s").alias("set_a"))
+        .crossJoin(F.broadcast(sets.select(F.col("s").alias("set_b"))))
+        .filter(F.col("set_a") < F.col("set_b"))
+    )
+    ma = pairs.join(
+        topk.select(F.col("s").alias("set_a"), "_h"), "set_a"
+    ).select("set_a", "set_b", "_h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    mb = pairs.join(
+        topk.select(F.col("s").alias("set_b"), "_h"), "set_b"
+    ).select("set_a", "set_b", "_h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        ma.unionByName(mb)
+        .groupBy("set_a", "set_b", "_h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("set_a", "set_b").orderBy("_h")
+    ranked = merged.withColumn("_rn", F.row_number().over(wp)).filter(
+        F.col("_rn") <= k
+    )
+    agg = ranked.groupBy("set_a", "set_b").agg(
+        F.count("*").cast("long").alias("n_merged"),
+        F.sum((F.col("in_a") * F.col("in_b"))).cast("long").alias("matches"),
+        F.max("_h").alias("theta"),
+    )
+    saturated = F.col("n_merged") >= k
+    union_est = F.when(
+        saturated,
+        F.floor(F.lit(float((k - 1) * HASH_SPACE)) / F.col("theta")).cast(
+            "long"
+        ),
+    ).otherwise(F.col("n_merged"))
+    return (
+        agg.withColumn("union_est", union_est.cast("long"))
+        .select(
+            "set_a",
+            "set_b",
+            "n_merged",
+            "matches",
+            "union_est",
+            F.when(
+                saturated,
+                F.expr(f"(matches * union_est) DIV {k}"),
+            )
+            .otherwise(F.col("matches"))
+            .cast("long")
+            .alias("inter_est"),
+            F.when(
+                saturated, F.expr(f"(1000 * matches) DIV {k}")
+            )
+            .otherwise(F.expr("(1000 * matches) DIV n_merged"))
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+    )

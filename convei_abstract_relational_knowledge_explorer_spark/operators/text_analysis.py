@@ -694,3 +694,38 @@ def lf_summary(votes: DataFrame, id_col: str = "doc_id") -> DataFrame:
             .alias("n_conflict"),
         )
     )
+
+
+def positional_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Positional inverted-index build → one posting per (token, doc):
+    (token, ``id_col``, tf, positions_csv) with positions the 0-based
+    token offsets in document order, serialized as a comma string (a
+    fixed-width-friendly, engine-comparable form of the posting
+    payload).
+
+    The search-index construction job: phrase and proximity queries
+    need positions, BM25 needs tf, and the (token, doc) grain keeps
+    every output row bounded by ONE document's length — a stopword's
+    postings spread across many rows instead of one mega-array (the
+    exact-dedup keeper lesson).  Plan: one posexplode → one (token,
+    doc) hash-agg with a sorted collect bounded per doc; df/cf term
+    statistics are one further agg on the output.  Shuffle key is
+    (token, doc) — head tokens spread over their documents, so there
+    is no single-reducer hot key by construction.
+    """
+    return (
+        docs.select(
+            F.col(id_col), F.posexplode(F.col(tokens_col)).alias("pos", "token")
+        )
+        .groupBy("token", id_col)
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("pos").cast("long"))), ","
+            ).alias("positions_csv"),
+        )
+    )

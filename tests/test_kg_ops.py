@@ -566,3 +566,100 @@ def test_minimum_spanning_forest_matches_kruskal_random(spark):
         for r in minimum_spanning_forest(df).collect()
     }
     assert got == want
+
+
+def test_random_project_matches_numpy(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.embedding import (
+        random_project,
+    )
+    import math
+
+    vecs = [
+        (1, [0.5, -1.0, 0.25]),
+        (2, [0.0, 0.0, 0.0]),
+        (3, [2.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {
+        r.vec_id: list(r.proj) for r in random_project(df, out_dim=4).collect()
+    }
+
+    def sign(j, i):
+        return 1 - 2 * (((1103515245 * (j * 131 + i) + 12345) // 65536) % 2)
+
+    for vid, v in vecs:
+        sc = max(max((abs(x) for x in v), default=0.0), 1e-30)
+        q = [math.floor(x * 127.0 / sc + 0.5) for x in v]
+        want = [sum(q[i] * sign(j, i) for i in range(len(v))) for j in range(4)]
+        assert got[vid] == want, vid
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        random_project(df, out_dim=0)
+
+
+def test_kmv_set_ops_exact_when_unsaturated(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        kmv_set_ops,
+    )
+
+    # |A|=6, |B|=5, |A∩B|=3, |A∪B|=8 — all below k, so every estimate
+    # must degenerate to the exact count
+    rows = [("A", f"k{i}") for i in range(6)] + [
+        ("B", f"k{i}") for i in range(3, 8)
+    ]
+    df = spark.createDataFrame(rows, ["s", "key"])
+    out = kmv_set_ops(df, key_col="key", set_col="s", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.set_a, r.set_b) == ("A", "B")
+    assert r.n_merged == 8 and r.matches == 3
+    assert r.union_est == 8 and r.inter_est == 3
+    assert r.jaccard_milli == (1000 * 3) // 8
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kmv_set_ops(df, key_col="key", set_col="s", k=1)
+
+
+def test_kmv_set_ops_saturated_estimates_close(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        kmv_set_ops,
+    )
+
+    # two 1500-key sets sharing 750 keys: true |A∪B| = 2250, J = 0.333.
+    # md5 is deterministic, so the sketch values are fixture constants —
+    # verified against a pure-Python replay of the theta rule (the
+    # merged top-128 REALLY contains 60 intersection hashes here; this
+    # draw sits ~3σ high, which is exactly what the sketch must report)
+    rows = [("A", f"s{i}") for i in range(1500)] + [
+        ("B", f"s{i}") for i in range(750, 2250)
+    ]
+    df = spark.createDataFrame(rows, ["s", "key"]).repartition(5)
+    r = kmv_set_ops(df, key_col="key", set_col="s", k=128).collect()[0]
+    assert r.n_merged == 128 and r.matches == 60
+    assert abs(r.union_est - 2250) / 2250.0 < 0.10
+    assert r.jaccard_milli == (1000 * 60) // 128
+
+
+def test_positional_postings_small(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        positional_postings,
+    )
+
+    docs = [
+        (1, ["a", "b", "a", "c", "a"]),
+        (2, ["b", "b"]),
+        (3, []),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "tokens"])
+    got = {
+        (r.token, r.doc_id): (r.tf, r.positions_csv)
+        for r in positional_postings(df).collect()
+    }
+    assert got == {
+        ("a", 1): (3, "0,2,4"),
+        ("b", 1): (1, "1"),
+        ("c", 1): (1, "3"),
+        ("b", 2): (2, "0,1"),
+    }
