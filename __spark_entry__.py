@@ -3039,6 +3039,96 @@ def _q120_positional_postings(spark, sf):
     return positional_postings(d)
 
 
+def _q121_lm_score(spark, sf):
+    """CCNet-style bigram-LM quality filter (Wenzek LREC'20) in exact
+    integer milli-log2: the corpus trains an add-one-smoothed bigram
+    model and every document is scored under it — ppl_milli ranks pages
+    by fluency, the CommonCrawl curation step between language-ID and
+    dedup.  Counts, Laplace arithmetic and the _ML2 log are all
+    integers, so the whole model replays verbatim in SQL."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        lm_perplexity_score,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+        ).alias("tokens"),
+    )
+    return lm_perplexity_score(d)
+
+
+def _q122_scd2_intervals(spark, sf):
+    """SCD2 validity-interval build from a CDC changelog (the version-
+    history twin of q99's snapshot compaction): events become (key=user,
+    seq=event_id, val=event_type) upserts with 'error' rows as
+    tombstones; each surviving version gets [valid_from, valid_to) with
+    no-op collapse — two per-key windows, no global sort."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        scd2_intervals,
+    )
+
+    ch = _t(spark, sf, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("val"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return scd2_intervals(ch)
+
+
+def _q123_supernodes(spark, sf):
+    """Structural-equivalence graph compression (SWeG idiom) over the
+    top-60 token co-occurrence graph: nodes with identical neighbor
+    sets collapse to supernodes, detected by an order-insensitive
+    5-lane hash signature (bit_xor / bounded sum / count / min / max of
+    portable 60-bit neighbor hashes) — no neighbor array is ever
+    materialized, so a hub's neighborhood never becomes one row."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        supernode_compress,
+    )
+
+    sel = _token_sel(spark, sf, 60)
+    a, b = sel.alias("a"), sel.alias("b")
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .select(
+            F.col("a.token").alias("src"), F.col("b.token").alias("dst")
+        )
+        .distinct()
+    )
+    return supernode_compress(edges)
+
+
+def _q124_meta_blocking(spark, sf):
+    """Meta-blocking with ARCS weighting + WEP pruning (Papadakis
+    TKDE'14): token blocks over documents (purged to sizes 2..64),
+    candidate pairs weighted by Σ 1000000 DIV block_size over shared
+    blocks, pruned strictly above the exact integer mean — the
+    entity-resolution candidate generator whose quadratic step is
+    bounded by max_block² per reducer BY CONSTRUCTION."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        meta_blocking,
+    )
+
+    d = _t(spark, sf, "documents")
+    mem = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            )
+        ).alias("block_key"),
+    )
+    return meta_blocking(
+        mem, block_col="block_key", id_col="doc_id", max_block=64
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3163,6 +3253,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_random_projection": _q118_random_projection,
         "q119_kmv_set_ops": _q119_kmv_set_ops,
         "q120_positional_postings": _q120_positional_postings,
+        "q121_lm_score": _q121_lm_score,
+        "q122_scd2_intervals": _q122_scd2_intervals,
+        "q123_supernodes": _q123_supernodes,
+        "q124_meta_blocking": _q124_meta_blocking,
     }
 
 
@@ -7079,5 +7173,125 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(pos AS VARCHAR), ','
                               ORDER BY pos) AS positions_csv
             FROM t GROUP BY 1, 2
+        """,
+        # q121: the whole bigram LM replayed — instance frame, context
+        # and bigram counts, broadcast vocab scalar, Laplace terms in
+        # the identical _ml2 integer log
+        "q121_lm_score": f"""
+            WITH tk AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ), bi AS (
+                SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                FROM tk, LATERAL (SELECT unnest(generate_series(1,
+                         len(t) - 1)) AS i) s
+                WHERE len(t) >= 2
+            ), bc AS (
+                SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2
+            ), cu AS (
+                SELECT w1, count(*) AS cc FROM bi GROUP BY 1
+            ), vv AS (
+                SELECT count(DISTINCT tok) AS v
+                FROM (SELECT unnest({_TOK}) AS tok FROM documents)
+            ), sc AS (
+                SELECT bi.doc_id,
+                       {_ml2('(bc.cb + 1)')}
+                       - {_ml2('(cu.cc + vv.v)')} AS s
+                FROM bi
+                JOIN bc USING (w1, w2)
+                JOIN cu USING (w1), vv
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(s) AS BIGINT) AS mll2_total,
+                   CAST((-sum(s)) // count(*) AS BIGINT) AS ppl_milli
+            FROM sc GROUP BY 1
+        """,
+        # q122: null-safe no-op collapse (IS DISTINCT FROM = Spark's
+        # negated eqNullSafe), lead() interval close, tombstone filter
+        "q122_scd2_intervals": """
+            WITH ch AS (
+                SELECT user_id AS key, event_id AS seq,
+                       event_type AS val,
+                       CASE WHEN event_type = 'error' THEN 'D'
+                            ELSE 'U' END AS op
+                FROM events
+            ), m AS (
+                SELECT key, seq, val, op,
+                       (val IS DISTINCT FROM lag(val) OVER w)
+                       OR (op IS DISTINCT FROM lag(op) OVER w) AS chg
+                FROM ch WINDOW w AS (PARTITION BY key ORDER BY seq)
+            ), f AS (
+                SELECT key, seq, val, op FROM m WHERE chg
+            ), l AS (
+                SELECT key, val, op, seq AS valid_from,
+                       lead(seq) OVER (PARTITION BY key
+                                       ORDER BY seq) AS valid_to
+                FROM f
+            )
+            SELECT key, val, valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM l WHERE op <> 'D'
+        """,
+        # q123: the 5-lane order-insensitive neighborhood signature
+        # replayed — same md5 hash, same 20-bit residue sum bound
+        "q123_supernodes": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 60
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token
+                FROM toks t JOIN top USING (token)
+            ), pr AS (
+                SELECT DISTINCT a.token AS u, b.token AS v
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+            ), sym AS (
+                SELECT u, v FROM pr UNION SELECT v, u FROM pr
+            ), hs AS (
+                SELECT u, CAST('0x' || substr(md5(
+                           v || chr(31) || 'sn'), 1, 15) AS BIGINT) AS h
+                FROM sym
+            ), sig AS (
+                SELECT u, bit_xor(h) AS sx,
+                       CAST(sum(h % 1048576) AS BIGINT) AS ss,
+                       CAST(count(*) AS BIGINT) AS degree,
+                       min(h) AS sm, max(h) AS sM
+                FROM hs GROUP BY 1
+            )
+            SELECT min(u) AS supernode,
+                   CAST(count(*) AS BIGINT) AS n_members, degree
+            FROM sig GROUP BY sx, ss, degree, sm, sM
+        """,
+        # q124: block purge 2..64, within-block pairs, ARCS micro
+        # weights, exact integer mean WEP prune
+        "q124_meta_blocking": f"""
+            WITH mem AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS k
+                FROM documents
+            ), sizes AS (
+                SELECT k, count(DISTINCT doc_id) AS bs
+                FROM mem GROUP BY 1
+            ), kept AS (
+                SELECT m.k, m.doc_id, s.bs
+                FROM mem m JOIN sizes s USING (k)
+                WHERE s.bs BETWEEN 2 AND 64
+            ), pairs AS (
+                SELECT a.doc_id AS rec_a, b.doc_id AS rec_b,
+                       CAST(sum(1000000 // a.bs) AS BIGINT)
+                           AS weight_micro,
+                       CAST(count(*) AS BIGINT) AS n_blocks
+                FROM kept a JOIN kept b
+                  ON a.k = b.k AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), mn AS (
+                SELECT sum(weight_micro) // count(*) AS mean FROM pairs
+            )
+            SELECT rec_a, rec_b, weight_micro, n_blocks
+            FROM pairs, mn WHERE weight_micro > mn.mean
         """,
     }

@@ -1697,3 +1697,65 @@ def degree_mixing(
             ),
         )
     )
+
+
+def supernode_compress(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Graph summarization by structural equivalence (the SWeG /
+    supernode-compression idiom): nodes whose OPEN neighborhoods are
+    identical collapse into one supernode → (supernode = min member,
+    n_members, degree) per equivalence class.
+
+    The KG-canonicalization cousin of exact dedup: two entity nodes
+    attached to exactly the same neighbor set are indistinguishable to
+    every downstream graph query, so the edge table can be rewritten
+    against supernodes at a fraction of the size.  The neighbor-SET
+    signature is computed WITHOUT materializing a neighbor array (the
+    exact-dedup keeper lesson — a hub's neighborhood never becomes one
+    row): per node, an order-insensitive 5-tuple of aggregates over the
+    60-bit portable neighbor hashes — (bit_xor, sum, count, min, max).
+    Collision of two DIFFERENT neighbor sets on all five simultaneously
+    is astronomically improbable and, because the same md5 arithmetic
+    runs in any ANSI engine, deterministic — an oracle replays the
+    grouping verbatim.
+
+    Plan: symmetrize + distinct (one shuffle), one per-node hash agg
+    (map-side combinable), one per-signature agg.  Linear in |E|; no
+    arrays, no Python, no windows.
+    """
+    from .dedup import porthash64
+
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("u"), F.col(src_col).alias("v")
+            )
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # the additive signature lane sums 20-bit hash residues so a hub of
+    # up to 2^43 neighbors stays inside BIGINT in BOTH engines (DuckDB's
+    # HUGEINT sum must cast back to BIGINT losslessly; Spark's long sum
+    # must not wrap) — xor/min/max keep the full 60 bits collision-free
+    sig = sym.select(
+        "u", porthash64(F.col("v").cast("string"), "sn").alias("_h")
+    ).groupBy("u").agg(
+        F.expr("bit_xor(_h)").alias("_sx"),
+        F.sum(F.expr("_h % 1048576")).alias("_ss"),
+        F.count("*").cast("long").alias("degree"),
+        F.min("_h").alias("_smin"),
+        F.max("_h").alias("_smax"),
+    )
+    return (
+        sig.groupBy("_sx", "_ss", "degree", "_smin", "_smax")
+        .agg(
+            F.min("u").alias("supernode"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .select("supernode", "n_members", "degree")
+    )

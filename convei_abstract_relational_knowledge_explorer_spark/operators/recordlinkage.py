@@ -143,3 +143,73 @@ def sorted_neighborhood(
         f"{id_col}_r",
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+def meta_blocking(
+    blocks: DataFrame,
+    block_col: str = "block_key",
+    id_col: str = "rec_id",
+    max_block: int = 64,
+    prune: bool = True,
+) -> DataFrame:
+    """Meta-blocking with ARCS weighting and weighted-edge pruning
+    (Papadakis et al., TKDE'14) → the pruned entity-resolution
+    candidate set: (rec_a, rec_b, weight_micro, n_blocks).
+
+    Multi-pass blocking emits each record into many blocks; the
+    candidate-pair graph that survives is weighted by how DISCRIMINATING
+    the shared blocks are — ARCS: weight(a,b) = Σ over common blocks of
+    1/|block|, here exact integer micro units ``1000000 DIV block_size``.
+    WEP pruning keeps pairs strictly above the mean weight (the mean is
+    the exact integer ``sum(weight) DIV n_pairs`` — same DIV both
+    engines).  Oversized blocks (> ``max_block``) are purged first
+    (block purging, the standard stopword-block guard): a block of 10⁸
+    records contributes ~0 discriminative weight at quadratic cost, so
+    dropping it changes recall negligibly and bounds every reducer by
+    ``max_block²``.
+
+    Plan: block-size agg → purge filter → within-block self-join on the
+    block key (each reducer ≤ max_block rows per key) → pair hash-agg →
+    one broadcast scalar mean → filter.  No arrays, no windows; the
+    quadratic step is bounded by construction.
+    """
+    sizes = blocks.groupBy(block_col).agg(
+        F.countDistinct(id_col).alias("_bs")
+    )
+    kept = (
+        blocks.select(block_col, id_col)
+        .distinct()
+        .join(
+            sizes.filter(
+                (F.col("_bs") >= 2) & (F.col("_bs") <= max_block)
+            ),
+            block_col,
+        )
+    )
+    a = kept.select(
+        F.col(block_col).alias("_k"),
+        F.col(id_col).alias("rec_a"),
+        F.col("_bs").alias("_bs"),
+    )
+    b = kept.select(
+        F.col(block_col).alias("_k"), F.col(id_col).alias("rec_b")
+    )
+    pairs = (
+        a.join(b, "_k")
+        .filter(F.col("rec_a") < F.col("rec_b"))
+        .groupBy("rec_a", "rec_b")
+        .agg(
+            F.sum(F.expr("1000000 DIV _bs")).cast("long").alias(
+                "weight_micro"
+            ),
+            F.count("*").cast("long").alias("n_blocks"),
+        )
+    )
+    if not prune:
+        return pairs
+    mean = pairs.agg(
+        F.expr("sum(weight_micro) DIV count(*)").alias("_mean")
+    )
+    return pairs.crossJoin(F.broadcast(mean)).filter(
+        F.col("weight_micro") > F.col("_mean")
+    ).select("rec_a", "rec_b", "weight_micro", "n_blocks")

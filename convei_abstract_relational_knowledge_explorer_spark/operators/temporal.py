@@ -369,3 +369,65 @@ def transition_topk(
         )
         .filter(F.col("rk") <= top_k)
     )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    value_col: str = "val",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build from a CDC
+    changelog → one validity interval per surviving version:
+    (``key_col``, ``value_col``, valid_from, valid_to, is_current).
+
+    The warehouse twin of :func:`apply_changelog`: instead of
+    compacting to the latest snapshot, materialize the FULL version
+    history — each upsert opens an interval at its ``seq_col``, the
+    next change (upsert or delete) on the same key closes it
+    (``valid_to`` = closing seq, exclusive; NULL = still open).
+    No-op upserts (same op and value as the immediately preceding
+    surviving row) are collapsed first, so back-to-back identical
+    writes produce ONE interval, and consecutive tombstones collapse
+    to one.  Delete rows close the prior interval but emit none.
+
+    Plan: two windows over (key × seq) — a lag to null-safe-collapse
+    no-ops, a lead for the closing seq — both partition-parallel
+    across keys with no global sort; one filter.  Exactly the shape a
+    Delta/Iceberg SCD2 MERGE generator needs, expressed as a pure
+    declarative plan the optimizer fuses into a single sort per key
+    partition.
+    """
+    w = Window.partitionBy(key_col).orderBy(seq_col)
+    marked = changes.select(
+        key_col,
+        seq_col,
+        value_col,
+        op_col,
+        (
+            ~(
+                F.col(value_col).eqNullSafe(F.lag(value_col).over(w))
+                & F.col(op_col).eqNullSafe(F.lag(op_col).over(w))
+            )
+        ).alias("_chg"),
+    ).filter("_chg")
+    w2 = Window.partitionBy(key_col).orderBy(seq_col)
+    return (
+        marked.select(
+            key_col,
+            value_col,
+            op_col,
+            F.col(seq_col).alias("valid_from"),
+            F.lead(seq_col).over(w2).alias("valid_to"),
+        )
+        .filter(F.col(op_col) != delete_op)
+        .select(
+            key_col,
+            value_col,
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

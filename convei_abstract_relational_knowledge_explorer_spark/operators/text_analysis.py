@@ -729,3 +729,72 @@ def positional_postings(
             ).alias("positions_csv"),
         )
     )
+
+
+def lm_perplexity_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality filter (Wenzek et al.
+    LREC'20) in exact integer milli-log2 → one row per document with
+    ≥1 bigram: (``id_col``, n_bigrams, mll2_total, ppl_milli).
+
+    A bigram LM with add-one smoothing is trained on the corpus itself
+    and every document is scored under it — the CommonCrawl curation
+    step that ranks pages by how "in-domain" their text is (low
+    perplexity = fluent prose, high = gibberish/boilerplate).  Per
+    bigram instance the additive score is
+    ``mll2(c(w1,w2)+1) − mll2(c(w1)+V)`` (Laplace P(w2|w1) in the
+    integer milli-log2 of operators/sampling._ML2 — monotone,
+    zero-float, bit-identical in ANSI SQL); ``mll2_total`` sums the
+    instances and ``ppl_milli = (−mll2_total) DIV n_bigrams`` is the
+    milli-log2 perplexity (higher = less probable).
+
+    Plan: one explode to bigram instances; context counts c(w1) and
+    bigram counts c(w1,w2) are two map-side-combinable hash aggs over
+    the SAME instance frame (so the model is self-consistent: c(w1) =
+    Σ_w2 c(w1,w2)); V (vocab size) is a broadcast scalar; scoring is
+    two shuffle equi-joins on (w1,w2) and (w1) — no head key worse than
+    the corpus's own token skew, no arrays, no Python.
+    """
+    from .sampling import _ML2
+
+    # sequence(1, 0) DESCENDS in Spark (it is not empty) — filter the
+    # sub-bigram docs out before building the instance frame
+    bi = (
+        docs.filter(F.size(tokens_col) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({tokens_col}) - 1), "
+                    f"i -> struct({tokens_col}[i - 1] AS w1, "
+                    f"{tokens_col}[i] AS w2))"
+                )
+            ).alias("_b"),
+        )
+        .select(id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("_cb"))
+    cu = bi.groupBy("w1").agg(F.count("*").alias("_cu"))
+    vocab = docs.select(
+        F.explode(F.col(tokens_col)).alias("_w")
+    ).agg(F.countDistinct("_w").alias("_v"))
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(cu, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (
+                F.expr(_ML2.format(x="(_cb + 1)"))
+                - F.expr(_ML2.format(x="(_cu + _v)"))
+            ).alias("_s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("_s").cast("long").alias("mll2_total"),
+        F.expr("(-sum(_s)) DIV count(*)").cast("long").alias("ppl_milli"),
+    )

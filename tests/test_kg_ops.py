@@ -663,3 +663,111 @@ def test_positional_postings_small(spark):
         ("c", 1): (1, "3"),
         ("b", 2): (2, "0,1"),
     }
+
+
+def _mll2(x):
+    msb = x.bit_length() - 1
+    return 1000 * msb + ((x * 1024) // (1 << msb) - 1024) * 1000 // 1024
+
+
+def test_lm_perplexity_score_hand_check(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.text_analysis import (
+        lm_perplexity_score,
+    )
+
+    docs = [
+        (1, ["a", "b", "a", "b"]),
+        (2, ["a", "x"]),
+        (3, ["only"]),  # no bigram -> no output row
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "tokens"])
+    got = {
+        r.doc_id: (r.n_bigrams, r.mll2_total, r.ppl_milli)
+        for r in lm_perplexity_score(df).collect()
+    }
+    # contexts: c(a)=3, c(b)=1; bigrams: (a,b)=2, (b,a)=1, (a,x)=1; V=4
+    s_ab = _mll2(2 + 1) - _mll2(3 + 4)
+    s_ba = _mll2(1 + 1) - _mll2(1 + 4)
+    s_ax = _mll2(1 + 1) - _mll2(3 + 4)
+    t1 = 2 * s_ab + s_ba
+    t2 = s_ax
+    # scores are negative (log-probs), so -total is positive and DIV
+    # truncation == Python floor division
+    assert got == {1: (3, t1, (-t1) // 3), 2: (1, t2, -t2)}
+    assert 3 not in got
+
+
+def test_scd2_intervals_collapse_delete_reopen(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        scd2_intervals,
+    )
+
+    ch = [
+        # key 1: v1 @1, no-op v1 @2 (collapsed), v2 @3, delete @4,
+        # reopen v2 @5 (current)
+        (1, 1, "v1", "U"), (1, 2, "v1", "U"), (1, 3, "v2", "U"),
+        (1, 4, "x", "D"), (1, 5, "v2", "U"),
+        # key 2: consecutive tombstones collapse; single open version
+        (2, 1, "a", "U"), (2, 2, "t", "D"), (2, 3, "t", "D"),
+    ]
+    df = spark.createDataFrame(ch, ["key", "seq", "val", "op"])
+    got = sorted(
+        (r.key, r.val, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_intervals(df).collect()
+    )
+    assert got == [
+        (1, "v1", 1, 3, False),
+        (1, "v2", 3, 4, False),
+        (1, "v2", 5, None, True),
+        (2, "a", 1, 2, False),
+    ]
+
+
+def test_supernode_compress_star(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        supernode_compress,
+    )
+
+    # star: a,b,c all attach only to h -> one supernode of 3 leaves;
+    # plus a 2-clique island x-y where x,y have DIFFERENT neighborhoods
+    # ({y} vs {x}) -> two singleton supernodes
+    edges = [("h", "a"), ("h", "b"), ("c", "h"), ("x", "y")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted(
+        (r.supernode, r.n_members, r.degree)
+        for r in supernode_compress(df).collect()
+    )
+    assert got == [
+        ("a", 3, 1), ("h", 1, 3), ("x", 1, 1), ("y", 1, 1),
+    ]
+
+
+def test_meta_blocking_weights_and_purge(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        meta_blocking,
+    )
+
+    rows = (
+        # block b1 size 2: (1,2) weight 500000
+        [("b1", 1), ("b1", 2)]
+        # block b2 size 3: pairs (1,2),(1,3),(2,3) weight 333333 each
+        + [("b2", 1), ("b2", 2), ("b2", 3)]
+        # oversized block purged entirely (size 5 > max_block 4)
+        + [("big", i) for i in range(10, 15)]
+        # singleton block dropped
+        + [("solo", 9)]
+    )
+    df = spark.createDataFrame(rows, ["block_key", "rec_id"])
+    unpruned = {
+        (r.rec_a, r.rec_b): (r.weight_micro, r.n_blocks)
+        for r in meta_blocking(df, max_block=4, prune=False).collect()
+    }
+    assert unpruned == {
+        (1, 2): (833333, 2), (1, 3): (333333, 1), (2, 3): (333333, 1),
+    }
+    # mean = (833333+333333+333333) DIV 3 = 499999 -> only (1,2) survives
+    pruned = [
+        (r.rec_a, r.rec_b)
+        for r in meta_blocking(df, max_block=4, prune=True).collect()
+    ]
+    assert pruned == [(1, 2)]
