@@ -3129,6 +3129,116 @@ def _q124_meta_blocking(spark, sf):
     )
 
 
+def _q125_crawl_schedule(spark, sf):
+    """Crawl-frontier politeness scheduling: per-host fetch ranks by
+    (priority DESC, url), integer slot offsets from a per-host
+    crawl-delay, and dispatch waves — the frontier-to-fetch-fleet step
+    after URL dedup (q42).  One per-host window, parallel across hosts,
+    no global sort; everything exact integer milliseconds."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+        politeness_schedule,
+    )
+
+    d = _t(spark, sf, "documents")
+    frontier = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/page"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("source").alias("host"),
+        F.col("n_chars").alias("priority"),
+        (500 + (F.length("source") % 4) * 250).cast("long").alias(
+            "delay_ms"
+        ),
+    )
+    return politeness_schedule(frontier, delay_col="delay_ms")
+
+
+def _q126_butterflies(spark, sf):
+    """Per-document butterfly (2×2 biclique) counting on the doc–token
+    bipartite graph (Sanei-Mehri KDD'18) — the bipartite analog of
+    triangle counting, over the degree-bounded core (token degree
+    2..64, the q124 purge guard): shared-token pair counts close
+    C(c,2) butterflies per partner pair, summed per document in exact
+    integer arithmetic."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        butterfly_counts,
+    )
+
+    d = _t(spark, sf, "documents")
+    mem = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            )
+        ).alias("token"),
+    )
+    return butterfly_counts(mem, max_right_degree=64)
+
+
+def _q127_temporal_reachability(spark, sf):
+    """Earliest-arrival time-respecting reachability over the contact
+    graph induced by the event log (users touching the same event
+    stream in sequence link prev→next at the successor's timestamp):
+    per seed user, the minimum strictly-time-increasing arrival within
+    4 hops — round-capped min-arrival relaxation, which the oracle
+    replays as a hop-capped recursive-CTE path enumeration (provably
+    identical: earlier arrival dominates)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        temporal_reachability,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        # parquet naive ts loads as TIMESTAMP_NTZ; cast for epoch micros
+        F.expr("unix_micros(cast(ts as timestamp))").alias("tus"),
+    )
+    w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+            F.lead("tus").over(w).alias("t"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select("src", "dst", F.col("t").alias("tus"))
+    )
+    seeds = (
+        ev.select(F.col("user_id").alias("node"))
+        .filter("node < 3")
+        .distinct()
+    )
+    return temporal_reachability(edges, seeds, max_hops=4)
+
+
+def _q128_sliding_distinct(spark, sf):
+    """Sliding 7-day distinct users per day by MERGING daily KMV
+    sketches — the mergeability property that makes sliding-window
+    cardinality viable at 100 TB (daily state is 64 hashes; the exact
+    alternative reshuffles each window's full key population 7×).
+    Merging is lossless for the estimator (a window-top-k hash is
+    necessarily day-top-k in every day it appeared); the merge, the
+    kth-order statistic and the floor arithmetic replay verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        kmv_sliding_distinct,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) DIV 86400000000"
+        ).alias("day"),
+    )
+    return kmv_sliding_distinct(
+        ev, key_col="user_id", day_col="day", window_days=7, k=64
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3257,6 +3367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_scd2_intervals": _q122_scd2_intervals,
         "q123_supernodes": _q123_supernodes,
         "q124_meta_blocking": _q124_meta_blocking,
+        "q125_crawl_schedule": _q125_crawl_schedule,
+        "q126_butterflies": _q126_butterflies,
+        "q127_temporal_reachability": _q127_temporal_reachability,
+        "q128_sliding_distinct": _q128_sliding_distinct,
     }
 
 
@@ -7293,5 +7407,133 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rec_a, rec_b, weight_micro, n_blocks
             FROM pairs, mn WHERE weight_micro > mn.mean
+        """,
+        # q125: per-host rank window, same integer delay/slot/wave math
+        "q125_crawl_schedule": """
+            WITH fr AS (
+                SELECT 'https://' || source || '.example.com/page'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       source AS host, n_chars AS priority,
+                       CAST(500 + (length(source) % 4) * 250
+                            AS BIGINT) AS delay
+                FROM documents
+            ), r AS (
+                SELECT url, host, delay,
+                       CAST(row_number() OVER (
+                           PARTITION BY host
+                           ORDER BY priority DESC, url ASC
+                       ) AS BIGINT) AS fetch_rank
+                FROM fr
+            )
+            SELECT url, host, fetch_rank,
+                   CAST((fetch_rank - 1) * delay AS BIGINT) AS slot_ms,
+                   CAST(((fetch_rank - 1) * delay) // 60000
+                        AS BIGINT) AS wave
+            FROM r
+        """,
+        # q126: degree purge 2..64, shared-token pair counts, exact
+        # C(c,2) butterfly closure summed per side
+        "q126_butterflies": f"""
+            WITH mem AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), deg AS (
+                SELECT token, count(DISTINCT doc_id) AS rd
+                FROM mem GROUP BY 1
+            ), kept AS (
+                SELECT m.token, m.doc_id
+                FROM mem m JOIN deg USING (token)
+                WHERE rd BETWEEN 2 AND 64
+            ), pairs AS (
+                SELECT a.doc_id AS u, b.doc_id AS w, count(*) AS c
+                FROM kept a JOIN kept b
+                  ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), bf AS (
+                SELECT u, w, c, (c * (c - 1)) // 2 AS b FROM pairs
+            ), sides AS (
+                SELECT u AS doc_id, b FROM bf
+                UNION ALL SELECT w, b FROM bf
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_partners,
+                   CAST(sum(b) AS BIGINT) AS n_butterflies
+            FROM sides GROUP BY 1
+        """,
+        # q127: hop-capped recursive path enumeration == Spark's
+        # round-capped min-arrival relaxation (earlier arrival
+        # dominates); same strict time-increase, same seed set
+        "q127_temporal_reachability": """
+            WITH RECURSIVE ev AS (
+                SELECT event_type, user_id, event_id,
+                       epoch_us(ts) AS tus
+                FROM events
+            ), ed AS (
+                SELECT user_id AS src,
+                       lead(user_id) OVER w AS dst,
+                       lead(tus) OVER w AS t
+                FROM ev
+                WINDOW w AS (PARTITION BY event_type
+                             ORDER BY tus, event_id)
+            ), e AS (
+                SELECT DISTINCT src, dst, t FROM ed
+                WHERE dst IS NOT NULL AND src <> dst
+            ), seeds AS (
+                SELECT DISTINCT user_id AS node FROM events
+                WHERE user_id < 3
+            ), walk(seed, node, t, hop) AS (
+                SELECT node, node, CAST(0 AS BIGINT), 0 FROM seeds
+              UNION
+                SELECT w.seed, e.dst, e.t, w.hop + 1
+                FROM walk w JOIN e ON e.src = w.node AND e.t > w.t
+                WHERE w.hop < 4
+            )
+            SELECT seed, node, CAST(min(t) AS BIGINT) AS arrival
+            FROM walk WHERE node <> seed GROUP BY 1, 2
+        """,
+        # q128: daily top-64 KMV sketches fanned to their 7 windows,
+        # re-ranked merge, identical estimator arithmetic
+        "q128_sliding_distinct": """
+            WITH ev AS (
+                SELECT DISTINCT epoch_us(ts) // 86400000000 AS d,
+                       CAST('0x' || substr(md5(
+                           CAST(user_id AS VARCHAR) || chr(31) || 'kmv'
+                       ), 1, 15) AS BIGINT) AS h
+                FROM events WHERE user_id IS NOT NULL
+            ), topk AS (
+                SELECT d, h FROM (
+                    SELECT d, h, row_number() OVER (
+                        PARTITION BY d ORDER BY h) AS rn
+                    FROM ev
+                ) WHERE rn <= 64
+            ), days AS (
+                SELECT DISTINCT d AS win_end FROM ev
+            ), fan AS (
+                SELECT t.d, t.h, w.win_end
+                FROM topk t JOIN days w
+                  ON w.win_end BETWEEN t.d AND t.d + 6
+            ), nd AS (
+                SELECT win_end,
+                       CAST(count(DISTINCT d) AS BIGINT) AS n_days_merged
+                FROM fan GROUP BY 1
+            ), mh AS (
+                SELECT win_end, h FROM (
+                    SELECT win_end, h, row_number() OVER (
+                        PARTITION BY win_end ORDER BY h) AS rn
+                    FROM (SELECT DISTINCT win_end, h FROM fan)
+                ) WHERE rn <= 64
+            ), est AS (
+                SELECT win_end,
+                       CAST(count(*) AS BIGINT) AS n_kept,
+                       max(h) AS kth_hash,
+                       CAST(CASE WHEN count(*) < 64 THEN count(*)
+                            ELSE floor(63.0 * 1152921504606846976.0
+                                       / max(h))
+                            END AS BIGINT) AS n_distinct_est
+                FROM mh GROUP BY 1
+            )
+            SELECT est.win_end, nd.n_days_merged, est.n_kept,
+                   est.kth_hash, est.n_distinct_est
+            FROM est JOIN nd USING (win_end)
         """,
     }

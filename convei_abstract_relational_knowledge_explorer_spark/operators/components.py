@@ -1759,3 +1759,60 @@ def supernode_compress(
         )
         .select("supernode", "n_members", "degree")
     )
+
+
+def butterfly_counts(
+    memberships: DataFrame,
+    left_col: str = "doc_id",
+    right_col: str = "token",
+    max_right_degree: int = 64,
+) -> DataFrame:
+    """Per-vertex butterfly counting (Sanei-Mehri et al., KDD'18) on a
+    bipartite graph → (``left_col``, n_partners, n_butterflies): a
+    butterfly is a 2×2 biclique, THE bipartite analog of the triangle
+    and the base motif of bipartite clustering/community metrics (the
+    doc–token, user–item, author–paper graphs of a web corpus are all
+    bipartite — triangle machinery says nothing there).
+
+    For left vertices u, w sharing ``c`` right neighbors, the pair
+    closes C(c, 2) butterflies; per-vertex count is the sum over
+    partners.  Exact integer arithmetic: ``c·(c−1) DIV 2``.
+
+    Right vertices with degree > ``max_right_degree`` are purged first
+    (the q124 block-purging guard): a stopword token adjacent to 10⁸
+    docs contributes quadratic pairs and epsilon structural signal, so
+    the standard practice is to count on the bounded-degree core —
+    documented, deterministic, and replayed identically by the oracle.
+    Plan: degree agg → purge → within-right self-join (each reducer ≤
+    max_right_degree² per key) → pair agg → per-vertex sum via a
+    two-sided union.  No arrays, no windows.
+    """
+    deg = memberships.groupBy(right_col).agg(
+        F.countDistinct(left_col).alias("_rd")
+    )
+    kept = (
+        memberships.select(right_col, left_col)
+        .distinct()
+        .join(
+            deg.filter(
+                (F.col("_rd") >= 2) & (F.col("_rd") <= max_right_degree)
+            ).select(right_col),
+            right_col,
+        )
+    )
+    a = kept.select(F.col(right_col).alias("_r"), F.col(left_col).alias("u"))
+    b = kept.select(F.col(right_col).alias("_r"), F.col(left_col).alias("w"))
+    pairs = (
+        a.join(b, "_r")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .withColumn("_bf", F.expr("(_c * (_c - 1)) DIV 2"))
+    )
+    sides = pairs.select(
+        F.col("u").alias(left_col), "_c", "_bf"
+    ).unionByName(pairs.select(F.col("w").alias(left_col), "_c", "_bf"))
+    return sides.groupBy(left_col).agg(
+        F.count("*").cast("long").alias("n_partners"),
+        F.sum("_bf").cast("long").alias("n_butterflies"),
+    )

@@ -438,3 +438,92 @@ def kmv_set_ops(
             .alias("jaccard_milli"),
         )
     )
+
+
+def kmv_sliding_distinct(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    window_days: int = 7,
+    k: int = 64,
+) -> DataFrame:
+    """Sliding-window distinct counting by MERGING daily KMV sketches →
+    per window-end day: (win_end, n_days_merged, n_kept, kth_hash,
+    n_distinct_est): the k smallest distinct key hashes are kept PER
+    DAY (bounded state, exactly :func:`kmv_distinct`), then each day's
+    sketch fans out to the ≤``window_days`` windows it belongs to and
+    the per-window merge re-ranks to the k smallest — the mergeability
+    property that makes sketches the only viable sliding-distinct at
+    100 TB (the exact alternative re-shuffles every window's full key
+    population ``window_days`` times).
+
+    Merging is LOSSLESS for the estimator: a hash among the window's k
+    smallest distinct values is necessarily among the k smallest of any
+    day it appeared in (day's hash set ⊆ window's), so no daily top-k
+    truncation can drop it.  Unsaturated windows degenerate to exact
+    counts; same portable md5 hash, same floor arithmetic — replayed
+    verbatim in ANSI SQL.  Window ends are emitted only for days
+    present in the data.
+    """
+    if k < 2:
+        raise ValueError("kmv_sliding_distinct needs k >= 2")
+    h = porthash64(F.col(key_col).cast("string"), "kmv")
+    daily = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(day_col).cast("long").alias("_d"), h.alias("_h"))
+        .distinct()
+    )
+    wd = Window.partitionBy("_d").orderBy("_h")
+    topk = (
+        daily.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") <= k)
+        .select("_d", "_h")
+    )
+    days = daily.select("_d").distinct().select(
+        F.col("_d").alias("win_end")
+    )
+    fan = (
+        topk.select(
+            "_d",
+            "_h",
+            F.explode(
+                F.expr(f"sequence(_d, _d + {window_days - 1})")
+            ).alias("win_end"),
+        )
+        .join(F.broadcast(days), "win_end")
+    )
+    wp = Window.partitionBy("win_end").orderBy("_h")
+    merged = (
+        fan.groupBy("win_end", "_h")
+        .agg(F.countDistinct("_d").alias("_nd"))
+        .withColumn("_rn", F.row_number().over(wp))
+    )
+    ndays = fan.groupBy("win_end").agg(
+        F.countDistinct("_d").cast("long").alias("n_days_merged")
+    )
+    est = (
+        merged.filter(F.col("_rn") <= k)
+        .groupBy("win_end")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.max("_h").alias("kth_hash"),
+        )
+        .select(
+            "win_end",
+            "n_kept",
+            "kth_hash",
+            F.when(
+                F.col("n_kept") < k, F.col("n_kept")
+            )
+            .otherwise(
+                F.floor(
+                    F.lit(float((k - 1) * HASH_SPACE)) / F.col("kth_hash")
+                )
+            )
+            .cast("long")
+            .alias("n_distinct_est"),
+        )
+    )
+    return est.join(ndays, "win_end").select(
+        "win_end", "n_days_merged", "n_kept", "kth_hash", "n_distinct_est"
+    )

@@ -431,3 +431,77 @@ def scd2_intervals(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ts_col: str = "tus",
+    seed_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Earliest-arrival time-respecting reachability (the temporal-graph
+    / epidemic-tracing primitive) → (seed, node, arrival): over directed
+    timestamped edges, node is reachable from seed iff a path exists
+    whose edge timestamps STRICTLY increase, and ``arrival`` is the
+    minimum achievable final timestamp within ``max_hops`` hops.
+
+    Earlier arrival dominates — any continuation open to a later
+    arrival is open to an earlier one — so per-round min-arrival
+    relaxation is sound AND round-capped relaxation equals hop-capped
+    path enumeration (what the recursive-CTE oracle replays).  Each
+    round: frontier ⋈ edges on (node = src, edge ts > arrival) → min
+    candidate per (seed, dst) → keep strict improvements only; the
+    frontier is just the improved rows, the convergence probe is one
+    scalar count, and per-round localCheckpoints truncate lineage (the
+    bfs_distances / connected-components discipline).  Seeds start at
+    arrival 0, so ``ts_col`` must be positive (epoch micros are).
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("_es"),
+            F.col(dst).alias("_ed"),
+            F.col(ts_col).cast("long").alias("_et"),
+        )
+        .filter(F.col("_es") != F.col("_ed"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    arrival = (
+        seeds.select(F.col(seed_col).alias("seed"))
+        .distinct()
+        .select(
+            "seed",
+            F.col("seed").alias("node"),
+            F.lit(0).cast("long").alias("arrival"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = arrival
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(e, frontier["node"] == e["_es"])
+            .filter(F.col("_et") > F.col("arrival"))
+            .groupBy("seed", F.col("_ed").alias("node"))
+            .agg(F.min("_et").alias("cand"))
+        )
+        merged = (
+            cand.join(arrival, ["seed", "node"], "left")
+            .filter(
+                F.col("arrival").isNull()
+                | (F.col("cand") < F.col("arrival"))
+            )
+            .select("seed", "node", F.col("cand").alias("arrival"))
+            .localCheckpoint(eager=True)
+        )
+        if merged.isEmpty():
+            break
+        arrival = (
+            arrival.join(merged, ["seed", "node"], "left_anti")
+            .unionByName(merged)
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged
+    return arrival.filter(F.col("node") != F.col("seed"))

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 
@@ -148,3 +149,53 @@ def snapshot_diff(
         .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
         .alias("status"),
     ).filter(F.col("status").isNotNull())
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    priority_col: str = "priority",
+    delay_col: str | None = None,
+    delay_ms: int = 1000,
+    wave_ms: int = 60000,
+) -> DataFrame:
+    """Crawl-frontier politeness scheduler → (``url_col``, ``host_col``,
+    fetch_rank, slot_ms, wave): per-host fetch order by (priority DESC,
+    url ASC), each fetch offset ``(fetch_rank−1) · delay`` milliseconds
+    from the host's first slot so a host is never hit faster than its
+    crawl-delay, and ``wave = slot_ms DIV wave_ms`` buckets the frontier
+    into dispatch rounds a fetch fleet drains one at a time.
+
+    The Common-Crawl frontier-scheduling step between URL dedup (q42)
+    and fetching: politeness is PER HOST, so the window partitions by
+    host and parallelizes across the billions of hosts with no global
+    sort anywhere — the one operator shape where a per-group
+    `row_number` is exactly right (a host's frontier is bounded by its
+    own page count, and a pathological mega-host is throttled by its
+    own crawl-delay far below any reducer limit).  ``delay_col`` (e.g.
+    parsed from robots.txt) overrides the constant ``delay_ms``;
+    everything stays exact integer milliseconds.
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc(priority_col), F.asc(url_col)
+    )
+    delay = F.col(delay_col) if delay_col else F.lit(delay_ms)
+    return (
+        frontier.select(
+            url_col,
+            host_col,
+            priority_col,
+            delay.cast("long").alias("_delay"),
+        )
+        .withColumn("fetch_rank", F.row_number().over(w).cast("long"))
+        .select(
+            url_col,
+            host_col,
+            "fetch_rank",
+            ((F.col("fetch_rank") - 1) * F.col("_delay")).alias("slot_ms"),
+            F.expr(f"((fetch_rank - 1) * _delay) DIV {wave_ms}")
+            .cast("long")
+            .alias("wave"),
+        )
+    )

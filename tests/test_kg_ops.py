@@ -771,3 +771,106 @@ def test_meta_blocking_weights_and_purge(spark):
         for r in meta_blocking(df, max_block=4, prune=True).collect()
     ]
     assert pruned == [(1, 2)]
+
+
+def test_politeness_schedule_ranks_slots_waves(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+        politeness_schedule,
+    )
+
+    rows = [
+        ("u/a", "h1", 10, 500),
+        ("u/b", "h1", 30, 500),
+        ("u/c", "h1", 30, 500),  # priority tie -> url order b before c
+        ("u/d", "h2", 5, 250),
+    ]
+    df = spark.createDataFrame(rows, ["url", "host", "priority", "delay_ms"])
+    got = {
+        r.url: (r.host, r.fetch_rank, r.slot_ms, r.wave)
+        for r in politeness_schedule(
+            df, delay_col="delay_ms", wave_ms=600
+        ).collect()
+    }
+    assert got == {
+        "u/b": ("h1", 1, 0, 0),
+        "u/c": ("h1", 2, 500, 0),
+        "u/a": ("h1", 3, 1000, 1),
+        "u/d": ("h2", 1, 0, 0),
+    }
+
+
+def test_butterfly_counts_hand_graph(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        butterfly_counts,
+    )
+
+    rows = [
+        # docs 1,2 share tokens a,b -> C(2,2)=1 butterfly each
+        (1, "a"), (1, "b"), (2, "a"), (2, "b"),
+        # doc 3 shares only token a with 1 and 2 -> partner counts rise
+        # but butterflies need >= 2 shared tokens
+        (3, "a"),
+        # token z has degree 1 -> dropped; token big exceeds max degree
+        (1, "z"),
+        (1, "big"), (2, "big"), (3, "big"), (4, "big"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "token"])
+    got = {
+        r.doc_id: (r.n_partners, r.n_butterflies)
+        for r in butterfly_counts(df, max_right_degree=3).collect()
+    }
+    # with "big" purged (degree 4 > 3): pairs via a: (1,2) c=2, (1,3) c=1,
+    # (2,3) c=1
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 0)}
+
+
+def test_temporal_reachability_respects_time(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        temporal_reachability,
+    )
+
+    edges = [
+        ("a", "b", 5),
+        ("b", "c", 3),   # stale: arrives at b at 5, edge left at 3
+        ("b", "c", 9),
+        ("a", "c", 20),  # direct but late
+        ("c", "d", 9),   # NOT usable from arrival 9 (strict increase)
+        ("c", "d", 10),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "tus"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {
+        (r.seed, r.node): r.arrival
+        for r in temporal_reachability(df, seeds, max_hops=4).collect()
+    }
+    assert got == {("a", "b"): 5, ("a", "c"): 9, ("a", "d"): 10}
+    # hop cap: 2 hops cannot reach d (needs 3)
+    capped = {
+        (r.seed, r.node): r.arrival
+        for r in temporal_reachability(df, seeds, max_hops=2).collect()
+    }
+    assert capped == {("a", "b"): 5, ("a", "c"): 9}
+
+
+def test_kmv_sliding_distinct_exact_unsaturated(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        kmv_sliding_distinct,
+    )
+
+    rows = [
+        (1, 100), (2, 100), (2, 101), (3, 101), (9, 104),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "day"])
+    got = {
+        r.win_end: (r.n_days_merged, r.n_kept, r.n_distinct_est)
+        for r in kmv_sliding_distinct(
+            df, key_col="user_id", day_col="day", window_days=2, k=64
+        ).collect()
+    }
+    # windows end at days present: 100 -> day 100 only; 101 -> days
+    # 100+101 merged (users 1,2,3); 104 -> day 104 only
+    assert got == {100: (1, 2, 2), 101: (2, 3, 3), 104: (1, 1, 1)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kmv_sliding_distinct(df, key_col="user_id", day_col="day", k=1)
