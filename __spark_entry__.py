@@ -3239,6 +3239,315 @@ def _q128_sliding_distinct(spark, sf):
     )
 
 
+def _q129_redirect_resolution(spark, sf):
+    """Redirect-chain resolution by pointer doubling (Wyllie list
+    ranking): per-source chains doc_id → doc_id−1 down to the nearest
+    multiple of 8 (≤7 hops) plus injected 2-cycles (crawl traps) in a
+    disjoint id namespace; 3 doubling rounds resolve chains ≤ 2³ = 8
+    hops, cycles come back (NULL, NULL, false).  The oracle replays the
+    walk as a hop-capped recursive CTE — identical because a functional
+    graph has exactly one path per node."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+        resolve_redirects,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    chains = d.filter((F.col("doc_id") % 8) != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    cyc = d.filter((F.col("doc_id") % 1000) == 777).select(
+        (F.col("doc_id") + F.lit(2_000_000_000)).alias("a")
+    )
+    cycles = cyc.select(
+        F.col("a").alias("src"), (F.col("a") + 1).alias("dst")
+    ).unionAll(
+        cyc.select((F.col("a") + 1).alias("src"), F.col("a").alias("dst"))
+    )
+    return resolve_redirects(chains.unionAll(cycles), max_rounds=3)
+
+
+def _q130_robots_rules(spark, sf):
+    """Longest-prefix URL-policy matching (the robots.txt idiom) via
+    the distributed-trie explode: every url explodes its own segment
+    prefixes (bounded by path depth) so rule lookup is a plain
+    (host, prefix) equi-join — no LIKE cross join; one per-url window
+    picks the most specific rule, unmatched urls default-allow."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+        match_prefix_rules,
+    )
+
+    d = _t(spark, sf, "documents")
+    path = F.concat(
+        F.lit("/cat"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("/sub"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("/page"),
+        F.col("doc_id").cast("string"),
+    )
+    urls = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"), path
+        ).alias("url"),
+        F.col("source").alias("host"),
+        path.alias("path"),
+    )
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    ln = F.length("host")
+    rules = (
+        hosts.select(
+            "host", F.lit("/").alias("prefix"), F.lit(True).alias("allow")
+        )
+        .unionAll(
+            hosts.select(
+                "host",
+                F.concat(F.lit("/cat"), (ln % 7).cast("string")).alias(
+                    "prefix"
+                ),
+                F.lit(False).alias("allow"),
+            )
+        )
+        .unionAll(
+            hosts.select(
+                "host",
+                F.concat(
+                    F.lit("/cat"),
+                    ((ln + 1) % 7).cast("string"),
+                    F.lit("/sub1"),
+                ).alias("prefix"),
+                F.lit(False).alias("allow"),
+            )
+        )
+    )
+    return match_prefix_rules(urls, rules)
+
+
+def _mis_wl_edges(spark, sf):
+    """Shared q131/q132 graph: per-source doc_id path chains plus a
+    lead-2 chord at every doc_id % 4 == 0 — long paths (multi-round MIS
+    frontiers) with enough chords that WL colors differentiate."""
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    base = d.select(
+        "doc_id",
+        F.lead("doc_id").over(w).alias("nxt"),
+        F.lead("doc_id", 2).over(w).alias("nxt2"),
+    )
+    return base.filter(F.col("nxt").isNotNull()).select(
+        F.col("doc_id").alias("src"), F.col("nxt").alias("dst")
+    ).unionAll(
+        base.filter(
+            F.col("nxt2").isNotNull() & ((F.col("doc_id") % 4) == 0)
+        ).select(F.col("doc_id").alias("src"), F.col("nxt2").alias("dst"))
+    )
+
+
+def _q131_merge_mis(spark, sf):
+    """Luby maximal independent set with deterministic md5 priorities
+    over the per-source conflict graph — the conflict-free entity-merge
+    scheduling wave; 3 rounds exactly replayed by the oracle's unrolled
+    CTE chain (leftovers surface as 'undecided' in BOTH engines, so the
+    cap is part of the contract, not a tolerance)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        maximal_independent_set,
+    )
+
+    return maximal_independent_set(_mis_wl_edges(spark, sf), rounds=3)
+
+
+def _q132_wl_colors(spark, sf):
+    """1-WL color refinement (structural-role typing): color₀ = degree,
+    then two rounds of hash(own color, order-insensitive neighbor-color
+    multiset) via three exact integer lanes (sum mod 2³², bit_xor,
+    count) — bit-identical in DuckDB, no neighbor array ever built."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        wl_refinement,
+    )
+
+    return wl_refinement(_mis_wl_edges(spark, sf), rounds=2)
+
+
+def _q133_template_lines(spark, sf):
+    """Per-host template-line (site boilerplate) removal: a NAV banner
+    on 100% and a FOOTER on ~50% of each host's pages; lines in ≥50% of
+    a host's docs (min 3) are stripped everywhere — the within-site
+    complement of q35's corpus-global C4 rule, exact integer threshold."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        template_line_removal,
+    )
+
+    d = _t(spark, sf, "documents")
+    docs = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("NAV "),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("text"),
+            F.when(
+                (F.col("doc_id") % 2) == 0,
+                F.concat(F.lit("\nFOOTER "), F.col("source")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return template_line_removal(docs, min_frac_millis=500, min_docs=3)
+
+
+def _q134_stable_labels(spark, sf):
+    """Cross-snapshot cluster-id alignment by reciprocal best overlap
+    (the resumability half of canonicalization): old clusters = decade
+    buckets of doc_id, new clusters = the same buckets shifted by 2
+    with ~1% of nodes dropped — persisting clusters inherit their old
+    id, split losers and newcomers keep fresh ids, assignment injective
+    by reciprocity."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        align_labels,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    old = d.select(
+        F.col("doc_id").alias("node"),
+        (F.col("doc_id") - F.col("doc_id") % 10).alias("label_old"),
+    )
+    new = d.filter((F.col("doc_id") % 97) != 3).select(
+        F.col("doc_id").alias("node"),
+        (
+            (F.col("doc_id") + 2) - (F.col("doc_id") + 2) % 10 - 2
+        ).alias("label_new"),
+    )
+    return align_labels(old, new)
+
+
+_MIS_WL_EDGE_CTE = """
+            ed AS (
+                SELECT doc_id,
+                       lead(doc_id) OVER w AS nxt,
+                       lead(doc_id, 2) OVER w AS nxt2
+                FROM documents
+                WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+            ), raw AS (
+                SELECT doc_id AS s, nxt AS t FROM ed WHERE nxt IS NOT NULL
+                UNION ALL
+                SELECT doc_id, nxt2 FROM ed
+                WHERE nxt2 IS NOT NULL AND doc_id % 4 = 0
+            ), e0 AS MATERIALIZED (
+                SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+                FROM raw WHERE s <> t
+            )"""
+
+
+def _ph_sql(expr: str, seed: str) -> str:
+    """The porthash64 twin: first 15 md5 hex chars as BIGINT."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR) || chr(31) ||"
+        f" '{seed}'), 1, 15) AS BIGINT)"
+    )
+
+
+def _mis_oracle(n_rounds: int) -> str:
+    """Unrolled Luby-MIS rounds (q131): per round, strict
+    (hash, node)-minimum winners over the live neighbor view, neighbor
+    exclusion, frontier shrink — the identical recurrence as
+    components.maximal_independent_set, round numbers included."""
+    h_node = _ph_sql("node", "mis")
+    h_peer = _ph_sql("peer", "mis")
+    parts = [
+        f"WITH {_MIS_WL_EDGE_CTE}, und0 AS MATERIALIZED ("
+        "SELECT u AS node FROM e0 UNION SELECT v FROM e0)"
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""", nbr{r} AS (
+                SELECT u AS node, v AS peer FROM e{r - 1}
+                UNION ALL SELECT v, u FROM e{r - 1}
+            ), beat{r} AS (
+                SELECT DISTINCT node FROM nbr{r}
+                WHERE {h_peer} < {h_node}
+                   OR ({h_peer} = {h_node} AND peer < node)
+            ), win{r} AS MATERIALIZED (
+                SELECT node FROM und{r - 1}
+                EXCEPT SELECT node FROM beat{r}
+            ), lose{r} AS MATERIALIZED (
+                SELECT DISTINCT n.node
+                FROM nbr{r} n JOIN win{r} w ON n.peer = w.node
+            ), und{r} AS MATERIALIZED (
+                SELECT node FROM und{r - 1}
+                EXCEPT (SELECT node FROM win{r}
+                        UNION SELECT node FROM lose{r})
+            ), e{r} AS MATERIALIZED (
+                SELECT e.u, e.v FROM e{r - 1} e
+                LEFT JOIN (SELECT node FROM win{r}
+                           UNION SELECT node FROM lose{r}) g1
+                       ON e.u = g1.node
+                LEFT JOIN (SELECT node FROM win{r}
+                           UNION SELECT node FROM lose{r}) g2
+                       ON e.v = g2.node
+                WHERE g1.node IS NULL AND g2.node IS NULL
+            )"""
+        )
+    unions = []
+    for r in range(1, n_rounds + 1):
+        unions.append(
+            f"SELECT node, 'mis' AS status, CAST({r} AS INT) AS round"
+            f" FROM win{r}"
+        )
+        unions.append(
+            f"SELECT node, 'excluded', CAST({r} AS INT) FROM lose{r}"
+        )
+    unions.append(
+        f"SELECT node, 'undecided', CAST({n_rounds} AS INT)"
+        f" FROM und{n_rounds}"
+    )
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(unions)
+
+
+def _wl_oracle(n_rounds: int) -> str:
+    """Unrolled 1-WL refinement rounds (q132): degree init, then per
+    round the three exact integer multiset lanes (sum mod 2^32,
+    bit_xor, count) over per-neighbor porthashes, remixed through the
+    same seeded porthash — bit-identical to components.wl_refinement."""
+    parts = [
+        f"""WITH {_MIS_WL_EDGE_CTE}, nbr AS (
+                SELECT u AS node, v AS peer FROM e0
+                UNION ALL SELECT v, u FROM e0
+            ), c0 AS MATERIALIZED (
+                SELECT node, CAST(count(*) AS BIGINT) AS col
+                FROM nbr GROUP BY 1
+            )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        ph = _ph_sql("c.col", f"wl{r}")
+        mix = _ph_sql(
+            "concat_ws(':', CAST(c.col AS VARCHAR),"
+            " CAST(a.lane_sum AS VARCHAR), CAST(a.lane_xor AS VARCHAR),"
+            " CAST(a.lane_n AS VARCHAR))",
+            f"wlmix{r}",
+        )
+        parts.append(
+            f""", a{r} AS (
+                SELECT n.node,
+                       CAST(sum({ph} % 4294967296) AS BIGINT) AS lane_sum,
+                       bit_xor({ph}) AS lane_xor,
+                       CAST(count(*) AS BIGINT) AS lane_n
+                FROM nbr n JOIN c{r - 1} c ON c.node = n.peer
+                GROUP BY 1
+            ), c{r} AS MATERIALIZED (
+                SELECT c.node, {mix} AS col
+                FROM c{r - 1} c JOIN a{r} a ON a.node = c.node
+            )"""
+        )
+    parts.append(
+        f"""
+            SELECT c.node, c.col AS wl_color, s.n AS class_size
+            FROM c{n_rounds} c JOIN (
+                SELECT col, CAST(count(*) AS BIGINT) AS n
+                FROM c{n_rounds} GROUP BY 1
+            ) s ON s.col = c.col"""
+    )
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3371,6 +3680,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_butterflies": _q126_butterflies,
         "q127_temporal_reachability": _q127_temporal_reachability,
         "q128_sliding_distinct": _q128_sliding_distinct,
+        "q129_redirect_resolution": _q129_redirect_resolution,
+        "q130_robots_rules": _q130_robots_rules,
+        "q131_merge_mis": _q131_merge_mis,
+        "q132_wl_colors": _q132_wl_colors,
+        "q133_template_lines": _q133_template_lines,
+        "q134_stable_labels": _q134_stable_labels,
     }
 
 
@@ -7535,5 +7850,177 @@ def oracle_sql() -> dict[str, str]:
             SELECT est.win_end, nd.n_days_merged, est.n_kept,
                    est.kth_hash, est.n_distinct_est
             FROM est JOIN nd USING (win_end)
+        """,
+        # q129: the pointer-doubling result == hop-capped (2^3 = 8)
+        # recursive walk on a functional graph (one path per node);
+        # cycles never reach a terminal -> NULL/NULL/false
+        "q129_redirect_resolution": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id FROM documents
+            ), raw AS (
+                SELECT doc_id AS src, doc_id - 1 AS dst FROM d
+                WHERE doc_id % 8 <> 0
+                UNION ALL
+                SELECT doc_id + 2000000000, doc_id + 2000000001 FROM d
+                WHERE doc_id % 1000 = 777
+                UNION ALL
+                SELECT doc_id + 2000000001, doc_id + 2000000000 FROM d
+                WHERE doc_id % 1000 = 777
+            ), r AS MATERIALIZED (
+                SELECT src AS node, min(dst) AS ptr FROM raw
+                WHERE src <> dst GROUP BY 1
+            ), walk(node, cur, hops) AS (
+                SELECT node, ptr, CAST(1 AS BIGINT) FROM r
+                UNION ALL
+                SELECT w.node, r.ptr, w.hops + 1
+                FROM walk w JOIN r ON r.node = w.cur
+                WHERE w.hops < 8
+            ), term AS (
+                SELECT w.node, w.cur AS terminal, w.hops
+                FROM walk w LEFT JOIN r ON r.node = w.cur
+                WHERE r.node IS NULL
+            )
+            SELECT r.node, t.terminal, t.hops,
+                   t.terminal IS NOT NULL AS resolved
+            FROM r LEFT JOIN term t ON t.node = r.node
+        """,
+        # q130: the segment-prefix explode == segment-aligned LIKE match
+        # (prefix matches iff path = prefix or path starts prefix || '/')
+        "q130_robots_rules": """
+            WITH u AS (
+                SELECT 'https://' || source || '.example.com' || p AS url,
+                       source AS host, p AS path
+                FROM (
+                    SELECT source,
+                           '/cat' || CAST(doc_id % 7 AS VARCHAR)
+                               || '/sub' || CAST(doc_id % 3 AS VARCHAR)
+                               || '/page' || CAST(doc_id AS VARCHAR) AS p
+                    FROM documents
+                )
+            ), h AS (
+                SELECT DISTINCT source AS host FROM documents
+            ), rules AS (
+                SELECT host, '/' AS prefix, TRUE AS allow FROM h
+                UNION ALL
+                SELECT host,
+                       '/cat' || CAST(length(host) % 7 AS VARCHAR), FALSE
+                FROM h
+                UNION ALL
+                SELECT host,
+                       '/cat' || CAST((length(host) + 1) % 7 AS VARCHAR)
+                           || '/sub1', FALSE
+                FROM h
+            ), m AS (
+                SELECT url, prefix, allow FROM (
+                    SELECT u.url, r.prefix, r.allow,
+                           row_number() OVER (
+                               PARTITION BY u.url
+                               ORDER BY length(r.prefix) DESC
+                           ) AS rn
+                    FROM u JOIN rules r
+                      ON u.host = r.host
+                     AND (r.prefix = '/' OR u.path = r.prefix
+                          OR u.path LIKE r.prefix || '/%')
+                ) WHERE rn = 1
+            )
+            SELECT u.url, u.host, m.prefix AS matched_prefix,
+                   m.allow AS rule_allow,
+                   coalesce(m.allow, TRUE) AS allowed
+            FROM u LEFT JOIN m ON m.url = u.url
+        """,
+        # q131/q132: the unrolled-round CTE chains (generated — the
+        # q70/q73 idiom), identical recurrences to the Spark operators
+        "q131_merge_mis": _mis_oracle(3),
+        "q132_wl_colors": _wl_oracle(2),
+        # q133: per-(host, line) document frequency with the exact
+        # integer threshold, string_agg reassembly ordered by pos
+        "q133_template_lines": """
+            WITH docs AS (
+                SELECT doc_id, source AS host,
+                       'NAV ' || source || chr(10) || text ||
+                       CASE WHEN doc_id % 2 = 0
+                            THEN chr(10) || 'FOOTER ' || source
+                            ELSE '' END AS text
+                FROM documents
+            ), l AS (
+                SELECT doc_id, host,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(generate_series(
+                           0, len(string_split(text, chr(10))) - 1)) AS pos
+                FROM docs
+            ), hd AS (
+                SELECT host, count(DISTINCT doc_id) AS nd
+                FROM docs GROUP BY 1
+            ), ld AS (
+                SELECT host, line, count(DISTINCT doc_id) AS nl
+                FROM l GROUP BY 1, 2
+            ), tpl AS (
+                SELECT host, line FROM ld JOIN hd USING (host)
+                WHERE nl >= 3 AND nl * 1000 >= 500 * nd
+            ), m AS (
+                SELECT l.doc_id, l.host, l.line, l.pos,
+                       t.line IS NOT NULL AS is_tpl
+                FROM l LEFT JOIN tpl t
+                  ON l.host = t.host AND l.line = t.line
+            ), kept AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text
+                FROM m WHERE NOT is_tpl GROUP BY 1
+            ), st AS (
+                SELECT doc_id, host,
+                       CAST(count(*) AS BIGINT) AS n_lines,
+                       CAST(sum(CASE WHEN is_tpl THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_template
+                FROM m GROUP BY 1, 2
+            )
+            SELECT st.doc_id, st.host, st.n_lines, st.n_template,
+                   coalesce(k.text, '') AS text
+            FROM st LEFT JOIN kept k ON k.doc_id = st.doc_id
+        """,
+        # q134: reciprocal-best-overlap alignment, ties to the smaller
+        # partner label, unmatched keep label_new with matched=false
+        "q134_stable_labels": """
+            WITH d AS (
+                SELECT doc_id FROM documents
+            ), o AS (
+                SELECT doc_id AS node, doc_id - doc_id % 10 AS label_old
+                FROM d
+            ), n AS (
+                SELECT doc_id AS node,
+                       (doc_id + 2) - (doc_id + 2) % 10 - 2 AS label_new
+                FROM d WHERE doc_id % 97 <> 3
+            ), ov AS (
+                SELECT label_new, label_old,
+                       CAST(count(*) AS BIGINT) AS overlap
+                FROM n JOIN o USING (node) GROUP BY 1, 2
+            ), bn AS (
+                SELECT label_new, label_old, overlap FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY label_new
+                        ORDER BY overlap DESC, label_old
+                    ) AS rn FROM ov
+                ) WHERE rn = 1
+            ), bo AS (
+                SELECT label_new, label_old FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY label_old
+                        ORDER BY overlap DESC, label_new
+                    ) AS rn FROM ov
+                ) WHERE rn = 1
+            ), m AS (
+                SELECT bn.label_new, bn.label_old AS stable_id,
+                       TRUE AS matched, bn.overlap
+                FROM bn JOIN bo USING (label_new, label_old)
+            ), sz AS (
+                SELECT label_new,
+                       CAST(count(*) AS BIGINT) AS n_new_nodes
+                FROM n GROUP BY 1
+            )
+            SELECT sz.label_new,
+                   coalesce(m.stable_id, sz.label_new) AS stable_id,
+                   coalesce(m.matched, FALSE) AS matched,
+                   CAST(coalesce(m.overlap, 0) AS BIGINT) AS overlap,
+                   sz.n_new_nodes
+            FROM sz LEFT JOIN m USING (label_new)
         """,
     }

@@ -1816,3 +1816,289 @@ def butterfly_counts(
         F.count("*").cast("long").alias("n_partners"),
         F.sum("_bf").cast("long").alias("n_butterflies"),
     )
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    seed: str = "mis",
+) -> DataFrame:
+    """Luby-style maximal-independent-set selection with DETERMINISTIC
+    hash priorities -> (node, status, round) where status is one of
+    'mis', 'excluded', 'undecided'.
+
+    The conflict-free scheduling primitive for entity-merge application:
+    near-dup / same-as edges say "these two canonical nodes must not
+    both act as merge leaders in the same pass"; an MIS over that
+    conflict graph is a maximal set of merges that can all be applied
+    in ONE pass with no write-write conflict (the rest wait for the
+    next wave).  Luby's algorithm (Luby '86) in its permutation form:
+    every round, each undecided node whose priority is a strict local
+    minimum among its LIVE neighbors joins the set; its neighbors are
+    excluded; incident edges vanish.  A node whose live edges have all
+    disappeared (every former neighbor was excluded) has an empty
+    neighbor minimum and wins the next round — maximality is by
+    construction, not by a final sweep.  Expected O(log n) rounds;
+    ``rounds`` CAPS the unrolling (leftovers are reported 'undecided',
+    never silently dropped), which also makes the whole recurrence
+    replayable round-by-round in SQL.
+
+    Priorities are ``porthash64(node, seed)`` with the node id itself
+    as the tiebreak, so the result is a pure deterministic function of
+    the edge set — resume-stable, bit-identical in ANSI SQL.  Per
+    round: one distinct over the live neighbor view + three equi-joins;
+    ``localCheckpoint`` truncates lineage.  100 TB shape: the frontier
+    only shrinks, every op is equi-keyed on node, no arrays, no
+    windows, no driver state beyond the round counter.
+    """
+    from .dedup import porthash64
+
+    def pri(col):
+        return porthash64(F.col(col).cast("string"), seed)
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    undecided = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    decided = None  # (node, status, round)
+    for r in range(1, rounds + 1):
+        # strict local minimum of (hash, node) among live neighbors;
+        # live edges only ever connect undecided nodes (invariant).
+        nbr = e.select(
+            F.col("u").alias("node"), F.col("v").alias("peer")
+        ).unionAll(
+            e.select(F.col("v").alias("node"), F.col("u").alias("peer"))
+        )
+        beaten = (
+            nbr.filter(
+                (pri("peer") < pri("node"))
+                | (
+                    (pri("peer") == pri("node"))
+                    & (F.col("peer") < F.col("node"))
+                )
+            )
+            .select("node")
+            .distinct()
+        )
+        winners = undecided.join(beaten, "node", "left_anti").select(
+            "node",
+            F.lit("mis").alias("status"),
+            F.lit(r).alias("round"),
+        )
+        losers = (
+            nbr.join(winners.select(F.col("node").alias("peer")), "peer")
+            .select("node")
+            .distinct()
+            .select(
+                "node",
+                F.lit("excluded").alias("status"),
+                F.lit(r).alias("round"),
+            )
+        )
+        batch = winners.unionAll(losers).localCheckpoint(eager=True)
+        decided = batch if decided is None else decided.unionAll(batch)
+        gone = batch.select("node")
+        undecided = undecided.join(gone, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(gone.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(gone.withColumnRenamed("node", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    leftovers = undecided.select(
+        "node",
+        F.lit("undecided").alias("status"),
+        F.lit(rounds).alias("round"),
+    )
+    out = decided.unionAll(leftovers) if decided is not None else leftovers
+    return out.select(
+        "node", "status", F.col("round").cast("int").alias("round")
+    )
+
+
+def wl_refinement(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """1-dimensional Weisfeiler–Leman color refinement → (node,
+    wl_color, class_size): each node's structural-role color after
+    ``rounds`` rounds, plus how many nodes share it.
+
+    The canonical graph-isomorphism / structural-role primitive
+    (Weisfeiler & Leman '68; GIN expressiveness, Xu ICLR'19): color₀ =
+    degree; each round, color' = hash(own color, MULTISET of neighbor
+    colors).  Two nodes keep the same color iff their r-hop unfolded
+    neighborhoods are indistinguishable — the refinement that powers
+    KG-entity role typing (hub vs leaf vs bridge), graph-template
+    detection across crawl snapshots, and candidate pruning for graph
+    matching (only same-color nodes can correspond).
+
+    The neighbor multiset is hashed ORDER-INSENSITIVELY without ever
+    materializing an array (a hub's neighbor list is a mega-row — the
+    q123 supernode lesson): three independent aggregation lanes over
+    the per-neighbor 60-bit porthash — sum of bounded residues
+    (mod 2^32, so even 2^30 neighbors sum below 2^63 exactly in every
+    engine),
+    xor, and count — are combined with the node's own color into the
+    next 60-bit color.  Residue-lane collisions are astronomically
+    unlikely and, crucially, DETERMINISTIC: the refinement is a pure
+    function of the edge set, bit-identical in ANSI SQL.
+
+    Per round: one groupBy over the undirected neighbor view + one
+    join — the identical shuffle shape as one PageRank round.
+    """
+    from .dedup import porthash64
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nbr = e.select(
+        F.col("u").alias("node"), F.col("v").alias("peer")
+    ).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("peer"))
+    )
+    colors = nbr.groupBy("node").agg(
+        F.count("*").cast("long").alias("wl_color")
+    )
+    for r in range(1, rounds + 1):
+        peer_colors = nbr.join(
+            colors.select(
+                F.col("node").alias("peer"), F.col("wl_color").alias("pc")
+            ),
+            "peer",
+        ).select(
+            "node",
+            porthash64(F.col("pc").cast("string"), f"wl{r}").alias("ph"),
+        )
+        agg = peer_colors.groupBy("node").agg(
+            F.sum(F.col("ph") % F.lit(1 << 32)).alias("lane_sum"),
+            F.bit_xor("ph").alias("lane_xor"),
+            F.count("*").alias("lane_n"),
+        )
+        colors = (
+            colors.join(agg, "node")
+            .select(
+                "node",
+                porthash64(
+                    F.concat_ws(
+                        ":",
+                        F.col("wl_color").cast("string"),
+                        F.col("lane_sum").cast("string"),
+                        F.col("lane_xor").cast("string"),
+                        F.col("lane_n").cast("string"),
+                    ),
+                    f"wlmix{r}",
+                ).alias("wl_color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = colors.groupBy("wl_color").agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    return colors.join(sizes, "wl_color").select(
+        "node", "wl_color", "class_size"
+    )
+
+
+def align_labels(
+    old_labels: DataFrame,
+    new_labels: DataFrame,
+    node_col: str = "node",
+    old_col: str = "label_old",
+    new_col: str = "label_new",
+) -> DataFrame:
+    """Cross-snapshot cluster-label alignment by RECIPROCAL best overlap
+    → one row per new cluster: (label_new, stable_id, matched, overlap,
+    n_new_nodes).
+
+    The resumability half of entity canonicalization: every incremental
+    rebuild (new crawl, new near-dup edges) re-runs connected
+    components, and component ids computed from scratch are NOT stable
+    — downstream tables keyed on canonical-entity id would churn on
+    every run.  A new cluster inherits an old cluster's id iff each is
+    the other's LARGEST-overlap partner (the q104 reciprocal-best-match
+    idiom, ties broken to the smallest partner label): reciprocity
+    makes the assignment injective by construction — no two new
+    clusters can claim the same old id, with no driver-side greedy
+    matching.  Unmatched new clusters (genuinely new entities, or
+    splits that lost the reciprocity vote) keep their own fresh
+    ``label_new`` with ``matched = false`` so callers can namespace
+    them.
+
+    Spark shape: one equi-join on node, one groupBy (label_new,
+    label_old), two WindowGroupLimit argmaxes (rank-1 filters Catalyst
+    pushes down), one join back — every step keyed, skew bounded by the
+    largest single cluster pair.
+    """
+    o = old_labels.select(
+        F.col(node_col).alias("node"), F.col(old_col).alias("label_old")
+    )
+    n = new_labels.select(
+        F.col(node_col).alias("node"), F.col(new_col).alias("label_new")
+    )
+    overlap = (
+        n.join(o, "node")
+        .groupBy("label_new", "label_old")
+        .agg(F.count("*").cast("long").alias("overlap"))
+    )
+    w_new = Window.partitionBy("label_new").orderBy(
+        F.desc("overlap"), F.asc("label_old")
+    )
+    w_old = Window.partitionBy("label_old").orderBy(
+        F.desc("overlap"), F.asc("label_new")
+    )
+    best_new = (
+        overlap.withColumn("_rn", F.row_number().over(w_new))
+        .filter(F.col("_rn") == 1)
+        .select("label_new", "label_old", "overlap")
+    )
+    best_old = (
+        overlap.withColumn("_rn", F.row_number().over(w_old))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("label_new").alias("label_new"),
+            F.col("label_old").alias("label_old"),
+        )
+    )
+    matched = best_new.join(best_old, ["label_new", "label_old"]).select(
+        "label_new",
+        F.col("label_old").alias("stable_id"),
+        F.lit(True).alias("matched"),
+        "overlap",
+    )
+    sizes = n.groupBy("label_new").agg(
+        F.count("*").cast("long").alias("n_new_nodes")
+    )
+    return (
+        sizes.join(matched, "label_new", "left")
+        .select(
+            "label_new",
+            F.coalesce("stable_id", F.col("label_new")).alias("stable_id"),
+            F.coalesce("matched", F.lit(False)).alias("matched"),
+            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+            "n_new_nodes",
+        )
+    )

@@ -199,3 +199,146 @@ def politeness_schedule(
             .alias("wave"),
         )
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING → one row per
+    redirecting url: (node, terminal, hops, resolved).
+
+    The crawl-ingest step between URL canonicalization (q42) and
+    document identity: 3xx chains (and KG alias chains — ``sameAs``
+    pointers) form a FUNCTIONAL graph (every node has at most one
+    successor), and each source must resolve to its terminal target so
+    all versions of a page share one doc_id.  The naive per-hop join
+    needs one round per hop — a 64-hop chain is 64 shuffles; pointer
+    doubling (the classic parallel list-ranking / path-halving trick,
+    Wyllie '79) squares the reach every round: after r rounds every
+    chain of length ≤ 2^r is resolved, so ``max_rounds`` shuffles cover
+    chains of length ≤ ``2**max_rounds``.
+
+    Per round, each pointer jumps to its pointer's pointer —
+    ``ptr' = ptr(ptr(u))``, ``hops' = hops(u) + hops(ptr(u))`` — one
+    self-equi-join on the (shrinking-lineage) pointer frame, hop counts
+    stay EXACT chain distances.  ``localCheckpoint`` per round truncates
+    lineage exactly as in :func:`~.components.connected_components`.
+
+    A node is ``resolved`` when its final pointer is itself not a
+    redirect source (a true terminal).  Redirect CYCLES (a→b→a — crawl
+    traps) never reach a terminal: they are reported with
+    ``terminal = NULL, hops = NULL, resolved = false`` rather than
+    looping forever — the pointer a doubling round happens to land on
+    inside a cycle is order-dependent, so no pointer value is emitted.
+
+    If a source appears with several targets (corrupt logs), the
+    bytewise-smallest target wins — deterministic, resume-stable.
+    100 TB shape: every round is one equi-join + localCheckpoint on a
+    frame no larger than the redirect table; no arrays, no windows, no
+    driver state.
+    """
+    p = (
+        redirects.groupBy(F.col(src_col).alias("node"))
+        .agg(F.min(dst_col).alias("ptr"))
+        .filter(F.col("node") != F.col("ptr"))
+        .select("node", "ptr", F.lit(1).cast("long").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        q = p.select(
+            F.col("node").alias("q_node"),
+            F.col("ptr").alias("q_ptr"),
+            F.col("hops").alias("q_hops"),
+        )
+        p = (
+            p.join(q, p["ptr"] == q["q_node"], "left")
+            .select(
+                "node",
+                F.coalesce("q_ptr", "ptr").alias("ptr"),
+                (
+                    F.col("hops") + F.coalesce("q_hops", F.lit(0))
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    srcs = p.select(F.col("node").alias("s_node")).distinct()
+    return (
+        p.join(srcs, p["ptr"] == srcs["s_node"], "left")
+        .select(
+            "node",
+            F.when(F.col("s_node").isNull(), F.col("ptr")).alias(
+                "terminal"
+            ),
+            F.when(F.col("s_node").isNull(), F.col("hops")).alias("hops"),
+            F.col("s_node").isNull().alias("resolved"),
+        )
+    )
+
+
+def match_prefix_rules(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    url_col: str = "url",
+    default_allow: bool = True,
+) -> DataFrame:
+    """Longest-prefix rule matching (the robots.txt / URL-policy idiom)
+    → one row per url: (url, host, matched_prefix, rule_allow,
+    allowed).
+
+    ``rules`` is (host, prefix, allow) with ``prefix`` a '/'-rooted,
+    SEGMENT-ALIGNED path prefix ('/a/b' matches '/a/b' and '/a/b/...',
+    never '/a/bc'); at most one rule per (host, prefix).  The most
+    specific (longest) matching rule decides; urls with no matching
+    rule fall back to ``default_allow``.
+
+    The distributed-trie idiom: instead of a rules⨯urls LIKE join
+    (quadratic per host, unindexable), each url EXPLODES its own
+    segment prefixes — '/a/b/c' → ['/a', '/a/b', '/a/b/c'], bounded by
+    the url's own segment depth — and rule lookup becomes a plain
+    (host, prefix) EQUI-join Catalyst can hash-partition.  A root rule
+    '/' is matched via the empty cumulative prefix.  One window per url
+    (longest prefix, bounded by segment depth) picks the winner.
+    100 TB shape: explode fan-out ≤ path depth (crawl paths are <32
+    segments), the join is equi-keyed on (host, prefix), and the rules
+    side is typically broadcastable — no LIKE, no cross join.
+    """
+    parts = F.split(F.regexp_replace(F.col(path_col), "/+$", ""), "/")
+    # parts[0] = '' for a '/'-rooted path; cumulative joins give
+    # '' (root), '/a', '/a/b', ... — map '' to the root rule '/'.
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.when(i == 1, F.lit("/")).otherwise(
+            F.array_join(F.slice(parts, 1, i), "/")
+        ),
+    )
+    exploded = urls.select(
+        url_col, host_col, path_col, F.explode(prefixes).alias("prefix")
+    )
+    matched = exploded.join(F.broadcast(rules), [host_col, "prefix"])
+    w = Window.partitionBy(url_col).orderBy(F.length("prefix").desc())
+    best = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(url_col).alias("_m_url"),
+            F.col("prefix").alias("matched_prefix"),
+            F.col("allow").cast("boolean").alias("rule_allow"),
+        )
+    )
+    return (
+        urls.join(best, urls[url_col] == best["_m_url"], "left")
+        .select(
+            url_col,
+            host_col,
+            "matched_prefix",
+            "rule_allow",
+            F.coalesce("rule_allow", F.lit(default_allow)).alias(
+                "allowed"
+            ),
+        )
+    )

@@ -1,0 +1,319 @@
+"""Web-graph / site-curation operators: redirect resolution, prefix
+rules, MIS merge scheduling, WL refinement, template-line removal,
+cross-snapshot label alignment."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+    align_labels,
+    maximal_independent_set,
+    wl_refinement,
+)
+from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+    template_line_removal,
+)
+from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+    match_prefix_rules,
+    resolve_redirects,
+)
+
+
+def _porthash(value: str, seed: str) -> int:
+    return int(hashlib.md5(f"{value}\x1f{seed}".encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------- redirects
+
+
+def test_resolve_redirects_chain_and_cycle(spark):
+    # chain a->b->c->d (d terminal), cycle x->y->x, fan e->d
+    r = spark.createDataFrame(
+        [
+            ("a", "b"),
+            ("b", "c"),
+            ("c", "d"),
+            ("x", "y"),
+            ("y", "x"),
+            ("e", "d"),
+        ],
+        ["src", "dst"],
+    )
+    got = {
+        row["node"]: (row["terminal"], row["hops"], row["resolved"])
+        for row in resolve_redirects(r).collect()
+    }
+    assert got == {
+        "a": ("d", 3, True),
+        "b": ("d", 2, True),
+        "c": ("d", 1, True),
+        "e": ("d", 1, True),
+        "x": (None, None, False),
+        "y": (None, None, False),
+    }
+
+
+def test_resolve_redirects_long_chain_and_round_cap(spark):
+    # 0->1->...->9 (9 terminal): resolved with max_rounds=4 (2^4=16 >= 9)
+    # but NOT with max_rounds=2 (2^2=4 < 9 hops for node 0).
+    r = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(9)], ["src", "dst"]
+    )
+    full = {
+        row["node"]: (row["terminal"], row["hops"], row["resolved"])
+        for row in resolve_redirects(r, max_rounds=4).collect()
+    }
+    assert full["0"] == ("9", 9, True)
+    assert full["8"] == ("9", 1, True)
+    capped = {
+        row["node"]: row["resolved"]
+        for row in resolve_redirects(r, max_rounds=2).collect()
+    }
+    assert capped["0"] is False  # chain longer than 2^2
+    assert capped["5"] is True  # 4 hops from terminal
+
+
+def test_resolve_redirects_duplicate_source_takes_min(spark):
+    r = spark.createDataFrame(
+        [("a", "c"), ("a", "b")], ["src", "dst"]
+    )
+    got = resolve_redirects(r).collect()
+    assert len(got) == 1 and got[0]["terminal"] == "b"
+
+
+# --------------------------------------------------------------- prefix rules
+
+
+def test_match_prefix_rules_longest_wins(spark):
+    urls = spark.createDataFrame(
+        [
+            ("u1", "h", "/cat/sub/page1"),
+            ("u2", "h", "/cat/other"),
+            ("u3", "h", "/free/page"),
+            ("u4", "h", "/"),
+            ("u5", "g", "/cat/sub/page1"),  # no rules for host g
+        ],
+        ["url", "host", "path"],
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h", "/", True),
+            ("h", "/cat", False),
+            ("h", "/cat/sub", True),
+        ],
+        ["host", "prefix", "allow"],
+    )
+    got = {
+        r["url"]: (r["matched_prefix"], r["allowed"])
+        for r in match_prefix_rules(urls, rules).collect()
+    }
+    assert got == {
+        "u1": ("/cat/sub", True),
+        "u2": ("/cat", False),
+        "u3": ("/", True),
+        "u4": ("/", True),
+        "u5": (None, True),
+    }
+
+
+def test_match_prefix_rules_segment_aligned_not_substring(spark):
+    # '/cat' must NOT match '/category' — segment alignment.
+    urls = spark.createDataFrame(
+        [("u1", "h", "/category/x")], ["url", "host", "path"]
+    )
+    rules = spark.createDataFrame(
+        [("h", "/cat", False)], ["host", "prefix", "allow"]
+    )
+    row = match_prefix_rules(urls, rules).collect()[0]
+    assert row["matched_prefix"] is None and row["allowed"] is True
+
+
+def test_match_prefix_rules_default_deny(spark):
+    urls = spark.createDataFrame([("u1", "h", "/x")], ["url", "host", "path"])
+    rules = spark.createDataFrame(
+        [("h", "/y", True)], ["host", "prefix", "allow"]
+    )
+    row = match_prefix_rules(urls, rules, default_allow=False).collect()[0]
+    assert row["allowed"] is False
+
+
+# ------------------------------------------------------------------------ MIS
+
+
+def test_mis_path_graph_matches_python_replay(spark):
+    # path 1-2-3-4-5 plus an isolated edge 6-7
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["status"]
+        for r in maximal_independent_set(e, rounds=4).collect()
+    }
+    # pure-python replay of the same recurrence
+    pri = {n: (_porthash(str(n), "mis"), n) for n in range(1, 8)}
+    adj: dict[int, set[int]] = {n: set() for n in range(1, 8)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    status = {}
+    undecided = set(adj)
+    live = {frozenset((u, v)) for u, v in edges}
+    for _ in range(4):
+        nbrs = {n: set() for n in undecided}
+        for ed in live:
+            u, v = tuple(ed)
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+        winners = {
+            n
+            for n in undecided
+            if all(pri[n] < pri[p] for p in nbrs.get(n, ()))
+        }
+        losers = {
+            p for n in winners for p in nbrs.get(n, ())
+        } - winners
+        for n in winners:
+            status[n] = "mis"
+        for n in losers:
+            status[n] = "excluded"
+        undecided -= winners | losers
+        live = {ed for ed in live if not (ed & (winners | losers))}
+    for n in undecided:
+        status[n] = "undecided"
+    assert got == status
+    # MIS invariants: independent + maximal
+    mis = {n for n, s in got.items() if s == "mis"}
+    assert not any(u in mis and v in mis for u, v in edges)
+    for n, s in got.items():
+        if s == "excluded":
+            assert any(
+                (n, m) in edges or (m, n) in edges for m in mis
+            )
+
+
+def test_mis_freed_node_wins_later_round(spark):
+    # star: center c with hash-losing leaves -> if c wins round 1 the
+    # leaves are excluded; a 2-path hanging off a leaf frees its end.
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = {
+        r["node"]: (r["status"], r["round"])
+        for r in maximal_independent_set(e, rounds=4).collect()
+    }
+    mis = {n for n, (s, _) in got.items() if s == "mis"}
+    # path of 4 nodes: MIS is maximal, so 2 nodes in the set
+    assert len(mis) == 2
+    assert all(s in ("mis", "excluded") for s, _ in got.values())
+
+
+# ------------------------------------------------------------------------- WL
+
+
+def test_wl_distinguishes_path_ends_from_middle(spark):
+    # path a-b-c-d-e: after 2 rounds ends {a,e}, near-ends {b,d},
+    # middle {c} — symmetric positions share colors.
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["src", "dst"]
+    )
+    got = {
+        r["node"]: (r["wl_color"], r["class_size"])
+        for r in wl_refinement(e, rounds=2).collect()
+    }
+    assert got["a"] == got["e"]
+    assert got["b"] == got["d"]
+    assert got["a"][0] != got["b"][0] != got["c"][0]
+    assert got["a"][1] == 2 and got["b"][1] == 2 and got["c"][1] == 1
+    # colors refine with more rounds but never merge classes
+    got3 = {
+        r["node"]: r["wl_color"]
+        for r in wl_refinement(e, rounds=3).collect()
+    }
+    assert got3["a"] == got3["e"] and got3["b"] == got3["d"]
+
+
+def test_wl_regular_graph_stays_uniform(spark):
+    # a 4-cycle is 2-regular and vertex-transitive: one color class
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    rows = wl_refinement(e, rounds=3).collect()
+    assert len({r["wl_color"] for r in rows}) == 1
+    assert all(r["class_size"] == 4 for r in rows)
+
+
+# ------------------------------------------------------------- template lines
+
+
+def test_template_line_removal_strips_per_host_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "h1", "COOKIE BANNER\nreal prose one"),
+            (2, "h1", "COOKIE BANNER\nreal prose two"),
+            (3, "h1", "COOKIE BANNER\nreal prose three"),
+            (4, "h2", "COOKIE BANNER\nother site text"),
+        ],
+        ["doc_id", "host", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_template"], r["text"])
+        for r in template_line_removal(
+            docs, min_frac_millis=500, min_docs=3
+        ).collect()
+    }
+    # h1: banner in 3/3 docs -> template; h2: only 1 doc, min_docs=3
+    assert got[1] == (2, 1, "real prose one")
+    assert got[2] == (2, 1, "real prose two")
+    assert got[3] == (2, 1, "real prose three")
+    assert got[4] == (2, 0, "COOKIE BANNER\nother site text")
+
+
+def test_template_line_removal_all_template_keeps_row(spark):
+    docs = spark.createDataFrame(
+        [(1, "h", "x"), (2, "h", "x"), (3, "h", "x")],
+        ["doc_id", "host", "text"],
+    )
+    rows = template_line_removal(docs, min_docs=2).collect()
+    assert len(rows) == 3
+    assert all(r["text"] == "" and r["n_template"] == 1 for r in rows)
+
+
+# ------------------------------------------------------------ label alignment
+
+
+def test_align_labels_reciprocal_match_and_fresh(spark):
+    old = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 200), (5, 200)],
+        ["node", "label_old"],
+    )
+    # cluster 100 persists (nodes 1,2 + new 6); 200 splits into two
+    # singletons 4 and 5; 7 is brand new.
+    new = spark.createDataFrame(
+        [(1, 1), (2, 1), (6, 1), (4, 4), (5, 5), (7, 7)],
+        ["node", "label_new"],
+    )
+    got = {
+        r["label_new"]: (r["stable_id"], r["matched"], r["overlap"])
+        for r in align_labels(old, new).collect()
+    }
+    assert got[1] == (100, True, 2)
+    # split: only ONE side can inherit 200 (reciprocal: smallest label)
+    assert got[4] == (200, True, 1)
+    assert got[5] == (5, False, 0)  # lost the reciprocity vote
+    assert got[7] == (7, False, 0)
+    stable = [v[0] for v in got.values()]
+    assert len(stable) == len(set(stable))  # injective
+
+
+def test_align_labels_identity_is_fixpoint(spark):
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 30)], ["node", "label_old"]
+    )
+    new = labels.select("node", F.col("label_old").alias("label_new"))
+    got = {
+        r["label_new"]: (r["stable_id"], r["matched"])
+        for r in align_labels(labels, new).collect()
+    }
+    assert got == {10: (10, True), 30: (30, True)}
