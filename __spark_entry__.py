@@ -3419,6 +3419,92 @@ def _q134_stable_labels(spark, sf):
     return align_labels(old, new)
 
 
+def _q135_topo_layers(spark, sf):
+    """Kahn topological layering + cycle quarantine over a synthetic
+    subclass-of graph: chain (d -> d+1 inside 8-doc buckets) and chord
+    (d -> d+2 at d % 4 == 0) edges make a DAG whose Kahn layer is the
+    LONGEST-path concept depth (0-7); a back-edge at every
+    doc_id % 32 == 6 plants a 2-cycle at that bucket's tail, which
+    must surface as 'unresolved' in BOTH engines — the oracle unrolls
+    all 10 peel rounds as CTEs (the q131 discipline)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        topo_layers,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    ids = d.select(F.col("doc_id").alias("node"))
+    chain = d.filter((F.col("doc_id") % 8) != 7).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    chord = d.filter(
+        ((F.col("doc_id") % 8) <= 5) & ((F.col("doc_id") % 4) == 0)
+    ).select(F.col("doc_id").alias("src"), (F.col("doc_id") + 2).alias("dst"))
+    back = d.filter((F.col("doc_id") % 32) == 6).select(
+        (F.col("doc_id") + 1).alias("src"), F.col("doc_id").alias("dst")
+    )
+    edges = (
+        chain.unionAll(chord)
+        .unionAll(back)
+        .join(ids.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(ids.withColumnRenamed("node", "dst"), "dst", "left_semi")
+    )
+    return topo_layers(edges, max_rounds=10)
+
+
+def _q136_taxonomy_lca(spark, sf):
+    """Lowest common ancestor over a heap-shaped taxonomy forest
+    (16-node trees: parent = base + (off-1) div 2) for deterministic
+    query pairs — sibling/ancestor pairs inside one tree plus
+    cross-tree pairs that must report NULL lca; ancestor closure by
+    log-round pointer doubling, replayed by the oracle as a recursive
+    parent walk + the same deepest-common-ancestor argmax."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        taxonomy_lca,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    ids = d.select(F.col("doc_id").alias("b"))
+    parents = d.filter((F.col("doc_id") % 16) != 0).selectExpr(
+        "doc_id AS node",
+        "doc_id - doc_id % 16 + (doc_id % 16 - 1) div 2 AS parent",
+    )
+    pairs = (
+        d.filter((F.col("doc_id") % 3) == 0)
+        .selectExpr(
+            "doc_id AS a", "doc_id - doc_id % 16 + (doc_id * 7) % 16 AS b"
+        )
+        .unionAll(
+            d.filter((F.col("doc_id") % 64) == 0).selectExpr(
+                "doc_id AS a", "doc_id + 16 AS b"
+            )
+        )
+        .join(ids, "b", "left_semi")
+        .distinct()
+    )
+    return taxonomy_lca(parents, pairs, doubling_rounds=3)
+
+
+def _q137_stress_centrality(spark, sf):
+    """Integer stress centrality (Brandes two-phase, no division) from
+    the 3 smallest nodes of the q131/q132 chain+chord graph, hop cap 4:
+    forward sigma path counts, backward tau continuation counts over
+    the shortest-path DAG, stress = sigma*tau summed over sources —
+    every quantity an exact integer, the full 4+4 level recurrence
+    unrolled in the oracle."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        stress_centrality,
+    )
+
+    edges = _mis_wl_edges(spark, sf)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(3)
+    return stress_centrality(edges, seeds, max_depth=4)
+
+
 _MIS_WL_EDGE_CTE = """
             ed AS (
                 SELECT doc_id,
@@ -3544,6 +3630,185 @@ def _wl_oracle(n_rounds: int) -> str:
                 SELECT col, CAST(count(*) AS BIGINT) AS n
                 FROM c{n_rounds} GROUP BY 1
             ) s ON s.col = c.col"""
+    )
+    return "".join(parts)
+
+
+def _topo_oracle(n_rounds: int) -> str:
+    """Unrolled Kahn peel rounds (q135): per round the live nodes with
+    no incoming live edge take the round number as their layer, then
+    drop out of the live node/edge sets — identical recurrence as
+    components.topo_layers, leftovers 'unresolved' in both engines."""
+    parts = [
+        """WITH ids AS (SELECT doc_id FROM documents),
+            raw AS (
+                SELECT doc_id AS s, doc_id + 1 AS t FROM ids
+                WHERE doc_id % 8 <> 7
+                UNION ALL
+                SELECT doc_id, doc_id + 2 FROM ids
+                WHERE doc_id % 8 <= 5 AND doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id + 1, doc_id FROM ids WHERE doc_id % 32 = 6
+            ), e0 AS MATERIALIZED (
+                SELECT DISTINCT s AS u, t AS v FROM raw
+                WHERE s <> t
+                  AND s IN (SELECT doc_id FROM ids)
+                  AND t IN (SELECT doc_id FROM ids)
+            ), und0 AS MATERIALIZED (
+                SELECT u AS node FROM e0 UNION SELECT v FROM e0
+            )"""
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f""", peel{r} AS MATERIALIZED (
+                SELECT node, CAST({r} AS INT) AS layer FROM und{r}
+                WHERE node NOT IN (SELECT v FROM e{r})
+            ), und{r + 1} AS MATERIALIZED (
+                SELECT node FROM und{r}
+                EXCEPT SELECT node FROM peel{r}
+            ), e{r + 1} AS MATERIALIZED (
+                SELECT e.u, e.v FROM e{r} e
+                JOIN und{r + 1} n ON e.u = n.node
+            )"""
+        )
+    unions = [
+        f"SELECT node, layer, 'layered' AS status FROM peel{r}"
+        for r in range(n_rounds)
+    ]
+    unions.append(
+        "SELECT node, CAST(NULL AS INT), 'unresolved'"
+        f" FROM und{n_rounds}"
+    )
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(unions)
+
+
+_LCA_ORACLE = """
+    WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+    par AS MATERIALIZED (
+        SELECT doc_id AS node,
+               doc_id - doc_id % 16 + (doc_id % 16 - 1) // 2 AS parent
+        FROM ids WHERE doc_id % 16 <> 0
+    ),
+    nds AS (SELECT node FROM par UNION SELECT parent FROM par),
+    anc(node, anc, up) AS (
+        SELECT node, node, 0 FROM nds
+        UNION ALL
+        SELECT a.node, p.parent, a.up + 1
+        FROM anc a JOIN par p ON p.node = a.anc
+    ),
+    dep AS MATERIALIZED (
+        SELECT node, CAST(max(up) AS INT) AS depth FROM anc GROUP BY 1
+    ),
+    pr AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+            SELECT doc_id AS a,
+                   doc_id - doc_id % 16 + (doc_id * 7) % 16 AS b
+            FROM ids WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + 16 FROM ids WHERE doc_id % 64 = 0
+        ) WHERE b IN (SELECT doc_id FROM ids)
+    ),
+    cm AS (
+        SELECT p.a, p.b, ca.anc AS lca, d.depth AS lca_depth,
+               row_number() OVER (
+                   PARTITION BY p.a, p.b
+                   ORDER BY d.depth DESC, ca.anc
+               ) AS rn
+        FROM pr p
+        JOIN anc ca ON ca.node = p.a
+        JOIN anc cb ON cb.node = p.b AND cb.anc = ca.anc
+        JOIN dep d ON d.node = ca.anc
+    )
+    SELECT p.a, p.b, cm.lca,
+           CAST(cm.lca_depth AS INT) AS lca_depth,
+           CAST(CASE WHEN cm.lca IS NOT NULL
+                THEN da.depth + db.depth - 2 * cm.lca_depth END AS INT)
+               AS dist
+    FROM pr p
+    LEFT JOIN (SELECT * FROM cm WHERE rn = 1) cm
+           ON cm.a = p.a AND cm.b = p.b
+    LEFT JOIN dep da ON da.node = p.a
+    LEFT JOIN dep db ON db.node = p.b
+"""
+
+
+def _stress_oracle(max_depth: int) -> str:
+    """Unrolled Brandes two-phase stress recurrence (q137): forward
+    sigma levels, the exact-(+1)-advance shortest-path DAG, backward
+    tau levels, stress = sum over sources of sigma*tau — identical to
+    components.stress_centrality, all integers."""
+    d = max_depth
+    parts = [
+        f"""WITH {_MIS_WL_EDGE_CTE}, nbr AS MATERIALIZED (
+                SELECT u AS a, v AS b FROM e0
+                UNION ALL SELECT v, u FROM e0
+            ), nds AS MATERIALIZED (SELECT DISTINCT a AS node FROM nbr),
+            sd AS MATERIALIZED (
+                SELECT node FROM nds ORDER BY node LIMIT 3
+            ), l0 AS MATERIALIZED (
+                SELECT node AS seed, node,
+                       CAST(1 AS BIGINT) AS sigma FROM sd
+            ), s0 AS MATERIALIZED (
+                SELECT seed, node, 0 AS dist, sigma FROM l0
+            )"""
+    ]
+    for k in range(1, d + 1):
+        parts.append(
+            f""", cand{k} AS (
+                SELECT p.seed, n.b AS node,
+                       CAST(sum(p.sigma) AS BIGINT) AS sigma
+                FROM l{k - 1} p JOIN nbr n ON n.a = p.node
+                GROUP BY 1, 2
+            ), l{k} AS MATERIALIZED (
+                SELECT c.seed, c.node, c.sigma FROM cand{k} c
+                LEFT JOIN s{k - 1} s
+                       ON s.seed = c.seed AND s.node = c.node
+                WHERE s.node IS NULL
+            ), s{k} AS MATERIALIZED (
+                SELECT * FROM s{k - 1}
+                UNION ALL SELECT seed, node, {k}, sigma FROM l{k}
+            )"""
+        )
+    parts.append(
+        f""", dag AS MATERIALIZED (
+                SELECT du.seed, n.a AS u, n.b AS w
+                FROM nbr n
+                JOIN s{d} du ON du.node = n.a
+                JOIN s{d} dw ON dw.seed = du.seed AND dw.node = n.b
+                WHERE dw.dist = du.dist + 1
+            ), t{d} AS MATERIALIZED (
+                SELECT seed, node, CAST(0 AS BIGINT) AS tau FROM l{d}
+            )"""
+    )
+    for k in range(d - 1, -1, -1):
+        parts.append(
+            f""", t{k} AS MATERIALIZED (
+                SELECT l.seed, l.node,
+                       CAST(coalesce(c.tau, 0) AS BIGINT) AS tau
+                FROM l{k} l LEFT JOIN (
+                    SELECT dg.seed, dg.u AS node, sum(1 + t.tau) AS tau
+                    FROM dag dg
+                    JOIN t{k + 1} t
+                      ON t.seed = dg.seed AND t.node = dg.w
+                    GROUP BY 1, 2
+                ) c ON c.seed = l.seed AND c.node = l.node
+            )"""
+        )
+    alltau = "\nUNION ALL ".join(
+        f"SELECT * FROM t{k}" for k in range(d + 1)
+    )
+    parts.append(
+        f""", alltau AS ({alltau}),
+            st AS (
+                SELECT s.node,
+                       CAST(sum(s.sigma * t.tau) AS BIGINT) AS stress
+                FROM s{d} s
+                JOIN alltau t ON t.seed = s.seed AND t.node = s.node
+                WHERE s.node <> s.seed GROUP BY 1
+            )
+            SELECT n.node,
+                   CAST(coalesce(st.stress, 0) AS BIGINT) AS stress
+            FROM nds n LEFT JOIN st ON st.node = n.node"""
     )
     return "".join(parts)
 
@@ -3686,6 +3951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_wl_colors": _q132_wl_colors,
         "q133_template_lines": _q133_template_lines,
         "q134_stable_labels": _q134_stable_labels,
+        "q135_topo_layers": _q135_topo_layers,
+        "q136_taxonomy_lca": _q136_taxonomy_lca,
+        "q137_stress_centrality": _q137_stress_centrality,
     }
 
 
@@ -8023,4 +8291,7 @@ def oracle_sql() -> dict[str, str]:
                    sz.n_new_nodes
             FROM sz LEFT JOIN m USING (label_new)
         """,
+        "q135_topo_layers": _topo_oracle(10),
+        "q136_taxonomy_lca": _LCA_ORACLE,
+        "q137_stress_centrality": _stress_oracle(4),
     }

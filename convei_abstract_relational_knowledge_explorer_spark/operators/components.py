@@ -2102,3 +2102,335 @@ def align_labels(
             "n_new_nodes",
         )
     )
+
+def topo_layers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Kahn topological layering of a directed graph → (node, layer,
+    status): longest-path depth from the sources for every node the
+    peeling reaches within ``max_rounds``, ``status = 'unresolved'``
+    for the rest (cycle members and everything downstream of one).
+
+    The ontology sanity pass of KG construction: a subclass-of /
+    part-of taxonomy must be a DAG, and its Kahn layer IS the concept
+    depth (a node peels exactly when its last unpeeled predecessor
+    does, so ``layer = 1 + max(layer(pred))`` — the longest-path level
+    used for ontology levelling, cycle quarantine, and breadth-first
+    materialization order of derived tables).  Cycles never peel:
+    after ``max_rounds`` the survivors are exactly the nodes whose
+    ancestry contains a cycle — the quarantine set a curator repairs —
+    and the cap is part of the contract (a DAG of depth > max_rounds
+    also reports its tail as unresolved, like q131's MIS leftovers).
+
+    Per round: one left-anti join (live nodes minus live-edge heads)
+    + one semi-join edge shrink — both keyed equi-joins, no windows,
+    no driver state beyond one scalar emptiness probe; the identical
+    per-round shuffle budget as one BFS round.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    live = e0
+    out = None
+    for r in range(max_rounds):
+        peel = (
+            und.join(
+                live.select(F.col("v").alias("node")).distinct(),
+                "node",
+                "left_anti",
+            )
+            .select("node", F.lit(r).cast("int").alias("layer"))
+            .localCheckpoint(eager=True)
+        )
+        if peel.isEmpty():
+            break
+        out = peel if out is None else out.unionAll(peel)
+        und = und.join(peel, "node", "left_anti").localCheckpoint(eager=True)
+        live = live.join(
+            peel.select(F.col("node").alias("u")), "u", "left_anti"
+        ).localCheckpoint(eager=True)
+    layered = (
+        out.select("node", "layer", F.lit("layered").alias("status"))
+        if out is not None
+        else und.limit(0).select(
+            "node",
+            F.lit(0).cast("int").alias("layer"),
+            F.lit("layered").alias("status"),
+        )
+    )
+    unresolved = und.select(
+        "node",
+        F.lit(None).cast("int").alias("layer"),
+        F.lit("unresolved").alias("status"),
+    )
+    return layered.unionAll(unresolved)
+
+def ancestor_closure(
+    parents: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    doubling_rounds: int = 5,
+) -> DataFrame:
+    """Transitive ancestor closure of a parent FOREST by pointer
+    doubling → (node, anc, up) with ``up`` = #edges walked upward
+    (``up >= 1``; the self row is NOT emitted).
+
+    Binary lifting, distributed: round k joins the closure with itself
+    (ancestor-of-ancestor), so after k rounds every ancestor within
+    2^k hops is present — ``doubling_rounds = 5`` covers taxonomies 32
+    deep, and real subclass-of hierarchies are < 20 (log-round
+    closure, NOT depth-round: a 1000-deep pathological chain costs 10
+    joins, not 1000 — the q129 pointer-doubling discipline applied to
+    the FULL closure instead of the terminal).  In a forest each
+    (node, anc) pair has exactly one path, so the self-join's
+    rediscoveries are bit-identical rows and one ``distinct`` per
+    round dedupes them.  Output size is Σ depth(node) — bounded by
+    depth × n, the payload every LCA / subsumption / inheritance query
+    needs anyway.
+    """
+    c = (
+        parents.select(
+            F.col(node_col).alias("node"), F.col(parent_col).alias("anc")
+        )
+        .filter(F.col("anc").isNotNull() & (F.col("anc") != F.col("node")))
+        .withColumn("up", F.lit(1).cast("int"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(doubling_rounds):
+        hop = (
+            c.alias("a")
+            .join(
+                c.alias("b"), F.col("a.anc") == F.col("b.node")
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("b.anc").alias("anc"),
+                (F.col("a.up") + F.col("b.up")).cast("int").alias("up"),
+            )
+        )
+        grown = c.unionAll(hop).distinct().localCheckpoint(eager=True)
+        if grown.count() == c.count():
+            c = grown
+            break
+        c = grown
+    return c
+
+
+def taxonomy_lca(
+    parents: DataFrame,
+    pairs: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    a_col: str = "a",
+    b_col: str = "b",
+    doubling_rounds: int = 5,
+) -> DataFrame:
+    """Lowest common ancestor for query ``pairs`` over a parent forest
+    → (a, b, lca, lca_depth, dist): the deepest node on both ancestor
+    paths, its depth, and the tree distance ``depth(a) + depth(b) -
+    2·lca_depth``; pairs in different trees report NULL lca/dist.
+
+    The ontology-merge primitive of KG canonicalization: semantic
+    similarity of two linked types (Wu-Palmer, Resnik) and the
+    join-target of subsumption checks are all functions of the LCA.
+    Built on :func:`ancestor_closure` (log-round pointer doubling),
+    closed to include each node as its own 0-hop ancestor so that an
+    ancestor pair (a descendant-of b) resolves to b itself; the LCA
+    per pair is one argmax window over the equi-join of the two
+    closures on the shared ancestor — in a forest ancestor depths
+    along one path are unique, so the argmax is deterministic without
+    a tiebreak (one is kept on (lca) anyway for engine parity).
+    """
+    clo = ancestor_closure(
+        parents, node_col, parent_col, doubling_rounds
+    )
+    nodes = (
+        parents.select(F.col(node_col).alias("node"))
+        .unionAll(
+            parents.select(F.col(parent_col).alias("node")).filter(
+                F.col(parent_col).isNotNull()
+            )
+        )
+        .distinct()
+    )
+    selfrows = nodes.select(
+        "node", F.col("node").alias("anc"), F.lit(0).cast("int").alias("up")
+    )
+    closed = clo.unionAll(selfrows)
+    depth = closed.groupBy("node").agg(
+        F.max("up").cast("int").alias("depth")
+    )
+    p = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    ca = closed.select(
+        F.col("node").alias("a"), F.col("anc").alias("lca")
+    )
+    cb = closed.select(
+        F.col("node").alias("b"), F.col("anc").alias("lca")
+    )
+    common = p.join(ca, "a").join(cb, ["b", "lca"])
+    ranked = common.join(
+        depth.select(
+            F.col("node").alias("lca"), F.col("depth").alias("anc_depth")
+        ),
+        "lca",
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("a", "b").orderBy(
+                F.desc("anc_depth"), F.asc("lca")
+            )
+        ),
+    ).filter(F.col("_rn") == 1)
+    da = depth.select(F.col("node").alias("a"), F.col("depth").alias("_da"))
+    db = depth.select(F.col("node").alias("b"), F.col("depth").alias("_db"))
+    return (
+        p.join(ranked.select("a", "b", "lca", "anc_depth"), ["a", "b"], "left")
+        .join(da, "a", "left")
+        .join(db, "b", "left")
+        .select(
+            "a",
+            "b",
+            "lca",
+            F.col("anc_depth").cast("int").alias("lca_depth"),
+            F.when(
+                F.col("lca").isNotNull(),
+                F.col("_da") + F.col("_db") - 2 * F.col("anc_depth"),
+            )
+            .cast("int")
+            .alias("dist"),
+        )
+    )
+
+def stress_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_depth: int = 6,
+) -> DataFrame:
+    """Stress centrality from sampled sources → (node, stress): the
+    NUMBER of shortest paths (hop-capped, from the given seed set)
+    whose interior passes through each node — Brandes' two-phase
+    algorithm (Brandes 2001) in its all-integer variant (Shimbel's
+    stress, no σ-ratio division), so the result is engine-exact.
+
+    The KG hub-audit primitive: canonical entities whose removal
+    disconnects the most shortest derivation paths are exactly the
+    merge decisions to re-examine (an over-merged entity acquires
+    pathological stress), and sampled-source stress is the standard
+    scalable estimator shape (Brandes-Pich '07) — cost is one BFS +
+    one backward sweep PER ROUND for ALL sources at once on (seed,
+    node) composite keys, never one pass per source.
+
+    Phase 1 (forward): level-synchronous BFS where σ(v) = Σ σ(u) over
+    the settled frontier neighbors — path counts, exact integers.
+    Phase 2 (backward): over the shortest-path DAG (edges that advance
+    dist by exactly 1), τ(v) = Σ_{w ∈ succ(v)} (1 + τ(w)) counts DAG
+    continuations below v, accumulated strictly level-by-level from
+    the deepest frontier up.  Interior stress = σ(v)·τ(v) summed over
+    sources, with seeds themselves excluded (endpoints are not
+    interior).  Both phases are keyed equi-joins + groupBys; rounds ≤
+    ``max_depth`` each way.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nbrs = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    settled = (
+        seeds.select(F.col(seed_col).alias("seed"))
+        .distinct()
+        .select(
+            "seed",
+            F.col("seed").alias("node"),
+            F.lit(0).alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    levels = [settled]
+    frontier = settled
+    for depth in range(1, max_depth + 1):
+        grown = (
+            frontier.join(nbrs, frontier["node"] == nbrs["u"])
+            .select("seed", F.col("v").alias("node"), "sigma")
+            .join(
+                settled.select("seed", "node"), ["seed", "node"], "left_anti"
+            )
+            .groupBy("seed", "node")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .select(
+                "seed", "node", F.lit(depth).alias("dist"), "sigma"
+            )
+            .localCheckpoint(eager=True)
+        )
+        if grown.isEmpty():
+            break
+        settled = settled.unionAll(grown).localCheckpoint(eager=True)
+        levels.append(grown)
+        frontier = grown
+    # shortest-path DAG: neighbor steps that advance dist by exactly 1
+    d1 = settled.select("seed", F.col("node").alias("u"), F.col("dist").alias("du"))
+    d2 = settled.select("seed", F.col("node").alias("w"), F.col("dist").alias("dw"))
+    dag = (
+        nbrs.join(d1, "u")
+        .join(d2.withColumnRenamed("w", "v"), ["seed", "v"])
+        .filter(F.col("dw") == F.col("du") + 1)
+        .select("seed", "u", F.col("v").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    # backward sweep: tau at the deepest level is 0; each shallower level
+    # aggregates (1 + tau) over its DAG successors.
+    tau = levels[-1].select(
+        "seed", "node", F.lit(0).cast("long").alias("tau")
+    )
+    acc = tau
+    for lvl in reversed(levels[:-1]):
+        contrib = (
+            dag.join(
+                tau.select("seed", F.col("node").alias("w"), "tau"),
+                ["seed", "w"],
+            )
+            .groupBy("seed", F.col("u").alias("node"))
+            .agg(F.sum(F.lit(1) + F.col("tau")).cast("long").alias("tau"))
+        )
+        tau = (
+            lvl.select("seed", "node")
+            .join(contrib, ["seed", "node"], "left")
+            .select(
+                "seed",
+                "node",
+                F.coalesce("tau", F.lit(0)).cast("long").alias("tau"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        acc = acc.unionAll(tau)
+    stress = (
+        settled.join(acc, ["seed", "node"])
+        .filter(F.col("node") != F.col("seed"))
+        .groupBy("node")
+        .agg(F.sum(F.col("sigma") * F.col("tau")).cast("long").alias("stress"))
+    )
+    nodes = nbrs.select(F.col("u").alias("node")).distinct()
+    return nodes.join(stress, "node", "left").select(
+        "node", F.coalesce("stress", F.lit(0)).cast("long").alias("stress")
+    )

@@ -317,3 +317,169 @@ def test_align_labels_identity_is_fixpoint(spark):
         for r in align_labels(labels, new).collect()
     }
     assert got == {10: (10, True), 30: (30, True)}
+
+
+# ------------------------------------------------------------ topo layers
+
+
+def test_topo_layers_dag_depth_and_cycle_quarantine(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        topo_layers,
+    )
+
+    # diamond a->b, a->c, b->d, c->d  (d's layer = LONGEST path = 2)
+    # plus a 2-cycle x<->y feeding z: all three unresolved.
+    e = spark.createDataFrame(
+        [
+            ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+            ("x", "y"), ("y", "x"), ("y", "z"),
+        ],
+        ["src", "dst"],
+    )
+    got = {
+        r["node"]: (r["layer"], r["status"])
+        for r in topo_layers(e, max_rounds=6).collect()
+    }
+    assert got["a"] == (0, "layered")
+    assert got["b"] == (1, "layered")
+    assert got["c"] == (1, "layered")
+    assert got["d"] == (2, "layered")
+    for n in ("x", "y", "z"):
+        assert got[n] == (None, "unresolved")
+
+
+def test_topo_layers_round_cap_is_part_of_contract(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        topo_layers,
+    )
+
+    # chain of 5 edges, cap 3 peels layers 0-2 only
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: (r["layer"], r["status"])
+        for r in topo_layers(e, max_rounds=3).collect()
+    }
+    assert got[0] == (0, "layered")
+    assert got[2] == (2, "layered")
+    assert got[4] == (None, "unresolved")
+    assert got[5] == (None, "unresolved")
+
+
+# ----------------------------------------------------------------- LCA
+
+
+def test_taxonomy_lca_binary_tree(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        taxonomy_lca,
+    )
+
+    # heap-shaped tree: parent(k) = (k-1)//2, nodes 0..6
+    parents = spark.createDataFrame(
+        [(k, (k - 1) // 2) for k in range(1, 7)], ["node", "parent"]
+    )
+    pairs = spark.createDataFrame(
+        [(3, 4), (3, 5), (3, 3), (6, 2), (3, 0)], ["a", "b"]
+    )
+    got = {
+        (r["a"], r["b"]): (r["lca"], r["lca_depth"], r["dist"])
+        for r in taxonomy_lca(parents, pairs).collect()
+    }
+    assert got[(3, 4)] == (1, 1, 2)      # siblings under 1
+    assert got[(3, 5)] == (0, 0, 4)      # across the root
+    assert got[(3, 3)] == (3, 2, 0)      # self pair
+    assert got[(6, 2)] == (2, 1, 1)      # ancestor pair -> ancestor
+    assert got[(3, 0)] == (0, 0, 2)      # pair with the root itself
+
+
+def test_taxonomy_lca_cross_tree_is_null(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        taxonomy_lca,
+    )
+
+    parents = spark.createDataFrame(
+        [(1, 0), (11, 10)], ["node", "parent"]
+    )
+    got = taxonomy_lca(
+        parents, spark.createDataFrame([(1, 11)], ["a", "b"])
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["lca"] is None and got[0]["dist"] is None
+
+
+def test_ancestor_closure_deep_chain_log_rounds(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        ancestor_closure,
+    )
+
+    # chain 0<-1<-...<-20: closure of node 20 has all 20 ancestors with
+    # exact hop counts after 5 doubling rounds (2^5 = 32 >= 20)
+    parents = spark.createDataFrame(
+        [(k, k - 1) for k in range(1, 21)], ["node", "parent"]
+    )
+    rows = ancestor_closure(parents, doubling_rounds=5).collect()
+    anc20 = sorted(
+        (r["anc"], r["up"]) for r in rows if r["node"] == 20
+    )
+    assert anc20 == [(a, 20 - a) for a in range(20)]
+
+
+# ------------------------------------------------------- stress centrality
+
+
+def test_stress_centrality_path_interior(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        stress_centrality,
+    )
+
+    # path a-b-c-d, source a: paths a..c and a..d pass through b (2),
+    # a..d passes through c (1); endpoints never interior.
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {
+        r["node"]: r["stress"]
+        for r in stress_centrality(e, seeds, max_depth=5).collect()
+    }
+    assert got == {"a": 0, "b": 2, "c": 1, "d": 0}
+
+
+def test_stress_centrality_counts_multiplicity(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        stress_centrality,
+    )
+
+    # diamond s-{m1,m2}-t plus tail t-u, source s: sigma(t)=2, so both
+    # m1 and m2 carry (paths s->t and s->u) = 2 each; t carries the two
+    # s->u paths = 2.
+    e = spark.createDataFrame(
+        [("s", "m1"), ("s", "m2"), ("m1", "t"), ("m2", "t"), ("t", "u")],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("s",)], ["node"])
+    got = {
+        r["node"]: r["stress"]
+        for r in stress_centrality(e, seeds, max_depth=5).collect()
+    }
+    assert got["m1"] == 2 and got["m2"] == 2
+    assert got["t"] == 2
+    assert got["s"] == 0 and got["u"] == 0
+
+
+def test_stress_centrality_hop_cap_truncates(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        stress_centrality,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {
+        r["node"]: r["stress"]
+        for r in stress_centrality(e, seeds, max_depth=2).collect()
+    }
+    # only paths a..b (interior none) and a..c (interior b) exist now
+    assert got == {"a": 0, "b": 1, "c": 0, "d": 0}
