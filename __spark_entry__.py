@@ -3505,6 +3505,116 @@ def _q137_stress_centrality(spark, sf):
     return stress_centrality(edges, seeds, max_depth=4)
 
 
+def _weblinks(spark, sf):
+    """Deterministic synthetic page/link tables for q138/q139: every
+    doc is a page at http(s)://[www.]h{id%23}.example.com/p/{id} (www
+    when id%5=0, https when id%3=0, a utm tracking param when id%7=0 —
+    the variants canonicalization must strip), emits two live links
+    (step (id%11)+1 and twice that, kept iff the target doc exists)
+    whose anchor is an 8-char slice of the SOURCE text at a
+    target-dependent offset, plus one guaranteed-dead link per
+    id%10=0 doc."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def url_of(c):
+        return F.concat(
+            F.when(c % 3 == 0, F.lit("https://")).otherwise(
+                F.lit("http://")
+            ),
+            F.when(c % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("h"),
+            (c % 23).cast("string"),
+            F.lit(".example.com/p/"),
+            c.cast("string"),
+            F.when(c % 7 == 0, F.lit("?utm_src=feed")).otherwise(
+                F.lit("")
+            ),
+        )
+
+    ids = d.select(F.col("doc_id").alias("dst"))
+    step = (F.col("doc_id") % 11) + 1
+    live = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") + step).alias("dst"),
+            "text",
+        )
+        .unionAll(
+            d.select(
+                F.col("doc_id").alias("src"),
+                (F.col("doc_id") + 2 * step).alias("dst"),
+                "text",
+            )
+        )
+        .join(ids, "dst", "left_semi")
+    )
+    live_links = live.select(
+        url_of(F.col("src")).alias("src_url"),
+        url_of(F.col("dst")).alias("dst_url"),
+        F.lower(F.col("text"))
+        .substr(((F.col("dst") % 13) + 1).cast("int"), F.lit(8))
+        .alias("anchor"),
+    )
+    dead = d.filter((F.col("doc_id") % 10) == 0).select(
+        url_of(F.col("doc_id")).alias("src_url"),
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") + 999999937).cast("string"),
+        ).alias("dst_url"),
+        F.concat(
+            F.lit("dead-"), (F.col("doc_id") % 4).cast("string")
+        ).alias("anchor"),
+    )
+    links = live_links.unionAll(dead)
+    pages = d.select(url_of(F.col("doc_id")).alias("url"))
+    return links, pages
+
+
+def _q138_anchor_names(spark, sf):
+    """Anchor-text entity naming + dead-link audit over the synthetic
+    web link table: per canonical target, in-link count, distinct
+    linking hosts, the majority anchor (count desc, bytewise tiebreak)
+    and a dead flag for targets outside the crawled page set — the
+    oracle replays the canonical URLs in closed form from the
+    generator arithmetic."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+        anchor_entity_names,
+    )
+
+    links, pages = _weblinks(spark, sf)
+    return anchor_entity_names(links, pages)
+
+
+def _q139_host_graph(spark, sf):
+    """Host-level web-graph rollup of the same link table: page links
+    → (src_host, dst_host) edges with link weight, distinct-source-
+    page count and a reciprocity flag; intra-host edges (including
+    every synthetic dead link, which targets its own host) drop."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+        host_graph,
+    )
+
+    links, _ = _weblinks(spark, sf)
+    return host_graph(links)
+
+
+def _q140_hll_distinct(spark, sf):
+    """HyperLogLog distinct doc_ids per source (p=6, 64 registers):
+    register/rho from the portable md5 hash by pure bit ops, harmonic
+    state as exact integers scaled by 2^55, Flajolet raw estimate as
+    ONE correctly-rounded double division of a shared Python-folded
+    constant, linear-counting branch in the integer milli-log2 fixed
+    point — all replayed verbatim in SQL."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    d = _t(spark, sf, "documents")
+    return hll_distinct(d, "doc_id", p=6, by=["source"])
+
+
 _MIS_WL_EDGE_CTE = """
             ed AS (
                 SELECT doc_id,
@@ -3954,6 +4064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_topo_layers": _q135_topo_layers,
         "q136_taxonomy_lca": _q136_taxonomy_lca,
         "q137_stress_centrality": _q137_stress_centrality,
+        "q138_anchor_names": _q138_anchor_names,
+        "q139_host_graph": _q139_host_graph,
+        "q140_hll_distinct": _q140_hll_distinct,
     }
 
 
@@ -4468,6 +4581,190 @@ def _anf_oracle(radius: int, k: int) -> str:
             GROUP BY 1
         """
     return head + "".join(rounds) + tail
+
+
+# q138/q139: the synthetic link generator replayed in closed form — the
+# canonicalization (scheme kept, www./default ports/utm_ params/fragment
+# stripped, trailing-slash trim) collapses url_of's id-arithmetic
+# variants to exactly these strings, so the oracle builds the CANONICAL
+# urls directly from the same modular arithmetic.
+_WEBLINKS_CTE = """
+    d AS (SELECT doc_id, text FROM documents),
+    live0 AS (
+        SELECT doc_id AS src,
+               doc_id + (doc_id % 11) + 1 AS dst, text FROM d
+        UNION ALL
+        SELECT doc_id, doc_id + 2 * ((doc_id % 11) + 1), text FROM d
+    ),
+    live AS (
+        SELECT l.* FROM live0 l
+        WHERE l.dst IN (SELECT doc_id FROM d)
+    ),
+    links AS (
+        SELECT 'h' || CAST(src % 23 AS VARCHAR) || '.example.com'
+                   AS src_host,
+               src AS src_page,
+               CASE WHEN dst % 3 = 0 THEN 'https://'
+                    ELSE 'http://' END
+                 || 'h' || CAST(dst % 23 AS VARCHAR)
+                 || '.example.com/p/' || CAST(dst AS VARCHAR)
+                   AS canonical_url,
+               CAST(dst % 23 AS BIGINT) AS dst_hostid,
+               substr(lower(text), CAST(dst % 13 AS INT) + 1, 8)
+                   AS anchor
+        FROM live
+        UNION ALL
+        SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) || '.example.com',
+               doc_id,
+               'http://h' || CAST(doc_id % 23 AS VARCHAR)
+                 || '.example.com/p/'
+                 || CAST(doc_id + 999999937 AS VARCHAR),
+               doc_id % 23,
+               'dead-' || CAST(doc_id % 4 AS VARCHAR)
+        FROM d WHERE doc_id % 10 = 0
+    )"""
+
+_ANCHOR_ORACLE = f"""
+    WITH {_WEBLINKS_CTE},
+    pages AS (
+        SELECT DISTINCT
+               CASE WHEN doc_id % 3 = 0 THEN 'https://'
+                    ELSE 'http://' END
+                 || 'h' || CAST(doc_id % 23 AS VARCHAR)
+                 || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                   AS canonical_url
+        FROM d
+    ),
+    per_anchor AS (
+        SELECT canonical_url, anchor, CAST(count(*) AS BIGINT) AS n
+        FROM links GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT canonical_url, anchor AS top_anchor,
+               n AS top_anchor_links
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY canonical_url
+                  ORDER BY n DESC, anchor ASC) AS rn
+              FROM per_anchor)
+        WHERE rn = 1
+    ),
+    totals AS (
+        SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+        FROM links GROUP BY 1
+    )
+    SELECT t.canonical_url, t.n_links, t.n_src_hosts,
+           top.top_anchor, top.top_anchor_links,
+           (p.canonical_url IS NULL) AS is_dead
+    FROM totals t
+    JOIN top USING (canonical_url)
+    LEFT JOIN pages p USING (canonical_url)
+"""
+
+_HOSTGRAPH_ORACLE = f"""
+    WITH {_WEBLINKS_CTE},
+    e AS (
+        SELECT src_host,
+               'h' || CAST(dst_hostid AS VARCHAR) || '.example.com'
+                   AS dst_host,
+               src_page
+        FROM links
+        WHERE 'h' || CAST(dst_hostid AS VARCHAR) || '.example.com'
+              <> src_host
+    ),
+    agg AS (
+        SELECT src_host, dst_host,
+               CAST(count(*) AS BIGINT) AS weight,
+               CAST(count(DISTINCT src_page) AS BIGINT) AS n_src_pages
+        FROM e GROUP BY 1, 2
+    )
+    SELECT a.src_host, a.dst_host, a.weight, a.n_src_pages,
+           (r.src_host IS NOT NULL) AS reciprocal
+    FROM agg a
+    LEFT JOIN (SELECT DISTINCT dst_host AS src_host,
+                      src_host AS dst_host FROM agg) r
+         USING (src_host, dst_host)
+"""
+
+
+def _hll_oracle(p: int) -> str:
+    """q140 replay: register/rho from the portable md5 hash by the same
+    integer bit ops, exact 2^(61-p)-scaled harmonic state, Flajolet raw
+    estimate as ONE double division of the identical Python-folded
+    constant, linear-counting branch via the SAME 20-step Q20
+    log2-by-repeated-squaring integer recurrence (here unrolled into 20
+    chained CTE levels — DuckDB's list_reduce has no typed accumulator;
+    the input-column-precedence rule keeps each level's y/fr referring
+    to the previous level) — every float step is one correctly-rounded
+    IEEE op on both engines."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        hll_constants,
+    )
+
+    m = 1 << p
+    big_k = 61 - p
+    c_milli, lc_threshold = hll_constants(p)
+    h = _ph_sql("doc_id", "hll")
+    sq = "".join(
+        f""",
+        l{i} AS (
+            SELECT source, n_zero, harm_num, e,
+                   CASE WHEN t >= 2147483648 THEN t >> 1 ELSE t END AS y,
+                   fr * 2 + CASE WHEN t >= 2147483648
+                                 THEN 1::BIGINT ELSE 0::BIGINT END AS fr
+            FROM (SELECT *, (y * y) >> 30 AS t FROM l{i - 1})
+        )"""
+        for i in range(1, 21)
+    )
+    return f"""
+        WITH h AS (
+            SELECT source, {h} AS h
+            FROM documents WHERE doc_id IS NOT NULL
+        ),
+        regs AS (
+            SELECT source, CAST(h % {m} AS INT) AS reg,
+                   max(CAST(CASE WHEN (h // {m}) = 0 THEN {big_k}
+                       ELSE {big_k} - length(bin(h // {m}))
+                       END AS INT)) AS rho
+            FROM h GROUP BY 1, 2
+        ),
+        present AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_present,
+                   CAST(sum(1::BIGINT << ({big_k} - rho)) AS BIGINT)
+                       AS present_sum
+            FROM regs GROUP BY 1
+        ),
+        st AS (
+            SELECT source,
+                   CAST({m} - n_present AS BIGINT) AS n_zero,
+                   CAST(present_sum +
+                        ({m} - n_present) * (1::BIGINT << {big_k})
+                        AS BIGINT) AS harm_num
+            FROM present
+        ),
+        l0 AS (
+            SELECT source, n_zero, harm_num,
+                   CAST(length(bin(greatest(n_zero, 1))) - 1 AS BIGINT)
+                       AS e,
+                   greatest(n_zero, 1)::BIGINT
+                     << CAST(31 - length(bin(greatest(n_zero, 1)))
+                             AS INT) AS y,
+                   0::BIGINT AS fr
+            FROM st
+        ){sq}
+        SELECT source, CAST({m} AS BIGINT) AS m, n_zero, harm_num,
+               CASE WHEN n_zero > 0
+                         AND CAST(harm_num AS DOUBLE) >= {lc_threshold!r}
+                    THEN 'linear' ELSE 'raw' END AS regime,
+               CASE WHEN n_zero > 0
+                         AND CAST(harm_num AS DOUBLE) >= {lc_threshold!r}
+                    THEN CAST({m} * ({p << 20} - (e * 1048576 + fr))
+                              * 693147 // 1048576 // 1000 AS BIGINT)
+                    ELSE CAST(floor({c_milli!r} / harm_num) AS BIGINT)
+               END AS est_milli
+        FROM l20
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8294,4 +8591,7 @@ def oracle_sql() -> dict[str, str]:
         "q135_topo_layers": _topo_oracle(10),
         "q136_taxonomy_lca": _LCA_ORACLE,
         "q137_stress_centrality": _stress_oracle(4),
+        "q138_anchor_names": _ANCHOR_ORACLE,
+        "q139_host_graph": _HOSTGRAPH_ORACLE,
+        "q140_hll_distinct": _hll_oracle(6),
     }

@@ -527,3 +527,177 @@ def kmv_sliding_distinct(
     return est.join(ndays, "win_end").select(
         "win_end", "n_days_merged", "n_kept", "kth_hash", "n_distinct_est"
     )
+
+
+def _hll_alpha(m: int) -> float:
+    """Canonical HyperLogLog bias constant (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_constants(p: int) -> tuple[float, float]:
+    """(c_milli, lc_threshold) for :func:`hll_distinct` — folded in
+    Python ONCE so the Spark plan and any SQL oracle embed the exact
+    same shortest-round-trip double literals (the cross-engine
+    determinism contract: every remaining op is one correctly-rounded
+    IEEE step)."""
+    m = 1 << p
+    c = _hll_alpha(m) * float(2 ** (61 + p))
+    return 1000.0 * c, c / (2.5 * m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    p: int = 6,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate → (``by``..., m, n_zero,
+    harm_num, regime, est_milli): the register-based COMPLEMENT of
+    :func:`kmv_distinct` — fixed O(m) state per group regardless of
+    cardinality, and registers merge by element-wise MAX (the
+    mergeability KMV lacks: two hosts' HLL states union losslessly,
+    the property that makes this THE sketch shipped between crawl
+    shards).
+
+    All state is exact integers on the portable md5 hash: register
+    ``j = h mod m`` (m = 2^p), ``rho`` = leading-zero rank of the
+    remaining 60-p bits (via ``length(bin(w))`` — both engines print
+    binary without leading zeros), ``harm_num`` = Σ_j 2^(K - rho_j)
+    with K = 61-p and empty registers at rho=0 — i.e. the harmonic
+    denominator Σ 2^-rho scaled by the exact power 2^K, ≤ 2^61, no
+    overflow.  The estimate is Flajolet's alpha·m²/Σ2^-rho with the
+    standard small-range linear-counting correction, emitted in MILLI
+    units: the raw branch is ONE correctly-rounded IEEE division of a
+    Python-folded double constant by ``harm_num`` then floor (the
+    :func:`kmv_distinct` determinism argument), the linear-counting
+    branch replaces ``ln`` (libm, last-ulp engine-dependent) with
+    :func:`flog2_q20` — the exact integer log2-by-repeated-squaring
+    fixed point (error < 2^-20 bits, so the LC estimate is within
+    m·2^-20·ln2 < 0.02 of the true formula even at p=14; the coarser
+    milli-log2 used by ordinal scores elsewhere errs up to 86
+    milli-bits, which LC would amplify by m) — deterministic
+    cross-engine by construction, never via transcendental parity.
+
+    Plan shape: one narrow hash projection → groupBy (group, register)
+    max(rho) — partial-aggregated map-side, at most m rows per group
+    survive — then one m-row-per-group rollup.  A 10^12-key group
+    costs the same 2^p rows after the first combine as a 10^3-key
+    group.
+    """
+    if not 4 <= p <= 14:
+        raise ValueError("hll_distinct needs 4 <= p <= 14")
+    gcols = list(by or [])
+    m = 1 << p
+    big_k = 61 - p
+    h = porthash64(F.col(key_col).cast("string"), "hll")
+    # integer shift, NOT h/m: double division would round away low
+    # bits of the 60-bit hash above 2^53 and corrupt rho near zero.
+    w = F.shiftright(h, p)
+    rho = (
+        F.when(w == 0, F.lit(big_k))
+        .otherwise(F.lit(big_k) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    regs = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*gcols, (h % m).cast("int").alias("_reg"), rho.alias("_rho"))
+        .groupBy(*gcols, "_reg")
+        .agg(F.max("_rho").alias("_rho"))
+    )
+    present = regs.groupBy(*gcols).agg(
+        F.count("*").cast("long").alias("_n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {big_k} - _rho)")
+        )
+        .cast("long")
+        .alias("_present_sum"),
+    )
+    n_zero = (F.lit(m) - F.col("_n_present")).cast("long")
+    harm = (
+        F.col("_present_sum")
+        + n_zero * F.lit(1 << big_k).cast("long")
+    ).cast("long")
+    # Python-folded double constants: both engines parse the identical
+    # shortest-round-trip literal, so every downstream op is one
+    # correctly-rounded IEEE step — bit-identical cross-engine.
+    c_milli, lc_threshold = hll_constants(p)
+
+    linear = (F.col("_n_zero") > 0) & (
+        F.col("harm_num").cast("double") >= F.lit(lc_threshold)
+    )
+    # LC estimate = m·ln(m/n_zero)·1000 = m·(p·2^20 − flog2_q20(nz))
+    # ·693147 ∕ (2^20·10^6)·1000, all integer: m ≤ 2^14, Δ ≤ 14·2^20,
+    # ×693147 peaks < 2^58 — no BIGINT overflow.
+    lc_est = F.expr(
+        f"CAST(m * ({p << 20} - ({flog2_q20_expr('_n_zero')}))"
+        " * 693147 DIV 1048576 DIV 1000 AS BIGINT)"
+    )
+    return (
+        present.select(
+            *gcols,
+            F.lit(m).cast("long").alias("m"),
+            n_zero.alias("_n_zero"),
+            harm.alias("harm_num"),
+        )
+        .select(
+            *gcols,
+            "m",
+            F.col("_n_zero").alias("n_zero"),
+            "harm_num",
+            F.when(linear, F.lit("linear"))
+            .otherwise(F.lit("raw"))
+            .alias("regime"),
+            F.when(linear, lc_est)
+            .otherwise(
+                F.floor(F.lit(c_milli) / F.col("harm_num")).cast("long")
+            )
+            .alias("est_milli"),
+        )
+    )
+
+
+def flog2_q20_expr(col: str) -> str:
+    """Spark-SQL expression string: exact-integer log2 of a positive
+    BIGINT column in Q20 fixed point (20 binary fraction bits), by the
+    classic repeated-squaring bit extraction — floor(log2 x)·2^20 plus
+    20 fraction bits, absolute error < 2^-20 + 2^-29 bits.
+
+    Why not the shared milli-log2: that one is a SINGLE linear
+    interpolation across the whole octave (error ≤ 86 milli-bits) —
+    fine for ordinal importance scores, fatal where the log feeds a
+    multiplier of 2^p (HLL linear counting: the error lands ×m in the
+    count estimate).  Here the mantissa is normalized to [2^30, 2^31)
+    and squared 20 times (peak 2^62 — no overflow), emitting one
+    fraction bit per squaring; per-step >>30 truncation contributes
+    geometrically-discounted error (the bit emitted at step i weighs
+    2^-i), bounded by 2^-29 total.
+
+    One `aggregate` fold, NOT 20 chained projections: a projection
+    chain would let CollapseProject inline each step's 3 uses of the
+    squared value into the next — a 3^20 expression tree.  The fold is
+    a constant-size lambda looped at runtime.  Domain: 1 ≤ x < 2^31
+    (HLL needs x ≤ 2^14).  The identical unrolled integer recurrence
+    runs in DuckDB (see __spark_entry__._hll_oracle).
+    """
+    e = f"(length(bin({col})) - 1)"
+    return (
+        f"CAST({e} AS BIGINT) * 1048576 + aggregate("
+        f" sequence(1, 20),"
+        f" named_struct("
+        f"  'y', shiftleft(CAST({col} AS BIGINT), 30 - {e}),"
+        f"  'fr', CAST(0 AS BIGINT)),"
+        f" (acc, i) -> named_struct("
+        f"  'y', CASE WHEN shiftright(acc.y * acc.y, 30) >= 2147483648"
+        f"       THEN shiftright(acc.y * acc.y, 31)"
+        f"       ELSE shiftright(acc.y * acc.y, 30) END,"
+        f"  'fr', acc.fr * 2 +"
+        f"   CASE WHEN shiftright(acc.y * acc.y, 30) >= 2147483648"
+        f"        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),"
+        f" acc -> acc.fr)"
+    )

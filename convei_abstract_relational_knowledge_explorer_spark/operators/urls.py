@@ -342,3 +342,141 @@ def match_prefix_rules(
             ),
         )
     )
+
+
+def host_of(url) -> Column:
+    """Column expression: URL string → canonical host (lowercase,
+    ``www.`` and default ports stripped) — the grouping key of every
+    host-level crawl product.  Pure narrow regexps, NULL propagates."""
+    u = F.col(url) if isinstance(url, str) else url
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?#]+)", 1))
+    return F.regexp_replace(
+        F.regexp_replace(hostport, "^www\\.", ""), ":(80|443)$", ""
+    )
+
+
+def anchor_entity_names(
+    links: DataFrame,
+    pages: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    anchor_col: str = "anchor",
+    page_url_col: str = "url",
+) -> DataFrame:
+    """Anchor-text entity naming + dead-link audit → one row per
+    canonical link target: (canonical_url, n_links, n_src_hosts,
+    top_anchor, top_anchor_links, is_dead).
+
+    The web-KG naming signal: what OTHER pages call a URL is the best
+    surface form for the entity behind it (the classic anchor-text
+    prior of web IR / entity linking), and the aggregation is exactly
+    a majority vote over in-link anchors — ``top_anchor`` is the
+    anchor with the most links (count desc, then bytewise-smallest for
+    the deterministic tie), ``n_src_hosts`` measures naming consensus
+    breadth, and ``is_dead`` marks targets absent from the crawled
+    page set (link-rot audit).
+
+    Plan shape — everything keyed on the canonical target, one shuffle
+    family: per-(target, anchor) counts first (Zipf-safe: downstream
+    rows are per-DISTINCT-anchor, never per-link), one window argmax
+    over targets, one distinct-host count, and the dead flag is a
+    left join against the distinct canonical page set.  A head target
+    with 10^8 in-links occupies one row per distinct anchor after the
+    first partial-aggregated groupBy — no per-link rows survive the
+    map side.
+    """
+    e = links.select(
+        host_of(src_col).alias("src_host"),
+        canonicalize_url(dst_col).alias("canonical_url"),
+        F.col(anchor_col).alias("anchor"),
+    ).filter(F.col("canonical_url").isNotNull())
+    per_anchor = e.groupBy("canonical_url", "anchor").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.desc("n"), F.asc("anchor")
+    )
+    top = (
+        per_anchor.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "canonical_url",
+            F.col("anchor").alias("top_anchor"),
+            F.col("n").alias("top_anchor_links"),
+        )
+    )
+    totals = e.groupBy("canonical_url").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.countDistinct("src_host").cast("long").alias("n_src_hosts"),
+    )
+    crawled = (
+        pages.select(canonicalize_url(page_url_col).alias("canonical_url"))
+        .filter(F.col("canonical_url").isNotNull())
+        .distinct()
+        .withColumn("_crawled", F.lit(True))
+    )
+    return (
+        totals.join(top, "canonical_url")
+        .join(crawled, "canonical_url", "left")
+        .select(
+            "canonical_url",
+            "n_links",
+            "n_src_hosts",
+            "top_anchor",
+            "top_anchor_links",
+            F.col("_crawled").isNull().alias("is_dead"),
+        )
+    )
+
+
+def host_graph(
+    links: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> DataFrame:
+    """Page-level links → the HOST-level web graph: (src_host,
+    dst_host, weight, n_src_pages, reciprocal) with intra-host edges
+    dropped.
+
+    The Common-Crawl host-graph rollup (the published webgraph
+    product): ``weight`` counts page-level links between the host
+    pair, ``n_src_pages`` counts distinct linking pages (weight
+    inflation guard — one hub page emitting 10^4 copies of a link
+    still counts once here), and ``reciprocal`` marks pairs linked in
+    both directions (the standard spam/nepotism signal).
+
+    Plan shape: host extraction is narrow regexp work; ONE groupBy on
+    the (src_host, dst_host) pair does both aggregates with map-side
+    partials; reciprocity is a self left-semi-style join of the
+    aggregated host pairs (|host pairs| ≪ |links|) against their own
+    reversal — never a page-level self-join.
+    """
+    e = (
+        links.select(
+            host_of(src_col).alias("src_host"),
+            host_of(dst_col).alias("dst_host"),
+            F.col(src_col).alias("_src_page"),
+        )
+        .filter(
+            F.col("src_host").isNotNull()
+            & F.col("dst_host").isNotNull()
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+    )
+    agg = e.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("long").alias("weight"),
+        F.countDistinct("_src_page").cast("long").alias("n_src_pages"),
+    )
+    rev = agg.select(
+        F.col("dst_host").alias("src_host"),
+        F.col("src_host").alias("dst_host"),
+        F.lit(True).alias("_rev"),
+    )
+    return agg.join(rev, ["src_host", "dst_host"], "left").select(
+        "src_host",
+        "dst_host",
+        "weight",
+        "n_src_pages",
+        F.coalesce("_rev", F.lit(False)).alias("reciprocal"),
+    )

@@ -483,3 +483,158 @@ def test_stress_centrality_hop_cap_truncates(spark):
     }
     # only paths a..b (interior none) and a..c (interior b) exist now
     assert got == {"a": 0, "b": 1, "c": 0, "d": 0}
+
+
+# -------------------------------------------- anchor names / host graph
+
+
+def test_anchor_entity_names_majority_vote_and_dead_flag(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+        anchor_entity_names,
+    )
+
+    links = spark.createDataFrame(
+        [
+            # three in-links to the same canonical target (www/utm
+            # variants collapse), two anchors -> majority "acme corp"
+            ("http://a.com/x", "http://www.t.com/p?utm_src=z", "acme corp"),
+            ("http://b.com/y", "http://t.com/p", "acme corp"),
+            ("http://c.com/z", "http://t.com/p/", "acme"),
+            # dead target: not in the page set
+            ("http://a.com/x", "http://gone.com/404", "old page"),
+        ],
+        ["src_url", "dst_url", "anchor"],
+    )
+    pages = spark.createDataFrame(
+        [("https://www.t.com/p",), ("http://a.com/x",)], ["url"]
+    )
+    got = {r["canonical_url"]: r for r in anchor_entity_names(links, pages).collect()}
+    t = got["http://t.com/p"]
+    assert t["n_links"] == 3
+    assert t["n_src_hosts"] == 3
+    assert t["top_anchor"] == "acme corp"
+    assert t["top_anchor_links"] == 2
+    # NOTE scheme is part of the canonical key: the https page entry
+    # does NOT vouch for the http target; both schemes of t.com/p would
+    # need crawling for is_dead=False.  The generator in q138 keeps
+    # scheme deterministic per id, so this never fires there.
+    d = got["http://gone.com/404"]
+    assert d["is_dead"] is True
+    assert d["top_anchor"] == "old page"
+
+
+def test_anchor_entity_names_tiebreak_is_bytewise(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+        anchor_entity_names,
+    )
+
+    links = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://t.com/p", "zz"),
+            ("http://a.com/2", "http://t.com/p", "aa"),
+        ],
+        ["src_url", "dst_url", "anchor"],
+    )
+    pages = spark.createDataFrame([("http://t.com/p",)], ["url"])
+    row = anchor_entity_names(links, pages).collect()[0]
+    assert row["top_anchor"] == "aa" and row["top_anchor_links"] == 1
+    assert row["n_src_hosts"] == 1  # both pages on host a.com
+
+
+def test_host_graph_weights_reciprocity_and_intra_host_drop(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+        host_graph,
+    )
+
+    links = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://b.com/x"),
+            ("http://a.com/1", "http://b.com/y"),   # same page, 2 links
+            ("http://www.a.com/2", "http://b.com/x"),
+            ("http://b.com/x", "http://a.com/1"),   # reciprocal edge
+            ("http://a.com/1", "http://www.a.com/9"),  # intra-host: drop
+            ("http://c.com/1", "http://b.com/x"),   # one-way only
+        ],
+        ["src_url", "dst_url"],
+    )
+    got = {(r["src_host"], r["dst_host"]): r for r in host_graph(links).collect()}
+    assert set(got) == {("a.com", "b.com"), ("b.com", "a.com"), ("c.com", "b.com")}
+    ab = got[("a.com", "b.com")]
+    assert ab["weight"] == 3
+    assert ab["n_src_pages"] == 2  # /1 counted once despite 2 links
+    assert ab["reciprocal"] is True
+    assert got[("b.com", "a.com")]["reciprocal"] is True
+    assert got[("c.com", "b.com")]["reciprocal"] is False
+
+
+# ------------------------------------------------------------------ HLL
+
+
+def test_hll_distinct_accuracy_and_regimes(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    # group "big": 5000 distinct keys repeated 2x (duplicates must not
+    # move registers); group "small": 3 keys -> linear-counting regime.
+    import pyspark.sql.functions as F
+
+    big = spark.range(5000).select(
+        F.lit("big").alias("g"), F.col("id").alias("k")
+    )
+    df = big.unionAll(big).unionAll(
+        spark.range(3).select(F.lit("small").alias("g"), F.col("id").alias("k"))
+    )
+    got = {r["g"]: r for r in hll_distinct(df, "k", p=10, by=["g"]).collect()}
+    est_big = got["big"]["est_milli"] / 1000.0
+    assert got["big"]["m"] == 1024
+    # standard error ~ 1.04/sqrt(1024) ~ 3.3%; allow 4 sigma
+    assert abs(est_big - 5000) / 5000 < 0.13
+    small = got["small"]
+    assert small["regime"] == "linear"
+    assert small["n_zero"] >= 1021
+    est_small = small["est_milli"] / 1000.0
+    assert abs(est_small - 3) < 0.5
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The mergeability contract: HLL(a ∪ b) register state equals the
+    element-wise max of HLL(a) and HLL(b) — verified through the final
+    estimate, which is a pure function of the registers."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        hll_distinct,
+    )
+    import pyspark.sql.functions as F
+
+    a = spark.range(0, 400).select(F.col("id").alias("k"))
+    b = spark.range(200, 600).select(F.col("id").alias("k"))
+    union_est = hll_distinct(a.unionAll(b), "k", p=8).collect()[0]
+    # recompute from per-shard register states merged by max
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        porthash64,
+    )
+
+    def regs(df):
+        h = porthash64(F.col("k").cast("string"), "hll")
+        w = F.shiftright(h, 8)
+        rho = (
+            F.when(w == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin(w)))
+            .cast("int")
+        )
+        return {
+            r["reg"]: r["rho"]
+            for r in df.select((h % 256).cast("int").alias("reg"), rho.alias("rho"))
+            .groupBy("reg")
+            .agg(F.max("rho").alias("rho"))
+            .collect()
+        }
+
+    ra, rb = regs(a), regs(b)
+    merged = {j: max(ra.get(j, -1), rb.get(j, -1)) for j in set(ra) | set(rb)}
+    big_k = 53
+    present_sum = sum(1 << (big_k - rho) for rho in merged.values())
+    n_zero = 256 - len(merged)
+    harm = present_sum + n_zero * (1 << big_k)
+    assert harm == union_est["harm_num"]
+    assert n_zero == union_est["n_zero"]
