@@ -3615,6 +3615,74 @@ def _q140_hll_distinct(spark, sf):
     return hll_distinct(d, "doc_id", p=6, by=["source"])
 
 
+def _q141_registered_domain(spark, sf):
+    """publicsuffix.org eTLD+1 resolution over synthetic crawl hosts
+    exercising all three rule kinds: plain (com/org/co.uk/github.io —
+    longest wins over uk/io), wildcard (*.ck: every label under ck is
+    itself a public suffix, so s3.ck has NO registered domain), the
+    exception carved back out (!www.ck), bare public-suffix hosts
+    (registered_domain NULL) and an unlisted TLD ('test') falling to
+    the implicit * rule.  The oracle replays the host generator and the
+    suffix-explode algorithm verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+        registered_domain,
+    )
+
+    d = _t(spark, sf, "documents")
+    c = F.col("doc_id")
+    tld = (
+        F.when(c % 6 == 0, F.lit("com"))
+        .when(c % 6 == 1, F.lit("org"))
+        .when(c % 6 == 2, F.lit("co.uk"))
+        .when(c % 6 == 3, F.lit("ck"))
+        .when(c % 6 == 4, F.lit("github.io"))
+        .otherwise(F.lit("test"))
+    )
+    host = (
+        F.when(c % 29 == 0, F.lit("www.ck"))
+        .when(c % 31 == 0, tld)
+        .otherwise(
+            F.concat(
+                F.lit("s"),
+                (c % 7).cast("string"),
+                F.when(
+                    c % 2 == 0,
+                    F.concat(F.lit(".m"), (c % 3).cast("string")),
+                ).otherwise(F.lit("")),
+                F.lit("."),
+                tld,
+            )
+        )
+    )
+    hosts = d.select(host.alias("host")).distinct()
+    rules = spark.createDataFrame(
+        [("com",), ("org",), ("uk",), ("co.uk",), ("*.ck",),
+         ("!www.ck",), ("github.io",), ("io",)],
+        ["rule"],
+    )
+    return registered_domain(hosts, rules)
+
+
+def _q142_weighted_sample(spark, sf):
+    """Efraimidis-Spirakis weighted sampling without replacement: 5
+    docs per source with inclusion probability ∝ (n_chars+1), the
+    corpus-mixing draw — u^(1/w) order replayed as the monotone
+    (60·2^20 − flog2_q20(hash))/w key, exact integers into one
+    correctly-rounded double division, so the winner set is
+    bit-identical in DuckDB (the same 20-level squaring recurrence
+    unrolled as CTEs, per row this time)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        (F.col("n_chars") + 1).cast("long").alias("w"),
+    )
+    return weighted_sample_wor(d, "w", 5, by=["source"], id_col="doc_id")
+
+
 _MIS_WL_EDGE_CTE = """
             ed AS (
                 SELECT doc_id,
@@ -4067,6 +4135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_anchor_names": _q138_anchor_names,
         "q139_host_graph": _q139_host_graph,
         "q140_hll_distinct": _q140_hll_distinct,
+        "q141_registered_domain": _q141_registered_domain,
+        "q142_weighted_sample": _q142_weighted_sample,
     }
 
 
@@ -4624,6 +4694,78 @@ _WEBLINKS_CTE = """
         FROM d WHERE doc_id % 10 = 0
     )"""
 
+_PSL_ORACLE = r"""
+    WITH hosts AS (
+        SELECT DISTINCT CASE
+            WHEN doc_id % 29 = 0 THEN 'www.ck'
+            WHEN doc_id % 31 = 0 THEN tld
+            ELSE 's' || CAST(doc_id % 7 AS VARCHAR)
+                 || CASE WHEN doc_id % 2 = 0
+                         THEN '.m' || CAST(doc_id % 3 AS VARCHAR)
+                         ELSE '' END
+                 || '.' || tld END AS host
+        FROM (SELECT doc_id,
+                     CASE doc_id % 6
+                          WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                          WHEN 2 THEN 'co.uk' WHEN 3 THEN 'ck'
+                          WHEN 4 THEN 'github.io'
+                          ELSE 'test' END AS tld
+              FROM documents)
+    ),
+    rl(rule) AS (
+        VALUES ('com'), ('org'), ('uk'), ('co.uk'), ('*.ck'),
+               ('!www.ck'), ('github.io'), ('io')
+    ),
+    rr AS (
+        SELECT rule, rule_kind, key,
+               len(string_split(key, '.'))
+               + CASE rule_kind WHEN 'wildcard' THEN 1
+                                WHEN 'exception' THEN -1
+                                ELSE 0 END AS eff
+        FROM (SELECT rule,
+                     CASE WHEN rule LIKE '!%' THEN 'exception'
+                          WHEN rule LIKE '*.%' THEN 'wildcard'
+                          ELSE 'plain' END AS rule_kind,
+                     regexp_replace(rule, '^(!|\*\.)', '') AS key
+              FROM rl)
+    ),
+    cand AS (
+        SELECT host, i - 1 AS pos,
+               array_to_string(string_split(host, '.')[i:], '.')
+                   AS suffix
+        FROM hosts,
+             unnest(generate_series(
+                 1, len(string_split(host, '.')))) AS t(i)
+    ),
+    best AS (
+        SELECT host, rule, rule_kind, eff
+        FROM (SELECT c.host, r.rule, r.rule_kind, r.eff,
+                     row_number() OVER (
+                         PARTITION BY c.host
+                         ORDER BY (r.rule_kind = 'exception') DESC,
+                                  r.eff DESC, r.rule ASC) AS rn
+              FROM cand c JOIN rr r ON c.suffix = r.key
+              WHERE r.rule_kind <> 'wildcard' OR c.pos > 0)
+        WHERE rn = 1
+    )
+    SELECT host,
+           coalesce(rule, '*') AS rule,
+           coalesce(rule_kind, 'default') AS rule_kind,
+           CASE WHEN len(string_split(host, '.')) >= coalesce(eff, 1)
+                THEN array_to_string(
+                     string_split(host, '.')
+                     [len(string_split(host, '.'))
+                      - coalesce(eff, 1) + 1:], '.') END
+               AS public_suffix,
+           CASE WHEN len(string_split(host, '.')) > coalesce(eff, 1)
+                THEN array_to_string(
+                     string_split(host, '.')
+                     [len(string_split(host, '.'))
+                      - coalesce(eff, 1):], '.') END
+               AS registered_domain
+    FROM hosts LEFT JOIN best USING (host)
+"""
+
 _ANCHOR_ORACLE = f"""
     WITH {_WEBLINKS_CTE},
     pages AS (
@@ -4687,6 +4829,71 @@ _HOSTGRAPH_ORACLE = f"""
 """
 
 
+def _flog2_sql_ctes(prev: str, carry: list[str], x: str) -> str:
+    """DuckDB replay of sketches.flog2_q20_expr: appends CTE levels
+    ``l0..l20`` after ``prev``, computing the Q20 log2-by-repeated-
+    squaring fixed point of positive BIGINT expression ``x`` for every
+    row, carrying ``carry`` columns through; ``l20`` exposes carry +
+    ``e`` + ``fr`` (lq20 = e*1048576 + fr).  Unrolled because DuckDB's
+    list_reduce has no typed accumulator; the input-column-precedence
+    rule keeps each level's y/fr referring to the previous level."""
+    cols = ", ".join(carry)
+    nx = f"greatest({x}, 1)"
+    head = f""",
+        l0 AS (
+            SELECT {cols},
+                   CAST(length(bin({nx})) - 1 AS BIGINT) AS e,
+                   CASE WHEN length(bin({nx})) <= 31
+                        THEN {nx}::BIGINT
+                             << CAST(31 - length(bin({nx})) AS INT)
+                        ELSE {nx}::BIGINT
+                             >> CAST(length(bin({nx})) - 31 AS INT)
+                   END AS y,
+                   0::BIGINT AS fr
+            FROM {prev}
+        )"""
+    steps = "".join(
+        f""",
+        l{i} AS (
+            SELECT {cols}, e,
+                   CASE WHEN t >= 2147483648 THEN t >> 1 ELSE t END AS y,
+                   fr * 2 + CASE WHEN t >= 2147483648
+                                 THEN 1::BIGINT ELSE 0::BIGINT END AS fr
+            FROM (SELECT *, (y * y) >> 30 AS t FROM l{i - 1})
+        )"""
+        for i in range(1, 21)
+    )
+    return head + steps
+
+
+def _es_sample_oracle(k: int) -> str:
+    """q142 replay: the E-S key as (60·2^20 − flog2_q20(h))/w — the
+    same per-row 20-level squaring recurrence (unrolled CTEs), one
+    double division of exact integers, rank within source, keep k."""
+    h = _ph_sql("doc_id", "es")
+    sq = _flog2_sql_ctes("w0", ["source", "doc_id", "w"], "hx")
+    return f"""
+        WITH w0 AS (
+            SELECT source, doc_id,
+                   CAST(n_chars + 1 AS BIGINT) AS w,
+                   greatest({h}, 1) AS hx
+            FROM documents
+            WHERE n_chars + 1 > 0
+        ){sq},
+        kq AS (
+            SELECT source, doc_id, w,
+                   (62914560 - (e * 1048576 + fr)) / w AS es_key
+            FROM l20
+        )
+        SELECT source, doc_id, w, es_key, rk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY es_key ASC, doc_id ASC) AS rk
+              FROM kq)
+        WHERE rk <= {k}
+    """
+
+
 def _hll_oracle(p: int) -> str:
     """q140 replay: register/rho from the portable md5 hash by the same
     integer bit ops, exact 2^(61-p)-scaled harmonic state, Flajolet raw
@@ -4705,17 +4912,7 @@ def _hll_oracle(p: int) -> str:
     big_k = 61 - p
     c_milli, lc_threshold = hll_constants(p)
     h = _ph_sql("doc_id", "hll")
-    sq = "".join(
-        f""",
-        l{i} AS (
-            SELECT source, n_zero, harm_num, e,
-                   CASE WHEN t >= 2147483648 THEN t >> 1 ELSE t END AS y,
-                   fr * 2 + CASE WHEN t >= 2147483648
-                                 THEN 1::BIGINT ELSE 0::BIGINT END AS fr
-            FROM (SELECT *, (y * y) >> 30 AS t FROM l{i - 1})
-        )"""
-        for i in range(1, 21)
-    )
+    sq = _flog2_sql_ctes("st", ["source", "n_zero", "harm_num"], "n_zero")
     return f"""
         WITH h AS (
             SELECT source, {h} AS h
@@ -4742,16 +4939,6 @@ def _hll_oracle(p: int) -> str:
                         ({m} - n_present) * (1::BIGINT << {big_k})
                         AS BIGINT) AS harm_num
             FROM present
-        ),
-        l0 AS (
-            SELECT source, n_zero, harm_num,
-                   CAST(length(bin(greatest(n_zero, 1))) - 1 AS BIGINT)
-                       AS e,
-                   greatest(n_zero, 1)::BIGINT
-                     << CAST(31 - length(bin(greatest(n_zero, 1)))
-                             AS INT) AS y,
-                   0::BIGINT AS fr
-            FROM st
         ){sq}
         SELECT source, CAST({m} AS BIGINT) AS m, n_zero, harm_num,
                CASE WHEN n_zero > 0
@@ -8594,4 +8781,6 @@ def oracle_sql() -> dict[str, str]:
         "q138_anchor_names": _ANCHOR_ORACLE,
         "q139_host_graph": _HOSTGRAPH_ORACLE,
         "q140_hll_distinct": _hll_oracle(6),
+        "q141_registered_domain": _PSL_ORACLE,
+        "q142_weighted_sample": _es_sample_oracle(5),
     }

@@ -598,3 +598,64 @@ def greedy_max_coverage(
         "gain long, covered_total long"
     )
     return spark.createDataFrame(out_rows, schema)
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    by: list[str] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "es",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group → the input
+    rows that win, plus (es_key, rk): the Efraimidis-Spirakis A-Res
+    scheme (IPL 2006) — draw u_i = hash(id)/2^60, keep the k rows with
+    the largest u_i^(1/w_i).  THE corpus-mixing primitive temperature
+    resampling can't give you: exact-k strata with inclusion
+    probability proportional to weight, one pass, no rejection loop —
+    and because the key depends only on (id, weight), the same row wins
+    under ANY partitioning, executor count, or re-run (the
+    reproducibility contract deterministic Bernoulli sampling has, kept
+    under without-replacement semantics).
+
+    Determinism across engines: u^(1/w) never computes a pow — the
+    order statistic is equivalent under the monotone map
+    -log2(u)/w, evaluated as (60·2^20 − flog2_q20(h)) / w: exact
+    integers into ONE correctly-rounded IEEE division (both engines
+    divide the identical pair of exactly-representable values), ties
+    broken by id.  flog2_q20's ≤ 2^-20-bit error perturbs inclusion
+    probabilities by O(2^-20) — far under the scheme's own sampling
+    variance — while keeping the winner set bit-identical everywhere.
+
+    Plan shape: one narrow projection computes the key, one window
+    top-k per group (WindowGroupLimit pushes the rank filter map-side),
+    no shuffle beyond the group partition.  Rows with weight ≤ 0 are
+    excluded by contract (E-S requires positive weights).
+    """
+    from .sketches import flog2_q20_expr
+
+    if k < 1:
+        raise ValueError("weighted_sample_wor needs k >= 1")
+    gcols = list(by or [])
+    h = porthash64(F.col(id_col).cast("string"), seed)
+    keyed = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_h", F.greatest(h, F.lit(1)))
+        .withColumn(
+            "es_key",
+            (
+                F.lit(60 * 1048576).cast("long")
+                - F.expr(flog2_q20_expr("_h"))
+            )
+            / F.col(weight_col).cast("long"),
+        )
+        .drop("_h")
+    )
+    w = Window.partitionBy(*gcols).orderBy(
+        F.asc("es_key"), F.asc(id_col)
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -681,16 +681,23 @@ def flog2_q20_expr(col: str) -> str:
     One `aggregate` fold, NOT 20 chained projections: a projection
     chain would let CollapseProject inline each step's 3 uses of the
     squared value into the next — a 3^20 expression tree.  The fold is
-    a constant-size lambda looped at runtime.  Domain: 1 ≤ x < 2^31
-    (HLL needs x ≤ 2^14).  The identical unrolled integer recurrence
-    runs in DuckDB (see __spark_entry__._hll_oracle).
+    a constant-size lambda looped at runtime.  Domain: 1 ≤ x < 2^62
+    (above 2^31 the mantissa is right-shifted into [2^30, 2^31), a
+    ≤ 2^-30 relative truncation — under the method's own 2^-20 error).
+    The identical unrolled integer recurrence runs in DuckDB (see
+    __spark_entry__._flog2_sql_ctes).
     """
     e = f"(length(bin({col})) - 1)"
+    y0 = (
+        f"CASE WHEN {e} <= 30"
+        f" THEN shiftleft(CAST({col} AS BIGINT), 30 - {e})"
+        f" ELSE shiftright(CAST({col} AS BIGINT), {e} - 30) END"
+    )
     return (
         f"CAST({e} AS BIGINT) * 1048576 + aggregate("
         f" sequence(1, 20),"
         f" named_struct("
-        f"  'y', shiftleft(CAST({col} AS BIGINT), 30 - {e}),"
+        f"  'y', {y0},"
         f"  'fr', CAST(0 AS BIGINT)),"
         f" (acc, i) -> named_struct("
         f"  'y', CASE WHEN shiftright(acc.y * acc.y, 30) >= 2147483648"

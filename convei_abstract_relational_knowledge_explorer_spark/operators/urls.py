@@ -480,3 +480,115 @@ def host_graph(
         "n_src_pages",
         F.coalesce("_rev", F.lit(False)).alias("reciprocal"),
     )
+
+
+def registered_domain(
+    hosts: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    rule_col: str = "rule",
+) -> DataFrame:
+    """Public-suffix (eTLD+1) resolution → one row per input host:
+    (host, rule, rule_kind, public_suffix, registered_domain).
+
+    Implements the publicsuffix.org algorithm — THE host-grouping
+    contract of every crawl product: ``site`` means registered domain
+    (``bbc.co.uk``), never raw host (``news.bbc.co.uk``) and never bare
+    TLD, and getting it right requires the rule list's three kinds:
+    plain suffixes (``co.uk``), wildcards (``*.ck`` — every label under
+    ck is itself a public suffix) and exceptions (``!www.ck`` — carved
+    back out of a wildcard).  Matching picks the exception if any, else
+    the rule with the most labels; no match falls back to the implicit
+    ``*`` rule (the TLD itself is the suffix).  ``registered_domain``
+    is the public suffix plus one host label, NULL when the host IS a
+    public suffix.
+
+    Spark shape — the same distributed-trie explode as
+    :func:`match_prefix_rules`, on suffixes instead of prefixes: each
+    host emits its own dot-boundary suffixes (bounded by label count,
+    never a LIKE scan), rule lookup is one broadcast equi-join on the
+    suffix string (a wildcard rule keyed by its tail matches any
+    strictly-longer suffix, checked with the exploded position), one
+    per-host window picks the winner, and both output strings are
+    label-array slices — no second pass over the rule list.  The rule
+    table is ~10k rows in the wild: always broadcast.
+    """
+    lab = F.split(F.col(host_col), "\\.")
+    cand = (
+        hosts.select(
+            F.col(host_col).alias("host"),
+            lab.alias("_lab"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(split({host_col},"
+                    f" '\\\\.'))), i -> array_join(slice(split({host_col},"
+                    f" '\\\\.'), i, 1000), '.'))"
+                )
+            ).alias("_pos", "_suffix"),
+        )
+    )
+    r = rules.select(
+        F.col(rule_col).alias("rule"),
+        F.when(F.col(rule_col).startswith("!"), F.lit("exception"))
+        .when(F.col(rule_col).startswith("*."), F.lit("wildcard"))
+        .otherwise(F.lit("plain"))
+        .alias("rule_kind"),
+        F.regexp_replace(rule_col, "^(!|\\*\\.)", "").alias("_key"),
+    ).withColumn(
+        # labels of the EFFECTIVE public suffix this rule asserts
+        "_eff",
+        F.size(F.split("_key", "\\."))
+        + F.when(F.col("rule_kind") == "wildcard", F.lit(1))
+        .when(F.col("rule_kind") == "exception", F.lit(-1))
+        .otherwise(F.lit(0)),
+    )
+    hits = cand.join(
+        F.broadcast(r), cand["_suffix"] == r["_key"], "inner"
+    ).filter(
+        # a wildcard's tail must sit strictly below at least one more
+        # host label (the '*' has to bind to something)
+        (F.col("rule_kind") != "wildcard") | (F.col("_pos") > 0)
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc(F.col("rule_kind") == "exception"),
+        F.desc("_eff"),
+        F.asc("rule"),
+    )
+    best = (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("host", "rule", "rule_kind", "_eff")
+    )
+    n = F.size("_lab")
+    resolved = (
+        hosts.select(F.col(host_col).alias("host"), lab.alias("_lab"))
+        .join(best, "host", "left")
+        .select(
+            "host",
+            F.coalesce("rule", F.lit("*")).alias("rule"),
+            F.coalesce("rule_kind", F.lit("default")).alias("rule_kind"),
+            F.coalesce("_eff", F.lit(1)).alias("_eff"),
+            "_lab",
+        )
+    )
+    return resolved.select(
+        "host",
+        "rule",
+        "rule_kind",
+        F.when(
+            n >= F.col("_eff"),
+            F.array_join(
+                F.slice(
+                    "_lab", n - F.col("_eff") + 1, F.col("_eff")
+                ),
+                ".",
+            ),
+        ).alias("public_suffix"),
+        F.when(
+            n > F.col("_eff"),
+            F.array_join(
+                F.slice("_lab", n - F.col("_eff"), F.col("_eff") + 1),
+                ".",
+            ),
+        ).alias("registered_domain"),
+    )

@@ -3025,3 +3025,65 @@ def test_label_votes_majority_and_summary(spark):
         "s": (2, 1, 1),
         "b": (1, 1, 0),
     }
+
+
+def test_weighted_sample_wor_exact_k_and_partition_invariance(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+
+    d = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 17 + 1).alias("w"),
+    )
+    got = weighted_sample_wor(d, "w", 7, by=["g"], id_col="doc_id")
+    rows = got.collect()
+    per_g = {}
+    for r in rows:
+        per_g.setdefault(r["g"], []).append((r["rk"], r["doc_id"]))
+    assert set(per_g) == {"0", "1", "2"}
+    for g, picks in per_g.items():
+        assert sorted(rk for rk, _ in picks) == list(range(1, 8))
+    # identical winner set under a different physical partitioning
+    again = weighted_sample_wor(
+        d.repartition(7, "doc_id"), "w", 7, by=["g"], id_col="doc_id"
+    ).collect()
+    assert sorted((r["g"], r["rk"], r["doc_id"]) for r in again) == sorted(
+        (r["g"], r["rk"], r["doc_id"]) for r in rows
+    )
+
+
+def test_weighted_sample_wor_small_group_and_nonpositive_weights(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+
+    d = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 0), ("a", 3, -4), ("a", 4, 2)],
+        ["g", "doc_id", "w"],
+    )
+    rows = weighted_sample_wor(d, "w", 10, by=["g"], id_col="doc_id").collect()
+    # weight<=0 rows are excluded by contract; k beyond group size keeps all
+    assert sorted(r["doc_id"] for r in rows) == [1, 4]
+    assert sorted(r["rk"] for r in rows) == [1, 2]
+
+
+def test_weighted_sample_wor_inclusion_tracks_weight(spark):
+    """Distributional check of the E-S key: across 400 independent
+    4-item groups where one item has weight 3 and three have weight 1,
+    the heavy item should rank first in ≈ 3/6 of groups (binomial
+    sd ≈ 2.5%; assert within 5 sd)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+
+    n_groups = 400
+    d = spark.range(n_groups * 4).select(
+        (F.col("id") % n_groups).alias("g"),
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_groups, 3).otherwise(1).alias("w"),
+    )
+    first = weighted_sample_wor(d, "w", 1, by=["g"], id_col="doc_id")
+    heavy_wins = first.filter(F.col("doc_id") < n_groups).count()
+    assert abs(heavy_wins / n_groups - 0.5) < 0.125

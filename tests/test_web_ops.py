@@ -638,3 +638,58 @@ def test_hll_registers_merge_by_max(spark):
     harm = present_sum + n_zero * (1 << big_k)
     assert harm == union_est["harm_num"]
     assert n_zero == union_est["n_zero"]
+
+
+# ------------------------------------------------- registered domain
+
+
+def _rd(spark, hosts, rules):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.urls import (
+        registered_domain,
+    )
+
+    h = spark.createDataFrame([(x,) for x in hosts], ["host"])
+    r = spark.createDataFrame([(x,) for x in rules], ["rule"])
+    return {
+        row["host"]: row
+        for row in registered_domain(h, r).collect()
+    }
+
+
+PSL = ["com", "uk", "co.uk", "*.ck", "!www.ck", "github.io", "io"]
+
+
+def test_registered_domain_longest_plain_rule_wins(spark):
+    got = _rd(spark, ["news.bbc.co.uk", "bbc.co.uk", "x.com"], PSL)
+    assert got["news.bbc.co.uk"]["public_suffix"] == "co.uk"
+    assert got["news.bbc.co.uk"]["registered_domain"] == "bbc.co.uk"
+    assert got["bbc.co.uk"]["registered_domain"] == "bbc.co.uk"
+    assert got["x.com"]["registered_domain"] == "x.com"
+
+
+def test_registered_domain_wildcard_and_exception(spark):
+    got = _rd(spark, ["a.b.ck", "b.ck", "ck", "www.ck", "x.www.ck"], PSL)
+    # *.ck: b.ck is itself a public suffix
+    assert got["b.ck"]["public_suffix"] == "b.ck"
+    assert got["b.ck"]["registered_domain"] is None
+    assert got["a.b.ck"]["registered_domain"] == "a.b.ck"
+    # bare ck: wildcard needs a label to bind; implicit * rule applies
+    assert got["ck"]["rule_kind"] == "default"
+    assert got["ck"]["registered_domain"] is None
+    # !www.ck carves the exception back out
+    assert got["www.ck"]["rule_kind"] == "exception"
+    assert got["www.ck"]["public_suffix"] == "ck"
+    assert got["www.ck"]["registered_domain"] == "www.ck"
+    assert got["x.www.ck"]["registered_domain"] == "www.ck"
+
+
+def test_registered_domain_private_suffix_and_default(spark):
+    got = _rd(spark, ["user.github.io", "github.io", "foo.bar.unlisted"], PSL)
+    assert got["user.github.io"]["public_suffix"] == "github.io"
+    assert got["user.github.io"]["registered_domain"] == "user.github.io"
+    assert got["github.io"]["registered_domain"] is None
+    # unlisted TLD: implicit * — last label is the suffix
+    d = got["foo.bar.unlisted"]
+    assert d["rule_kind"] == "default"
+    assert d["public_suffix"] == "unlisted"
+    assert d["registered_domain"] == "bar.unlisted"
