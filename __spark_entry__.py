@@ -3683,6 +3683,61 @@ def _q142_weighted_sample(spark, sf):
     return weighted_sample_wor(d, "w", 5, by=["source"], id_col="doc_id")
 
 
+def _q143_greedy_matching(spark, sf):
+    """Locally-dominant-edge maximal weighted matching (Preis SODA'99)
+    over the q131/q132 conflict graph with deterministic hash weights —
+    the iterated closer of q104's one-round reciprocal best match; 3
+    rounds replayed verbatim by the oracle's unrolled CTE chain
+    (per-node top-1 under (w DESC, u, v), 2-vote dominance, endpoint
+    removal), leftovers unmatched by contract in BOTH engines."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        greedy_weighted_matching,
+    )
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        porthash64,
+    )
+
+    e = _mis_wl_edges(spark, sf).select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    )
+    w = (
+        porthash64(
+            F.concat_ws(
+                ":", F.col("src").cast("string"), F.col("dst").cast("string")
+            ),
+            "match",
+        )
+        % 1000
+    )
+    return greedy_weighted_matching(
+        e.withColumn("w", w), src="src", dst="dst", weight_col="w", rounds=3
+    )
+
+
+def _q144_frequent_itemsets(spark, sf):
+    """Apriori market-basket mining over deterministic divisor baskets
+    (item i ∈ 2..30 in basket d iff d % i == 0 — a lattice with real
+    subset structure and non-trivial lifts: supp(i) ≈ N/i,
+    supp(i,j) ≈ N/lcm(i,j)), min_support = 5% of docs, levels L1→L3
+    with the full 2-subset candidate prune; supports exact counts,
+    lift as the exact integer pair (num, den).  The oracle replays the
+    identical level-wise walk."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        frequent_itemsets,
+    )
+
+    d = _t(spark, sf, "documents")
+    n = d.count()
+    baskets = d.select(
+        F.col("doc_id").alias("basket_id"),
+        F.explode(F.sequence(F.lit(2), F.lit(30))).alias("item"),
+    ).filter(F.col("doc_id") % F.col("item") == 0)
+    return frequent_itemsets(
+        baskets, min_support=n // 20, max_size=3, n_baskets=n
+    )
+
+
 _MIS_WL_EDGE_CTE = """
             ed AS (
                 SELECT doc_id,
@@ -3763,6 +3818,48 @@ def _mis_oracle(n_rounds: int) -> str:
         f"SELECT node, 'undecided', CAST({n_rounds} AS INT)"
         f" FROM und{n_rounds}"
     )
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(unions)
+
+
+def _matching_oracle(n_rounds: int) -> str:
+    """Unrolled locally-dominant-edge matching rounds (q143): per
+    round, each live node's maximum incident edge under (w DESC, u, v),
+    edges winning BOTH endpoint votes join the matching, matched
+    endpoints drop out — the identical recurrence as
+    components.greedy_weighted_matching, round numbers included."""
+    h = _ph_sql("u || ':' || v", "match")
+    parts = [
+        f"WITH {_MIS_WL_EDGE_CTE}, m0 AS MATERIALIZED ("
+        f"SELECT u, v, {h} % 1000 AS w FROM e0)"
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""", inc{r} AS (
+                SELECT u AS node, u, v, w FROM m{r - 1}
+                UNION ALL SELECT v, u, v, w FROM m{r - 1}
+            ), best{r} AS (
+                SELECT node, u, v, w
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY node
+                          ORDER BY w DESC, u ASC, v ASC) AS rn
+                      FROM inc{r})
+                WHERE rn = 1
+            ), mt{r} AS MATERIALIZED (
+                SELECT u, v, w FROM best{r}
+                GROUP BY u, v, w HAVING count(*) = 2
+            ), mn{r} AS (
+                SELECT u AS node FROM mt{r} UNION SELECT v FROM mt{r}
+            ), m{r} AS MATERIALIZED (
+                SELECT e.u, e.v, e.w FROM m{r - 1} e
+                LEFT JOIN mn{r} g1 ON e.u = g1.node
+                LEFT JOIN mn{r} g2 ON e.v = g2.node
+                WHERE g1.node IS NULL AND g2.node IS NULL
+            )"""
+        )
+    unions = [
+        f"SELECT u, v, w, CAST({r} AS INT) AS rnd FROM mt{r}"
+        for r in range(1, n_rounds + 1)
+    ]
     return "\n".join(parts) + "\n" + "\nUNION ALL ".join(unions)
 
 
@@ -4137,6 +4234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_hll_distinct": _q140_hll_distinct,
         "q141_registered_domain": _q141_registered_domain,
         "q142_weighted_sample": _q142_weighted_sample,
+        "q143_greedy_matching": _q143_greedy_matching,
+        "q144_frequent_itemsets": _q144_frequent_itemsets,
     }
 
 
@@ -4693,6 +4792,65 @@ _WEBLINKS_CTE = """
                'dead-' || CAST(doc_id % 4 AS VARCHAR)
         FROM d WHERE doc_id % 10 = 0
     )"""
+
+_APRIORI_ORACLE = """
+    WITH d AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    ms AS (SELECT n // 20 AS m FROM d),
+    b AS (
+        SELECT doc_id AS bid, CAST(i AS VARCHAR) AS item
+        FROM documents, unnest(generate_series(2, 30)) AS t(i)
+        WHERE doc_id % i = 0
+    ),
+    l1 AS MATERIALIZED (
+        SELECT item, CAST(count(*) AS BIGINT) AS s
+        FROM b GROUP BY 1
+        HAVING count(*) >= (SELECT m FROM ms)
+    ),
+    b1 AS MATERIALIZED (
+        SELECT bid, item FROM b
+        WHERE item IN (SELECT item FROM l1)
+    ),
+    l2 AS MATERIALIZED (
+        SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS s
+        FROM b1 x JOIN b1 y ON x.bid = y.bid AND x.item < y.item
+        GROUP BY 1, 2
+        HAVING count(*) >= (SELECT m FROM ms)
+    ),
+    c3 AS (
+        SELECT p.a, p.b, q.b AS c
+        FROM l2 p JOIN l2 q ON p.a = q.a AND p.b < q.b
+        WHERE EXISTS (SELECT 1 FROM l2 r WHERE r.a = p.b AND r.b = q.b)
+    ),
+    occ2 AS (
+        SELECT x.bid, x.item AS a, y.item AS b
+        FROM b1 x JOIN b1 y ON x.bid = y.bid AND x.item < y.item
+        WHERE EXISTS (SELECT 1 FROM l2
+                      WHERE l2.a = x.item AND l2.b = y.item)
+    ),
+    l3 AS (
+        SELECT o.a, o.b, z.item AS c, CAST(count(*) AS BIGINT) AS s
+        FROM occ2 o
+        JOIN b1 z ON z.bid = o.bid AND z.item > o.b
+        JOIN c3 ON c3.a = o.a AND c3.b = o.b AND c3.c = z.item
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= (SELECT m FROM ms)
+    )
+    SELECT item AS item_a, CAST(NULL AS VARCHAR) AS item_b,
+           CAST(NULL AS VARCHAR) AS item_c, CAST(1 AS INT) AS size,
+           s AS support, s AS lift_num, s AS lift_den
+    FROM l1
+    UNION ALL
+    SELECT l2.a, l2.b, NULL, CAST(2 AS INT), l2.s,
+           l2.s * (SELECT n FROM d), sa.s * sb.s
+    FROM l2 JOIN l1 sa ON sa.item = l2.a JOIN l1 sb ON sb.item = l2.b
+    UNION ALL
+    SELECT l3.a, l3.b, l3.c, CAST(3 AS INT), l3.s,
+           l3.s * (SELECT n FROM d) * (SELECT n FROM d),
+           sa.s * sb.s * sc.s
+    FROM l3 JOIN l1 sa ON sa.item = l3.a
+            JOIN l1 sb ON sb.item = l3.b
+            JOIN l1 sc ON sc.item = l3.c
+"""
 
 _PSL_ORACLE = r"""
     WITH hosts AS (
@@ -8783,4 +8941,6 @@ def oracle_sql() -> dict[str, str]:
         "q140_hll_distinct": _hll_oracle(6),
         "q141_registered_domain": _PSL_ORACLE,
         "q142_weighted_sample": _es_sample_oracle(5),
+        "q143_greedy_matching": _matching_oracle(3),
+        "q144_frequent_itemsets": _APRIORI_ORACLE,
     }

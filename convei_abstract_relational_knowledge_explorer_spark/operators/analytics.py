@@ -386,3 +386,152 @@ def merge_agg_states(
         for out, (kind, _) in spec.items()
     ]
     return merged.groupBy(*keys).agg(*aggs)
+
+
+def frequent_itemsets(
+    baskets: DataFrame,
+    min_support: int,
+    id_col: str = "basket_id",
+    item_col: str = "item",
+    max_size: int = 3,
+    n_baskets: int | None = None,
+) -> DataFrame:
+    """Apriori frequent-itemset mining (Agrawal & Srikant, VLDB'94) up
+    to ``max_size`` ∈ {1, 2, 3} → one row per frequent itemset:
+    (item_a, item_b, item_c, size, support, lift_num, lift_den) with
+    items sorted ascending inside the set and trailing slots NULL.
+
+    The market-basket view of a corpus — which tags / entities /
+    domains / quality-labels co-occur in the same document more than
+    independence predicts — is the co-occurrence analytics q03/q15
+    compute for PAIRS, completed to the classic level-wise lattice
+    walk: L1 = frequent items, L2 = frequent pairs over L1-filtered
+    baskets, C3 = L2 ⋈ L2 candidates with the FULL Apriori prune
+    (every 2-subset frequent) BEFORE any counting touches data, L3 =
+    candidates verified against baskets.  Support is an exact row
+    count; lift ships as the EXACT integer pair
+    ``lift_num = support · n_baskets^(size-1)`` over
+    ``lift_den = Π support(single item)`` — no division, no floats, so
+    the output replays bit-identically in any engine (consumers at
+    astronomical n_baskets should compare in log space; the pair
+    itself stays exact while it fits in BIGINT, n ≲ 2·10⁸ for
+    triples).
+
+    100 TB shape: baskets are L1-filtered FIRST (the Apriori trick —
+    the quadratic pair explosion runs over frequent items only), every
+    level is a map-side-combinable groupBy on the itemset key, the C3
+    candidate table is itemset-schema-sized (joined, never broadcast
+    as a collection), and no basket ever materializes as an array.
+    """
+    if not 1 <= max_size <= 3:
+        raise ValueError("frequent_itemsets supports max_size in {1,2,3}")
+    b = baskets.select(
+        F.col(id_col).alias("bid"),
+        F.col(item_col).cast("string").alias("item"),
+    ).distinct()
+    if n_baskets is None:
+        n_baskets = b.select("bid").distinct().count()
+    n = F.lit(int(n_baskets)).cast("long")
+    l1 = (
+        b.groupBy("item")
+        .agg(F.count("*").cast("long").alias("s"))
+        .filter(F.col("s") >= min_support)
+    )
+    out = l1.select(
+        F.col("item").alias("item_a"),
+        F.lit(None).cast("string").alias("item_b"),
+        F.lit(None).cast("string").alias("item_c"),
+        F.lit(1).alias("size"),
+        F.col("s").alias("support"),
+        F.col("s").alias("lift_num"),
+        F.col("s").alias("lift_den"),
+    )
+    if max_size == 1:
+        return out
+    b1 = b.join(l1.select("item"), "item").select("bid", "item")
+    l2 = (
+        b1.alias("x")
+        .join(b1.alias("y"), "bid")
+        .filter(F.col("x.item") < F.col("y.item"))
+        .groupBy(
+            F.col("x.item").alias("a"), F.col("y.item").alias("b")
+        )
+        .agg(F.count("*").cast("long").alias("s"))
+        .filter(F.col("s") >= min_support)
+    )
+    sa = l1.select(F.col("item").alias("a"), F.col("s").alias("s_a"))
+    sb = l1.select(F.col("item").alias("b"), F.col("s").alias("s_b"))
+    out = out.unionByName(
+        l2.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            F.lit(None).cast("string").alias("item_c"),
+            F.lit(2).alias("size"),
+            F.col("s").alias("support"),
+            (F.col("s") * n).cast("long").alias("lift_num"),
+            (F.col("s_a") * F.col("s_b")).cast("long").alias("lift_den"),
+        )
+    )
+    if max_size == 2:
+        return out
+    # C3: join L2 on shared first item, prune on the third 2-subset
+    c3 = (
+        l2.select("a", "b")
+        .alias("p")
+        .join(
+            l2.select(F.col("a").alias("a2"), F.col("b").alias("c")).alias(
+                "q"
+            ),
+            F.col("p.a") == F.col("a2"),
+        )
+        .filter(F.col("p.b") < F.col("c"))
+        .select("a", "b", "c")
+        .join(
+            l2.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            ["b", "c"],
+            "left_semi",
+        )
+    )
+    occ2 = (
+        b1.alias("x")
+        .join(b1.alias("y"), "bid")
+        .filter(F.col("x.item") < F.col("y.item"))
+        .join(
+            l2.select(F.col("a"), F.col("b")),
+            (F.col("x.item") == F.col("a")) & (F.col("y.item") == F.col("b")),
+            "left_semi",
+        )
+        .select(
+            "bid",
+            F.col("x.item").alias("a"),
+            F.col("y.item").alias("b"),
+        )
+    )
+    l3 = (
+        occ2.join(b1.alias("z"), "bid")
+        .filter(F.col("z.item") > F.col("b"))
+        .select("bid", "a", "b", F.col("z.item").alias("c"))
+        .join(c3, ["a", "b", "c"], "left_semi")
+        .groupBy("a", "b", "c")
+        .agg(F.count("*").cast("long").alias("s"))
+        .filter(F.col("s") >= min_support)
+    )
+    sc = l1.select(F.col("item").alias("c"), F.col("s").alias("s_c"))
+    return out.unionByName(
+        l3.join(sa, "a")
+        .join(sb, "b")
+        .join(sc, "c")
+        .select(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            F.col("c").alias("item_c"),
+            F.lit(3).alias("size"),
+            F.col("s").alias("support"),
+            (F.col("s") * n * n).cast("long").alias("lift_num"),
+            (F.col("s_a") * F.col("s_b") * F.col("s_c"))
+            .cast("long")
+            .alias("lift_den"),
+        )
+    )

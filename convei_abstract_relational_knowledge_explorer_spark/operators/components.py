@@ -2434,3 +2434,92 @@ def stress_centrality(
     return nodes.join(stress, "node", "left").select(
         "node", F.coalesce("stress", F.lit(0)).cast("long").alias("stress")
     )
+
+
+def greedy_weighted_matching(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+    rounds: int = 3,
+) -> DataFrame:
+    """Locally-dominant-edge maximal weighted matching →
+    (u, v, w, rnd): the matched edges, tagged with the round that
+    locked them in.
+
+    The 1:1 entity-alignment closer: reciprocal best-match
+    (q104 / similarity.mutual_best_match) is exactly ONE round of this
+    algorithm — it leaves every node whose best partner preferred
+    someone else unmatched even when a perfectly good second-choice
+    pairing exists.  Iterating to maximality is the classic
+    locally-dominant-edge scheme (Preis SODA'99; Manne & Bisseling's
+    distributed form): each round, an edge is DOMINANT when it is the
+    maximum incident edge of BOTH its endpoints under the total order
+    (w DESC, u ASC, v ASC); all dominant edges join the matching
+    simultaneously (per-vertex argmaxes can't conflict), their
+    endpoints and incident edges vanish, and freed-up second choices
+    become dominant next round.  Guarantees a MAXIMAL matching with
+    weight ≥ ½ the maximum-weight matching; ``rounds`` caps the
+    unrolling (a decreasing-weight path needs one round per edge), so
+    leftovers simply stay unmatched — the cap is part of the contract
+    and the SQL replay carries the identical recurrence round for
+    round.
+
+    Deterministic: the total order breaks every tie by edge id, so the
+    matching is a pure function of the edge multiset — no hashes, no
+    randomness, resume-stable, bit-identical in any engine.  100 TB
+    shape per round: one union-explode of live edges to their two
+    endpoints, one per-node top-1 window (WindowGroupLimit keeps it
+    map-side partial), one 2-vote groupBy, two anti-joins; the live
+    edge set only shrinks, nothing materializes a neighbor array, and
+    ``localCheckpoint`` truncates lineage per round exactly as in
+    :func:`maximal_independent_set`.
+    """
+    if rounds < 1:
+        raise ValueError("greedy_weighted_matching needs rounds >= 1")
+    e = (
+        edges.select(
+            F.least(src, dst).alias("u"),
+            F.greatest(src, dst).alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .filter(F.col(src) != F.col(dst))
+        .groupBy("u", "v")
+        .agg(F.max("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    out = spark.createDataFrame([], "u long, v long, w long, rnd int")
+    for r in range(1, rounds + 1):
+        if not e.take(1):
+            break
+        inc = e.select(F.col("u").alias("node"), "u", "v", "w").unionAll(
+            e.select(F.col("v").alias("node"), "u", "v", "w")
+        )
+        top = Window.partitionBy("node").orderBy(
+            F.desc("w"), F.asc("u"), F.asc("v")
+        )
+        best = (
+            inc.withColumn("_rn", F.row_number().over(top))
+            .filter(F.col("_rn") == 1)
+            .select("node", "u", "v", "w")
+        )
+        matched = (
+            best.groupBy("u", "v", "w")
+            .agg(F.count("*").alias("_votes"))
+            .filter(F.col("_votes") == 2)
+            .select("u", "v", "w")
+            .localCheckpoint(eager=True)
+        )
+        gone = matched.select(F.col("u").alias("node")).unionAll(
+            matched.select("v")
+        )
+        out = out.unionAll(
+            matched.select("u", "v", "w", F.lit(r).cast("int").alias("rnd"))
+        )
+        e = (
+            e.join(gone, e["u"] == gone["node"], "left_anti")
+            .join(gone, F.col("v") == gone["node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return out

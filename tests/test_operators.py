@@ -3087,3 +3087,71 @@ def test_weighted_sample_wor_inclusion_tracks_weight(spark):
     first = weighted_sample_wor(d, "w", 1, by=["g"], id_col="doc_id")
     heavy_wins = first.filter(F.col("doc_id") < n_groups).count()
     assert abs(heavy_wins / n_groups - 0.5) < 0.125
+
+
+def test_frequent_itemsets_small_lattice(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        frequent_itemsets,
+    )
+
+    # 6 baskets; {m, b} in 4, {m, b, d} in 2, singles m:5 b:4 d:3 c:1
+    data = [
+        (1, "m"), (1, "b"), (1, "d"),
+        (2, "m"), (2, "b"), (2, "d"),
+        (3, "m"), (3, "b"),
+        (4, "m"), (4, "b"),
+        (5, "m"), (5, "d"),
+        (6, "c"),
+    ]
+    b = spark.createDataFrame(data, ["basket_id", "item"])
+    got = {
+        (r["item_a"], r["item_b"], r["item_c"]): (
+            r["size"], r["support"], r["lift_num"], r["lift_den"]
+        )
+        for r in frequent_itemsets(b, min_support=2, max_size=3).collect()
+    }
+    assert got[("m", None, None)] == (1, 5, 5, 5)
+    assert got[("b", None, None)] == (1, 4, 4, 4)
+    assert got[("d", None, None)] == (1, 3, 3, 3)
+    assert ("c", None, None) not in got  # below support
+    assert got[("b", "m", None)] == (2, 4, 4 * 6, 4 * 5)
+    assert got[("d", "m", None)] == (2, 3, 3 * 6, 3 * 5)
+    assert got[("b", "d", None)] == (2, 2, 2 * 6, 4 * 3)
+    assert got[("b", "d", "m")] == (3, 2, 2 * 36, 4 * 3 * 5)
+    assert len(got) == 7
+
+
+def test_frequent_itemsets_apriori_prune_blocks_candidate(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        frequent_itemsets,
+    )
+
+    # (a,b) and (a,c) frequent but (b,c) never co-occurs -> no triple
+    data = (
+        [(i, "a") for i in range(1, 7)]
+        + [(i, "b") for i in range(1, 4)]
+        + [(i, "c") for i in range(4, 7)]
+    )
+    b = spark.createDataFrame(data, ["basket_id", "item"])
+    got = frequent_itemsets(b, min_support=2, max_size=3)
+    assert got.filter(F.col("size") == 3).count() == 0
+    pairs = {
+        (r["item_a"], r["item_b"])
+        for r in got.filter(F.col("size") == 2).collect()
+    }
+    assert pairs == {("a", "b"), ("a", "c")}
+
+
+def test_frequent_itemsets_duplicate_rows_and_max_size(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        frequent_itemsets,
+    )
+
+    b = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "x"), (1, "y"), (2, "y")],
+        ["basket_id", "item"],
+    )
+    got = frequent_itemsets(b, min_support=2, max_size=1).collect()
+    # duplicates collapse; support counts baskets, not rows
+    assert {(r["item_a"], r["support"]) for r in got} == {("x", 2), ("y", 2)}
+    assert all(r["size"] == 1 for r in got)

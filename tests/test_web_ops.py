@@ -693,3 +693,54 @@ def test_registered_domain_private_suffix_and_default(spark):
     assert d["rule_kind"] == "default"
     assert d["public_suffix"] == "unlisted"
     assert d["registered_domain"] == "bar.unlisted"
+
+
+# ------------------------------------------- greedy weighted matching
+
+
+def _match(spark, edges, rounds=3):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        greedy_weighted_matching,
+    )
+
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    return sorted(
+        (r["u"], r["v"], r["w"], r["rnd"])
+        for r in greedy_weighted_matching(e, rounds=rounds).collect()
+    )
+
+
+def test_matching_beats_one_round_reciprocal(spark):
+    # path 1-2-3-4 with weights 5, 9, 5: round 1 matches only (2,3);
+    # round 2 has nothing left adjacent — (1,) and (4,) stay single.
+    got = _match(spark, [(1, 2, 5), (2, 3, 9), (3, 4, 5)])
+    assert got == [(2, 3, 9, 1)]
+    # star + pendant: (1,2)=9 dominant; then (3,4)=5 becomes dominant
+    # in round 2 once node 2 is gone — the pairing one-round
+    # reciprocal-best leaves on the table.
+    got = _match(spark, [(1, 2, 9), (2, 3, 7), (3, 4, 5)])
+    assert got == [(1, 2, 9, 1), (3, 4, 5, 2)]
+
+
+def test_matching_is_a_matching_and_maximal(spark):
+    edges = [
+        (i, j, (i * 7 + j * 13) % 50 + 1)
+        for i in range(12)
+        for j in range(i + 1, 12)
+        if (i + j) % 3 != 0
+    ]
+    got = _match(spark, edges, rounds=8)
+    used = [u for u, v, _, _ in got] + [v for _, v, _, _ in got]
+    assert len(used) == len(set(used))  # node-disjoint
+    # maximal: no live edge has both endpoints unmatched
+    matched = set(used)
+    assert not [
+        (a, b) for a, b, _ in edges
+        if a not in matched and b not in matched
+    ]
+
+
+def test_matching_ties_and_duplicate_edges(spark):
+    # duplicate edge keeps max weight; equal weights break by (u, v)
+    got = _match(spark, [(1, 2, 5), (2, 1, 3), (2, 3, 5)])
+    assert got == [(1, 2, 5, 1)]
