@@ -3738,6 +3738,52 @@ def _q144_frequent_itemsets(spark, sf):
     )
 
 
+def _q145_exactsubstr_removal(spark, sf):
+    """ExactSubstr removal (Lee et al., ACL 2022 — the action q50 only
+    profiles): every token covered by any corpus-repeated 8-token
+    window is deleted from the text; repeated regions vanish from ALL
+    copies (no canonical keeper — boilerplate is poison at every
+    multiplicity).  Portable md5 window hashes; the oracle replays the
+    pass relationally (positions table, coverage join, ordered
+    string_agg reassembly)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        remove_repeated_substrings,
+    )
+
+    return remove_repeated_substrings(
+        _t(spark, sf, "documents"), n=8, portable=True
+    )
+
+
+def _q146_k_anonymity(spark, sf):
+    """Samarati minimal-generalization k-anonymity audit on customers:
+    QI = (mktsegment, acctbal coarsened by the 4-level ladder
+    100$ → 1000$ → 10000$ → suppressed), k=10, distinct-l-diversity
+    l=3 on the synthetic sensitive label custkey%7; the lowest ladder
+    level where every group reaches k is chosen declaratively (4-row
+    broadcast, no collect) and the oracle replays the whole selection."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.pii import (
+        k_anonymity_generalize,
+    )
+
+    c = _t(spark, sf, "customer").select(
+        "c_mktsegment",
+        (F.col("c_custkey") % 7).alias("sens"),
+        "c_acctbal",
+    )
+    bal = F.col("c_acctbal")
+    ladder = [
+        F.floor(bal / 100),
+        F.floor(bal / 1000),
+        F.floor(bal / 10000),
+        F.lit(0),
+    ]
+    return k_anonymity_generalize(
+        c, ["c_mktsegment"], ladder, k=10,
+        sensitive_col="sens", l_diversity=3,
+    )
+
+
 _MIS_WL_EDGE_CTE = """
             ed AS (
                 SELECT doc_id,
@@ -4236,6 +4282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_weighted_sample": _q142_weighted_sample,
         "q143_greedy_matching": _q143_greedy_matching,
         "q144_frequent_itemsets": _q144_frequent_itemsets,
+        "q145_exactsubstr_removal": _q145_exactsubstr_removal,
+        "q146_k_anonymity": _q146_k_anonymity,
     }
 
 
@@ -4792,6 +4840,73 @@ _WEBLINKS_CTE = """
                'dead-' || CAST(doc_id % 4 AS VARCHAR)
         FROM d WHERE doc_id % 10 = 0
     )"""
+
+_EXACTSUBSTR_REMOVAL_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, {tok} AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id, i AS start,
+               CAST('0x' || substr(md5(
+                   array_to_string(toks[i:i+7], ' ')), 1, 15)
+                   AS BIGINT) AS g
+        FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        WHERE len(toks) >= 8
+    ),
+    rep AS (SELECT g FROM w GROUP BY g HAVING count(*) >= 2),
+    cov AS (
+        SELECT DISTINCT doc_id, s.start + off AS pos
+        FROM (SELECT doc_id, start FROM w
+              WHERE g IN (SELECT g FROM rep)) s,
+             unnest(generate_series(0, 7)) AS o(off)
+    ),
+    tok_pos AS (
+        SELECT doc_id, i AS pos, toks[i] AS tok
+        FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.pos, tp.tok
+        FROM tok_pos tp
+        LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+        WHERE cov.pos IS NULL
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(k.text_clean, '') AS text_clean
+    FROM t LEFT JOIN (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+"""
+
+_KANON_ORACLE = """
+    WITH lv AS (
+        SELECT c_mktsegment, c_custkey % 7 AS sens, l.level,
+               CASE l.level
+                   WHEN 0 THEN CAST(floor(c_acctbal / 100) AS BIGINT)
+                   WHEN 1 THEN CAST(floor(c_acctbal / 1000) AS BIGINT)
+                   WHEN 2 THEN CAST(floor(c_acctbal / 10000) AS BIGINT)
+                   ELSE 0 END AS bucket
+        FROM customer, (VALUES (0), (1), (2), (3)) AS l(level)
+    ),
+    stats AS (
+        SELECT level, c_mktsegment, bucket,
+               CAST(count(*) AS BIGINT) AS group_size,
+               CAST(count(DISTINCT sens) AS BIGINT) AS n_sensitive
+        FROM lv GROUP BY 1, 2, 3
+    ),
+    pl AS (SELECT level, min(group_size) AS ms FROM stats GROUP BY 1),
+    ch AS (
+        SELECT coalesce(min(CASE WHEN ms >= 10 THEN level END),
+                        max(level)) AS level
+        FROM pl
+    )
+    SELECT s.level, c_mktsegment, bucket, group_size, n_sensitive,
+           n_sensitive >= 3 AS l_ok
+    FROM stats s JOIN ch USING (level)
+"""
 
 _APRIORI_ORACLE = """
     WITH d AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
@@ -8943,4 +9058,8 @@ def oracle_sql() -> dict[str, str]:
         "q142_weighted_sample": _es_sample_oracle(5),
         "q143_greedy_matching": _matching_oracle(3),
         "q144_frequent_itemsets": _APRIORI_ORACLE,
+        "q145_exactsubstr_removal": _EXACTSUBSTR_REMOVAL_ORACLE.format(
+            tok=_TOK
+        ),
+        "q146_k_anonymity": _KANON_ORACLE,
     }

@@ -1607,3 +1607,88 @@ def template_line_removal(
             F.coalesce("_text", F.lit("")).alias("text"),
         )
     )
+
+
+def remove_repeated_substrings(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (the step :func:`repeated_substring_stats`
+    profiles): delete every token covered by any n-token window that
+    occurs more than once in the whole corpus →
+    (doc_id, n_tokens, n_kept, text_clean).
+
+    The actual dedup action of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., ACL 2022): their suffix array
+    finds substrings of ≥ 50 tokens repeated verbatim anywhere and cuts
+    them out of the training text, leaving the remainder — one copy is
+    NOT kept (repeated boilerplate is poison at every multiplicity; the
+    near-dup families keep a canonical copy instead).  Window width
+    ``n`` is their length threshold: any repeat of length ≥ n contains
+    a repeated n-window, and every token of that repeat is inside one,
+    so span coverage by repeated fixed-width windows deletes exactly
+    the maximal repeated regions (plus nothing else).
+
+    Spark shape: positional n-windows travel as 60-bit hashes (md5
+    porthash when ``portable`` — the q145 oracle replays the whole pass
+    relationally), the corpus-wide repeat test is one
+    map-side-combinable groupBy (a 10⁸-copy boilerplate gram is ONE
+    row), and coverage returns to each doc as a sorted array of its OWN
+    covered window starts — bounded by the doc's token count, the same
+    per-row scale as the text itself, never a cross-doc group.  Token
+    deletion is a JVM higher-order ``filter`` with the index lambda; no
+    Python, no second corpus scan.
+    """
+    hash_fn = porthash64 if portable else F.xxhash64
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+(?:-[a-z0-9]+)*', 0)"
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    grams = F.expr(
+        f"transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+    )
+    windows = (
+        base.filter(F.size("_toks") >= n)
+        .select("doc_id", F.posexplode(grams).alias("_i0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("_i0") + 1).alias("start"),  # 1-based window start
+            hash_fn(F.col("gram")).alias("g"),
+        )
+    )
+    repeated = (
+        windows.groupBy("g")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("g")
+    )
+    covered = (
+        windows.join(repeated, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("start")).alias("_starts"))
+    )
+    kept = F.expr(
+        f"filter(_toks, (t, p) -> NOT exists(_starts,"
+        f" st -> st <= p + 1 AND p + 1 <= st + {n - 1}))"
+    )
+    return (
+        base.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.coalesce("_starts", F.expr("cast(array() as array<int>)")).alias(
+                "_starts"
+            ),
+            "_toks",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, " ").alias("text_clean"),
+        )
+    )

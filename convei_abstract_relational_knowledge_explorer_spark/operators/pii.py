@@ -98,3 +98,70 @@ def redact_pii(
     for _, pat, token in PII_PATTERNS:
         masked = F.regexp_replace(masked, pat, token)
     return docs.withColumn(text_col, masked)
+
+
+def k_anonymity_generalize(
+    df: DataFrame,
+    static_qi: list[str],
+    ladder: list,
+    k: int,
+    sensitive_col: str,
+    l_diversity: int = 2,
+) -> DataFrame:
+    """Samarati-style minimal generalization for k-anonymity → the
+    quasi-identifier groups at the LOWEST ladder level where every
+    group reaches size ≥ k: (level, *static_qi, bucket, group_size,
+    n_sensitive, l_ok).
+
+    The training-data governance gate: before user-derived records
+    (search logs, profile joins, annotator tables) enter a corpus, the
+    quasi-identifier combination (static columns + one progressively
+    coarsened column given as ``ladder`` — a list of Column
+    expressions, finest first, typically ending in a constant =
+    full suppression) must not isolate fewer than ``k`` individuals.
+    The minimal qualifying level is chosen (monotonicity: coarsening
+    only merges groups, so group sizes are non-decreasing in level);
+    if even the coarsest level fails — some static-QI slice holds
+    under k rows — the coarsest is returned with its violations
+    visible, never silently dropped.  ``l_ok`` flags groups meeting
+    distinct-l-diversity on ``sensitive_col`` (k-anonymity alone is
+    defeated by a homogeneous group; Machanavajjhala et al., ICDE'06).
+
+    One scan: every level's bucket is computed in a single
+    ``posexplode`` over the ladder array, group stats are one
+    map-side-combinable groupBy, level selection is a 4-row broadcast
+    — fully declarative, no driver collect, replayed verbatim in SQL.
+    """
+    if not ladder:
+        raise ValueError("k_anonymity_generalize needs >= 1 ladder level")
+    leveled = df.select(
+        *static_qi,
+        F.col(sensitive_col).alias("_sens"),
+        F.posexplode(
+            F.array(*[e.cast("long") for e in ladder])
+        ).alias("level", "bucket"),
+    )
+    stats = leveled.groupBy("level", *static_qi, "bucket").agg(
+        F.count("*").cast("long").alias("group_size"),
+        F.countDistinct("_sens").cast("long").alias("n_sensitive"),
+    )
+    per_level = stats.groupBy("level").agg(
+        F.min("group_size").alias("_min_size")
+    )
+    chosen = per_level.agg(
+        F.coalesce(
+            F.min(F.when(F.col("_min_size") >= k, F.col("level"))),
+            F.max("level"),
+        ).alias("level")
+    )
+    return (
+        stats.join(F.broadcast(chosen), "level")
+        .select(
+            "level",
+            *static_qi,
+            "bucket",
+            "group_size",
+            "n_sensitive",
+            (F.col("n_sensitive") >= l_diversity).alias("l_ok"),
+        )
+    )

@@ -3155,3 +3155,120 @@ def test_frequent_itemsets_duplicate_rows_and_max_size(spark):
     # duplicates collapse; support counts baskets, not rows
     assert {(r["item_a"], r["support"]) for r in got} == {("x", 2), ("y", 2)}
     assert all(r["size"] == 1 for r in got)
+
+
+def test_remove_repeated_substrings_cuts_all_copies(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        remove_repeated_substrings,
+    )
+
+    boiler = "one two three four"  # 4-token window repeated across docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {boiler} beta"),
+            (2, f"gamma delta {boiler}"),
+            (3, "unique words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in remove_repeated_substrings(docs, n=4).collect()
+    }
+    # repeated window removed from BOTH docs, no keeper
+    assert got[1]["text_clean"] == "alpha beta"
+    assert got[2]["text_clean"] == "gamma delta"
+    assert got[3]["text_clean"] == "unique words only here"
+    assert got[1]["n_tokens"] == 6 and got[1]["n_kept"] == 2
+    assert got[3]["n_kept"] == 4
+
+
+def test_remove_repeated_substrings_within_doc_and_overlap(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        remove_repeated_substrings,
+    )
+
+    # "a b a b a b" with n=2: windows (a b),(b a),(a b),(b a),(a b)
+    # every window repeats -> whole doc removed
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in remove_repeated_substrings(docs, n=2).collect()
+    }
+    assert got[1]["n_kept"] == 0 and got[1]["text_clean"] == ""
+    # doc shorter than n emits no windows and keeps everything
+    assert got[2]["n_kept"] == 2 and got[2]["text_clean"] == "x y"
+
+
+def test_remove_repeated_substrings_portable_matches_default(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        remove_repeated_substrings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"shared prefix tokens here tail{i} more w{i % 2}")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    a = sorted(
+        (r["doc_id"], r["n_kept"], r["text_clean"])
+        for r in remove_repeated_substrings(docs, n=4).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_kept"], r["text_clean"])
+        for r in remove_repeated_substrings(docs, n=4, portable=True).collect()
+    )
+    assert a == b
+
+
+def test_k_anonymity_picks_minimal_qualifying_level(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.pii import (
+        k_anonymity_generalize,
+    )
+
+    # values 0..19: level0 buckets of 2 (size 2 < k), level1 buckets of
+    # 10 (size 10 >= k) -> chosen level must be 1, not 2
+    df = spark.range(20).select(
+        F.lit("g").alias("seg"),
+        F.col("id").alias("v"),
+        (F.col("id") % 3).alias("sens"),
+    )
+    ladder = [
+        F.floor(F.col("v") / 2),
+        F.floor(F.col("v") / 10),
+        F.lit(0),
+    ]
+    got = k_anonymity_generalize(
+        df, ["seg"], ladder, k=10, sensitive_col="sens", l_diversity=3
+    ).collect()
+    assert {r["level"] for r in got} == {1}
+    assert sorted((r["bucket"], r["group_size"]) for r in got) == [
+        (0, 10), (1, 10)
+    ]
+    assert all(r["l_ok"] for r in got)
+
+
+def test_k_anonymity_falls_back_to_coarsest_with_violations_visible(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.pii import (
+        k_anonymity_generalize,
+    )
+
+    # one static slice has 3 rows: no level can reach k=5 -> coarsest
+    # level returned, the undersized group still present
+    df = spark.createDataFrame(
+        [("a", i, i % 2) for i in range(12)]
+        + [("b", i, 0) for i in range(3)],
+        ["seg", "v", "sens"],
+    )
+    ladder = [F.floor(F.col("v") / 4), F.lit(0)]
+    got = k_anonymity_generalize(
+        df, ["seg"], ladder, k=5, sensitive_col="sens", l_diversity=2
+    ).collect()
+    assert {r["level"] for r in got} == {1}
+    by_seg = {r["seg"]: r for r in got}
+    assert by_seg["b"]["group_size"] == 3
+    assert not by_seg["b"]["l_ok"]  # homogeneous sensitive
+    assert by_seg["a"]["group_size"] == 12 and by_seg["a"]["l_ok"]
