@@ -3784,6 +3784,41 @@ def _q146_k_anonymity(spark, sf):
     )
 
 
+def _q147_greedy_coloring(spark, sf):
+    """Jones-Plassmann greedy coloring over the q131 conflict graph —
+    the full multi-wave merge schedule where q131's MIS is wave 0:
+    3 rounds of strict-local-minimum winners each taking the smallest
+    color absent from their colored neighborhood, leftovers 'undecided'
+    by contract; the oracle unrolls the identical recurrence
+    (live-neighbor view, winner set, distinct-used-colors count,
+    generate_series candidate pool, anti-join min-free pick)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        greedy_coloring,
+    )
+
+    return greedy_coloring(_mis_wl_edges(spark, sf), rounds=3)
+
+
+def _q148_semantic_dedup(spark, sf):
+    """SemDeDup semantic near-dup pruning over the embeddings table:
+    route by quantized-MIPS argmax to √n md5-seed cells, drop any
+    vector whose smaller-id cellmate clears cos ≥ 0.95 — the cosine
+    test cross-multiplied on exact BIGINT quantized integers (no
+    division, no sqrt), the whole pass replayed verbatim in SQL."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.similarity import (
+        adaptive_cells,
+        semantic_dedup,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    return semantic_dedup(
+        e,
+        n_cells=adaptive_cells(e.count()),
+        tau_millis=950,
+        hash_fn="md5",
+    )
+
+
 _MIS_WL_EDGE_CTE = """
             ed AS (
                 SELECT doc_id,
@@ -3907,6 +3942,75 @@ def _matching_oracle(n_rounds: int) -> str:
         for r in range(1, n_rounds + 1)
     ]
     return "\n".join(parts) + "\n" + "\nUNION ALL ".join(unions)
+
+
+def _coloring_oracle(n_rounds: int) -> str:
+    """Unrolled Jones-Plassmann rounds (q147): strict local-minimum
+    winners over the live (uncolored-uncolored) neighbor view, each
+    winner's smallest color not used by its colored neighbors via a
+    generate_series(0, k) candidate pool — the identical recurrence as
+    components.greedy_coloring, round numbers included."""
+    h_node = _ph_sql("node", "color")
+    h_peer = _ph_sql("peer", "color")
+    parts = [
+        f"""WITH {_MIS_WL_EDGE_CTE}, nb AS MATERIALIZED (
+            SELECT u AS node, v AS peer FROM e0
+            UNION ALL SELECT v, u FROM e0
+        ), un0 AS MATERIALIZED (SELECT DISTINCT node FROM nb),
+        col0 AS (
+            SELECT node, CAST(NULL AS INT) AS color, CAST(NULL AS INT) AS rnd
+            FROM un0 WHERE FALSE
+        )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""", liv{r} AS (
+                SELECT nb.node, nb.peer FROM nb
+                JOIN un{r - 1} a ON nb.node = a.node
+                JOIN un{r - 1} b ON nb.peer = b.node
+            ), beat{r} AS (
+                SELECT DISTINCT node FROM liv{r}
+                WHERE {h_peer} < {h_node}
+                   OR ({h_peer} = {h_node} AND peer < node)
+            ), win{r} AS MATERIALIZED (
+                SELECT node FROM un{r - 1}
+                WHERE node NOT IN (SELECT node FROM beat{r})
+            ), used{r} AS MATERIALIZED (
+                SELECT DISTINCT nb.node, c.color
+                FROM nb
+                JOIN win{r} w ON nb.node = w.node
+                JOIN col{r - 1} c ON nb.peer = c.node
+            ), kc{r} AS (
+                SELECT w.node,
+                       CAST(coalesce(u.k, 0) AS INT) AS k
+                FROM win{r} w
+                LEFT JOIN (SELECT node, count(DISTINCT color) AS k
+                           FROM used{r} GROUP BY 1) u ON w.node = u.node
+            ), pick{r} AS MATERIALIZED (
+                SELECT x.node, CAST(min(x.c) AS INT) AS color
+                FROM (SELECT kc.node, gs.c
+                      FROM kc{r} kc,
+                           unnest(generate_series(0, kc.k)) AS gs(c)) x
+                WHERE NOT EXISTS (SELECT 1 FROM used{r} u
+                                  WHERE u.node = x.node AND u.color = x.c)
+                GROUP BY 1
+            ), col{r} AS MATERIALIZED (
+                SELECT node, color, rnd FROM col{r - 1}
+                UNION ALL
+                SELECT node, color, CAST({r} AS INT) FROM pick{r}
+            ), un{r} AS MATERIALIZED (
+                SELECT node FROM un{r - 1}
+                WHERE node NOT IN (SELECT node FROM win{r})
+            )"""
+        )
+    return (
+        "\n".join(parts)
+        + f"""
+        SELECT node, 'colored' AS status, color, rnd FROM col{n_rounds}
+        UNION ALL
+        SELECT node, 'undecided', CAST(NULL AS INT), CAST(NULL AS INT)
+        FROM un{n_rounds}"""
+    )
 
 
 def _wl_oracle(n_rounds: int) -> str:
@@ -4284,6 +4388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_frequent_itemsets": _q144_frequent_itemsets,
         "q145_exactsubstr_removal": _q145_exactsubstr_removal,
         "q146_k_anonymity": _q146_k_anonymity,
+        "q147_greedy_coloring": _q147_greedy_coloring,
+        "q148_semantic_dedup": _q148_semantic_dedup,
     }
 
 
@@ -4879,6 +4985,78 @@ _EXACTSUBSTR_REMOVAL_ORACLE = """
                string_agg(tok, ' ' ORDER BY pos) AS text_clean
         FROM kept GROUP BY doc_id
     ) k USING (doc_id)
+"""
+
+_SEMDEDUP_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, embedding,
+               greatest(list_aggregate(
+                   list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE))), 'max'),
+                   1e-30) AS sc
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc
+                                   + 0.5) AS BIGINT)) AS qv
+        FROM e
+    ), seeds AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY h) AS cell, qv AS sqv
+        FROM (SELECT qv,
+                     CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                         1, 15) AS BIGINT) AS h
+              FROM q
+              ORDER BY h
+              LIMIT (SELECT greatest(16,
+                         CAST(floor(sqrt(count(*))) AS BIGINT))
+                     FROM embeddings))
+    ), vd AS (
+        SELECT vec_id, unnest(generate_series(1, len(qv))) AS i,
+               unnest(qv) AS x
+        FROM q
+    ), sd AS (
+        SELECT cell, unnest(generate_series(1, len(sqv))) AS i,
+               unnest(sqv) AS x
+        FROM seeds
+    ), ad AS (
+        SELECT vec_id, cell, CAST(sum(vd.x * sd.x) AS BIGINT) AS qdot
+        FROM vd JOIN sd USING (i)
+        GROUP BY 1, 2
+    ), asg AS MATERIALIZED (
+        SELECT vec_id, cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY qdot DESC, cell) AS rk
+              FROM ad)
+        WHERE rk = 1
+    ), nq AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+                   AS nq
+        FROM q
+    ), pd AS (
+        SELECT va.vec_id AS ka, vb.vec_id AS kb,
+               CAST(sum(va.x * vb.x) AS BIGINT) AS d
+        FROM vd va
+        JOIN asg sa ON sa.vec_id = va.vec_id
+        JOIN vd vb ON vb.i = va.i
+        JOIN asg sb ON sb.vec_id = vb.vec_id AND sb.cell = sa.cell
+        WHERE va.vec_id < vb.vec_id
+        GROUP BY 1, 2
+    ), dropped AS (
+        SELECT kb AS vec_id, min(ka) AS partner
+        FROM pd
+        JOIN nq na ON na.vec_id = pd.ka
+        JOIN nq nb ON nb.vec_id = pd.kb
+        WHERE d > 0
+          AND d * d * 1000000 >= 902500 * na.nq * nb.nq
+        GROUP BY 1
+    )
+    SELECT a.vec_id, a.cell,
+           CASE WHEN dr.partner IS NULL THEN 'keep' ELSE 'drop' END
+               AS status,
+           dr.partner
+    FROM asg a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
 """
 
 _KANON_ORACLE = """
@@ -9062,4 +9240,6 @@ def oracle_sql() -> dict[str, str]:
             tok=_TOK
         ),
         "q146_k_anonymity": _KANON_ORACLE,
+        "q147_greedy_coloring": _coloring_oracle(3),
+        "q148_semantic_dedup": _SEMDEDUP_ORACLE,
     }

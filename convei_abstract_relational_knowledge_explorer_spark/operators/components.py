@@ -2523,3 +2523,122 @@ def greedy_weighted_matching(
             .localCheckpoint(eager=True)
         )
     return out
+
+
+def greedy_coloring(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    seed: str = "color",
+) -> DataFrame:
+    """Jones-Plassmann greedy graph coloring with deterministic hash
+    priorities → (node, status, color, rnd): status 'colored' with the
+    smallest color unused by any already-colored neighbor, or
+    'undecided' (NULL color) when the round cap left it for the next
+    wave.
+
+    The multi-wave generalization of :func:`maximal_independent_set`:
+    an MIS schedules ONE conflict-free merge wave; a coloring
+    partitions ALL nodes into conflict-free waves (color c = wave c),
+    the full schedule for entity-merge application, graph mutation
+    batching, or any update set where neighbors must not commit
+    together.  Jones & Plassmann ('93): each round, every uncolored
+    node whose (hash, id) priority is a strict local minimum among its
+    UNCOLORED neighbors picks the smallest color absent from its
+    colored neighborhood; neighbors of distinct priorities never pick
+    together, so validity is by construction, and expected rounds are
+    O(log n).  ``rounds`` caps the unrolling exactly as in MIS — the
+    SQL replay carries the identical recurrence.
+
+    100 TB shape per round: the live-neighbor view is two semi-joins,
+    the candidate color pool for a winner is generate(0..k) where k =
+    its count of DISTINCT colored-neighbor colors — the total explode
+    is O(colored-degree sums) ≈ O(E) across ALL rounds combined, never
+    a per-node array; the free-color pick is one anti-join + min.
+    Every op is equi-keyed on node; ``localCheckpoint`` truncates
+    lineage per round.
+    """
+    from .dedup import porthash64
+
+    def pri(col):
+        return porthash64(F.col(col).cast("string"), seed)
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nbr = e.select(
+        F.col("u").alias("node"), F.col("v").alias("peer")
+    ).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("peer"))
+    ).localCheckpoint(eager=True)
+    un = nbr.select("node").distinct().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    colored = spark.createDataFrame([], "node long, color int, rnd int")
+    for r in range(1, rounds + 1):
+        live = nbr.join(un, "node", "left_semi").join(
+            un.select(F.col("node").alias("peer")), "peer", "left_semi"
+        )
+        beaten = (
+            live.filter(
+                (pri("peer") < pri("node"))
+                | (
+                    (pri("peer") == pri("node"))
+                    & (F.col("peer") < F.col("node"))
+                )
+            )
+            .select("node")
+            .distinct()
+        )
+        win = un.join(beaten, "node", "left_anti")
+        used = (
+            nbr.join(win, "node", "left_semi")
+            .join(
+                colored.select(
+                    F.col("node").alias("peer"), "color"
+                ),
+                "peer",
+            )
+            .select("node", "color")
+            .distinct()
+        )
+        kc = win.join(
+            used.groupBy("node").agg(
+                F.countDistinct("color").cast("int").alias("_k")
+            ),
+            "node",
+            "left",
+        ).select("node", F.coalesce("_k", F.lit(0)).alias("_k"))
+        free = (
+            kc.select(
+                "node",
+                F.explode(F.sequence(F.lit(0), F.col("_k"))).alias("_c"),
+            )
+            .join(
+                used.select("node", F.col("color").alias("_c")),
+                ["node", "_c"],
+                "left_anti",
+            )
+            .groupBy("node")
+            .agg(F.min("_c").cast("int").alias("color"))
+        )
+        colored = colored.unionAll(
+            free.select("node", "color", F.lit(r).cast("int").alias("rnd"))
+        ).localCheckpoint(eager=True)
+        un = un.join(win, "node", "left_anti").localCheckpoint(eager=True)
+    return colored.select(
+        "node", F.lit("colored").alias("status"), "color", "rnd"
+    ).unionAll(
+        un.select(
+            "node",
+            F.lit("undecided").alias("status"),
+            F.lit(None).cast("int").alias("color"),
+            F.lit(None).cast("int").alias("rnd"),
+        )
+    )

@@ -526,3 +526,144 @@ def mutual_best_match(
         .select("left_id", "right_id")
     )
     return best_l.join(best_r, ["left_id", "right_id"], "left_semi")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    tau_millis: int = 950,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): embedding-space semantic
+    deduplication → (vec_id, cell, status 'keep'|'drop', partner):
+    vectors are routed to deterministic seed cells, and inside each
+    cell a vector is DROPPED when an earlier (smaller-id) cellmate
+    sits above the cosine threshold — ``partner`` is the smallest such
+    keeper, NULL for keeps.
+
+    Completes the dedup ladder above MinHash/SimHash: those catch
+    lexical near-copies; SemDeDup prunes semantic duplicates —
+    paraphrases, translations-of-boilerplate, templated rewrites —
+    that share no shingles at all.  The paper clusters with k-means
+    and prunes within clusters; the cluster step here is the repo's
+    deterministic IVF discipline (seeds = ``n_cells`` smallest
+    hash(id), route by ARGMAX quantized dot — the q104 MIPS contract),
+    so the whole operator is a pure function of the input.
+
+    Exactness: no float leaves the quantizer.  Routing compares EXACT
+    BIGINT dots of q36-quantized vectors; the prune test
+    ``cos(a,b) ≥ τ`` runs CROSS-MULTIPLIED on the quantized integers —
+    ``d > 0  AND  d²·10⁶ ≥ τ²·‖a‖²·‖b‖²`` with τ in millis — one
+    BIGINT inequality, no division, no sqrt, bit-identical in any
+    engine (dim ≤ 64 keeps every term under 2⁶³; d = int8 dot ≤
+    64·127², d²·10⁶ < 2⁶¹).
+
+    100 TB shape: seeds broadcast (n_cells = √n discipline of
+    :func:`ivf_assign`), assignment is one narrow pass, the prune is a
+    within-cell self-equi-join — O(n²/n_cells) total, the documented
+    O(n^1.5) IVF envelope; the min-partner groupBy is map-side
+    combinable.  Boundary loss (true duplicates split across cells) is
+    the standard SemDeDup trade, bounded by cell granularity.
+    """
+    from .dedup import porthash64
+
+    v = F.col(vec_col)
+    scale = F.greatest(
+        F.aggregate(
+            F.transform(v, lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ),
+        F.lit(1e-30),
+    )
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"), v.alias("_v"), scale.alias("_s")
+    ).select(
+        "vec_id",
+        F.transform(
+            "_v",
+            lambda x: F.floor(
+                x.cast("double") * 127.0 / F.col("_s") + 0.5
+            ).cast("long"),
+        ).alias("qv"),
+    )
+
+    def _dotq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    h = (
+        porthash64(F.col("vec_id").cast("string"))
+        if hash_fn == "md5"
+        else F.xxhash64("vec_id")
+    )
+    seeds = (
+        q.withColumn("_h", h)
+        .orderBy("_h")
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy("_h")).alias("cell"),
+            F.col("qv").alias("sqv"),
+        )
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.desc("_qdot"), F.asc("cell")
+    )
+    assigned = (
+        q.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id", "qv", "cell",
+            _dotq(F.col("qv"), F.col("sqv")).alias("_qdot"),
+        )
+        .withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") == 1)
+        .select(
+            "vec_id", "cell", "qv",
+            _dotq(F.col("qv"), F.col("qv")).alias("nq"),
+        )
+    )
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("_ka"),
+        F.col("qv").alias("_qa"),
+        F.col("nq").alias("_na"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("_kb"),
+        F.col("qv").alias("_qb"),
+        F.col("nq").alias("_nb"),
+    )
+    d = _dotq(F.col("_qa"), F.col("_qb"))
+    tau2 = int(tau_millis) * int(tau_millis)
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("_ka") < F.col("_kb"))
+        .select("cell", "_ka", "_kb", d.alias("_d"), "_na", "_nb")
+        .filter(
+            (F.col("_d") > 0)
+            & (
+                F.col("_d") * F.col("_d") * F.lit(1000000)
+                >= F.lit(tau2) * F.col("_na") * F.col("_nb")
+            )
+        )
+        .groupBy(F.col("_kb").alias("vec_id"))
+        .agg(F.min("_ka").alias("partner"))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("partner").isNull(), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("status"),
+            "partner",
+        )
+    )

@@ -120,3 +120,49 @@ def test_hard_negatives_threshold_margin_on_fixture(spark):
         .collect()[0][0]
     )
     assert margin > 1e-6, margin
+
+
+def test_semantic_dedup_drops_paraphrase_keeps_distinct(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # 1 and 2 nearly parallel (cos ~ 0.9996), 3 orthogonal-ish
+    rows = [
+        (1, [1.0, 0.0, 0.2, 0.0]),
+        (2, [0.98, 0.02, 0.2, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.3]),
+        (4, [-1.0, 0.0, -0.2, 0.0]),  # antipodal: dot < 0, never drops
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r for r in semantic_dedup(
+        e, n_cells=2, tau_millis=950).collect()}
+    assert got[1]["status"] == "keep"
+    # 2 drops only if it shares 1's cell; with 2 cells they do
+    if got[2]["cell"] == got[1]["cell"]:
+        assert got[2]["status"] == "drop" and got[2]["partner"] == 1
+    assert got[3]["status"] == "keep"
+    assert got[4]["status"] == "keep" and got[4]["partner"] is None
+
+
+def test_semantic_dedup_min_partner_and_threshold_edge(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # three identical vectors: 2 and 3 both drop against partner 1
+    e = spark.createDataFrame(
+        [(i, [0.5, 0.5, 0.1, 0.0]) for i in (1, 2, 3)]
+        + [(9, [0.5, -0.5, 0.0, 0.1])],
+        ["vec_id", "embedding"],
+    )
+    got = {r["vec_id"]: r for r in semantic_dedup(
+        e, n_cells=1, tau_millis=950).collect()}
+    assert got[1]["status"] == "keep"
+    assert got[2]["status"] == "drop" and got[2]["partner"] == 1
+    assert got[3]["status"] == "drop" and got[3]["partner"] == 1
+    assert got[9]["status"] == "keep"
+    # tau = 1000 (cos >= 1.0): only exact parallels drop
+    strict = {r["vec_id"]: r["status"] for r in semantic_dedup(
+        e, n_cells=1, tau_millis=1000).collect()}
+    assert strict[2] == "drop" and strict[9] == "keep"

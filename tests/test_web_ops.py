@@ -744,3 +744,58 @@ def test_matching_ties_and_duplicate_edges(spark):
     # duplicate edge keeps max weight; equal weights break by (u, v)
     got = _match(spark, [(1, 2, 5), (2, 1, 3), (2, 3, 5)])
     assert got == [(1, 2, 5, 1)]
+
+
+# -------------------------------------------------- greedy coloring
+
+
+def test_greedy_coloring_validity_and_waves(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        greedy_coloring,
+    )
+
+    # 4-clique plus a pendant: needs 4 colors on the clique
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 9)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    rows = greedy_coloring(e, rounds=8).collect()
+    col = {r["node"]: r["color"] for r in rows if r["status"] == "colored"}
+    assert len(col) == 5  # all colored with enough rounds
+    for a, b in edges:
+        assert col[a] != col[b]
+    assert sorted(col[n] for n in range(4)) == [0, 1, 2, 3]
+
+
+def test_greedy_coloring_round_cap_leaves_undecided(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        greedy_coloring,
+    )
+
+    # long path: one round colors only the local priority minima
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["src", "dst"]
+    )
+    rows = greedy_coloring(e, rounds=1).collect()
+    statuses = {r["status"] for r in rows}
+    assert statuses == {"colored", "undecided"}
+    colored = [r for r in rows if r["status"] == "colored"]
+    # round-1 winners are an independent set and all take color 0
+    assert all(r["color"] == 0 and r["rnd"] == 1 for r in colored)
+    ids = {r["node"] for r in colored}
+    assert not any((a in ids and a + 1 in ids) for a in range(30))
+
+
+def test_greedy_coloring_smallest_free_color(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        greedy_coloring,
+    )
+
+    # star: center is beaten until leaves color; center then takes the
+    # smallest free color, which is 1 (all leaves take 0)
+    e = spark.createDataFrame(
+        [(100, i) for i in range(1, 7)], ["src", "dst"]
+    )
+    rows = greedy_coloring(e, rounds=8).collect()
+    col = {r["node"]: r["color"] for r in rows if r["status"] == "colored"}
+    leaves = [col[i] for i in range(1, 7)]
+    assert col[100] == (1 if leaves.count(0) == 6 else 0)
+    assert all(c in (0, 1) for c in leaves)
