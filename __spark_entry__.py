@@ -3819,6 +3819,45 @@ def _q148_semantic_dedup(spark, sf):
     )
 
 
+def _q149_neyman_allocation(spark, sf):
+    """Neyman-optimal stratified allocation of a 1000-row sample
+    budget across order priorities, weighted by N_h·S_h = √SSE_h —
+    exact BIGINT sum/sum-of-squares algebra, IEEE-correctly-rounded
+    sqrt, Hamilton largest-remainder integer rounding with size caps;
+    the oracle replays every step including the remainder ranking."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.floor("o_totalprice").cast("long").alias("v"),
+    )
+    return neyman_allocation(o, ["o_orderpriority"], "v", total_n=1000)
+
+
+def _q150_leakage_safe_split(spark, sf):
+    """Group-aware train/val/test split keyed on the exact-dup
+    fingerprint (q16's md5 of the H1-normalized token stream): every
+    member of a duplicate cluster lands on the same side — the
+    eval-leakage guard row-hash splits break.  80/10/10 permille cut
+    points on porthash(group)%1000, shuffle-free."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    d = _t(spark, sf, "documents")
+    fp = F.md5(
+        F.expr(
+            f"array_join(regexp_extract_all(lower(text),"
+            f" '{TOKEN_RE}', 0), ' ')"
+        )
+    )
+    return leakage_safe_split(
+        d.select("doc_id", fp.alias("fingerprint")), "fingerprint"
+    )
+
+
 _MIS_WL_EDGE_CTE = """
             ed AS (
                 SELECT doc_id,
@@ -4390,6 +4429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_k_anonymity": _q146_k_anonymity,
         "q147_greedy_coloring": _q147_greedy_coloring,
         "q148_semantic_dedup": _q148_semantic_dedup,
+        "q149_neyman_allocation": _q149_neyman_allocation,
+        "q150_leakage_safe_split": _q150_leakage_safe_split,
     }
 
 
@@ -5057,6 +5098,48 @@ _SEMDEDUP_ORACLE = """
                AS status,
            dr.partner
     FROM asg a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
+"""
+
+_NEYMAN_ORACLE = """
+    WITH st AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(v) AS BIGINT) AS sx,
+               CAST(sum(v * v) AS BIGINT) AS sxx
+        FROM (SELECT o_orderpriority,
+                     CAST(floor(o_totalprice) AS BIGINT) AS v
+              FROM orders)
+        GROUP BY 1
+    ), s2 AS (
+        SELECT o_orderpriority, n_rows,
+               n_rows * sxx - sx * sx AS sse,
+               CAST(floor(sqrt(CAST(n_rows * sxx - sx * sx AS DOUBLE)))
+                    AS BIGINT) AS s_h
+        FROM st
+    ), t AS (SELECT sum(s_h) AS tot FROM s2),
+    k AS (
+        SELECT o_orderpriority, n_rows, sse, s_h,
+               CASE WHEN tot > 0 THEN (1000 * s_h) // tot
+                    ELSE 0 END AS base,
+               CASE WHEN tot > 0
+                    THEN 1000 * s_h - ((1000 * s_h) // tot) * tot
+                    ELSE 0 END AS rem
+        FROM s2, t
+    ), c AS (SELECT *, least(base, n_rows) AS b FROM k),
+    l AS (SELECT 1000 - sum(b) AS lft FROM c),
+    r AS (
+        SELECT *,
+               sum(CASE WHEN b < n_rows THEN 1 ELSE 0 END)
+                   OVER (ORDER BY rem DESC, o_orderpriority ASC
+                         ROWS UNBOUNDED PRECEDING) AS rk
+        FROM c
+    )
+    SELECT o_orderpriority, n_rows, sse, s_h,
+           CAST(least(b + CASE WHEN b < n_rows
+                                AND rk <= (SELECT lft FROM l)
+                               THEN 1 ELSE 0 END,
+                      n_rows) AS BIGINT) AS alloc
+    FROM r
 """
 
 _KANON_ORACLE = """
@@ -9242,4 +9325,21 @@ def oracle_sql() -> dict[str, str]:
         "q146_k_anonymity": _KANON_ORACLE,
         "q147_greedy_coloring": _coloring_oracle(3),
         "q148_semantic_dedup": _SEMDEDUP_ORACLE,
+        "q149_neyman_allocation": _NEYMAN_ORACLE,
+        "q150_leakage_safe_split": f"""
+            WITH g AS (
+                SELECT doc_id,
+                       md5(array_to_string({_TOK}, ' ')) AS grp
+                FROM documents
+            ), b AS (
+                SELECT doc_id, grp,
+                       {_ph_sql("grp", "split")} % 1000 AS bucket
+                FROM g
+            )
+            SELECT doc_id, grp, bucket,
+                   CASE WHEN bucket < 800 THEN 'train'
+                        WHEN bucket < 900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
     }

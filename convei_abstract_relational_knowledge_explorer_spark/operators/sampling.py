@@ -659,3 +659,142 @@ def weighted_sample_wor(
         keyed.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_cols: list[str],
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation → one row per
+    stratum: (*stratum_cols, n_rows, sse, s_h, alloc); Σ alloc =
+    total_n exactly whenever no stratum hits its size cap (the normal
+    regime — leftover +1s go one per stratum by largest remainder, so
+    heavily-capped corner cases may leave residual budget unassigned
+    rather than over-draw a stratum).
+
+    The survey-sampling optimum (Neyman 1934): for a fixed budget the
+    variance-minimizing allocation draws n_h ∝ N_h·S_h — big AND
+    internally-diverse strata get the samples; a tight stratum needs
+    few rows no matter its size.  THE corpus-mixing refinement over
+    proportional allocation when building eval slices or distilled
+    subsets per source/domain/language.
+
+    Integer-exact end to end: N_h·S_h = √(N_h·Σx² − (Σx)²) = √SSE_h,
+    so the weight is ``s_h = floor(sqrt(SSE_h))`` — SSE is exact
+    BIGINT algebra on integer values; IEEE sqrt is correctly rounded
+    in every engine, so the floor is deterministic cross-engine.
+    Fractions are settled by Hamilton largest-remainder: base =
+    ⌊n·s_h/Σs⌋ via BIGINT floor-division, remainders n·s_h − base·Σs
+    are exact integers ranked (desc, stratum key) for the +1s — no
+    float ever decides an allocation.  ``alloc`` is additionally
+    capped at N_h (can't sample more than exists); freed budget
+    re-ranks by the same remainder order.
+
+    One aggregation pass (count/sum/sum-of-squares are all map-side
+    combinable), one tiny per-stratum window — strata counts are
+    dimension-sized, so every post-agg op is broadcast-scale.
+    """
+    x = F.col(value_col).cast("long")
+    stats = df.groupBy(*stratum_cols).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    sse = F.col("n_rows") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    stats = stats.select(
+        *stratum_cols,
+        "n_rows",
+        sse.alias("sse"),
+        F.floor(F.sqrt(sse.cast("double"))).cast("long").alias("s_h"),
+    )
+    tot = stats.agg(F.sum("s_h").alias("_tot"))
+    n = F.lit(int(total_n)).cast("long")
+    keyed = stats.crossJoin(F.broadcast(tot)).select(
+        *stratum_cols,
+        "n_rows",
+        "sse",
+        "s_h",
+        F.when(F.col("_tot") > 0, F.floor((n * F.col("s_h")) / F.col("_tot")).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_base"),
+        F.when(
+            F.col("_tot") > 0,
+            n * F.col("s_h") - F.floor((n * F.col("s_h")) / F.col("_tot")).cast("long") * F.col("_tot"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_rem"),
+    )
+    # cap at stratum size, then hand the n - sum(min(base, N_h)) leftovers
+    # out by largest remainder (ties: stratum key order), skipping full
+    # strata
+    capped = keyed.withColumn("_b", F.least("_base", "n_rows"))
+    left = capped.agg((n - F.sum("_b")).alias("_left"))
+    w = Window.orderBy(
+        F.desc("_rem"), *[F.asc(c) for c in stratum_cols]
+    )
+    return (
+        capped.crossJoin(F.broadcast(left))
+        .withColumn(
+            "_rk",
+            F.sum(
+                F.when(F.col("_b") < F.col("n_rows"), 1).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select(
+            *stratum_cols,
+            "n_rows",
+            "sse",
+            "s_h",
+            F.least(
+                F.col("_b")
+                + F.when(
+                    (F.col("_b") < F.col("n_rows"))
+                    & (F.col("_rk") <= F.col("_left")),
+                    1,
+                ).otherwise(0),
+                F.col("n_rows"),
+            ).alias("alloc"),
+        )
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    train_permille: int = 800,
+    val_permille: int = 900,
+    seed: str = "split",
+) -> DataFrame:
+    """Group-aware train/val/test split → (id, group, bucket, split):
+    the split is a pure function of the GROUP, never the row, so every
+    member of a duplicate cluster lands on the same side.
+
+    The eval-integrity primitive row-hash splits get wrong: if two
+    near-copies of a page straddle train and test, the test set leaks
+    (Lee et al. measure inflated LM scores exactly this way).  Feed
+    ``group_col`` any cluster id — exact-dup fingerprint, MinHash CC
+    component, registered domain — and buckets are
+    ``porthash(group) % 1000`` against the permille cut points
+    (defaults 80/10/10).  Deterministic, resume-stable, and adding new
+    docs never moves an existing group across splits.
+
+    Narrow, shuffle-free, JVM-only — one hash + two comparisons per
+    row; the plan stays a single project over the scan.
+    """
+    if not 0 < train_permille <= val_permille <= 1000:
+        raise ValueError("need 0 < train_permille <= val_permille <= 1000")
+    from .dedup import porthash64
+
+    bucket = porthash64(F.col(group_col).cast("string"), seed) % 1000
+    return docs.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        bucket.alias("bucket"),
+        F.when(bucket < train_permille, F.lit("train"))
+        .when(bucket < val_permille, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

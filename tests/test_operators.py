@@ -3272,3 +3272,67 @@ def test_k_anonymity_falls_back_to_coarsest_with_violations_visible(spark):
     assert by_seg["b"]["group_size"] == 3
     assert not by_seg["b"]["l_ok"]  # homogeneous sensitive
     assert by_seg["a"]["group_size"] == 12 and by_seg["a"]["l_ok"]
+
+
+def test_neyman_allocation_favors_variable_strata(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    # stratum a: 100 rows constant (S=0); b: 100 rows spread wide
+    rows = [("a", 50) for _ in range(100)] + [
+        ("b", v) for v in range(0, 1000, 10)
+    ]
+    df = spark.createDataFrame(rows, ["s", "v"])
+    got = {r["s"]: r for r in neyman_allocation(
+        df, ["s"], "v", total_n=40).collect()}
+    assert got["a"]["sse"] == 0 and got["a"]["s_h"] == 0
+    assert got["a"]["alloc"] == 0
+    assert got["b"]["alloc"] == 40
+    assert got["a"]["n_rows"] == got["b"]["n_rows"] == 100
+
+
+def test_neyman_allocation_sums_to_budget_and_caps(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    rows = (
+        [("a", v) for v in (0, 100)] * 3        # 6 rows, some spread
+        + [("b", v) for v in range(50)]          # 50 rows, spread
+        + [("c", v * 7) for v in range(20)]      # 20 rows, spread
+    )
+    df = spark.createDataFrame(rows, ["s", "v"])
+    got = neyman_allocation(df, ["s"], "v", total_n=30).collect()
+    assert sum(r["alloc"] for r in got) == 30
+    for r in got:
+        assert 0 <= r["alloc"] <= r["n_rows"]
+    # cap regime: budget larger than a small stratum's size
+    got2 = {r["s"]: r for r in neyman_allocation(
+        df, ["s"], "v", total_n=70).collect()}
+    assert got2["a"]["alloc"] <= 6
+
+
+def test_leakage_safe_split_group_invariant(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 40}") for i in range(400)], ["doc_id", "grp_in"]
+    )
+    got = leakage_safe_split(df, "grp_in").collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], set()).add(r["split"])
+    # every group entirely on one side
+    assert all(len(s) == 1 for s in by_grp.values())
+    splits = {r["split"] for r in got}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # bucket drives split consistently
+    for r in got:
+        want = (
+            "train" if r["bucket"] < 800
+            else "val" if r["bucket"] < 900 else "test"
+        )
+        assert r["split"] == want
