@@ -3858,6 +3858,58 @@ def _q150_leakage_safe_split(spark, sf):
     )
 
 
+def _q151_cusum_drift(spark, sf):
+    """Two-sided CUSUM drift alarms over per-type hourly event counts
+    on a gap-filled spine: the Page recurrences computed by the prefix
+    identity (one cumsum + running min/max per series — no loop, no
+    UDF) in exact milli units against each series' own integer mean;
+    alarm at h=4000 milli.  The oracle replays spine, reference and
+    both prefix identities verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    e = _t(spark, sf, "events")
+    hr = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        / F.lit(3_600_000_000)
+    ).alias("hr")
+    counts = (
+        e.select("event_type", hr)
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    rng = counts.groupBy("event_type").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    spine = rng.select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("hr")
+    )
+    ser = spine.join(counts, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    return cusum_changepoints(ser, ["event_type"], "hr", "x", h_milli=4000)
+
+
+def _q152_covisitation(spark, sf):
+    """Item-item co-visitation similarity over the events stream (item
+    = the props payload key): binary user-vector cosine ≥ 0.5 tested
+    cross-multiplied on exact BIGINT counts (c²·10⁶ ≥ τ²·n_a·n_b),
+    distinct-first, min co-count 5 — the 'related entities' primitive
+    with megahit normalization and no floats anywhere."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        covisitation_similarity,
+    )
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        F.regexp_extract("props", "[0-9]+", 0).cast("int").alias("item"),
+    )
+    return covisitation_similarity(
+        e, "user_id", "item", min_count=5, tau_millis=500
+    )
+
+
 _MIS_WL_EDGE_CTE = """
             ed AS (
                 SELECT doc_id,
@@ -4431,6 +4483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_semantic_dedup": _q148_semantic_dedup,
         "q149_neyman_allocation": _q149_neyman_allocation,
         "q150_leakage_safe_split": _q150_leakage_safe_split,
+        "q151_cusum_drift": _q151_cusum_drift,
+        "q152_covisitation": _q152_covisitation,
     }
 
 
@@ -5098,6 +5152,61 @@ _SEMDEDUP_ORACLE = """
                AS status,
            dr.partner
     FROM asg a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
+"""
+
+_CUSUM_ORACLE = """
+    WITH c AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), rng AS (
+        SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM c GROUP BY 1
+    ), spine AS (
+        SELECT event_type, unnest(generate_series(mn, mx)) AS hr
+        FROM rng
+    ), ser AS (
+        SELECT s.event_type, s.hr, coalesce(c.n, 0) AS x
+        FROM spine s LEFT JOIN c USING (event_type, hr)
+    ), refs AS (
+        SELECT event_type,
+               CAST((1000 * sum(x)) // count(*) AS BIGINT) AS ref
+        FROM ser GROUP BY 1
+    ), cm AS (
+        SELECT ser.event_type, hr, x,
+               CAST(sum(x * 1000 - ref) OVER (
+                   PARTITION BY ser.event_type ORDER BY hr
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM ser JOIN refs USING (event_type)
+    )
+    SELECT event_type, hr, x,
+           CAST(cum - least(0, min(cum) OVER w) AS BIGINT) AS s_pos,
+           CAST(greatest(0, max(cum) OVER w) - cum AS BIGINT) AS s_neg,
+           (cum - least(0, min(cum) OVER w)) >= 4000
+            OR (greatest(0, max(cum) OVER w) - cum) >= 4000 AS alarm
+    FROM cm
+    WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                 ROWS UNBOUNDED PRECEDING)
+"""
+
+_COVISIT_ORACLE = """
+    WITH ui AS (
+        SELECT DISTINCT user_id AS u,
+               CAST(regexp_extract(props, '[0-9]+') AS INT) AS item
+        FROM events
+    ), ni AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY 1
+    ), p AS (
+        SELECT x.item AS item_a, y.item AS item_b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM ui x JOIN ui y ON x.u = y.u AND x.item < y.item
+        GROUP BY 1, 2
+        HAVING count(*) >= 5
+    )
+    SELECT item_a, item_b, c, na.n AS n_a, nb.n AS n_b
+    FROM p
+    JOIN ni na ON na.item = p.item_a
+    JOIN ni nb ON nb.item = p.item_b
+    WHERE c * c * 1000000 >= 250000 * na.n * nb.n
 """
 
 _NEYMAN_ORACLE = """
@@ -9342,4 +9451,6 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM b
         """,
+        "q151_cusum_drift": _CUSUM_ORACLE,
+        "q152_covisitation": _COVISIT_ORACLE,
     }

@@ -535,3 +535,65 @@ def frequent_itemsets(
             .alias("lift_den"),
         )
     )
+
+
+def covisitation_similarity(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    min_count: int = 5,
+    tau_millis: int = 500,
+) -> DataFrame:
+    """Item-item collaborative similarity from co-visitation →
+    (item_a, item_b, c, n_a, n_b): unordered item pairs whose binary
+    user-vector cosine clears ``tau_millis``, with ``c`` co-visiting
+    users and ``n_*`` per-item user counts.
+
+    The "related pages / related entities" primitive: two items are
+    similar when the SAME users touch both, normalized so megahit
+    items don't dominate — cosine on binary incidence vectors,
+    c/√(n_a·n_b) (Ochiai).  The co-occurrence counting is q03/q15's
+    pair aggregation; the new piece is the normalization kept
+    integer-exact: the threshold test runs CROSS-MULTIPLIED,
+    ``c²·10⁶ ≥ τ²·n_a·n_b`` — one BIGINT inequality, no division, no
+    sqrt, bit-identical in any engine (exact while c ≤ ~3·10⁶;
+    beyond that compare in log space).
+
+    Shape: distinct-first (multiple visits collapse before any join),
+    the pair join is per-user — a user touching m items emits m²/2
+    pairs, the classic co-visitation cost bounded by per-user activity
+    caps upstream, never by catalog size; both aggregates are
+    map-side combinable.  ``min_count`` prunes the sparse tail before
+    the similarity test.
+    """
+    ui = interactions.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("item")
+    ).distinct()
+    ni = ui.groupBy("item").agg(F.count("*").cast("long").alias("n"))
+    pairs = (
+        ui.alias("x")
+        .join(ui.alias("y"), "u")
+        .filter(F.col("x.item") < F.col("y.item"))
+        .groupBy(
+            F.col("x.item").alias("item_a"),
+            F.col("y.item").alias("item_b"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    tau2 = int(tau_millis) * int(tau_millis)
+    return (
+        pairs.join(
+            ni.select(F.col("item").alias("item_a"), F.col("n").alias("n_a")),
+            "item_a",
+        )
+        .join(
+            ni.select(F.col("item").alias("item_b"), F.col("n").alias("n_b")),
+            "item_b",
+        )
+        .filter(
+            F.col("c") * F.col("c") * F.lit(1000000)
+            >= F.lit(tau2) * F.col("n_a") * F.col("n_b")
+        )
+        .select("item_a", "item_b", "c", "n_a", "n_b")
+    )

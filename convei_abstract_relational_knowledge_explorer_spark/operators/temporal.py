@@ -505,3 +505,67 @@ def temporal_reachability(
         )
         frontier = merged
     return arrival.filter(F.col("node") != F.col("seed"))
+
+
+def cusum_changepoints(
+    series: DataFrame,
+    series_cols: list[str],
+    t_col: str,
+    x_col: str,
+    k_milli: int | None = None,
+    h_milli: int = 4000,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection over regular integer series →
+    one row per (series, t): (x, s_pos, s_neg, alarm).
+
+    The pipeline-monitoring primitive (Page 1954): a crawl source
+    whose hourly document count drifts up (spam flood) or down (feed
+    breakage) should alarm on SUSTAINED deviation, not single spikes —
+    exactly what the CUSUM recurrences S⁺_t = max(0, S⁺_{t-1} + x_t−k)
+    and S⁻_t = max(0, S⁻_{t-1} + k−x_t) accumulate.
+
+    Spark-first: the recurrence is NOT computed iteratively — the
+    classic prefix identity ``S⁺_t = cum_t − min(0, min_{j≤t} cum_j)``
+    (and symmetrically S⁻ with the running max) turns both sides into
+    one cumulative sum plus one running min/max per series: three
+    partitioned window passes, no UDF, no loop, engine-exact in milli
+    units (x is scaled ×1000 against the reference value ``k_milli`` —
+    default: the series' own integer mean ⌊1000·Σx/T⌋, the in-control
+    level).  ``alarm`` fires when either side reaches ``h_milli``.
+
+    Scale: every window partitions by the series key — no global sort;
+    state per series is O(1) columns.  Supply a GAP-FILLED series (the
+    q92 spine discipline) — CUSUM over missing steps understates.
+    """
+    w = Window.partitionBy(*series_cols).orderBy(t_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    x_m = F.col(x_col).cast("long") * 1000
+    if k_milli is None:
+        ref = F.floor(
+            (F.sum(x_m).over(Window.partitionBy(*series_cols)))
+            / F.count("*").over(Window.partitionBy(*series_cols))
+        ).cast("long")
+    else:
+        ref = F.lit(int(k_milli)).cast("long")
+    cum = F.sum(x_m - ref).over(run)
+    d = series.select(
+        *series_cols,
+        F.col(t_col),
+        F.col(x_col).cast("long").alias("x"),
+        cum.alias("_cum"),
+    )
+    s_pos = F.col("_cum") - F.least(
+        F.lit(0).cast("long"), F.min("_cum").over(run)
+    )
+    s_neg = (
+        F.greatest(F.lit(0).cast("long"), F.max("_cum").over(run))
+        - F.col("_cum")
+    )
+    return d.select(
+        *series_cols,
+        t_col,
+        "x",
+        s_pos.alias("s_pos"),
+        s_neg.alias("s_neg"),
+        ((s_pos >= h_milli) | (s_neg >= h_milli)).alias("alarm"),
+    )

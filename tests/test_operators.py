@@ -3336,3 +3336,76 @@ def test_leakage_safe_split_group_invariant(spark):
             else "val" if r["bucket"] < 900 else "test"
         )
         assert r["split"] == want
+
+
+def test_cusum_changepoints_matches_recurrence(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    xs = [5, 5, 5, 9, 9, 9, 9, 1, 1, 5]
+    ser = spark.createDataFrame(
+        [("a", t, x) for t, x in enumerate(xs)], ["s", "t", "x"]
+    )
+    got = {
+        r["t"]: r
+        for r in cusum_changepoints(
+            ser, ["s"], "t", "x", k_milli=5000, h_milli=7000
+        ).collect()
+    }
+    sp = sn = 0
+    for t, x in enumerate(xs):
+        sp = max(0, sp + x * 1000 - 5000)
+        sn = max(0, sn + 5000 - x * 1000)
+        assert got[t]["s_pos"] == sp, t
+        assert got[t]["s_neg"] == sn, t
+        assert got[t]["alarm"] == (sp >= 7000 or sn >= 7000)
+    assert got[5]["alarm"] and not got[3]["alarm"]
+
+
+def test_cusum_default_reference_is_series_mean(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    # two series, different levels: each uses its own integer mean, so a
+    # flat series never alarms regardless of its absolute level
+    rows = [("lo", t, 2) for t in range(10)] + [
+        ("hi", t, 50) for t in range(10)
+    ]
+    ser = spark.createDataFrame(rows, ["s", "t", "x"])
+    got = cusum_changepoints(ser, ["s"], "t", "x", h_milli=1000).collect()
+    assert all(r["s_pos"] == 0 and r["s_neg"] == 0 for r in got)
+    assert not any(r["alarm"] for r in got)
+
+
+def test_covisitation_similarity_normalization(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        covisitation_similarity,
+    )
+
+    # items 1,2 fully co-visited by 6 users (cos=1); item 3 visited by
+    # 12 users, 6 shared with item 1 (cos = 6/sqrt(6*12) ~ 0.707)
+    rows = (
+        [(u, 1) for u in range(6)]
+        + [(u, 2) for u in range(6)]
+        + [(u, 3) for u in range(12)]
+        + [(5, 1), (5, 2)]  # duplicates must collapse
+    )
+    df = spark.createDataFrame(rows, ["u", "item"])
+    strict = {
+        (r["item_a"], r["item_b"]): r
+        for r in covisitation_similarity(
+            df, "u", "item", min_count=5, tau_millis=800
+        ).collect()
+    }
+    assert set(strict) == {(1, 2)}
+    assert strict[(1, 2)]["c"] == 6
+    assert strict[(1, 2)]["n_a"] == 6 and strict[(1, 2)]["n_b"] == 6
+    loose = {
+        (r["item_a"], r["item_b"])
+        for r in covisitation_similarity(
+            df, "u", "item", min_count=5, tau_millis=700
+        ).collect()
+    }
+    assert loose == {(1, 2), (1, 3), (2, 3)}
