@@ -2489,12 +2489,15 @@ def _q102_nucleus_tokens(spark, sf):
 def _q103_containment_pairs(spark, sf):
     """EXACT directed set-containment self-join (the asymmetric
     complement to q66's Jaccard): every ordered pair where ≥80% of the
-    sub document's bigram shingles appear in the sup document — subsumed
-    quotes / boilerplate-wrapped copies that Jaccard misses when sizes
-    differ (unigrams saturate on this template corpus: 144k pairs vs 50).
-    Rare-first prefix probe against a full-shingle index (pigeonhole: a
-    qualifying pair must share one of the sub's first n−⌈t·n⌉+1
-    rare-ordered shingles), distinct-signature frontier, integer verify
+    sub document's trigram shingles appear in the sup document —
+    subsumed quotes / boilerplate-wrapped copies that Jaccard misses
+    when sizes differ.  Shingle width tracks corpus saturation: on this
+    template corpus unigrams saturate at 500 docs (144k pairs vs 50)
+    and bigrams saturate at 5000 (931-shingle vocab, max df 338 — the
+    prefix pigeonhole stops pruning and the verify went quadratic,
+    measured 57 s at sf0.1); trigrams keep max df ≤ 25 and the same 50
+    qualifying pairs.  Rare-first prefix probe against a full-shingle
+    index, distinct-signature frontier, integer verify
     1000·inter ≥ 800·n_sub.  The oracle is the INDEPENDENT brute-force
     directed all-pairs formulation, so a hash match certifies probe
     completeness."""
@@ -2503,7 +2506,7 @@ def _q103_containment_pairs(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
-    return containment_join(d, threshold_millis=800)
+    return containment_join(d, threshold_millis=800, shingle_k=3)
 
 
 def _q104_entity_alignment(spark, sf):
@@ -8297,10 +8300,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), toks AS (
                 SELECT DISTINCT doc_id,
-                       concat_ws(' ', t[i], t[i + 1]) AS token
+                       concat_ws(' ', t[i], t[i + 1], t[i + 2]) AS token
                 FROM t0,
                      LATERAL (SELECT unnest(generate_series(1,
-                         greatest(len(t) - 1, 1))) AS i) g
+                         greatest(len(t) - 2, 1))) AS i) g
                 WHERE len(t) > 0
             ), sz AS (
                 SELECT doc_id, CAST(count(*) AS BIGINT) AS n

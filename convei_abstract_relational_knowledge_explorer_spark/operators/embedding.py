@@ -216,14 +216,30 @@ def random_project(
         f"x -> abs(CAST(x AS DOUBLE))), 0.0D, "
         f"(acc, x) -> greatest(acc, x)), 1e-30D)"
     )
+    # quantize ONCE per vector, then run the out_dim dots over the
+    # precomputed int array.  The quantized array rides in the fold's
+    # ACCUMULATOR (the flog2_q20 discipline), NOT a separate projection:
+    # CollapseProject would inline a chained `_qv` column into every
+    # element access and re-run the whole quantization per (j, i) —
+    # measured as a q118 hang at sf0.1.  As a one-shot accumulator field
+    # the floor/cast pass runs exactly once per row, and the higher-order
+    # lambdas (interpreted per element) do out_dim·d multiplies instead
+    # of out_dim·d quantizations: 9.4 s → ~1 s at sf0.1.
+    qv = (
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * 127.0D / _sc + 0.5D) AS BIGINT))"
+    )
     proj = (
-        f"transform(sequence(0, {out_dim - 1}), j -> "
-        f"aggregate(sequence(0, size({vec_col}) - 1), CAST(0 AS BIGINT), "
-        f"(acc, i) -> acc + "
-        f"CAST(floor(CAST({vec_col}[i] AS DOUBLE) * 127.0D / _sc + 0.5D) "
-        f"AS BIGINT) * "
+        f"aggregate(sequence(0, {out_dim - 1}), "
+        f"named_struct('qv', {qv}, "
+        f"'out', CAST(array() AS ARRAY<BIGINT>)), "
+        f"(acc, j) -> named_struct('qv', acc.qv, "
+        f"'out', concat(acc.out, array("
+        f"aggregate(sequence(0, size(acc.qv) - 1), CAST(0 AS BIGINT), "
+        f"(a, i) -> a + acc.qv[i] * "
         f"(1 - 2 * (((CAST(1103515245 AS BIGINT) * (j * 131 + i) + 12345) "
-        f"DIV 65536) % 2))))"
+        f"DIV 65536) % 2)))))), "
+        f"acc -> acc.out)"
     )
     return (
         embeddings.select(
