@@ -3913,6 +3913,53 @@ def _q152_covisitation(spark, sf):
     )
 
 
+def _q153_bh_fdr(spark, sf):
+    """Benjamini-Hochberg FDR selection at α=0.15 per event-type
+    family over deterministic milli p-values with PLANTED signal
+    (user_id % 29 == 0 → p ∈ 1..7 millis; nulls hash-uniform in
+    20..999): the exact integer step-up walk p_(k)·m ≤ α·k with
+    tie-correct selection by value — planted hypotheses survive, the
+    uniform null sea does not; every branch replayed in SQL."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        bh_fdr_select,
+    )
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        porthash64,
+    )
+
+    s = _t(spark, sf, "events").select("event_type", "user_id").distinct()
+    h = porthash64(
+        F.concat_ws(
+            ":", F.col("event_type"), F.col("user_id").cast("string")
+        ),
+        "bh",
+    )
+    p = (
+        F.when(F.col("user_id") % 29 == 0, 1 + F.col("user_id") % 7)
+        .otherwise(F.lit(20) + h % 980)
+        .cast("long")
+    )
+    return bh_fdr_select(
+        s.withColumn("p_milli", p),
+        ["event_type"],
+        "user_id",
+        "p_milli",
+        alpha_milli=150,
+    )
+
+
+def _q154_katz_centrality(spark, sf):
+    """Truncated Katz centrality (β = 1/8, 3 levels) over the q131
+    conflict graph in Q20 fixed point: walk counts by three sparse
+    matvecs (one equi-join + sum each), terms 2^(20−3l)-weighted —
+    exact integers end to end, level CTEs replayed in the oracle."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        katz_centrality,
+    )
+
+    return katz_centrality(_mis_wl_edges(spark, sf), levels=3, beta_log2=3)
+
+
 _MIS_WL_EDGE_CTE = """
             ed AS (
                 SELECT doc_id,
@@ -4488,6 +4535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_leakage_safe_split": _q150_leakage_safe_split,
         "q151_cusum_drift": _q151_cusum_drift,
         "q152_covisitation": _q152_covisitation,
+        "q153_bh_fdr": _q153_bh_fdr,
+        "q154_katz_centrality": _q154_katz_centrality,
     }
 
 
@@ -5156,6 +5205,61 @@ _SEMDEDUP_ORACLE = """
            dr.partner
     FROM asg a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
 """
+
+_BH_ORACLE = f"""
+    WITH s AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), pv AS (
+        SELECT event_type, user_id,
+               CAST(CASE WHEN user_id % 29 = 0 THEN 1 + user_id % 7
+                         ELSE 20 + {_ph_sql("event_type || ':' || user_id", "bh")} % 980
+                    END AS BIGINT) AS p_milli
+        FROM s
+    ), rk AS (
+        SELECT event_type, user_id, p_milli,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY p_milli ASC, user_id ASC) AS INT) AS k,
+               CAST(count(*) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS m
+        FROM pv
+    ), q AS (
+        SELECT *,
+               CASE WHEN p_milli * m <= 150 * k THEN p_milli END AS qp
+        FROM rk
+    )
+    SELECT event_type, user_id, p_milli, k,
+           CASE WHEN max(qp) OVER (PARTITION BY event_type) IS NULL
+                THEN FALSE
+                ELSE p_milli <= max(qp) OVER (PARTITION BY event_type)
+           END AS selected
+    FROM q
+"""
+
+
+def _katz_oracle() -> str:
+    """q154 replay: the three walk-count levels as plain CTE matvecs
+    over the undirected neighbor view, Q20 terms 2^(20-3l)."""
+    return f"""
+        WITH {_MIS_WL_EDGE_CTE},
+        nb AS MATERIALIZED (
+            SELECT u AS node, v AS peer FROM e0
+            UNION ALL SELECT v, u FROM e0
+        ),
+        p1 AS (SELECT node, CAST(count(*) AS BIGINT) AS p
+               FROM nb GROUP BY 1),
+        p2 AS (SELECT nb.node, CAST(sum(p1.p) AS BIGINT) AS p
+               FROM nb JOIN p1 ON p1.node = nb.peer GROUP BY 1),
+        p3 AS (SELECT nb.node, CAST(sum(p2.p) AS BIGINT) AS p
+               FROM nb JOIN p2 ON p2.node = nb.peer GROUP BY 1)
+        SELECT p1.node,
+               CAST(p1.p * 131072 + coalesce(p2.p, 0) * 16384
+                    + coalesce(p3.p, 0) * 2048 AS BIGINT) AS katz_q20
+        FROM p1
+        LEFT JOIN p2 ON p2.node = p1.node
+        LEFT JOIN p3 ON p3.node = p1.node
+    """
+
 
 _CUSUM_ORACLE = """
     WITH c AS (
@@ -9456,4 +9560,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q151_cusum_drift": _CUSUM_ORACLE,
         "q152_covisitation": _COVISIT_ORACLE,
+        "q153_bh_fdr": _BH_ORACLE,
+        "q154_katz_centrality": _katz_oracle(),
     }

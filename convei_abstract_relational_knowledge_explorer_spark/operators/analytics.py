@@ -597,3 +597,57 @@ def covisitation_similarity(
         )
         .select("item_a", "item_b", "c", "n_a", "n_b")
     )
+
+
+def bh_fdr_select(
+    pvals: DataFrame,
+    family_cols: list[str],
+    id_col: str,
+    p_col: str = "p_milli",
+    alpha_milli: int = 200,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR selection → one row per hypothesis:
+    (*family_cols, id, p_milli, k, selected).
+
+    The multiple-testing gate for pipeline anomaly flags: testing 10⁵
+    sources hourly, a per-test threshold either drowns in false alarms
+    (fixed α) or misses everything (Bonferroni); BH (JRSS-B 1995)
+    controls the EXPECTED FALSE-DISCOVERY RATE at α and adapts to how
+    much signal exists.  BH is a procedure ON p-values — they arrive
+    from whatever upstream test produced them (a calibrated anomaly
+    score, a permutation rank, an A/B z-test), in milli units.  The
+    step-up walk is exact integer end to end:
+
+        p_(k) ≤ α·k/m   ⟺   p_milli_(k) · m ≤ alpha_milli · k
+
+    (k = ascending-p position, m = family size), k* = the LARGEST
+    qualifying position, and selection is tie-correct by value:
+    selected ⟺ p_i ≤ p_(k*) — never by row position, so equal
+    p-values always decide together.
+
+    Per-family windows only (one rank, one max-over-qualifying) — no
+    global sort; m is a windowed count, never a driver scalar.
+    """
+    fam = Window.partitionBy(*family_cols)
+    w = fam.orderBy(F.asc(p_col), F.asc(id_col))
+    ranked = pvals.select(
+        *family_cols,
+        F.col(id_col),
+        F.col(p_col).cast("long").alias(p_col),
+        F.row_number().over(w).alias("k"),
+        F.count("*").over(fam).cast("long").alias("_m"),
+    )
+    qualifies = (
+        F.col(p_col) * F.col("_m")
+        <= F.lit(int(alpha_milli)) * F.col("k")
+    )
+    pstar = F.max(F.when(qualifies, F.col(p_col))).over(fam)
+    return ranked.select(
+        *family_cols,
+        id_col,
+        p_col,
+        "k",
+        F.when(pstar.isNull(), F.lit(False))
+        .otherwise(F.col(p_col) <= pstar)
+        .alias("selected"),
+    )

@@ -2642,3 +2642,73 @@ def greedy_coloring(
             F.lit(None).cast("int").alias("rnd"),
         )
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    levels: int = 3,
+    beta_log2: int = 3,
+) -> DataFrame:
+    """Truncated Katz centrality in Q20 fixed point → (node, katz_q20):
+    Σ_{l=1..levels} walks_l(node) · 2^(20 − beta_log2·l), i.e. the walk
+    series with attenuation β = 2^-beta_log2 truncated at ``levels``.
+
+    Completes the centrality family (degree, PageRank q44, HITS q74,
+    PPR q71, stress q137) with the classic walk-counting measure (Katz
+    1953): unlike PageRank, a neighbor's contribution is NOT divided
+    by its out-degree, so Katz rewards being reachable by MANY short
+    walks — the "influence" notion for entity-importance ranking in a
+    KG.  β as a power of two keeps every term an exact integer (the
+    q74/q82 fixed-point idiom): no floats, no normalization pass,
+    bit-identical in any engine; truncation at ``levels`` is the
+    documented contract (the series' tail is bounded by
+    (βΔ)^{levels+1}/(1−βΔ) and β must satisfy βΔ < 1 for the full
+    series to converge anyway).
+
+    Per level: ONE equi-join of the neighbor list against the previous
+    walk-count vector + a map-side-combinable sum — the sparse matvec;
+    walk counts stay scalars per node, never arrays.  Overflow bound:
+    walks_l ≤ Δ^l, so Q20 terms need log2(n·Δ^levels) + 20 < 63 —
+    fine for any real graph at levels ≤ 3.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    nbr = e.select(
+        F.col("u").alias("node"), F.col("v").alias("peer")
+    ).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("peer"))
+    ).localCheckpoint(eager=True)
+    p = nbr.groupBy("node").agg(F.count("*").cast("long").alias("p"))
+    total = p.select(
+        "node",
+        (F.col("p") * (1 << (20 - beta_log2))).alias("katz_q20"),
+    )
+    for lvl in range(2, levels + 1):
+        p = (
+            nbr.join(
+                p.select(F.col("node").alias("peer"), "p"), "peer"
+            )
+            .groupBy("node")
+            .agg(F.sum("p").cast("long").alias("p"))
+        )
+        w = 1 << (20 - beta_log2 * lvl)
+        total = (
+            total.join(p, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("katz_q20")
+                    + F.coalesce(F.col("p"), F.lit(0)) * w
+                ).alias("katz_q20"),
+            )
+        )
+        p = p.localCheckpoint(eager=True)
+    return total.select("node", F.col("katz_q20").cast("long").alias("katz_q20"))

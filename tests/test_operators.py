@@ -3409,3 +3409,89 @@ def test_covisitation_similarity_normalization(spark):
         ).collect()
     }
     assert loose == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_bh_fdr_step_up_walk_exact(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        bh_fdr_select,
+    )
+
+    # m=10, alpha=0.2: thresholds alpha*k/m = 20,40,60,... millis.
+    # p = [10, 30, 70, 500x7]: k=1: 10<=20 ok; k=2: 30<=40 ok;
+    # k=3: 70<=60 no; k>3 no. k*=2 -> select p<=30.
+    ps = [10, 30, 70] + [500] * 7
+    df = spark.createDataFrame(
+        [("f", i, p) for i, p in enumerate(ps)], ["fam", "uid", "p_milli"]
+    )
+    got = {r["uid"]: r for r in bh_fdr_select(
+        df, ["fam"], "uid", alpha_milli=200).collect()}
+    assert [got[i]["selected"] for i in range(3)] == [True, True, False]
+    assert not any(got[i]["selected"] for i in range(3, 10))
+    # step-up beats step-down: p=[19,39,59] all qualify at their own k
+    df2 = spark.createDataFrame(
+        [("f", i, p) for i, p in enumerate([19, 39, 59] + [900] * 7)],
+        ["fam", "uid", "p_milli"],
+    )
+    got2 = {r["uid"]: r["selected"] for r in bh_fdr_select(
+        df2, ["fam"], "uid", alpha_milli=200).collect()}
+    assert got2[0] and got2[1] and got2[2] and not got2[5]
+
+
+def test_bh_fdr_ties_select_together_and_empty(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        bh_fdr_select,
+    )
+
+    # two equal p at the boundary: if either position qualifies, BOTH
+    # select (selection by value, not position). m=4, alpha=0.5:
+    # thresholds 125,250,375,500; p=[250,250,900,900]: k=2: 250<=250 ok
+    df = spark.createDataFrame(
+        [("f", 1, 250), ("f", 2, 250), ("f", 3, 900), ("f", 4, 900)],
+        ["fam", "uid", "p_milli"],
+    )
+    got = {r["uid"]: r["selected"] for r in bh_fdr_select(
+        df, ["fam"], "uid", alpha_milli=500).collect()}
+    assert got[1] and got[2] and not got[3] and not got[4]
+    # all-null family: nothing qualifies, nothing selected
+    df2 = spark.createDataFrame(
+        [("g", i, 800 + i) for i in range(5)], ["fam", "uid", "p_milli"]
+    )
+    assert not any(
+        r["selected"]
+        for r in bh_fdr_select(df2, ["fam"], "uid", alpha_milli=200).collect()
+    )
+
+
+def test_katz_centrality_path_graph_exact(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        katz_centrality,
+    )
+
+    # path 1-2-3: deg = [1,2,1]; walks2 = [2,2,2]; walks3 = [2,4,2]
+    e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    got = {
+        r["node"]: r["katz_q20"]
+        for r in katz_centrality(e, levels=3, beta_log2=3).collect()
+    }
+    w1, w2, w3 = 1 << 17, 1 << 14, 1 << 11
+    assert got[1] == 1 * w1 + 2 * w2 + 2 * w3
+    assert got[2] == 2 * w1 + 2 * w2 + 4 * w3
+    assert got[3] == 1 * w1 + 2 * w2 + 2 * w3
+
+
+def test_katz_centrality_rewards_walks_not_degree_share(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        katz_centrality,
+    )
+
+    # hub with 4 leaves: hub walks dominate; each leaf reaches the other
+    # 3 leaves in 2 steps through the hub
+    e = spark.createDataFrame([(0, i) for i in range(1, 5)], ["src", "dst"])
+    got = {
+        r["node"]: r["katz_q20"]
+        for r in katz_centrality(e, levels=2, beta_log2=3).collect()
+    }
+    w1, w2 = 1 << 17, 1 << 14
+    assert got[0] == 4 * w1 + 4 * w2
+    for leaf in range(1, 5):
+        assert got[leaf] == 1 * w1 + 4 * w2
