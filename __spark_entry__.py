@@ -3960,6 +3960,59 @@ def _q154_katz_centrality(spark, sf):
     return katz_centrality(_mis_wl_edges(spark, sf), levels=3, beta_log2=3)
 
 
+_SPRT = {
+    # floor(2^20 * log2(.)) computed once; both engines use the literals
+    "llr_pos": 772764,   # log2(0.5/0.3)
+    "llr_neg": -509007,  # log2(0.5/0.7)
+    "a": 4454274,        # log2(0.95/0.05)
+    "b": -4454275,       # log2(0.05/0.95)
+}
+
+
+def _q155_sprt_decisions(spark, sf):
+    """Wald SPRT per user on the ordered event stream: H1 'click rate
+    0.5' vs H0 'click rate 0.3' at α=β=0.05 — fixed Q20 integer LLR
+    increments (constants computed once, identical literals in both
+    engines), decision at the FIRST Wald-boundary crossing, undecided
+    users report their full horizon.  One cumsum + one first-crossing
+    window; the oracle replays the identical walk."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        sprt_decisions,
+    )
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        (F.col("event_type") == "click").alias("success"),
+    )
+    return sprt_decisions(
+        e, ["user_id"], "event_id", "success",
+        _SPRT["llr_pos"], _SPRT["llr_neg"], _SPRT["a"], _SPRT["b"],
+    )
+
+
+def _q156_ams_f2(spark, sf):
+    """AMS tug-of-war F₂ sketch per source over the token occurrence
+    stream (16 md5-parity sign lanes, additive-mergeable BIGINT lane
+    sums, estimate = ⌊Σ S²/16⌋ by exact DIV) next to the exact
+    Σ f² — the self-join-size / skew barometer; every value integer,
+    replayed verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        ams_f2,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+            )
+        ).alias("token"),
+    )
+    return ams_f2(toks, "token", by=["source"], lanes=16)
+
+
 _MIS_WL_EDGE_CTE = """
             ed AS (
                 SELECT doc_id,
@@ -4537,6 +4590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_covisitation": _q152_covisitation,
         "q153_bh_fdr": _q153_bh_fdr,
         "q154_katz_centrality": _q154_katz_centrality,
+        "q155_sprt_decisions": _q155_sprt_decisions,
+        "q156_ams_f2": _q156_ams_f2,
     }
 
 
@@ -5260,6 +5315,60 @@ def _katz_oracle() -> str:
         LEFT JOIN p3 ON p3.node = p1.node
     """
 
+
+_SPRT_ORACLE = f"""
+    WITH t AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'click'
+                    THEN {_SPRT["llr_pos"]}
+                    ELSE {_SPRT["llr_neg"]} END AS inc
+        FROM events
+    ), wlk AS (
+        SELECT user_id, event_id,
+               CAST(sum(inc) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS llr,
+               CAST(row_number() OVER (PARTITION BY user_id
+                   ORDER BY event_id) AS INT) AS n
+        FROM t
+    ), f AS (
+        SELECT *,
+               CASE WHEN llr >= {_SPRT["a"]} THEN 'h1'
+                    WHEN llr <= {_SPRT["b"]} THEN 'h0' END AS dec,
+               min(CASE WHEN llr >= {_SPRT["a"]}
+                         OR llr <= {_SPRT["b"]} THEN event_id END)
+                   OVER (PARTITION BY user_id) AS first_id,
+               CAST(max(n) OVER (PARTITION BY user_id) AS INT) AS total
+        FROM wlk
+    )
+    SELECT user_id, total AS n_trials, dec AS decision,
+           n AS n_at_decision, llr AS llr_q20_at_decision
+    FROM f WHERE event_id = first_id
+    UNION ALL
+    SELECT user_id, total, 'undecided', n, llr
+    FROM f WHERE first_id IS NULL AND n = total
+"""
+
+_AMS_ORACLE = f"""
+    WITH toks AS (
+        SELECT source, unnest({{tok}}) AS token FROM documents
+    ), lanes AS (
+        SELECT source, l,
+               CAST(sum(1 - 2 * ({{h}} % 2)) AS BIGINT) AS s
+        FROM toks, unnest(generate_series(1, 16)) AS g(l)
+        GROUP BY 1, 2
+    ), est AS (
+        SELECT source,
+               CAST(sum(s * s) // 16 AS BIGINT) AS f2_est
+        FROM lanes GROUP BY 1
+    ), exact AS (
+        SELECT source, CAST(sum(c * c) AS BIGINT) AS f2_exact
+        FROM (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+              FROM toks GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    SELECT est.source, f2_est, f2_exact, CAST(16 AS INT) AS n_lanes
+    FROM est JOIN exact USING (source)
+"""
 
 _CUSUM_ORACLE = """
     WITH c AS (
@@ -9562,4 +9671,8 @@ def oracle_sql() -> dict[str, str]:
         "q152_covisitation": _COVISIT_ORACLE,
         "q153_bh_fdr": _BH_ORACLE,
         "q154_katz_centrality": _katz_oracle(),
+        "q155_sprt_decisions": _SPRT_ORACLE,
+        "q156_ams_f2": _AMS_ORACLE.format(
+            tok=_TOK, h=_ph_sql("token || ':' || l", "ams")
+        ),
     }

@@ -708,3 +708,77 @@ def flog2_q20_expr(col: str) -> str:
         f"        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),"
         f" acc -> acc.fr)"
     )
+
+
+def ams_f2(
+    items: DataFrame,
+    item_col: str,
+    by: list[str] | None = None,
+    lanes: int = 16,
+    seed: str = "ams",
+) -> DataFrame:
+    """AMS second-moment (F₂) sketch per group → (*by, f2_est,
+    f2_exact, n_lanes): the tug-of-war estimate of Σ_x f_x² next to
+    the exact value.
+
+    F₂ = Σ f² is the self-join size / skew barometer: it predicts the
+    output of an equi-join on this key, and spiking F₂ with flat
+    counts is the fingerprint of an emerging hot key — the quantity
+    the skew.py salting decisions care about, maintainable in O(lanes)
+    space on a stream.  AMS (Alon-Matias-Szegedy, STOC'96): each lane
+    keeps S_l = Σ_x f_x·s_l(x) with 4-wise-independent signs s_l ∈
+    {±1}; E[S²] = F₂ exactly, variance shrinks by averaging lanes.
+
+    Everything integer: signs from the parity bit of the portable md5
+    hash (1 − 2·(h % 2)), lane sums are plain BIGINT aggregations
+    (each a per-ROW ±1, so multiplicities weight themselves — no
+    distinct anywhere), and the estimate is ⌊Σ_l S_l² / lanes⌋ by
+    BIGINT floor division.  The per-group sketch state is ``lanes``
+    longs — mergeable across shards by ADDITION (S is linear in the
+    data), the property count-distinct sketches get from max-merge and
+    F₂ needs from linearity.
+
+    Shape: one explode (×lanes), two map-side-combinable groupBys, one
+    tiny join with the exact side.  Overflow: |S| ≤ N per group, so
+    S²·... needs 2·log2(N)+log2(lanes) < 63 — fine to N ≈ 10⁹ rows
+    per group.
+    """
+    from .dedup import porthash64
+
+    gcols = list(by or [])
+    lane = F.explode(F.sequence(F.lit(1), F.lit(int(lanes)))).alias("_l")
+    h = porthash64(
+        F.concat_ws(
+            ":", F.col(item_col).cast("string"), F.col("_l").cast("string")
+        ),
+        seed,
+    )
+    sgn = (F.lit(1) - F.lit(2) * (h % 2)).cast("long")
+    lane_sums = (
+        items.select(*gcols, F.col(item_col), lane)
+        .select(*gcols, F.col("_l"), sgn.alias("_s"))
+        .groupBy(*gcols, "_l")
+        .agg(F.sum("_s").cast("long").alias("_S"))
+    )
+    est = (
+        lane_sums.groupBy(*gcols)
+        .agg(F.sum(F.col("_S") * F.col("_S")).cast("long").alias("_ss"))
+        .select(
+            *gcols,
+            # DIV, not floor(double /): exact past 2^53
+            F.expr(f"_ss div {int(lanes)}").cast("long").alias("f2_est"),
+        )
+    )
+    exact = (
+        items.groupBy(*gcols, item_col)
+        .agg(F.count("*").cast("long").alias("_c"))
+        .groupBy(*gcols)
+        .agg(F.sum(F.col("_c") * F.col("_c")).cast("long").alias("f2_exact"))
+    )
+    joined = (
+        est.join(exact, gcols) if gcols else est.crossJoin(exact)
+    )
+    return joined.select(
+        *gcols, "f2_est", "f2_exact",
+        F.lit(int(lanes)).alias("n_lanes"),
+    )

@@ -569,3 +569,82 @@ def cusum_changepoints(
         s_neg.alias("s_neg"),
         ((s_pos >= h_milli) | (s_neg >= h_milli)).alias("alarm"),
     )
+
+
+def sprt_decisions(
+    trials: DataFrame,
+    series_cols: list[str],
+    order_col: str,
+    success_col: str,
+    llr_pos_q20: int,
+    llr_neg_q20: int,
+    a_q20: int,
+    b_q20: int,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per series → ONE row
+    per series: (*series_cols, n_trials, decision
+    'h1'|'h0'|'undecided', n_at_decision, llr_q20_at_decision).
+
+    The sequential complement to the batch tests: deciding whether a
+    crawl source's error rate / a model variant's click rate shifted
+    should stop AS SOON as the evidence suffices (Wald 1945: SPRT
+    minimizes expected sample size at both hypotheses) — not wait for
+    a fixed-horizon batch.  Each Bernoulli trial adds a fixed
+    log-likelihood-ratio increment: ``llr_pos_q20`` on success,
+    ``llr_neg_q20`` on failure — the caller computes
+    ⌊2²⁰·log2(p1/p0)⌋ and ⌊2²⁰·log2((1−p1)/(1−p0))⌋ ONCE (plus the
+    Wald boundaries log2((1−β)/α), log2(β/(1−α))) and both engines use
+    the identical integer literals, so the entire sequential walk is
+    exact BIGINT — no runtime logs anywhere.
+
+    Spark-first: the walk is a partitioned cumulative sum, the
+    decision is the FIRST boundary crossing — one `min(order)` over
+    crossing rows, then the row at that order; series that never cross
+    report 'undecided' at their full horizon.  No loop, no state, no
+    UDF; windows partition by the series key only.
+    """
+    w = Window.partitionBy(*series_cols).orderBy(order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    inc = F.when(
+        F.col(success_col).cast("boolean"), F.lit(int(llr_pos_q20))
+    ).otherwise(F.lit(int(llr_neg_q20))).cast("long")
+    walked = trials.select(
+        *series_cols,
+        F.col(order_col).alias("_t"),
+        F.sum(inc).over(run).alias("_llr"),
+        F.row_number().over(w).alias("_n"),
+    )
+    crossed = F.when(F.col("_llr") >= a_q20, F.lit("h1")).when(
+        F.col("_llr") <= b_q20, F.lit("h0")
+    )
+    fam = Window.partitionBy(*series_cols)
+    flagged = walked.select(
+        *series_cols,
+        "_t",
+        "_llr",
+        "_n",
+        crossed.alias("_dec"),
+        F.min(F.when(crossed.isNotNull(), F.col("_t"))).over(fam).alias(
+            "_first"
+        ),
+        F.max("_n").over(fam).alias("_total"),
+    )
+    decided = flagged.filter(F.col("_t") == F.col("_first")).select(
+        *series_cols,
+        F.col("_total").alias("n_trials"),
+        F.col("_dec").alias("decision"),
+        F.col("_n").alias("n_at_decision"),
+        F.col("_llr").alias("llr_q20_at_decision"),
+    )
+    open_ = (
+        flagged.filter(F.col("_first").isNull())
+        .filter(F.col("_n") == F.col("_total"))
+        .select(
+            *series_cols,
+            F.col("_total").alias("n_trials"),
+            F.lit("undecided").alias("decision"),
+            F.col("_n").alias("n_at_decision"),
+            F.col("_llr").alias("llr_q20_at_decision"),
+        )
+    )
+    return decided.unionByName(open_)

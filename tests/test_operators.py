@@ -3495,3 +3495,77 @@ def test_katz_centrality_rewards_walks_not_degree_share(spark):
     assert got[0] == 4 * w1 + 4 * w2
     for leaf in range(1, 5):
         assert got[leaf] == 1 * w1 + 4 * w2
+
+
+def test_sprt_decisions_walk_and_first_crossing(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        sprt_decisions,
+    )
+
+    # +3 per success, -2 per failure, accept H1 at +7, H0 at -7
+    seq_h1 = [1, 1, 0, 1, 1]      # 3,6,4,7 -> crosses at n=4
+    seq_h0 = [0, 0, 0, 0, 1]      # -2,-4,-6,-8 -> crosses at n=4
+    seq_un = [1, 0, 1, 0]         # 3,1,4,2 -> never
+    rows = (
+        [("a", i, bool(s)) for i, s in enumerate(seq_h1)]
+        + [("b", i, bool(s)) for i, s in enumerate(seq_h0)]
+        + [("c", i, bool(s)) for i, s in enumerate(seq_un)]
+    )
+    df = spark.createDataFrame(rows, ["u", "t", "success"])
+    got = {r["u"]: r for r in sprt_decisions(
+        df, ["u"], "t", "success", 3, -2, 7, -7).collect()}
+    assert got["a"]["decision"] == "h1"
+    assert got["a"]["n_at_decision"] == 4
+    assert got["a"]["llr_q20_at_decision"] == 7
+    assert got["a"]["n_trials"] == 5
+    assert got["b"]["decision"] == "h0"
+    assert got["b"]["n_at_decision"] == 4
+    assert got["b"]["llr_q20_at_decision"] == -8
+    assert got["c"]["decision"] == "undecided"
+    assert got["c"]["n_at_decision"] == 4
+    assert got["c"]["llr_q20_at_decision"] == 2
+    # exactly one row per series
+    assert len(got) == 3
+
+
+def test_sprt_stops_at_first_not_deepest_crossing(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        sprt_decisions,
+    )
+
+    # crosses H1 at n=3 (llr 9), keeps rising after; decision must
+    # report the n=3 state
+    df = spark.createDataFrame(
+        [("u", i, True) for i in range(6)], ["k", "t", "success"]
+    )
+    got = sprt_decisions(df, ["k"], "t", "success", 3, -2, 8, -8).collect()
+    assert len(got) == 1
+    assert got[0]["n_at_decision"] == 3 and got[0]["llr_q20_at_decision"] == 9
+
+
+def test_ams_f2_unbiased_scale_and_merge_linearity(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        ams_f2,
+    )
+
+    # skewed stream: one hot item (f=60) among 40 singletons
+    rows = [("g", "hot")] * 60 + [("g", f"t{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    got = ams_f2(df, "item", by=["g"], lanes=32).collect()[0]
+    assert got["f2_exact"] == 60 * 60 + 40
+    # tug-of-war with 32 lanes: within 3/sqrt(32) relative of exact w.h.p.
+    assert abs(got["f2_est"] - got["f2_exact"]) < got["f2_exact"] * 0.8
+    assert got["n_lanes"] == 32
+
+
+def test_ams_f2_exact_join_size_meaning(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sketches import (
+        ams_f2,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "a"), ("g", "b")], ["g", "item"]
+    )
+    got = ams_f2(df, "item", by=["g"], lanes=4).collect()[0]
+    # F2 = 2^2 + 1 = 5 == self-equi-join row count
+    assert got["f2_exact"] == 5
