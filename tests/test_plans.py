@@ -355,3 +355,46 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_leakage_split_is_single_projection_no_exchange(spark):
+    df = entrymod.queries()["q150_leakage_safe_split"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "[codegen id :" in plan  # whole-stage codegen spans the scan
+
+
+def test_weighted_sample_uses_window_group_limit(spark):
+    df = entrymod.queries()["q142_weighted_sample"](spark, SF)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan  # rank filter pushed map-side
+
+
+def test_cusum_windows_are_partitioned_no_global_sort(spark):
+    df = entrymod.queries()["q151_cusum_drift"](spark, SF)
+    plan = _plan(df)
+    # every Sort in the plan is partition-local (window sorts), never a
+    # global ordering
+    for line in plan.splitlines():
+        if "Sort [" in line and "Sort [" in line:
+            assert "global=false" in line, line
+
+
+def test_registered_domain_rule_join_broadcasts(spark):
+    df = entrymod.queries()["q141_registered_domain"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # rule table never shuffles
+
+
+def test_ams_f2_aggregates_partially(spark):
+    df = entrymod.queries()["q156_ams_f2"](spark, SF)
+    plan = _plan(df)
+    # lane sums combine map-side before the exchange
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+    assert plan.count("Exchange") <= 6
+
+
+def test_semantic_dedup_seed_side_broadcasts(spark):
+    df = entrymod.queries()["q148_semantic_dedup"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
