@@ -390,8 +390,10 @@ def test_ams_f2_aggregates_partially(spark):
     df = entrymod.queries()["q156_ams_f2"](spark, SF)
     plan = _plan(df)
     # lane sums combine map-side before the exchange
-    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
-    assert plan.count("Exchange") <= 6
+    assert "partial_sum" in plan.lower()
+    # 4 shuffles (lane pair + exact pair) + 1 broadcast, each rendered
+    # twice by formatted explain
+    assert plan.count("Exchange") <= 10
 
 
 def test_semantic_dedup_seed_side_broadcasts(spark):
