@@ -4013,6 +4013,63 @@ def _q156_ams_f2(spark, sf):
     return ams_f2(toks, "token", by=["source"], lanes=16)
 
 
+def _q157_edit_join_qgram(spark, sf):
+    """Edit-distance ≤ 2 similarity self-join by EXACT q-gram count
+    filtering (Gravano VLDB'01) — the k ≥ 2 regime where q49's
+    SymSpell deletion blocking goes combinatorial: mention surfaces
+    get a deterministic two-stage md5 corruption (1-in-5 drop a char,
+    1-in-35 drop a second), so genuine distance-1 AND distance-2 typo
+    pairs exist; candidates by multiset q-gram overlap ≥
+    max(l)−q+1−kq on (gram, occurrence#) joins, short surfaces by
+    length-window blocks, verify with native levenshtein.  The oracle
+    is the INDEPENDENT brute-force formulation, so the hash match
+    certifies filter completeness."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        edit_distance_join_qgram,
+        porthash64,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("pos", "token"),
+    )
+    hashed = toks.select(
+        "token",
+        porthash64(
+            F.concat_ws(":", F.col("doc_id"), F.col("pos"), F.col("token"))
+        ).alias("h"),
+    )
+    s1 = F.when(
+        F.col("h") % 5 == 0,
+        F.expr(
+            "concat(substring(token, 1, CAST(h % length(token) AS INT)),"
+            " substring(token, CAST(h % length(token) AS INT) + 2, 64))"
+        ),
+    ).otherwise(F.col("token"))
+    surfaces = (
+        hashed.select("h", s1.alias("s1"))
+        .select(
+            F.when(
+                (F.col("h") % 35 == 0) & (F.length("s1") > 1),
+                F.expr(
+                    "concat(substring(s1, 1,"
+                    " CAST((h div 7) % length(s1) AS INT)),"
+                    " substring(s1,"
+                    " CAST((h div 7) % length(s1) AS INT) + 2, 64))"
+                ),
+            )
+            .otherwise(F.col("s1"))
+            .alias("surface")
+        )
+        .filter(F.length("surface") > 0)
+        .distinct()
+    )
+    return edit_distance_join_qgram(surfaces, k=2, q=2)
+
+
 _MIS_WL_EDGE_CTE = """
             ed AS (
                 SELECT doc_id,
@@ -4592,6 +4649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_katz_centrality": _q154_katz_centrality,
         "q155_sprt_decisions": _q155_sprt_decisions,
         "q156_ams_f2": _q156_ams_f2,
+        "q157_edit_join_qgram": _q157_edit_join_qgram,
     }
 
 
@@ -5315,6 +5373,41 @@ def _katz_oracle() -> str:
         LEFT JOIN p3 ON p3.node = p1.node
     """
 
+
+_EDITJOIN_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({{tok}}) AS token,
+               unnest(generate_series(0, len({{tok}}) - 1)) AS pos
+        FROM documents
+    ), hashed AS (
+        SELECT token,
+               CAST('0x' || substr(md5(
+                   doc_id || ':' || pos || ':' || token), 1, 15)
+                   AS BIGINT) AS h
+        FROM toks
+    ), c1 AS (
+        SELECT h,
+               CASE WHEN h % 5 = 0 THEN
+                   substr(token, 1, CAST(h % len(token) AS INT))
+                   || substr(token,
+                             CAST(h % len(token) AS INT) + 2, 64)
+               ELSE token END AS s1
+        FROM hashed
+    ), surf AS (
+        SELECT DISTINCT
+               CASE WHEN h % 35 = 0 AND len(s1) > 1 THEN
+                   substr(s1, 1, CAST((h // 7) % len(s1) AS INT))
+                   || substr(s1,
+                             CAST((h // 7) % len(s1) AS INT) + 2, 64)
+               ELSE s1 END AS surface
+        FROM c1
+    ), u AS (SELECT surface FROM surf WHERE len(surface) > 0)
+    SELECT a.surface AS surface_a, b.surface AS surface_b,
+           CAST(levenshtein(a.surface, b.surface) AS INT) AS dist
+    FROM u a JOIN u b
+      ON a.surface < b.surface
+     AND levenshtein(a.surface, b.surface) <= 2
+"""
 
 _SPRT_ORACLE = f"""
     WITH t AS (
@@ -9675,4 +9768,5 @@ def oracle_sql() -> dict[str, str]:
         "q156_ams_f2": _AMS_ORACLE.format(
             tok=_TOK, h=_ph_sql("token || ':' || l", "ams")
         ),
+        "q157_edit_join_qgram": _EDITJOIN_ORACLE.format(tok=_TOK),
     }

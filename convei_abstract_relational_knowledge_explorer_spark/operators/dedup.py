@@ -1692,3 +1692,112 @@ def remove_repeated_substrings(
             F.array_join(kept, " ").alias("text_clean"),
         )
     )
+
+
+def edit_distance_join_qgram(
+    surfaces: DataFrame,
+    k: int = 2,
+    q: int = 2,
+    surface_col: str = "surface",
+) -> DataFrame:
+    """EXACT edit-distance-≤k similarity self-join by q-gram COUNT
+    filtering → (surface_a, surface_b, dist) with a < b, dist ≤ k.
+
+    The k ≥ 2 complement to :func:`edit_distance_pairs`: SymSpell's
+    deletion-variant blocking is exact and cheap at k = 1 but its
+    variant count grows as C(l, k) — combinatorially dead by k = 2 on
+    long surfaces.  The scalable exact path is the q-gram count filter
+    (Gravano et al., VLDB'01): one edit destroys at most ``q`` of a
+    string's l − q + 1 positional q-grams, so
+
+        ed(a, b) ≤ k  ⇒  |G(a) ∩m G(b)| ≥ max(la, lb) − q + 1 − k·q
+
+    where ∩m is the MULTISET intersection — counted exactly by joining
+    on (gram, occurrence#) pairs (the i-th copy of a gram in `a` can
+    only match the i-th copy in `b`), never the lossy distinct-gram
+    proxy, so no true pair is ever pruned.  A length filter
+    ||la − lb|| ≤ k prunes first.  Surfaces too SHORT for the lemma to
+    bite (bound ≤ 0: l ≤ q + k·q − 1) pair within length-window
+    blocks instead — that stratum is bounded by alphabet
+    combinatorics (|Σ|^l), not corpus size.  Survivors verify with one
+    native ``levenshtein`` call (JVM, engine-exact on ASCII tokens).
+
+    Shape: gram posting lists are the join key (rare grams spread the
+    pair space), the count filter is a map-side-combinable groupBy,
+    and the short stratum is an equi-join on length buckets — no
+    cross join anywhere on the long side.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1 or q < 2:
+        raise ValueError("need k >= 1 and q >= 2")
+    s = surfaces.select(F.col(surface_col).alias("s")).distinct()
+    short_max = q + k * q - 1
+    long_s = s.filter(F.length("s") > short_max)
+    short_s = s.filter(F.length("s") <= short_max)
+
+    grams = long_s.select(
+        "s",
+        F.length("s").alias("l"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(s) - {q - 1}),"
+                f" i -> substring(s, i, {q}))"
+            )
+        ).alias("_p", "g"),
+    )
+    occ = grams.select(
+        "s",
+        "l",
+        "g",
+        F.row_number()
+        .over(Window.partitionBy("s", "g").orderBy("_p"))
+        .alias("occ"),
+    )
+    a = occ.select(
+        F.col("s").alias("sa"), F.col("l").alias("la"), "g", "occ"
+    )
+    b = occ.select(
+        F.col("s").alias("sb"), F.col("l").alias("lb"), "g", "occ"
+    )
+    cand = (
+        a.join(b, ["g", "occ"])
+        .filter(
+            (F.col("sa") < F.col("sb"))
+            & (F.abs(F.col("la") - F.col("lb")) <= k)
+        )
+        .groupBy("sa", "sb", "la", "lb")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(
+            F.col("shared")
+            >= F.greatest("la", "lb") - F.lit(q - 1) - F.lit(k * q)
+        )
+        .select("sa", "sb")
+    )
+    # short stratum: length-window join of shorts against EVERYTHING
+    # (tiny, alphabet-bounded) — canonicalized, so a short surface pairs
+    # with a longer one regardless of lexicographic order
+    sh_a = short_s.select(F.col("s").alias("sa"), F.length("s").alias("la"))
+    sh_b = s.select(F.col("s").alias("sb"), F.length("s").alias("lb"))
+    short_cand = (
+        sh_a.join(
+            sh_b,
+            (F.abs(F.col("la") - F.col("lb")) <= k)
+            & (F.col("sa") != F.col("sb")),
+        )
+        .select(
+            F.least("sa", "sb").alias("sa"),
+            F.greatest("sa", "sb").alias("sb"),
+        )
+    )
+    verified = (
+        cand.unionByName(short_cand)
+        .distinct()
+        .select(
+            F.col("sa").alias("surface_a"),
+            F.col("sb").alias("surface_b"),
+            F.levenshtein("sa", "sb").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= k)
+    )
+    return verified

@@ -3569,3 +3569,60 @@ def test_ams_f2_exact_join_size_meaning(spark):
     got = ams_f2(df, "item", by=["g"], lanes=4).collect()[0]
     # F2 = 2^2 + 1 = 5 == self-equi-join row count
     assert got["f2_exact"] == 5
+
+
+def test_edit_distance_join_qgram_exact_vs_bruteforce(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        edit_distance_join_qgram,
+    )
+
+    surfaces = [
+        "analysis", "analysi", "analys", "anxlysis",  # 1-2 edit chain
+        "climate", "climbte", "climat",
+        "data", "date", "dat", "cat",                 # short stratum
+        "completely-different-token",
+    ]
+    df = spark.createDataFrame([(s,) for s in surfaces], ["surface"])
+    got = sorted(
+        (r["surface_a"], r["surface_b"], r["dist"])
+        for r in edit_distance_join_qgram(df, k=2, q=2).collect()
+    )
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = sorted(
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(surfaces), 2)
+        if lev(a, b) <= 2
+    )
+    assert got == want
+    assert ("analys", "analysis", 2) in got     # long stratum k=2
+    assert ("cat", "dat", 1) in got             # short stratum
+    assert ("dat", "date", 1) in got            # short-long boundary
+
+
+def test_edit_distance_join_qgram_multiset_counting(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        edit_distance_join_qgram,
+    )
+
+    # repeated grams: 'aaaaaaaa' vs 'aaaaaaab' share gram 'aa' many
+    # times — the multiset count must see 6 shared copies, distinct
+    # grams would see only 1 and wrongly prune
+    df = spark.createDataFrame(
+        [("aaaaaaaa",), ("aaaaaaab",), ("bbbbbbbb",)], ["surface"]
+    )
+    got = {
+        (r["surface_a"], r["surface_b"]): r["dist"]
+        for r in edit_distance_join_qgram(df, k=2, q=2).collect()
+    }
+    assert got == {("aaaaaaaa", "aaaaaaab"): 1}
