@@ -4070,6 +4070,65 @@ def _q157_edit_join_qgram(spark, sf):
     return edit_distance_join_qgram(surfaces, k=2, q=2)
 
 
+def _q158_consensus_clusters(spark, sf):
+    """Consensus near-dup clusters: union the evidence edges of TWO
+    independent dedup families — exact-fingerprint stars (q16's md5
+    keeper) and trigram-Jaccard ≥ 0.8 pairs (integer test, q66's
+    arithmetic) — and take connected components over the combined
+    graph, so a chain of different evidence kinds still merges into
+    one cluster (the production dedup posture: any one detector
+    suffices).  Output per clustered doc: (doc_id, component,
+    n_members); the oracle rebuilds both families and replays the
+    closure as a recursive CTE."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators import (
+        dedup,
+    )
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        connected_components,
+    )
+
+    d = _t(spark, sf, "documents")
+    fp = F.md5(
+        F.expr(
+            f"array_join(regexp_extract_all(lower(text),"
+            f" '{TOKEN_RE}', 0), ' ')"
+        )
+    )
+    fps = d.select("doc_id", fp.alias("f"))
+    kp = fps.groupBy("f").agg(F.min("doc_id").alias("k"))
+    e1 = (
+        fps.join(kp, "f")
+        .filter(F.col("doc_id") != F.col("k"))
+        .select(F.col("doc_id").alias("a"), F.col("k").alias("b"))
+    )
+    sh = dedup.shingles(d, "doc_id", "text", k=3)
+    sz = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    it = (
+        sh.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    e2 = (
+        it.join(sz.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sz.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .filter(
+            F.lit(1000) * F.col("c")
+            >= F.lit(800) * (F.col("na") + F.col("nb") - F.col("c"))
+        )
+        .select("a", "b")
+    )
+    edges = e1.unionByName(e2).distinct()
+    cc = connected_components(edges, src="a", dst="b")
+    szs = cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return cc.join(szs, "component").select(
+        F.col("node").alias("doc_id"), "component", "n_members"
+    )
+
+
 _MIS_WL_EDGE_CTE = """
             ed AS (
                 SELECT doc_id,
@@ -4650,6 +4709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_sprt_decisions": _q155_sprt_decisions,
         "q156_ams_f2": _q156_ams_f2,
         "q157_edit_join_qgram": _q157_edit_join_qgram,
+        "q158_consensus_clusters": _q158_consensus_clusters,
     }
 
 
@@ -5407,6 +5467,55 @@ _EDITJOIN_ORACLE = f"""
     FROM u a JOIN u b
       ON a.surface < b.surface
      AND levenshtein(a.surface, b.surface) <= 2
+"""
+
+_CONSENSUS_ORACLE = """
+    WITH RECURSIVE t AS (
+        SELECT doc_id, {tok} AS toks FROM documents
+    ),
+    fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS f FROM t),
+    kp AS (SELECT f, min(doc_id) AS k FROM fp GROUP BY 1),
+    e1 AS (
+        SELECT fp.doc_id AS a, kp.k AS b
+        FROM fp JOIN kp USING (f) WHERE fp.doc_id <> kp.k
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) AS s
+        FROM t, unnest(generate_series(1,
+                 greatest(len(toks) - 2, 1))) AS g(i)
+        WHERE len(toks) > 0
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM sh GROUP BY 1),
+    it AS (
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ),
+    e2 AS (
+        SELECT a, b FROM it
+        JOIN sz sa ON sa.doc_id = a
+        JOIN sz sb ON sb.doc_id = b
+        WHERE 1000 * c >= 800 * (sa.n + sb.n - c)
+    ),
+    ed AS MATERIALIZED (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        FROM (SELECT a, b FROM e1 UNION ALL SELECT a, b FROM e2)
+    ),
+    sym AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.v, reach.r FROM reach JOIN sym s ON reach.node = s.u
+    ),
+    cc AS (SELECT node, min(r) AS component FROM reach GROUP BY 1),
+    szs AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+            FROM cc GROUP BY 1)
+    SELECT cc.node AS doc_id, cc.component, szs.n_members
+    FROM cc JOIN szs USING (component)
 """
 
 _SPRT_ORACLE = f"""
@@ -9769,4 +9878,5 @@ def oracle_sql() -> dict[str, str]:
             tok=_TOK, h=_ph_sql("token || ':' || l", "ams")
         ),
         "q157_edit_join_qgram": _EDITJOIN_ORACLE.format(tok=_TOK),
+        "q158_consensus_clusters": _CONSENSUS_ORACLE.format(tok=_TOK),
     }

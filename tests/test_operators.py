@@ -3626,3 +3626,32 @@ def test_edit_distance_join_qgram_multiset_counting(spark):
         for r in edit_distance_join_qgram(df, k=2, q=2).collect()
     }
     assert got == {("aaaaaaaa", "aaaaaaab"): 1}
+
+
+def test_consensus_clusters_bridge_different_evidence(spark):
+    """A doc chain connected only ACROSS families must merge: doc 1-2
+    are exact duplicates, doc 2-3 are high-Jaccard near-dups, so
+    {1,2,3} is one consensus cluster even though no single family links
+    1 to 3."""
+    import __spark_entry__ as entry
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = [
+        (1, base),
+        (2, base),                       # exact dup of 1
+        (3, base + " extra"),            # near-dup of 1/2 (jaccard)
+        (4, "completely different text about other things entirely "
+            "with many unrelated words in a long enough sequence"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    df.write.mode("overwrite").parquet("/tmp/q158_docs/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in entry.queries()["q158_consensus_clusters"](
+            spark, "/tmp/q158_docs"
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}  # 4 is a singleton, not emitted
+    assert got[1]["component"] == got[2]["component"] == got[3]["component"]
+    assert all(r["n_members"] == 3 for r in got.values())
