@@ -4129,6 +4129,45 @@ def _q158_consensus_clusters(spark, sf):
     )
 
 
+def _q159_profile_table(spark, sf):
+    """Deequ-style one-pass column profiling of the customer table
+    (the pre-trust ingest audit): one stack-unpivot scan → per column
+    null count, distinct count, min/max, deterministic mode (max
+    count, ties by value) — all on the shared string rendering so
+    heterogeneous columns fit one schema; doubles excluded by design
+    (cross-engine float rendering is not part of the contract)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        profile_table,
+    )
+
+    c = _t(spark, sf, "customer")
+    return profile_table(
+        c, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    )
+
+
+def _q160_dq_checks(spark, sf):
+    """Declarative constraint-suite validation over orders (the
+    ingest→publish gate): key uniqueness, NOT-NULL saturation,
+    referential containment to customer by anti-join, and a
+    deliberately tight price range so the suite shows mixed outcomes —
+    every check one exact violation count, the whole result a
+    |checks|-row gate table."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        dq_checks,
+    )
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return dq_checks(
+        o,
+        unique_cols=["o_orderkey"],
+        not_null_cols=["o_custkey"],
+        fk=[("o_custkey->customer", "o_custkey", c, "c_custkey")],
+        ranges=[("o_totalprice", 0, 100000)],
+    )
+
+
 _MIS_WL_EDGE_CTE = """
             ed AS (
                 SELECT doc_id,
@@ -4710,6 +4749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_ams_f2": _q156_ams_f2,
         "q157_edit_join_qgram": _q157_edit_join_qgram,
         "q158_consensus_clusters": _q158_consensus_clusters,
+        "q159_profile_table": _q159_profile_table,
+        "q160_dq_checks": _q160_dq_checks,
     }
 
 
@@ -5516,6 +5557,64 @@ _CONSENSUS_ORACLE = """
             FROM cc GROUP BY 1)
     SELECT cc.node AS doc_id, cc.component, szs.n_members
     FROM cc JOIN szs USING (component)
+"""
+
+_PROFILE_ORACLE = """
+    WITH long AS (
+        SELECT 'c_custkey' AS col, CAST(c_custkey AS VARCHAR) AS value
+        FROM customer
+        UNION ALL SELECT 'c_name', c_name FROM customer
+        UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+        FROM customer
+        UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer
+    ), vc AS (
+        SELECT col, value, CAST(count(*) AS BIGINT) AS c
+        FROM long GROUP BY 1, 2
+    ), rk AS (
+        SELECT *, row_number() OVER (PARTITION BY col
+                   ORDER BY c DESC, value ASC NULLS LAST) AS rk
+        FROM vc
+    )
+    SELECT col AS "column",
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN value IS NULL THEN c ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(count(CASE WHEN value IS NOT NULL THEN 1 END)
+                AS BIGINT) AS n_distinct,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           max(CASE WHEN rk = 1 THEN coalesce(value, '<NULL>') END)
+               AS top_value,
+           CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS top_count
+    FROM rk GROUP BY 1
+"""
+
+_DQ_ORACLE = """
+    WITH r AS (
+        SELECT 'unique:o_orderkey' AS "check", 'unique' AS kind,
+               CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_violations
+        FROM (SELECT count(*) AS c FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'not_null:o_custkey', 'not_null',
+               CAST(coalesce(sum(CASE WHEN o_custkey IS NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'fk:o_custkey->customer', 'fk', CAST(count(*) AS BIGINT)
+        FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey IS NOT NULL)
+        UNION ALL
+        SELECT 'range:o_totalprice', 'range',
+               CAST(coalesce(sum(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0 OR o_totalprice > 100000)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM orders
+    )
+    SELECT "check", kind, n_violations, n_violations = 0 AS passed
+    FROM r
 """
 
 _SPRT_ORACLE = f"""
@@ -9879,4 +9978,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q157_edit_join_qgram": _EDITJOIN_ORACLE.format(tok=_TOK),
         "q158_consensus_clusters": _CONSENSUS_ORACLE.format(tok=_TOK),
+        "q159_profile_table": _PROFILE_ORACLE,
+        "q160_dq_checks": _DQ_ORACLE,
     }

@@ -651,3 +651,162 @@ def bh_fdr_select(
         .otherwise(F.col(p_col) <= pstar)
         .alias("selected"),
     )
+
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """One-pass column profiling → one row per column: (column, n_rows,
+    n_null, n_distinct, min_value, max_value, top_value, top_count) —
+    values rendered as strings so heterogeneous columns share a schema.
+
+    The Deequ/Great-Expectations-style profile every ingest pipeline
+    runs before trusting a new drop: null saturation, cardinality,
+    range, and the modal value (a top_count near n_rows on a
+    supposedly-unique column is the classic broken-join smell).
+
+    Shape: the table is UNPIVOTED to (column, value) with one stack
+    expression — a single scan however many columns — then one
+    groupBy(column, value) feeds both the distinct count and the
+    deterministic mode (max count, ties by value ascending), and a
+    second tiny aggregate folds per-column stats.  Counts are exact;
+    min/max/mode compare on the string rendering (documented: this is
+    a PROFILE, not a typed aggregate — casting every column to string
+    is what makes one schema possible).  NULLs keep their slot in the
+    unpivot (stack preserves them) and are counted, never compared.
+    """
+    cols = columns or df.columns
+    pairs = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    long = df.select(
+        F.expr(f"stack({len(cols)}, {pairs}) AS (column, value)")
+    )
+    vc = long.groupBy("column", "value").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("column").orderBy(
+        F.desc("c"), F.asc_nulls_last("value")
+    )
+    ranked = vc.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("column")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("value").isNull(), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.count(F.when(F.col("value").isNotNull(), 1))
+            .cast("long")
+            .alias("n_distinct"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.max(
+                F.when(
+                    F.col("_rk") == 1,
+                    F.when(F.col("value").isNull(), F.lit("<NULL>"))
+                    .otherwise(F.col("value")),
+                )
+            ).alias("top_value"),
+            F.max(F.when(F.col("_rk") == 1, F.col("c")))
+            .cast("long")
+            .alias("top_count"),
+        )
+    )
+
+
+def dq_checks(
+    df: DataFrame,
+    unique_cols: list[str] | None = None,
+    not_null_cols: list[str] | None = None,
+    fk: list[tuple] | None = None,
+    ranges: list[tuple] | None = None,
+) -> DataFrame:
+    """Declarative data-quality constraint suite → one row per check:
+    (check, kind, n_violations, passed).
+
+    The Deequ-style validation gate between ingest and publish:
+    uniqueness of claimed keys, NOT-NULL saturation, referential
+    containment (``fk`` = (name, child_df_keys_col, parent_df, parent_col)
+    tuples checked by left-anti join — the orphan detector), and
+    closed integer ranges (``ranges`` = (col, lo, hi)).  Every check
+    reduces to an exact violation COUNT, so the suite result is one
+    tiny deterministic table a scheduler can gate on — no sampling,
+    no heuristics; the q160 oracle replays every count.
+
+    Each check is its own aggregation over the shared scan —
+    map-side-combinable counts and anti-joins only; the union result
+    is |checks| rows.
+    """
+    spark = df.sparkSession
+    results = []
+    for c in unique_cols or []:
+        v = (
+            df.groupBy(c)
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") > 1)
+            .agg(
+                F.coalesce(F.sum(F.col("_c") - 1), F.lit(0))
+                .cast("long")
+                .alias("n")
+            )
+            .select(
+                F.lit(f"unique:{c}").alias("check"),
+                F.lit("unique").alias("kind"),
+                F.col("n").alias("n_violations"),
+            )
+        )
+        results.append(v)
+    for c in not_null_cols or []:
+        v = df.agg(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n")
+        ).select(
+            F.lit(f"not_null:{c}").alias("check"),
+            F.lit("not_null").alias("kind"),
+            F.col("n").alias("n_violations"),
+        )
+        results.append(v)
+    for name, child_col, parent_df, parent_col in fk or []:
+        v = (
+            df.select(F.col(child_col).alias("_k"))
+            .filter(F.col("_k").isNotNull())
+            .join(
+                parent_df.select(F.col(parent_col).alias("_k")).distinct(),
+                "_k",
+                "left_anti",
+            )
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(
+                F.lit(f"fk:{name}").alias("check"),
+                F.lit("fk").alias("kind"),
+                F.col("n").alias("n_violations"),
+            )
+        )
+        results.append(v)
+    for c, lo, hi in ranges or []:
+        v = df.agg(
+            F.sum(
+                F.when(
+                    F.col(c).isNotNull()
+                    & ((F.col(c) < lo) | (F.col(c) > hi)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n")
+        ).select(
+            F.lit(f"range:{c}").alias("check"),
+            F.lit("range").alias("kind"),
+            F.col("n").alias("n_violations"),
+        )
+        results.append(v)
+    if not results:
+        return spark.createDataFrame(
+            [], "check string, kind string, n_violations long, passed boolean"
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.withColumn("passed", F.col("n_violations") == 0)

@@ -3655,3 +3655,76 @@ def test_consensus_clusters_bridge_different_evidence(spark):
     assert set(got) == {1, 2, 3}  # 4 is a singleton, not emitted
     assert got[1]["component"] == got[2]["component"] == got[3]["component"]
     assert all(r["n_members"] == 3 for r in got.values())
+
+
+def test_profile_table_nulls_mode_and_counts(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b"), (None, "a")],
+        ["k", "v"],
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    kv = got["v"]
+    assert kv["n_rows"] == 5 and kv["n_null"] == 1
+    assert kv["n_distinct"] == 2
+    assert kv["top_value"] == "a" and kv["top_count"] == 3
+    assert kv["min_value"] == "a" and kv["max_value"] == "b"
+    kk = got["k"]
+    assert kk["n_null"] == 1 and kk["n_distinct"] == 4
+    # all-singleton column: mode is the lexicographically smallest value
+    assert kk["top_value"] == "1" and kk["top_count"] == 1
+
+
+def test_profile_table_all_null_column(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, None)], "a int, b string")
+    got = {r["column"]: r for r in profile_table(df, ["b"]).collect()}
+    b = got["b"]
+    assert b["n_null"] == 2 and b["n_distinct"] == 0
+    assert b["top_value"] == "<NULL>" and b["top_count"] == 2
+    assert b["min_value"] is None and b["max_value"] is None
+
+
+def test_dq_checks_mixed_outcomes(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        dq_checks,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10, 5), (1, 11, 50), (2, 99, 500), (3, None, -1)],
+        ["k", "ref", "val"],
+    )
+    parent = spark.createDataFrame([(10,), (11,)], ["pk"])
+    got = {
+        r["check"]: r
+        for r in dq_checks(
+            child,
+            unique_cols=["k"],
+            not_null_cols=["ref"],
+            fk=[("ref->parent", "ref", parent, "pk")],
+            ranges=[("val", 0, 100)],
+        ).collect()
+    }
+    assert got["unique:k"]["n_violations"] == 1  # k=1 twice -> 1 extra
+    assert not got["unique:k"]["passed"]
+    assert got["not_null:ref"]["n_violations"] == 1
+    assert got["fk:ref->parent"]["n_violations"] == 1  # 99 orphan; NULL skipped
+    assert got["range:val"]["n_violations"] == 2  # 500 and -1
+    assert not any(r["passed"] for r in got.values())
+
+
+def test_dq_checks_all_pass_and_empty_suite(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.analytics import (
+        dq_checks,
+    )
+
+    df = spark.createDataFrame([(1, 5), (2, 6)], ["k", "v"])
+    got = dq_checks(df, unique_cols=["k"], ranges=[("v", 0, 10)]).collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in got)
+    assert dq_checks(df).count() == 0
