@@ -4168,6 +4168,47 @@ def _q160_dq_checks(spark, sf):
     )
 
 
+def _q161_double_sweep(spark, sf):
+    """Double-sweep BFS diameter lower bound over the doc_id < 150
+    slice of the q131 conflict graph (per-source chains + chords —
+    genuinely long shortest paths): deterministic min-hash seed, two
+    capped BFS sweeps, argmaxes by (dist desc, node) — a certified
+    diameter lower bound as ONE row, every step replayed by two capped
+    recursive BFS CTEs."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        double_sweep_diameter,
+    )
+
+    e = _mis_wl_edges(spark, sf).filter(
+        (F.col("src") < 150) & (F.col("dst") < 150)
+    )
+    return double_sweep_diameter(e, max_depth=20)
+
+
+def _q162_core_numbers(spark, sf):
+    """Full degeneracy decomposition of the token co-occurrence graph
+    by h-index iteration (Lü et al. 2016): c₀ = degree, then 4 rounds
+    of c(v) ← H-index of neighbor values via the max(min(rank, value))
+    window identity — monotone upper bounds with per-node convergence
+    round, generalizing q48's single fixed-k peel; rounds unrolled in
+    the oracle."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        core_numbers,
+    )
+
+    sel = _token_sel(spark, sf, 30)
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .select(
+            F.col("a.token").alias("src"), F.col("b.token").alias("dst")
+        )
+        .distinct()
+    )
+    return core_numbers(pairs, rounds=4)
+
+
 _MIS_WL_EDGE_CTE = """
             ed AS (
                 SELECT doc_id,
@@ -4751,6 +4792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_consensus_clusters": _q158_consensus_clusters,
         "q159_profile_table": _q159_profile_table,
         "q160_dq_checks": _q160_dq_checks,
+        "q161_double_sweep": _q161_double_sweep,
+        "q162_core_numbers": _q162_core_numbers,
     }
 
 
@@ -5558,6 +5601,115 @@ _CONSENSUS_ORACLE = """
     SELECT cc.node AS doc_id, cc.component, szs.n_members
     FROM cc JOIN szs USING (component)
 """
+
+def _sweep_oracle(max_depth: int) -> str:
+    """q161 replay: min-porthash seed, two capped recursive BFS CTEs
+    ((node, d) state space — bounded by n·(depth+1)), argmaxes by
+    (dist DESC, node)."""
+    h = _ph_sql("node", "sweep")
+    return f"""
+        WITH RECURSIVE {_MIS_WL_EDGE_CTE},
+        ef AS MATERIALIZED (
+            SELECT u, v FROM e0 WHERE u < 150 AND v < 150
+        ),
+        sym AS (SELECT u, v FROM ef UNION ALL SELECT v, u FROM ef),
+        nds AS (SELECT DISTINCT u AS node FROM sym),
+        sd AS MATERIALIZED (
+            SELECT node AS seed_node FROM (
+                SELECT node, row_number() OVER (
+                    ORDER BY {h} ASC, node ASC) AS rn
+                FROM nds
+            ) WHERE rn = 1
+        ),
+        r1(node, d) AS (
+            SELECT seed_node, 0 FROM sd
+            UNION
+            SELECT s.v, r1.d + 1 FROM r1 JOIN sym s ON r1.node = s.u
+            WHERE r1.d < {max_depth}
+        ),
+        b1 AS (SELECT node, CAST(min(d) AS BIGINT) AS dist
+               FROM r1 GROUP BY 1),
+        f1 AS MATERIALIZED (
+            SELECT node AS far_u, dist AS ecc_seed FROM (
+                SELECT node, dist, row_number() OVER (
+                    ORDER BY dist DESC, node ASC) AS rn
+                FROM b1
+            ) WHERE rn = 1
+        ),
+        r2(node, d) AS (
+            SELECT far_u, 0 FROM f1
+            UNION
+            SELECT s.v, r2.d + 1 FROM r2 JOIN sym s ON r2.node = s.u
+            WHERE r2.d < {max_depth}
+        ),
+        b2 AS (SELECT node, CAST(min(d) AS BIGINT) AS dist
+               FROM r2 GROUP BY 1),
+        f2 AS (
+            SELECT node AS far_v, dist AS lb_diameter FROM (
+                SELECT node, dist, row_number() OVER (
+                    ORDER BY dist DESC, node ASC) AS rn
+                FROM b2
+            ) WHERE rn = 1
+        )
+        SELECT sd.seed_node, f1.far_u, f1.ecc_seed,
+               f2.far_v, f2.lb_diameter
+        FROM sd, f1, f2
+    """
+
+
+def _core_oracle(n_rounds: int) -> str:
+    """q162 replay: degree init, then per round the h-index window
+    identity max(min(rank desc by value, value)) — identical to
+    components.core_numbers, convergence rounds included."""
+    parts = [
+        f"""WITH toks AS (
+            SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+            FROM documents
+        ), top AS (
+            SELECT token FROM (
+                SELECT token, count(*) AS df FROM toks GROUP BY 1
+                ORDER BY df DESC, token ASC LIMIT 30
+            )
+        ), sel AS (
+            SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+        ), pairs AS (
+            SELECT DISTINCT a.token AS u, b.token AS v
+            FROM sel a JOIN sel b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+        ), nb AS MATERIALIZED (
+            SELECT u AS node, v AS peer FROM pairs
+            UNION ALL SELECT v, u FROM pairs
+        ), c0 AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS core,
+                   CAST(0 AS INT) AS rnd_converged
+            FROM nb GROUP BY 1
+        )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""", h{r} AS (
+                SELECT node,
+                       CAST(max(least(rk, pc)) AS BIGINT) AS new_core
+                FROM (SELECT nb.node, c.core AS pc,
+                             CAST(row_number() OVER (
+                                 PARTITION BY nb.node
+                                 ORDER BY c.core DESC, nb.peer ASC)
+                                 AS BIGINT) AS rk
+                      FROM nb JOIN c{r - 1} c ON c.node = nb.peer)
+                GROUP BY 1
+            ), c{r} AS MATERIALIZED (
+                SELECT c.node, h.new_core AS core,
+                       CASE WHEN h.new_core < c.core
+                            THEN CAST({r} AS INT)
+                            ELSE c.rnd_converged END AS rnd_converged
+                FROM c{r - 1} c JOIN h{r} h ON h.node = c.node
+            )"""
+        )
+    return (
+        "\n".join(parts)
+        + f"\nSELECT node, core, rnd_converged FROM c{n_rounds}"
+    )
+
 
 _PROFILE_ORACLE = """
     WITH long AS (
@@ -9980,4 +10132,6 @@ def oracle_sql() -> dict[str, str]:
         "q158_consensus_clusters": _CONSENSUS_ORACLE.format(tok=_TOK),
         "q159_profile_table": _PROFILE_ORACLE,
         "q160_dq_checks": _DQ_ORACLE,
+        "q161_double_sweep": _sweep_oracle(20),
+        "q162_core_numbers": _core_oracle(4),
     }

@@ -2712,3 +2712,154 @@ def katz_centrality(
         )
         p = p.localCheckpoint(eager=True)
     return total.select("node", F.col("katz_q20").cast("long").alias("katz_q20"))
+
+
+def double_sweep_diameter(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 20,
+    seed: str = "sweep",
+) -> DataFrame:
+    """Double-sweep BFS diameter lower bound → ONE row:
+    (seed_node, far_u, ecc_seed, far_v, lb_diameter).
+
+    The standard practical diameter estimator (Magnien/Latapy/Habib):
+    exact diameter needs all-pairs BFS — O(n·E), dead at web scale —
+    but ONE BFS from an arbitrary seed to its farthest node u, then a
+    SECOND from u, gives ecc(u) ≤ diameter as a certified lower bound
+    that is exact on trees and empirically tight on web graphs.  The
+    seed is the minimum-porthash node (deterministic, no RNG);
+    farthest-node argmaxes break ties by node id, so the whole
+    estimate is a pure function of the edge set.
+
+    Both sweeps reuse :func:`bfs_distances` (frontier iteration, one
+    equi-join per hop); the argmax between sweeps is a 1-row sort-limit
+    (TakeOrderedAndProject), never a collect into driver logic that
+    the plan can't see.  ``max_depth`` caps both sweeps — if a sweep
+    hits the cap the bound is still valid (it just may be looser), the
+    same capped-unrolling contract as MIS/coloring, and what makes the
+    SQL replay finite.
+    """
+    from .dedup import porthash64
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select("v")
+    ).distinct()
+    s0 = (
+        nodes.orderBy(
+            porthash64(F.col("node").cast("string"), seed), F.asc("node")
+        )
+        .limit(1)
+        .select(F.col("node").alias("seed_node"))
+        .localCheckpoint(eager=True)
+    )
+    b1 = bfs_distances(
+        e, s0.select(F.col("seed_node").alias("node")),
+        src="u", dst="v", max_depth=max_depth,
+    )
+    far1 = (
+        b1.orderBy(F.desc("dist"), F.asc("node"))
+        .limit(1)
+        .select(
+            F.col("node").alias("far_u"),
+            F.col("dist").cast("long").alias("ecc_seed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b2 = bfs_distances(
+        e, far1.select(F.col("far_u").alias("node")),
+        src="u", dst="v", max_depth=max_depth,
+    )
+    far2 = (
+        b2.orderBy(F.desc("dist"), F.asc("node"))
+        .limit(1)
+        .select(
+            F.col("node").alias("far_v"),
+            F.col("dist").cast("long").alias("lb_diameter"),
+        )
+    )
+    return s0.crossJoin(F.broadcast(far1)).crossJoin(F.broadcast(far2))
+
+
+def core_numbers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Per-node core-number estimate by h-index iteration →
+    (node, core, rnd_converged): Lü et al. (Nature Comm. 2016) —
+    start at c₀(v) = degree and repeatedly set c(v) to the H-INDEX of
+    its neighbors' current values; the sequence is non-increasing and
+    its fixed point IS the exact core number (Seidman coreness), which
+    generalizes q48's single fixed-k peel to the full degeneracy
+    decomposition every graph-ordering / sampling / sparsification
+    pass wants.
+
+    ``rounds`` caps the iteration (the MIS/coloring contract): values
+    are exact UPPER BOUNDS that only tighten; ``rnd_converged`` is the
+    last round that tightened the node's value (0 = its degree never
+    moved), so a profile whose max equals the cap says "look closer" —
+    loose nodes are visible, never silently wrong.  The h-index per
+    round is ONE window trick, no arrays: rank each node's neighbor
+    values descending and take max(min(rank, value)) — a per-node
+    top-rank scan that is rank-monotone, so WindowGroupLimit keeps it
+    partial; each round is one equi-join (neighbor value lookup) + one
+    window + one groupBy, all keyed on node.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nbr = e.select(
+        F.col("u").alias("node"), F.col("v").alias("peer")
+    ).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("peer"))
+    ).localCheckpoint(eager=True)
+    cur = nbr.groupBy("node").agg(
+        F.count("*").cast("long").alias("core")
+    ).withColumn("rnd_converged", F.lit(0))
+    for r in range(1, rounds + 1):
+        w = Window.partitionBy("node").orderBy(
+            F.desc("pc"), F.asc("peer")
+        )
+        nxt = (
+            nbr.join(
+                cur.select(F.col("node").alias("peer"),
+                           F.col("core").alias("pc")),
+                "peer",
+            )
+            .withColumn("_rk", F.row_number().over(w))
+            .groupBy("node")
+            .agg(
+                F.max(F.least(F.col("_rk").cast("long"), F.col("pc")))
+                .alias("new_core")
+            )
+        )
+        cur = (
+            cur.join(nxt, "node")
+            .select(
+                "node",
+                F.col("new_core").alias("core"),
+                F.when(
+                    F.col("new_core") < F.col("core"), F.lit(r)
+                ).otherwise(F.col("rnd_converged")).alias("rnd_converged"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cur

@@ -799,3 +799,58 @@ def test_greedy_coloring_smallest_free_color(spark):
     leaves = [col[i] for i in range(1, 7)]
     assert col[100] == (1 if leaves.count(0) == 6 else 0)
     assert all(c in (0, 1) for c in leaves)
+
+
+# ------------------------------------------- diameter & core numbers
+
+
+def test_double_sweep_exact_on_path(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        double_sweep_diameter,
+    )
+
+    # path 0-1-...-9: double sweep is EXACT on trees -> lb = 9
+    e = spark.createDataFrame([(i, i + 1) for i in range(9)], ["src", "dst"])
+    row = double_sweep_diameter(e, max_depth=15).collect()[0]
+    assert row["lb_diameter"] == 9
+    assert {row["far_u"], row["far_v"]} == {0, 9}
+    assert row["ecc_seed"] <= 9
+
+
+def test_double_sweep_cap_still_valid_bound(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        double_sweep_diameter,
+    )
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(30)], ["src", "dst"])
+    row = double_sweep_diameter(e, max_depth=5).collect()[0]
+    assert row["lb_diameter"] <= 5  # capped, still a valid lower bound
+
+
+def test_core_numbers_clique_plus_pendant(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        core_numbers,
+    )
+
+    # 4-clique (core 3) with a pendant chain a-b hanging off node 0
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(0, 10), (10, 11)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["core"] for r in core_numbers(e, rounds=6).collect()}
+    assert got[1] == got[2] == got[3] == 3
+    assert got[0] == 3          # clique membership dominates
+    assert got[10] == 1 and got[11] == 1
+
+
+def test_core_numbers_monotone_upper_bounds(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        core_numbers,
+    )
+
+    # star: center degree 5 but core 1; one round already tightens it
+    e = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    r1 = {r["node"]: r for r in core_numbers(e, rounds=1).collect()}
+    assert r1[0]["core"] == 1 and r1[0]["rnd_converged"] == 1
+    assert all(r1[i]["core"] == 1 for i in range(1, 6))
+    # leaves start at degree 1 and never move
+    assert all(r1[i]["rnd_converged"] == 0 for i in range(1, 6))
