@@ -1671,9 +1671,27 @@ def remove_repeated_substrings(
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("start")).alias("_starts"))
     )
+    # merge the sorted window starts into disjoint covered SPANS first:
+    # on the repeat-saturated docs this operator exists for (C4
+    # boilerplate — nearly every window repeated), starts ≈ tokens and a
+    # per-token linear exists() over them is O(tokens²); overlapping
+    # windows merge into a handful of spans (fully-repeated doc = ONE
+    # span), so the scan is O(tokens · spans)
+    spans = F.expr(
+        f"aggregate(_starts, cast(array() as array<struct<s:int,e:int>>),"
+        f" (acc, st) -> CASE"
+        f"   WHEN size(acc) > 0 AND st <= acc[size(acc) - 1].e + 1"
+        f"   THEN concat(slice(acc, 1, size(acc) - 1),"
+        f"        array(named_struct('s', acc[size(acc) - 1].s,"
+        f"              'e', greatest(acc[size(acc) - 1].e,"
+        f"                            st + {n - 1}))))"
+        f"   ELSE concat(acc, array(named_struct('s', st,"
+        f"                                       'e', st + {n - 1})))"
+        f" END)"
+    )
     kept = F.expr(
-        f"filter(_toks, (t, p) -> NOT exists(_starts,"
-        f" st -> st <= p + 1 AND p + 1 <= st + {n - 1}))"
+        f"filter(_toks, (t, p) -> NOT exists(_spans,"
+        f" sp -> sp.s <= p + 1 AND p + 1 <= sp.e))"
     )
     return (
         base.join(covered, "doc_id", "left")
@@ -1685,6 +1703,7 @@ def remove_repeated_substrings(
             ),
             "_toks",
         )
+        .select("doc_id", "n_tokens", "_toks", spans.alias("_spans"))
         .select(
             "doc_id",
             "n_tokens",

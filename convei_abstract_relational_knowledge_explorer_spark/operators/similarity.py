@@ -565,7 +565,14 @@ def semantic_dedup(
     within-cell self-equi-join — O(n²/n_cells) total, the documented
     O(n^1.5) IVF envelope; the min-partner groupBy is map-side
     combinable.  Boundary loss (true duplicates split across cells) is
-    the standard SemDeDup trade, bounded by cell granularity.
+    the standard SemDeDup trade, bounded by cell granularity.  Skew
+    caveat: a duplicate-SATURATED cell (one embedding repeated m times
+    lands m rows on one cell key → m²/2 pairs through one task) is the
+    same failure mode `_blocked_self_join` solves for the lexical
+    families — on corpora where that regime is expected, run
+    `dedup.exact_duplicates` on the embedding bytes first (identical
+    vectors are exact dups by definition) so cells only ever hold
+    near-neighbors.
     """
     from .dedup import porthash64
 

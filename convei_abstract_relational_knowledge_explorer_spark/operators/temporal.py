@@ -601,7 +601,10 @@ def sprt_decisions(
     decision is the FIRST boundary crossing — one `min(order)` over
     crossing rows, then the row at that order; series that never cross
     report 'undecided' at their full horizon.  No loop, no state, no
-    UDF; windows partition by the series key only.
+    UDF; windows partition by the series key only.  ``order_col`` must
+    be UNIQUE within a series (an event id, not a timestamp with ties)
+    — it is both the walk order and the decision-row identity; ties
+    would make "first crossing" ill-defined in any engine.
     """
     w = Window.partitionBy(*series_cols).orderBy(order_col)
     run = w.rowsBetween(Window.unboundedPreceding, 0)

@@ -3728,3 +3728,21 @@ def test_dq_checks_all_pass_and_empty_suite(spark):
     got = dq_checks(df, unique_cols=["k"], ranges=[("v", 0, 10)]).collect()
     assert all(r["passed"] and r["n_violations"] == 0 for r in got)
     assert dq_checks(df).count() == 0
+
+
+def test_remove_repeated_substrings_saturated_doc_span_merge(spark):
+    """Repeat-saturated doc (every window repeated): the span-merge path
+    must collapse all starts into one span and delete everything."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        remove_repeated_substrings,
+    )
+
+    body = " ".join(f"w{i % 9}" for i in range(60))  # 9-periodic stream
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, "unique tail piece only")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in remove_repeated_substrings(
+        docs, n=4).collect()}
+    assert got[1]["n_kept"] == 0 and got[2]["n_kept"] == 0
+    assert got[3]["n_kept"] == 4
