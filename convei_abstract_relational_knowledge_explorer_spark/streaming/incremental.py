@@ -424,3 +424,79 @@ def stream_interval_join(
         )
     )
     return lw.join(rw, cond, how)
+
+
+def stateful_cusum(
+    events_stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value_milli",
+    k_milli: int = 5000,
+    h_milli: int = 4000,
+) -> DataFrame:
+    """Streaming twin of :func:`..operators.temporal.cusum_changepoints`
+    via ``applyInPandasWithState`` → append-mode rows
+    (key, ts, x_milli, s_pos, s_neg, alarm) — one per input event.
+
+    State per key is THREE longs (cum, min_cum, max_cum): the batch
+    operator's prefix identity S⁺ = cum − min(0, min-prefix) /
+    S⁻ = max(0, max-prefix) − cum needs exactly the running extrema,
+    so the streaming form carries O(1) state however long the series
+    runs — no window buffer, no replay.  ``k_milli`` is the FIXED
+    in-control reference (streaming can't use the batch default of the
+    series' own mean — the future isn't available; supply the level
+    from history or design).  Arrow chunks are collected and sorted by
+    (ts, value) within each micro-batch before the walk, the
+    sessionize discipline; cross-batch order is arrival order — the
+    standard processing-time caveat of every streaming accumulator,
+    documented rather than hidden (the batch twin is the replayable
+    form; the parity test drives both on one ordered fixture).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cols = [key_col, ts_col, "x_milli", "s_pos", "s_neg", "alarm"]
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            cum, mn, mx = state.get
+        else:
+            cum, mn, mx = 0, 0, 0
+        rows = []
+        ordered = sorted(
+            (int(pd.Timestamp(t).value) // 1000, int(v))
+            for pdf in pdf_iter
+            for t, v in zip(pdf[ts_col], pdf[value_col])
+        )
+        for t_us, x in ordered:
+            cum += x - k_milli
+            mn = min(mn, cum)
+            mx = max(mx, cum)
+            s_pos = cum - min(0, mn)
+            s_neg = max(0, mx) - cum
+            rows.append(
+                (
+                    key[0],
+                    t_us,
+                    x,
+                    s_pos,
+                    s_neg,
+                    bool(s_pos >= h_milli or s_neg >= h_milli),
+                )
+            )
+        state.update((cum, mn, mx))
+        out = pd.DataFrame(rows, columns=cols)
+        out[ts_col] = pd.to_datetime(out[ts_col], unit="us")
+        yield out
+
+    schema = (
+        f"{key_col} string, {ts_col} timestamp, x_milli long, "
+        f"s_pos long, s_neg long, alarm boolean"
+    )
+    return events_stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=schema,
+        stateStructType="cum long, mn long, mx long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

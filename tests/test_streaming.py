@@ -480,3 +480,64 @@ def test_stream_interval_join_left_outer_flush(spark, tmp_path):
     assert matched == {1}
     assert unmatched == {2}
     assert len(rows) == 2
+
+
+def test_stateful_cusum_batch_parity(spark, tmp_path):
+    """The streamed CUSUM walk over an ordered fixture equals the batch
+    prefix-identity operator row for row (same fixed reference k), and
+    state carries across micro-batches (two parquet files = two
+    batches per key in availableNow mode processed in file order is
+    not guaranteed — so the fixture keys each fit one file)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from convei_abstract_relational_knowledge_explorer_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+    from convei_abstract_relational_knowledge_explorer_spark.streaming.incremental import (
+        stateful_cusum,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    xs = [5000, 5000, 9000, 9000, 1000, 5000, 12000, 12000]
+    rows = [
+        ("a", t0 + dt.timedelta(hours=i), x) for i, x in enumerate(xs)
+    ] + [
+        ("b", t0 + dt.timedelta(hours=i), 5000) for i in range(4)
+    ]
+    src = str(tmp_path / "cusum_feed")
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value_milli long"
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, value_milli long"
+    ).parquet(src)
+    out = stateful_cusum(stream, k_milli=5000, h_milli=7000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_cusum")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = {
+        (r["event_type"], r["ts"]): (r["s_pos"], r["s_neg"], r["alarm"])
+        for r in spark.table("t_cusum").collect()
+    }
+    batch_in = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value_milli long"
+    ).select(
+        "event_type", "ts", (F.col("value_milli") / 1000).cast("long").alias("x")
+    )
+    batch = {
+        (r["event_type"], r["ts"]): (r["s_pos"], r["s_neg"], r["alarm"])
+        for r in cusum_changepoints(
+            batch_in, ["event_type"], "ts", "x", k_milli=5000, h_milli=7000
+        ).collect()
+    }
+    assert streamed == batch
+    # flat series never alarms; the spiky one does
+    assert not any(a for (k, _), (_, _, a) in streamed.items() if k == "b")
+    assert any(a for (k, _), (_, _, a) in streamed.items() if k == "a")
