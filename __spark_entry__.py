@@ -4209,6 +4209,27 @@ def _q162_core_numbers(spark, sf):
     return core_numbers(pairs, rounds=4)
 
 
+def _q163_poisson_bootstrap(spark, sf):
+    """Poisson bootstrap (the distributed bootstrap — Chamandy 2012)
+    of order totalprice per priority, B=32 resamples: every row draws
+    its own Poisson(1) weight per resample by the inverse-CDF walk on
+    porthash%2^20 against the precomputed Q20 tail constants — no
+    global n, no RNG, exact BIGINT (n_eff, sum_wx) per (group, b);
+    the spread across b is the bootstrap SE downstream."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        poisson_bootstrap,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderkey").alias("doc_id"),
+        F.floor("o_totalprice").cast("long").alias("v"),
+    )
+    return poisson_bootstrap(
+        o, ["o_orderpriority"], "v", n_resamples=32
+    )
+
+
 _MIS_WL_EDGE_CTE = """
             ed AS (
                 SELECT doc_id,
@@ -4794,6 +4815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_dq_checks": _q160_dq_checks,
         "q161_double_sweep": _q161_double_sweep,
         "q162_core_numbers": _q162_core_numbers,
+        "q163_poisson_bootstrap": _q163_poisson_bootstrap,
     }
 
 
@@ -5709,6 +5731,40 @@ def _core_oracle(n_rounds: int) -> str:
         "\n".join(parts)
         + f"\nSELECT node, core, rnd_converged FROM c{n_rounds}"
     )
+
+
+def _bootstrap_oracle(n_resamples: int) -> str:
+    """q163 replay: the identical inverse-CDF walk on porthash%2^20
+    against the same Q20 Poisson(1) tail literals."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        POISSON1_TAIL_Q20,
+    )
+
+    h = _ph_sql("doc_id || ':' || b", "boot")
+    w = " + ".join(
+        f"CASE WHEN u < {t} THEN 1 ELSE 0 END"
+        for t in POISSON1_TAIL_Q20
+    )
+    return f"""
+        WITH base AS (
+            SELECT o_orderpriority, o_orderkey AS doc_id,
+                   CAST(floor(o_totalprice) AS BIGINT) AS v, b
+            FROM orders,
+                 unnest(generate_series(1, {n_resamples})) AS g(b)
+        ), uw AS (
+            SELECT o_orderpriority, b, v,
+                   {h} % 1048576 AS u
+            FROM base
+        ), ww AS (
+            SELECT o_orderpriority, b, v,
+                   CAST({w} AS BIGINT) AS w
+            FROM uw
+        )
+        SELECT o_orderpriority, CAST(b AS INT) AS b,
+               CAST(sum(w) AS BIGINT) AS n_eff,
+               CAST(sum(w * v) AS BIGINT) AS sum_wx
+        FROM ww GROUP BY 1, 2
+    """
 
 
 _PROFILE_ORACLE = """
@@ -10134,4 +10190,5 @@ def oracle_sql() -> dict[str, str]:
         "q160_dq_checks": _DQ_ORACLE,
         "q161_double_sweep": _sweep_oracle(20),
         "q162_core_numbers": _core_oracle(4),
+        "q163_poisson_bootstrap": _bootstrap_oracle(32),
     }

@@ -798,3 +798,73 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+# P(Poisson(1) >= k) in Q20, k = 1..8 — computed once from the exact
+# series; both engines consume the identical integer literals
+POISSON1_TAIL_Q20 = [662826, 277076, 84202, 19910, 3837, 623, 87, 10]
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_resamples: int = 32,
+    id_col: str = "doc_id",
+    seed: str = "boot",
+) -> DataFrame:
+    """Poisson bootstrap resample aggregates → one row per (group,
+    resample b): (*group_cols, b, n_eff, sum_wx) with
+    w_i,b ~ Poisson(1) drawn DETERMINISTICALLY per (row, b).
+
+    THE distributed bootstrap (Chamandy et al., Google 2012): classic
+    resampling draws n rows with replacement — impossible without
+    global coordination at 10¹² rows — but multinomial(n, 1/n)
+    weights converge to independent Poisson(1), so each row decides
+    its own weight in every resample locally, one pass, no global n
+    anywhere.  Downstream, the spread of the B per-group statistics
+    (e.g. sum_wx/n_eff) IS the bootstrap standard error of the mean.
+
+    Deterministic and engine-exact: the weight is the inverse-CDF walk
+    on ``u = porthash(id:b) % 2²⁰`` against the precomputed Q20 tail
+    thresholds (``POISSON1_TAIL_Q20``, nested events — w = Σ_k
+    1[u < t_k], capped at 8); outputs are exact BIGINT sums, so the
+    whole operator replays verbatim in SQL and the same row gets the
+    same weight under any partitioning, executor count, or re-run.
+
+    Shape: one ×B explode (B ≈ 32 — bounded, not data-sized), one
+    map-side-combinable groupBy; the output is |groups|·B rows.
+    """
+    if n_resamples < 1:
+        raise ValueError("need n_resamples >= 1")
+    b = F.explode(
+        F.sequence(F.lit(1), F.lit(int(n_resamples)))
+    ).alias("b")
+    u = porthash64(
+        F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.col("b").cast("string")
+        ),
+        seed,
+    ) % (1 << 20)
+    w = sum(
+        (u < F.lit(t)).cast("long") for t in POISSON1_TAIL_Q20
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.col(id_col),
+            F.col(value_col).cast("long").alias("_x"),
+            b,
+        )
+        .select(
+            *group_cols,
+            "b",
+            w.alias("_w"),
+            (w * F.col("_x")).alias("_wx"),
+        )
+        .groupBy(*group_cols, "b")
+        .agg(
+            F.sum("_w").cast("long").alias("n_eff"),
+            F.sum("_wx").cast("long").alias("sum_wx"),
+        )
+    )

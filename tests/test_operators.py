@@ -3746,3 +3746,46 @@ def test_remove_repeated_substrings_saturated_doc_span_merge(spark):
         docs, n=4).collect()}
     assert got[1]["n_kept"] == 0 and got[2]["n_kept"] == 0
     assert got[3]["n_kept"] == 4
+
+
+def test_poisson_bootstrap_determinism_and_moments(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        poisson_bootstrap,
+    )
+
+    d = spark.range(500).select(
+        F.lit("g").alias("grp"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 10 + 1).alias("v"),
+    )
+    got = poisson_bootstrap(d, ["grp"], "v", n_resamples=16).collect()
+    assert len(got) == 16
+    assert sorted(r["b"] for r in got) == list(range(1, 17))
+    # E[n_eff] = n = 500, sd = sqrt(500) ~ 22; all resamples within 6 sd
+    for r in got:
+        assert abs(r["n_eff"] - 500) < 140
+        # weighted mean tracks the population mean 5.5 loosely
+        assert 4.0 < r["sum_wx"] / r["n_eff"] < 7.0
+    # identical under different physical partitioning
+    again = poisson_bootstrap(
+        d.repartition(7, "doc_id"), ["grp"], "v", n_resamples=16
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_poisson_bootstrap_resamples_differ_and_weights_bounded(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.sampling import (
+        poisson_bootstrap,
+        POISSON1_TAIL_Q20,
+    )
+
+    assert len(POISSON1_TAIL_Q20) == 8  # weight capped at 8
+    d = spark.range(50).select(
+        F.lit("g").alias("grp"),
+        F.col("id").alias("doc_id"),
+        F.lit(1).alias("v"),
+    )
+    got = poisson_bootstrap(d, ["grp"], "v", n_resamples=8).collect()
+    # with v=1, sum_wx == n_eff, and the resamples are not all equal
+    assert all(r["sum_wx"] == r["n_eff"] for r in got)
+    assert len({r["n_eff"] for r in got}) > 1
