@@ -4070,7 +4070,7 @@ def _q157_edit_join_qgram(spark, sf):
     return edit_distance_join_qgram(surfaces, k=2, q=2)
 
 
-def _q158_consensus_clusters(spark, sf):
+def _consensus_cc(spark, sf, tau_millis):
     """Consensus near-dup clusters: union the evidence edges of TWO
     independent dedup families — exact-fingerprint stars (q16's md5
     keeper) and trigram-Jaccard ≥ 0.8 pairs (integer test, q66's
@@ -4115,7 +4115,7 @@ def _q158_consensus_clusters(spark, sf):
         .join(sz.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
         .filter(
             F.lit(1000) * F.col("c")
-            >= F.lit(800) * (F.col("na") + F.col("nb") - F.col("c"))
+            >= F.lit(tau_millis) * (F.col("na") + F.col("nb") - F.col("c"))
         )
         .select("a", "b")
     )
@@ -4127,6 +4127,11 @@ def _q158_consensus_clusters(spark, sf):
     return cc.join(szs, "component").select(
         F.col("node").alias("doc_id"), "component", "n_members"
     )
+
+
+def _q158_consensus_clusters(spark, sf):
+    """See _consensus_cc — the production 0.8 consensus surface."""
+    return _consensus_cc(spark, sf, 800)
 
 
 def _q159_profile_table(spark, sf):
@@ -4228,6 +4233,28 @@ def _q163_poisson_bootstrap(spark, sf):
     return poisson_bootstrap(
         o, ["o_orderpriority"], "v", n_resamples=32
     )
+
+
+def _q164_cluster_metrics(spark, sf):
+    """Pairwise clustering P/R/F1 of the q158 consensus clusters (τ =
+    0.8) against the STRICTER τ = 0.95 clustering as gold — the
+    standard ER evaluation computed from the contingency table (never
+    pair enumeration: a mega-cluster is one row's arithmetic).  Gold
+    edges are a subset of pred edges by construction, so recall is
+    exactly 1.0 whenever gold has pairs, and precision measures how
+    many extra pairs the looser threshold admits.  Exact BIGINT
+    counts, micro ratios by DIV."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        clustering_pair_metrics,
+    )
+
+    pred = _consensus_cc(spark, sf, 800).select(
+        "doc_id", F.col("component").alias("pred")
+    )
+    gold = _consensus_cc(spark, sf, 950).select(
+        "doc_id", F.col("component").alias("gold")
+    )
+    return clustering_pair_metrics(pred, gold)
 
 
 _MIS_WL_EDGE_CTE = """
@@ -4816,6 +4843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_double_sweep": _q161_double_sweep,
         "q162_core_numbers": _q162_core_numbers,
         "q163_poisson_bootstrap": _q163_poisson_bootstrap,
+        "q164_cluster_metrics": _q164_cluster_metrics,
     }
 
 
@@ -5604,7 +5632,7 @@ _CONSENSUS_ORACLE = """
         SELECT a, b FROM it
         JOIN sz sa ON sa.doc_id = a
         JOIN sz sb ON sb.doc_id = b
-        WHERE 1000 * c >= 800 * (sa.n + sb.n - c)
+        WHERE 1000 * c >= {tau} * (sa.n + sb.n - c)
     ),
     ed AS MATERIALIZED (
         SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
@@ -5823,6 +5851,34 @@ _DQ_ORACLE = """
     )
     SELECT "check", kind, n_violations, n_violations = 0 AS passed
     FROM r
+"""
+
+_CLUSTER_METRICS_ORACLE = """
+    WITH pred AS ({consensus}),
+    gld AS ({strict}),
+    j AS (
+        SELECT p.doc_id, p.component AS cp, g.component AS cg
+        FROM pred p JOIN gld g USING (doc_id)
+    ),
+    tp AS (SELECT CAST(coalesce(sum(n * (n - 1)), 0) AS BIGINT) AS tp2
+           FROM (SELECT count(*) AS n FROM j GROUP BY cp, cg)),
+    pp AS (SELECT CAST(coalesce(sum(n * (n - 1)), 0) AS BIGINT) AS pp2
+           FROM (SELECT count(*) AS n FROM j GROUP BY cp)),
+    gp AS (SELECT CAST(coalesce(sum(n * (n - 1)), 0) AS BIGINT) AS gp2
+           FROM (SELECT count(*) AS n FROM j GROUP BY cg)),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM j)
+    SELECT n_items,
+           CAST(tp2 // 2 AS BIGINT) AS tp_pairs,
+           CAST(pp2 // 2 AS BIGINT) AS pred_pairs,
+           CAST(gp2 // 2 AS BIGINT) AS gold_pairs,
+           CAST(CASE WHEN pp2 > 0 THEN (1000000 * tp2) // pp2
+                     ELSE 0 END AS BIGINT) AS p_micro,
+           CAST(CASE WHEN gp2 > 0 THEN (1000000 * tp2) // gp2
+                     ELSE 0 END AS BIGINT) AS r_micro,
+           CAST(CASE WHEN pp2 + gp2 > 0
+                     THEN (2000000 * tp2) // (pp2 + gp2)
+                     ELSE 0 END AS BIGINT) AS f1_micro
+    FROM nn, tp, pp, gp
 """
 
 _SPRT_ORACLE = f"""
@@ -10185,10 +10241,14 @@ def oracle_sql() -> dict[str, str]:
             tok=_TOK, h=_ph_sql("token || ':' || l", "ams")
         ),
         "q157_edit_join_qgram": _EDITJOIN_ORACLE.format(tok=_TOK),
-        "q158_consensus_clusters": _CONSENSUS_ORACLE.format(tok=_TOK),
+        "q158_consensus_clusters": _CONSENSUS_ORACLE.format(tok=_TOK, tau=800),
         "q159_profile_table": _PROFILE_ORACLE,
         "q160_dq_checks": _DQ_ORACLE,
         "q161_double_sweep": _sweep_oracle(20),
         "q162_core_numbers": _core_oracle(4),
         "q163_poisson_bootstrap": _bootstrap_oracle(32),
+        "q164_cluster_metrics": _CLUSTER_METRICS_ORACLE.format(
+            consensus=_CONSENSUS_ORACLE.format(tok=_TOK, tau=800),
+            strict=_CONSENSUS_ORACLE.format(tok=_TOK, tau=950),
+        ),
     }

@@ -213,3 +213,76 @@ def meta_blocking(
     return pairs.crossJoin(F.broadcast(mean)).filter(
         F.col("weight_micro") > F.col("_mean")
     ).select("rec_a", "rec_b", "weight_micro", "n_blocks")
+
+
+def clustering_pair_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """Pairwise clustering evaluation → ONE row: (n_items, tp_pairs,
+    pred_pairs, gold_pairs, p_micro, r_micro, f1_micro) — the standard
+    entity-resolution / dedup quality metric, exact integers end to
+    end.
+
+    Pairwise P/R counts CO-CLUSTERED PAIRS: tp = pairs together in
+    BOTH clusterings, precision = tp / pred-pairs, recall =
+    tp / gold-pairs, F1 = 2·tp / (pred-pairs + gold-pairs).  None of
+    it needs pair enumeration: the contingency table n_ij =
+    |pred cluster i ∩ gold cluster j| gives tp = Σ C(n_ij, 2) and the
+    marginals give the pair totals — three map-side-combinable
+    groupBys over ONE join, however many pairs the clusters imply
+    (a 10⁸-member cluster contributes ~10¹⁶ pairs as ONE row's
+    arithmetic).  Items are restricted to ids present in BOTH
+    assignments (documented: evaluate where both systems speak).
+    Ratios ship in exact micro units by BIGINT floor division; all
+    NULL-safe zero when a side has no pairs.
+    """
+    j = (
+        pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_p"))
+        .join(
+            gold.select(
+                F.col(id_col).alias("_id"), F.col(gold_col).alias("_g")
+            ),
+            "_id",
+        )
+    )
+
+    def pairs(df, cols):
+        return (
+            df.groupBy(*cols)
+            .agg(F.count("*").cast("long").alias("n"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("n") * (F.col("n") - 1)), F.lit(0)
+                ).cast("long").alias("p2")  # 2x the pair count — exact
+            )
+        )
+
+    tp = pairs(j, ["_p", "_g"]).select(F.col("p2").alias("tp2"))
+    pp = pairs(j, ["_p"]).select(F.col("p2").alias("pp2"))
+    gp = pairs(j, ["_g"]).select(F.col("p2").alias("gp2"))
+    n = j.agg(F.count("*").cast("long").alias("n_items"))
+    return (
+        n.crossJoin(tp).crossJoin(pp).crossJoin(gp)
+        .select(
+            "n_items",
+            F.expr("tp2 div 2").cast("long").alias("tp_pairs"),
+            F.expr("pp2 div 2").cast("long").alias("pred_pairs"),
+            F.expr("gp2 div 2").cast("long").alias("gold_pairs"),
+            F.when(
+                F.col("pp2") > 0,
+                F.expr("(1000000 * tp2) div pp2"),
+            ).otherwise(0).cast("long").alias("p_micro"),
+            F.when(
+                F.col("gp2") > 0,
+                F.expr("(1000000 * tp2) div gp2"),
+            ).otherwise(0).cast("long").alias("r_micro"),
+            F.when(
+                F.col("pp2") + F.col("gp2") > 0,
+                F.expr("(2000000 * tp2) div (pp2 + gp2)"),
+            ).otherwise(0).cast("long").alias("f1_micro"),
+        )
+    )

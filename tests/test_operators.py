@@ -3789,3 +3789,45 @@ def test_poisson_bootstrap_resamples_differ_and_weights_bounded(spark):
     # with v=1, sum_wx == n_eff, and the resamples are not all equal
     assert all(r["sum_wx"] == r["n_eff"] for r in got)
     assert len({r["n_eff"] for r in got}) > 1
+
+
+def test_clustering_pair_metrics_exact_counts(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        clustering_pair_metrics,
+    )
+
+    # gold: {1,2,3}, {4,5}; pred merges everything: {1..5}
+    pred = spark.createDataFrame(
+        [(i, "P") for i in range(1, 6)], ["doc_id", "pred"]
+    )
+    gold = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b")],
+        ["doc_id", "gold"],
+    )
+    r = clustering_pair_metrics(pred, gold).collect()[0]
+    assert r["n_items"] == 5
+    assert r["gold_pairs"] == 3 + 1
+    assert r["pred_pairs"] == 10
+    assert r["tp_pairs"] == 4
+    assert r["r_micro"] == 1000000          # over-merge: perfect recall
+    assert r["p_micro"] == 400000           # 4/10
+    assert r["f1_micro"] == (2000000 * 8) // (20 + 8)
+
+
+def test_clustering_pair_metrics_restricts_to_common_ids_and_zero(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        clustering_pair_metrics,
+    )
+
+    pred = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (9, "z")], ["doc_id", "pred"]
+    )
+    gold = spark.createDataFrame(
+        [(1, "g"), (2, "g")], ["doc_id", "gold"]
+    )
+    r = clustering_pair_metrics(pred, gold).collect()[0]
+    # id 9 excluded; pred has no co-clustered pair among common ids
+    assert r["n_items"] == 2
+    assert r["pred_pairs"] == 0 and r["gold_pairs"] == 1
+    assert r["tp_pairs"] == 0
+    assert r["p_micro"] == 0 and r["r_micro"] == 0
