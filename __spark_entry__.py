@@ -4248,11 +4248,65 @@ def _q164_cluster_metrics(spark, sf):
         clustering_pair_metrics,
     )
 
-    pred = _consensus_cc(spark, sf, 800).select(
-        "doc_id", F.col("component").alias("pred")
+    from convei_abstract_relational_knowledge_explorer_spark.operators import (
+        dedup,
     )
-    gold = _consensus_cc(spark, sf, 950).select(
-        "doc_id", F.col("component").alias("gold")
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        connected_components,
+    )
+
+    # build the shared evidence ONCE (the shingle self-join dominates the
+    # cost; the two thresholds differ only in the jaccard cut), then run
+    # the cheap CC twice on the filtered edge lists
+    d = _t(spark, sf, "documents")
+    fp = F.md5(
+        F.expr(
+            f"array_join(regexp_extract_all(lower(text),"
+            f" '{TOKEN_RE}', 0), ' ')"
+        )
+    )
+    fps = d.select("doc_id", fp.alias("f"))
+    kp = fps.groupBy("f").agg(F.min("doc_id").alias("k"))
+    e1 = (
+        fps.join(kp, "f")
+        .filter(F.col("doc_id") != F.col("k"))
+        .select(F.col("doc_id").alias("a"), F.col("k").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    sh = dedup.shingles(d, "doc_id", "text", k=3)
+    sz = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    it = (
+        sh.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    jp = (
+        it.join(sz.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sz.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a", "b",
+            (F.lit(1000) * F.col("c")
+             >= F.lit(800) * (F.col("na") + F.col("nb") - F.col("c"))
+             ).alias("loose"),
+            (F.lit(1000) * F.col("c")
+             >= F.lit(950) * (F.col("na") + F.col("nb") - F.col("c"))
+             ).alias("strict"),
+        )
+        .filter(F.col("loose"))
+        .localCheckpoint(eager=True)
+    )
+
+    def clusters(edge_df, out):
+        cc = connected_components(edge_df, src="a", dst="b")
+        return cc.select(F.col("node").alias("doc_id"),
+                         F.col("component").alias(out))
+
+    pred = clusters(e1.unionByName(jp.select("a", "b")).distinct(), "pred")
+    gold = clusters(
+        e1.unionByName(jp.filter(F.col("strict")).select("a", "b")).distinct(),
+        "gold",
     )
     return clustering_pair_metrics(pred, gold)
 
