@@ -4730,6 +4730,358 @@ def _stress_oracle(max_depth: int) -> str:
     return "".join(parts)
 
 
+def _q165_bgp_match(spark, sf):
+    """SPARQL basic-graph-pattern query over the q110 triple store —
+    the conjunction  ?o PLACED_BY ?c . ?c IN_NATION ?n .
+    ?n HAS_NAME ?name . ?c FROM_REGION ?r  answered by the generic
+    bgp_match operator (constants → pushed-down scans, shared
+    variables → hash equi-joins Catalyst/AQE reorders), rolled up to
+    orders/customers per (nation name, region).  The oracle is the
+    hand-written 4-way self-join — hash equality certifies the
+    planner-built join graph."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        bgp_match,
+    )
+
+    b = bgp_match(
+        _kg_triples(spark, sf),
+        [
+            ("?o", "PLACED_BY", "?c"),
+            ("?c", "IN_NATION", "?n"),
+            ("?n", "HAS_NAME", "?name"),
+            ("?c", "FROM_REGION", "?r"),
+        ],
+    )
+    return b.groupBy(
+        F.col("name").alias("nation_name"), F.col("r").alias("region")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.countDistinct("c").cast("long").alias("n_customers"),
+    )
+
+
+def _q166_ntriples(spark, sf):
+    """RDF N-Triples 1.1 serialization of the entity-bearing slice of
+    the q110 store (OFFERS / HAS_NAME / IN_REGION / IN_NATION):
+    subjects and predicates become namespace IRIs with %-encoding
+    (Brand#12 → Brand%2312), objects split on ENTITY_RE into IRIs
+    (N7, R1) vs quoted literals (nation names, part types) with the
+    five mandatory escapes applied in grammar order.  Byte-exact
+    string plan, no shuffle; the oracle rebuilds every line with the
+    identical replace chain."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        to_ntriples,
+    )
+
+    t = _kg_triples(spark, sf).filter(
+        F.col("pred").isin("OFFERS", "HAS_NAME", "IN_REGION", "IN_NATION")
+    )
+    return to_ntriples(t)
+
+
+def _q167_sameas_canonical(spark, sf):
+    """sameAs-closure canonicalization: the store's customer mentions
+    arrive in three surface forms (C{k} / Customer#{k} / cust:{k} by
+    deterministic key arithmetic), the alias evidence is a CHAIN
+    (Customer#k—Ck, cust:k—Customer#k) so only the transitive closure
+    — real distributed CC, not pairwise lookup — maps all three to the
+    lexicographic-min canonical C{k}; IN_NATION facts are emitted from
+    two 'sources' in different forms, so canonicalization genuinely
+    merges rows.  Per-pred rollup of the merged store: raw rows vs
+    merged triples vs multi-variant endpoints.  The oracle rewrites by
+    the closed-form canonical map and must land on the same counts."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        canonicalize_triples,
+    )
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey").cast("string")
+    placed = o.select(
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("PLACED_BY").alias("pred"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(F.lit("Customer#"), F.col("o_custkey").cast("string")),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("cust:"), F.col("o_custkey").cast("string"))
+        )
+        .alias("obj"),
+    )
+    in_nation_a = c.select(
+        F.concat(F.lit("Customer#"), k).alias("subj"),
+        F.lit("IN_NATION").alias("pred"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias(
+            "obj"
+        ),
+    )
+    in_nation_b = c.select(
+        F.concat(F.lit("cust:"), k).alias("subj"),
+        F.lit("IN_NATION").alias("pred"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias(
+            "obj"
+        ),
+    )
+    trips = placed.unionByName(in_nation_a).unionByName(in_nation_b)
+    aliases = c.select(
+        F.concat(F.lit("Customer#"), k).alias("a"),
+        F.concat(F.lit("C"), k).alias("b"),
+    ).unionByName(
+        c.select(
+            F.concat(F.lit("cust:"), k).alias("a"),
+            F.concat(F.lit("Customer#"), k).alias("b"),
+        )
+    )
+    merged = canonicalize_triples(trips, aliases)
+    return merged.groupBy("pred").agg(
+        F.count("*").cast("long").alias("n_triples"),
+        F.sum("n_rows").cast("long").alias("n_raw_rows"),
+        F.sum((F.col("n_rows") > 1).cast("long")).alias("n_merged"),
+        F.max("n_subj_variants").cast("long").alias("max_subj_variants"),
+        F.max("n_obj_variants").cast("long").alias("max_obj_variants"),
+    )
+
+
+def _q168_auc_eval(spark, sf):
+    """Exact ROC-AUC (Mann-Whitney with tie halves, doubled to stay
+    integer) of document length as a ranker of lang='en', per source —
+    the metric a quality-classifier sweep reports at corpus scale.
+    Per-(source, score) counts, one per-source cumulative window
+    (local sort), one sum; auc_micro by floor DIV.  The oracle replays
+    the identical rank-sum walk."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.evaluation import (
+        exact_auc,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "source", "n_chars", (F.col("lang") == "en").alias("is_en")
+    )
+    return exact_auc(d, "n_chars", "is_en", by=["source"])
+
+
+def _q169_kappa(spark, sf):
+    """Cohen's κ between two deterministic labeling rules (chars ≥ 300
+    vs token-count ≥ 50) per source — the agreement statistic for
+    weak-supervision rule pairs, as one exact integer ratio
+    (1000·(n·agree − Σ aₖbₖ) DIV (n² − Σ aₖbₖ)).  One cross-tab
+    groupBy + two marginal rollups, no window; replayed verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.evaluation import (
+        cohens_kappa,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "source",
+        F.when(F.col("n_chars") >= 300, "keep").otherwise("drop").alias(
+            "rule_a"
+        ),
+        F.when(
+            F.size(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            )
+            >= 50,
+            "keep",
+        )
+        .otherwise("drop")
+        .alias("rule_b"),
+    )
+    return cohens_kappa(d, "rule_a", "rule_b", by=["source"])
+
+
+def _q170_bgp_optional(spark, sf):
+    """SPARQL OPTIONAL over the q110 store — the required block
+    ?o PLACED_BY ?c . ?c IN_NATION ?n keeps every order while
+    OPTIONAL {{ ?o ORDER_NATION ?onat }} left-joins the DELIBERATELY
+    PARTIAL relation (only o_orderkey%3=0 has it), so unmatched
+    optionals survive as NULL bindings exactly as SPARQL 1.1 §6
+    requires; the rollup counts bound vs consistent bindings per
+    nation.  Oracle: the hand-written LEFT JOIN."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        bgp_match,
+    )
+
+    b = bgp_match(
+        _kg_triples(spark, sf),
+        [("?o", "PLACED_BY", "?c"), ("?c", "IN_NATION", "?n")],
+        optional=[("?o", "ORDER_NATION", "?onat")],
+    )
+    return b.groupBy(F.col("n").alias("nation")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.coalesce(
+            F.sum(F.col("onat").isNotNull().cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_with_nation"),
+        F.coalesce(
+            F.sum((F.col("onat") == F.col("n")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_consistent"),
+    )
+
+
+def _q171_content_sniff(spark, sf):
+    """Magic-byte content-type sniffing over synthetic WARC-style
+    payloads: each doc_id deterministically wraps its sha256 filler in
+    one of ten leaders (PNG / GIF87a / GIF89a / PDF / ZIP / GZIP /
+    JPEG / '<html' / RIFF+WEBP / none), the sniffer routes on the
+    published magic numbers (RIFF checks the format tag at bytes
+    9-12), and the rollup counts (declared, sniffed) with total bytes
+    — the type-routing gate of a multimodal crawl.  The oracle sniffs
+    the identical hex prefixes on the replayed payload hex."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.multimodal import (
+        sniff_content_type,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    sha = F.sha2(F.col("doc_id").cast("string"), 256)
+    fmt = (F.col("doc_id") % 10).cast("int")
+    leaders = {
+        0: F.lit("89504E470D0A1A0A"),
+        1: F.lit("474946383761"),
+        2: F.lit("474946383961"),
+        3: F.lit("25504446"),
+        4: F.lit("504B0304"),
+        5: F.lit("1F8B"),
+        6: F.lit("FFD8FF"),
+        7: F.lit("3C68746D6C"),
+        8: F.concat(
+            F.lit("52494646"), F.substring(sha, 1, 8), F.lit("57454250")
+        ),
+        9: F.lit(""),
+    }
+    hx = F.lit(None).cast("string")
+    for k, v in leaders.items():
+        hx = F.when(fmt == k, v).otherwise(hx)
+    payload = F.unhex(F.concat(hx, sha))
+    s = sniff_content_type(
+        d.select("doc_id", fmt.alias("declared"), payload.alias("payload"))
+    )
+    return s.groupBy("declared", "content_type").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    )
+
+
+def _q172_krippendorff(spark, sf):
+    """Krippendorff's α (nominal, two raters, ABSTENTIONS) per source:
+    rule A labels every doc, rule B abstains on doc_id%7=0 — the
+    coincidence-matrix coefficient pools both raters' marginals and
+    drops unpairable units, all exact integers (do2 / de / floor-DIV
+    milli).  Replayed verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.evaluation import (
+        krippendorff_alpha,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "source",
+        F.when(F.col("n_chars") >= 300, "keep").otherwise("drop").alias(
+            "rule_a"
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .when(
+            F.size(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            )
+            >= 50,
+            "keep",
+        )
+        .otherwise("drop")
+        .alias("rule_b"),
+    )
+    return krippendorff_alpha(d, "rule_a", "rule_b", by=["source"])
+
+
+def _q173_calibration(spark, sf):
+    """Reliability diagram + ECE of a length-based pseudo-confidence
+    (n_chars/600 capped, micro units) against lang='en', 10 equal-width
+    bins per source — the per-bin weights cancel into one abs over
+    BIGINT sums (Σ_b |10^6·pos_b − Σconf_b| DIV n), so the whole
+    calibration statistic is float-free.  Replayed verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.evaluation import (
+        calibration_bins,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "source",
+        F.least(
+            F.expr("(n_chars * 1000000) DIV 600"), F.lit(1000000)
+        ).alias("conf_micro"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return calibration_bins(
+        d, "conf_micro", "is_en", n_bins=10, by=["source"]
+    )
+
+
+_SHAPES = [
+    # (target_type, pred, min_count, max_count) — SHACL cardinality core
+    ("Customer", "IN_NATION", 1, 1),        # conforming everywhere
+    ("Order", "ORDER_NATION", 1, 1),        # partial relation: 2/3 violate min
+    ("Nation", "HAS_NAME", 1, 1),           # conforming
+    ("Order", "PLACED_BY", 0, 0),           # every order violates max
+    ("Supplier", "SUP_NATION", 2, None),    # every supplier violates min
+]
+
+_ONTOLOGY = [
+    # pred → (rdfs:domain, rdfs:range)
+    ("PLACED_BY", "Order", "Customer"),
+    ("IN_NATION", "Customer", "Nation"),
+    ("SUP_NATION", "Supplier", "Nation"),
+    ("IN_REGION", "Nation", "Region"),
+    ("HAS_NAME", "Nation", None),
+    ("OFFERS", "Brand", None),
+    ("FROM_REGION", "Customer", "Region"),
+    ("ORDER_NATION", "Order", "Nation"),
+]
+
+
+def _q174_induce_schema(spark, sf):
+    """Schema-graph (TBox) induction over the q110 store: every typed
+    relation signature (subj_type, pred, obj_type) with support and
+    endpoint cardinalities — regex entity typing, ONE map-side
+    combinable groupBy, no joins.  Replayed verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        induce_schema,
+    )
+
+    return induce_schema(_kg_triples(spark, sf))
+
+
+def _q175_shape_validation(spark, sf):
+    """SHACL-style cardinality validation of five shapes against the
+    store: the deliberately PARTIAL ORDER_NATION relation yields real
+    minCount violations (2/3 of orders), a maxCount=0 shape flags
+    every order, and zero-degree entities are caught by the left join
+    — the KG-side sibling of q160's relational DQ checks.  Broadcast
+    shape frame + one degree groupBy; replayed verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        validate_shapes,
+    )
+
+    return validate_shapes(_kg_triples(spark, sf), _SHAPES)
+
+
+def _q176_type_inference(spark, sf):
+    """RDFS domain/range entailment (rdfs2/rdfs3) over the store with
+    an 8-predicate ontology: every triple types its subject by the
+    pred's domain and its object by the range, materialized per
+    entity with evidence counts — two projections of one scan,
+    broadcast ontology, map-side combinable rollup.  Replayed
+    verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        infer_types,
+    )
+
+    return infer_types(_kg_triples(spark, sf), _ONTOLOGY)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4898,6 +5250,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_core_numbers": _q162_core_numbers,
         "q163_poisson_bootstrap": _q163_poisson_bootstrap,
         "q164_cluster_metrics": _q164_cluster_metrics,
+        "q165_bgp_match": _q165_bgp_match,
+        "q166_ntriples": _q166_ntriples,
+        "q167_sameas_canonical": _q167_sameas_canonical,
+        "q168_auc_eval": _q168_auc_eval,
+        "q169_kappa": _q169_kappa,
+        "q170_bgp_optional": _q170_bgp_optional,
+        "q171_content_sniff": _q171_content_sniff,
+        "q172_krippendorff": _q172_krippendorff,
+        "q173_calibration": _q173_calibration,
+        "q174_induce_schema": _q174_induce_schema,
+        "q175_shape_validation": _q175_shape_validation,
+        "q176_type_inference": _q176_type_inference,
     }
 
 
@@ -10305,4 +10669,369 @@ def oracle_sql() -> dict[str, str]:
             consensus=_CONSENSUS_ORACLE.format(tok=_TOK, tau=800),
             strict=_CONSENSUS_ORACLE.format(tok=_TOK, tau=950),
         ),
+        "q165_bgp_match": f"""
+            WITH {_KG_TRIPLES_SQL}
+            SELECT t3.obj AS nation_name,
+                   t4.obj AS region,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(DISTINCT t1.obj) AS BIGINT) AS n_customers
+            FROM trip t1
+            JOIN trip t2 ON t2.pred = 'IN_NATION'   AND t2.subj = t1.obj
+            JOIN trip t3 ON t3.pred = 'HAS_NAME'    AND t3.subj = t2.obj
+            JOIN trip t4 ON t4.pred = 'FROM_REGION' AND t4.subj = t1.obj
+            WHERE t1.pred = 'PLACED_BY'
+            GROUP BY 1, 2
+        """,
+        "q166_ntriples": f"""
+            WITH {_KG_TRIPLES_SQL}
+            SELECT subj, pred, obj,
+                   '<http://example.org/e/'
+                   || replace(replace(subj, '#', '%23'), ' ', '%20')
+                   || '> <http://example.org/p/'
+                   || replace(replace(pred, '#', '%23'), ' ', '%20')
+                   || '> '
+                   || CASE WHEN regexp_matches(obj,
+                               '^([CSNOR][0-9]+|Brand#[0-9]+)$')
+                      THEN '<http://example.org/e/'
+                           || replace(replace(obj, '#', '%23'), ' ', '%20')
+                           || '>'
+                      ELSE '"' || replace(replace(replace(replace(replace(obj, '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t') || '"'
+                      END
+                   || ' .' AS line
+            FROM trip
+            WHERE pred IN ('OFFERS', 'HAS_NAME', 'IN_REGION', 'IN_NATION')
+        """,
+        "q167_sameas_canonical": """
+            WITH raw AS (
+                SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS subj,
+                       'PLACED_BY' AS pred,
+                       CASE o_orderkey % 3
+                         WHEN 0 THEN 'Customer#' || CAST(o_custkey AS VARCHAR)
+                         WHEN 1 THEN 'C' || CAST(o_custkey AS VARCHAR)
+                         ELSE 'cust:' || CAST(o_custkey AS VARCHAR)
+                       END AS obj
+                FROM orders
+                UNION ALL
+                SELECT 'Customer#' || CAST(c_custkey AS VARCHAR),
+                       'IN_NATION', 'N' || CAST(c_nationkey AS VARCHAR)
+                FROM customer
+                UNION ALL
+                SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+                       'IN_NATION', 'N' || CAST(c_nationkey AS VARCHAR)
+                FROM customer
+            ), canon AS (
+                SELECT subj, pred, obj,
+                    CASE WHEN subj LIKE 'Customer#%'
+                             THEN 'C' || substr(subj, 10, 32)
+                         WHEN subj LIKE 'cust:%'
+                             THEN 'C' || substr(subj, 6, 32)
+                         ELSE subj END AS c_subj,
+                    CASE WHEN obj LIKE 'Customer#%'
+                             THEN 'C' || substr(obj, 10, 32)
+                         WHEN obj LIKE 'cust:%'
+                             THEN 'C' || substr(obj, 6, 32)
+                         ELSE obj END AS c_obj
+                FROM raw
+            ), merged AS (
+                SELECT c_subj, pred, c_obj,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(count(DISTINCT subj) AS BIGINT) AS nsv,
+                       CAST(count(DISTINCT obj) AS BIGINT) AS nov
+                FROM canon GROUP BY 1, 2, 3
+            )
+            SELECT pred,
+                   CAST(count(*) AS BIGINT) AS n_triples,
+                   CAST(sum(n_rows) AS BIGINT) AS n_raw_rows,
+                   CAST(sum(CASE WHEN n_rows > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_merged,
+                   CAST(max(nsv) AS BIGINT) AS max_subj_variants,
+                   CAST(max(nov) AS BIGINT) AS max_obj_variants
+            FROM merged GROUP BY 1
+        """,
+        "q168_auc_eval": """
+            WITH per AS (
+                SELECT source, n_chars AS score,
+                       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS np,
+                       CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                            AS BIGINT) AS nn
+                FROM documents GROUP BY 1, 2
+            ), cum AS (
+                SELECT source, np, nn,
+                       CAST(coalesce(sum(nn) OVER (
+                           PARTITION BY source ORDER BY score
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS cnb
+                FROM per
+            ), agg AS (
+                SELECT source,
+                       CAST(sum(np) AS BIGINT) AS n_pos,
+                       CAST(sum(nn) AS BIGINT) AS n_neg,
+                       CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS auc_u2
+                FROM cum GROUP BY 1
+            )
+            SELECT source, n_pos, n_neg, auc_u2,
+                   CAST(2 * n_pos * n_neg AS BIGINT) AS auc_denom2,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN (1000000 * auc_u2) // (2 * n_pos * n_neg)
+                   END AS auc_micro
+            FROM agg
+        """,
+        "q169_kappa": f"""
+            WITH lab AS (
+                SELECT source,
+                       CASE WHEN n_chars >= 300 THEN 'keep'
+                            ELSE 'drop' END AS a,
+                       CASE WHEN len({_TOK}) >= 50 THEN 'keep'
+                            ELSE 'drop' END AS b
+                FROM documents
+            ), tab AS (
+                SELECT source, a, b, CAST(count(*) AS BIGINT) AS c
+                FROM lab GROUP BY 1, 2, 3
+            ), tot AS (
+                SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0)
+                            AS BIGINT) AS n_agree
+                FROM tab GROUP BY 1
+            ), ma AS (SELECT source, a, sum(c) AS ca FROM tab GROUP BY 1, 2),
+               mb AS (SELECT source, b, sum(c) AS cb FROM tab GROUP BY 1, 2),
+               ch AS (
+                SELECT ma.source, CAST(sum(ca * cb) AS BIGINT) AS chance2
+                FROM ma JOIN mb
+                  ON ma.source = mb.source AND ma.a = mb.b
+                GROUP BY 1
+            )
+            SELECT t.source, n, n_agree,
+                   CAST(coalesce(chance2, 0) AS BIGINT) AS chance2,
+                   CASE WHEN n * n <> coalesce(chance2, 0)
+                        THEN (1000 * (n * n_agree - coalesce(chance2, 0)))
+                             // (n * n - coalesce(chance2, 0))
+                   END AS kappa_milli
+            FROM tot t LEFT JOIN ch ON t.source = ch.source
+        """,
+        "q170_bgp_optional": f"""
+            WITH {_KG_TRIPLES_SQL}
+            SELECT t2.obj AS nation,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN t3.obj IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_with_nation,
+                   CAST(sum(CASE WHEN t3.obj = t2.obj THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_consistent
+            FROM trip t1
+            JOIN trip t2 ON t2.pred = 'IN_NATION' AND t2.subj = t1.obj
+            LEFT JOIN trip t3
+                   ON t3.pred = 'ORDER_NATION' AND t3.subj = t1.subj
+            WHERE t1.pred = 'PLACED_BY'
+            GROUP BY 1
+        """,
+        "q171_content_sniff": """
+            WITH pl AS (
+                SELECT doc_id,
+                       CAST(doc_id % 10 AS INT) AS declared,
+                       CASE CAST(doc_id % 10 AS INT)
+                         WHEN 0 THEN '89504E470D0A1A0A'
+                         WHEN 1 THEN '474946383761'
+                         WHEN 2 THEN '474946383961'
+                         WHEN 3 THEN '25504446'
+                         WHEN 4 THEN '504B0304'
+                         WHEN 5 THEN '1F8B'
+                         WHEN 6 THEN 'FFD8FF'
+                         WHEN 7 THEN '3C68746D6C'
+                         WHEN 8 THEN '52494646'
+                              || upper(substr(sha256(CAST(doc_id AS VARCHAR)),
+                                              1, 8))
+                              || '57454250'
+                         ELSE ''
+                       END || upper(sha256(CAST(doc_id AS VARCHAR))) AS hx
+                FROM documents
+            ), sn AS (
+                SELECT declared,
+                       CASE
+                         WHEN hx LIKE '89504E470D0A1A0A%' THEN 'image/png'
+                         WHEN hx LIKE '474946383761%' THEN 'image/gif'
+                         WHEN hx LIKE '474946383961%' THEN 'image/gif'
+                         WHEN hx LIKE '25504446%' THEN 'application/pdf'
+                         WHEN hx LIKE '504B0304%' THEN 'application/zip'
+                         WHEN hx LIKE '1F8B%' THEN 'application/gzip'
+                         WHEN hx LIKE 'FFD8FF%' THEN 'image/jpeg'
+                         WHEN hx LIKE '3C68746D6C%' THEN 'text/html'
+                         WHEN substr(hx, 1, 8) = '52494646'
+                              AND substr(hx, 17, 8) = '57454250'
+                              THEN 'image/webp'
+                         ELSE 'application/octet-stream'
+                       END AS content_type,
+                       len(hx) // 2 AS n_bytes
+                FROM pl
+            )
+            SELECT declared, content_type,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+            FROM sn GROUP BY 1, 2
+        """,
+        "q172_krippendorff": f"""
+            WITH lab AS (
+                SELECT source, doc_id,
+                       CASE WHEN n_chars >= 300 THEN 'keep'
+                            ELSE 'drop' END AS a,
+                       CASE WHEN doc_id % 7 = 0 THEN NULL
+                            WHEN len({_TOK}) >= 50 THEN 'keep'
+                            ELSE 'drop' END AS b
+                FROM documents
+            ), tot AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_units
+                FROM lab GROUP BY 1
+            ), pair AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_pairable,
+                       CAST(2 * sum(CASE WHEN a <> b THEN 1 ELSE 0 END)
+                            AS BIGINT) AS do2
+                FROM lab WHERE a IS NOT NULL AND b IS NOT NULL
+                GROUP BY 1
+            ), pool AS (
+                SELECT source, CAST(sum(nc * nc) AS BIGINT) AS sum_nc2
+                FROM (
+                    SELECT source, v, count(*) AS nc FROM (
+                        SELECT source, a AS v FROM lab
+                        WHERE a IS NOT NULL AND b IS NOT NULL
+                        UNION ALL
+                        SELECT source, b FROM lab
+                        WHERE a IS NOT NULL AND b IS NOT NULL
+                    ) GROUP BY 1, 2
+                ) GROUP BY 1
+            )
+            SELECT t.source, n_units,
+                   CAST(coalesce(n_pairable, 0) AS BIGINT) AS n_pairable,
+                   CAST(coalesce(do2, 0) AS BIGINT) AS do2,
+                   CAST(coalesce(4 * n_pairable * n_pairable - sum_nc2, 0)
+                        AS BIGINT) AS de,
+                   CASE WHEN coalesce(
+                            4 * n_pairable * n_pairable - sum_nc2, 0) > 0
+                        THEN (1000 * ((4 * n_pairable * n_pairable - sum_nc2)
+                                      - (2 * n_pairable - 1) * do2))
+                             // (4 * n_pairable * n_pairable - sum_nc2)
+                   END AS alpha_milli
+            FROM tot t
+            LEFT JOIN pair USING (source)
+            LEFT JOIN pool USING (source)
+        """,
+        "q173_calibration": """
+            WITH base AS (
+                SELECT source,
+                       least((n_chars * 1000000) // 600, 1000000) AS conf,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents
+            ), binned AS (
+                SELECT source,
+                       CAST(least((conf * 10) // 1000000, 9) AS INT) AS bin,
+                       conf, y
+                FROM base
+            ), per_bin AS (
+                SELECT source, bin,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(y) AS BIGINT) AS n_pos,
+                       CAST(sum(conf) AS BIGINT) AS sum_conf_micro
+                FROM binned GROUP BY 1, 2
+            ), per_group AS (
+                SELECT source,
+                       CAST(sum(n) AS BIGINT) AS n_total,
+                       CAST(sum(abs(1000000 * n_pos - sum_conf_micro))
+                            AS BIGINT) AS err
+                FROM per_bin GROUP BY 1
+            )
+            SELECT b.source, bin, n, n_pos, sum_conf_micro,
+                   CAST(err // n_total AS BIGINT) AS ece_micro
+            FROM per_bin b JOIN per_group g ON b.source = g.source
+        """,
+        "q174_induce_schema": f"""
+            WITH {_KG_TRIPLES_SQL}
+            SELECT CASE
+                         WHEN regexp_matches(subj, '^C[0-9]+$') THEN 'Customer'
+                         WHEN regexp_matches(subj, '^S[0-9]+$') THEN 'Supplier'
+                         WHEN regexp_matches(subj, '^N[0-9]+$') THEN 'Nation'
+                         WHEN regexp_matches(subj, '^R[0-9]+$') THEN 'Region'
+                         WHEN regexp_matches(subj, '^O[0-9]+$') THEN 'Order'
+                         WHEN regexp_matches(subj, '^Brand#[0-9]+$') THEN 'Brand'
+                         ELSE 'Literal' END AS subj_type,
+                   pred,
+                   CASE
+                         WHEN regexp_matches(obj, '^C[0-9]+$') THEN 'Customer'
+                         WHEN regexp_matches(obj, '^S[0-9]+$') THEN 'Supplier'
+                         WHEN regexp_matches(obj, '^N[0-9]+$') THEN 'Nation'
+                         WHEN regexp_matches(obj, '^R[0-9]+$') THEN 'Region'
+                         WHEN regexp_matches(obj, '^O[0-9]+$') THEN 'Order'
+                         WHEN regexp_matches(obj, '^Brand#[0-9]+$') THEN 'Brand'
+                         ELSE 'Literal' END AS obj_type,
+                   CAST(count(*) AS BIGINT) AS n_triples,
+                   CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+                   CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+            FROM trip
+            GROUP BY 1, 2, 3
+        """,
+        "q175_shape_validation": f"""
+            WITH {_KG_TRIPLES_SQL},
+            shp(shape_idx, target_type, spred, min_count, max_count) AS (
+                VALUES (0, 'Customer', 'IN_NATION', 1, 1),
+                       (1, 'Order', 'ORDER_NATION', 1, 1),
+                       (2, 'Nation', 'HAS_NAME', 1, 1),
+                       (3, 'Order', 'PLACED_BY', 0, 0),
+                       (4, 'Supplier', 'SUP_NATION', 2, CAST(NULL AS INT))
+            ), ent AS (
+                SELECT DISTINCT subj AS entity,
+                       CASE
+                         WHEN regexp_matches(subj, '^C[0-9]+$') THEN 'Customer'
+                         WHEN regexp_matches(subj, '^S[0-9]+$') THEN 'Supplier'
+                         WHEN regexp_matches(subj, '^N[0-9]+$') THEN 'Nation'
+                         WHEN regexp_matches(subj, '^R[0-9]+$') THEN 'Region'
+                         WHEN regexp_matches(subj, '^O[0-9]+$') THEN 'Order'
+                         WHEN regexp_matches(subj, '^Brand#[0-9]+$') THEN 'Brand'
+                         ELSE 'Literal' END AS target_type
+                FROM trip
+            ), deg AS (
+                SELECT subj AS entity, pred,
+                       CAST(count(*) AS BIGINT) AS deg
+                FROM trip GROUP BY 1, 2
+            ), chk AS (
+                SELECT s.shape_idx, s.target_type, s.spred AS pred,
+                       coalesce(d.deg, 0) AS deg,
+                       s.min_count, s.max_count
+                FROM ent e
+                JOIN shp s ON e.target_type = s.target_type
+                LEFT JOIN deg d
+                  ON d.entity = e.entity AND d.pred = s.spred
+                WHERE e.target_type <> 'Literal'
+            )
+            SELECT shape_idx, target_type, pred,
+                   CASE WHEN deg < min_count THEN 'violation_min'
+                        WHEN max_count IS NOT NULL AND deg > max_count
+                             THEN 'violation_max'
+                        ELSE 'conforming' END AS status,
+                   CAST(count(*) AS BIGINT) AS n_entities,
+                   CAST(sum(deg) AS BIGINT) AS n_triples
+            FROM chk GROUP BY 1, 2, 3, 4
+        """,
+        "q176_type_inference": f"""
+            WITH {_KG_TRIPLES_SQL},
+            ont(pred, dom, rng) AS (
+                VALUES ('PLACED_BY', 'Order', 'Customer'),
+                       ('IN_NATION', 'Customer', 'Nation'),
+                       ('SUP_NATION', 'Supplier', 'Nation'),
+                       ('IN_REGION', 'Nation', 'Region'),
+                       ('HAS_NAME', 'Nation', CAST(NULL AS VARCHAR)),
+                       ('OFFERS', 'Brand', CAST(NULL AS VARCHAR)),
+                       ('FROM_REGION', 'Customer', 'Region'),
+                       ('ORDER_NATION', 'Order', 'Nation')
+            ), ev AS (
+                SELECT t.subj AS entity, o.dom AS inferred_type, t.pred
+                FROM trip t JOIN ont o ON t.pred = o.pred
+                WHERE o.dom IS NOT NULL
+                UNION ALL
+                SELECT t.obj, o.rng, t.pred
+                FROM trip t JOIN ont o ON t.pred = o.pred
+                WHERE o.rng IS NOT NULL
+            )
+            SELECT entity, inferred_type,
+                   CAST(count(*) AS BIGINT) AS n_evidence,
+                   CAST(count(DISTINCT pred) AS BIGINT) AS n_preds
+            FROM ev GROUP BY 1, 2
+        """,
     }

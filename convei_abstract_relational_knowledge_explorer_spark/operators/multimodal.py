@@ -111,3 +111,64 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-type sniffing — file-format detection from magic bytes.
+
+#: (content_type, hex prefix at byte 1) — the match order is the rule
+#: order (longest/most-specific first); RIFF/WEBP additionally checks
+#: bytes 9-12.  Sources: the published magic numbers each format's spec
+#: defines (PNG RFC 2083 §12.11, JPEG ISO 10918 SOI, GIF87a/89a, PDF
+#: %PDF, RFC 1952 gzip, APPNOTE zip, RIFF/WebP container).
+MAGIC_RULES: tuple[tuple[str, str], ...] = (
+    ("image/png", "89504E470D0A1A0A"),
+    ("image/gif", "474946383761"),
+    ("image/gif", "474946383961"),
+    ("application/pdf", "25504446"),
+    ("application/zip", "504B0304"),
+    ("application/gzip", "1F8B"),
+    ("image/jpeg", "FFD8FF"),
+    ("text/html", "3C68746D6C"),  # '<html'
+)
+
+_RIFF, _WEBP = "52494646", "57454250"
+
+
+def sniff_content_type(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Magic-byte content-type detection over an opaque binary column →
+    input columns + (content_type string, n_bytes int).
+
+    The first gate of any multimodal crawl pipeline: WARC payloads
+    arrive with lying or absent Content-Type headers, so type routing
+    (image decoder vs text extractor vs archive expander) keys off the
+    leading bytes.  Pure JVM expressions — the prefix is hex-encoded
+    once and matched against the published magic numbers (longest rule
+    first; RIFF containers check the format tag at bytes 9-12 to split
+    WebP from plain RIFF) — no UDF, no shuffle, codegen-friendly, and
+    the same hex comparisons replay verbatim in any SQL engine.
+    Unmatched payloads fall to ``application/octet-stream``.
+    """
+    p = F.col(payload_col)
+    head = F.hex(F.substring(p, 1, 8))
+    expr = F.lit("application/octet-stream")
+    # build WHEN chain in reverse so the FIRST rule wins ties
+    rules: list[tuple[str, F.Column]] = [
+        (ct, head.startswith(magic)) for ct, magic in MAGIC_RULES
+    ]
+    rules.append(
+        (
+            "image/webp",
+            head.startswith(_RIFF)
+            & (F.hex(F.substring(p, 9, 4)) == _WEBP),
+        )
+    )
+    for ct, cond in reversed(rules):
+        expr = F.when(cond, ct).otherwise(expr)
+    return df.select(
+        "*",
+        expr.alias("content_type"),
+        F.length(p).cast("int").alias("n_bytes"),
+    )

@@ -569,3 +569,366 @@ def truth_discovery(
             .localCheckpoint(eager=True)
         )
     return trust.select("source", "n_claims", "trust_milli")
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    select: list[str] | None = None,
+    optional: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """SPARQL-style basic-graph-pattern matching over a (subj, pred,
+    obj) store → one row per variable binding.
+
+    ``patterns`` is a conjunction of triple patterns; a term starting
+    with ``?`` is a variable, anything else a constant.  The classic
+    worked example (SPARQL 1.1 §5.2; the reference's explorer.html
+    filters publications by satellite AND country client-side, and
+    /root/reference/build_reports.py hand-loops one lookup per such
+    conjunction) becomes ONE declarative multi-way self-join
+    Catalyst can reorder:
+
+      each pattern  → one filtered scan of the store (constants become
+                      pushed-down equality predicates on subj/pred/obj)
+      shared vars   → inner equi-join keys between the pattern frames
+      repeated var
+      in ONE pattern→ an intra-row equality filter (``?x P ?x``)
+
+    Scale shape: a pattern with a constant predicate scans one
+    predicate partition (the store is partitioned by pred at scale);
+    every join is a hash equi-join on binding columns, so AQE sizes
+    and reorders them — no cartesian unless two patterns genuinely
+    share no variable (in which case the BGP *is* a cross product and
+    the caller asked for it).
+
+    ``select`` projects a subset of variables (names without ``?``)
+    after matching; duplicate bindings are preserved (SPARQL bag
+    semantics — wrap in ``.distinct()`` for set semantics).
+    """
+    if not patterns:
+        raise ValueError("bgp_match needs at least one triple pattern")
+    optional = optional or []
+
+    def frame(pat: tuple[str, str, str]) -> DataFrame:
+        s, p, o = pat
+        df = triples.select("subj", "pred", "obj")
+        cols: dict[str, str] = {}
+        for pos, term in zip(("subj", "pred", "obj"), (s, p, o)):
+            if term.startswith("?"):
+                var = term[1:]
+                if var in cols:
+                    # repeated variable inside one pattern: equality
+                    df = df.filter(F.col(pos) == F.col(cols[var]))
+                else:
+                    cols[var] = pos
+            else:
+                df = df.filter(F.col(pos) == F.lit(term))
+        return df.select(
+            *[F.col(pos).alias(var) for var, pos in cols.items()]
+        )
+
+    out = frame(patterns[0])
+    order = list(out.columns)  # first-appearance variable order
+    for pat in patterns[1:]:
+        nxt = frame(pat)
+        shared = sorted(set(out.columns) & set(nxt.columns))
+        out = out.join(nxt, shared) if shared else out.crossJoin(nxt)
+        order += [c for c in nxt.columns if c not in order]
+    # OPTIONAL patterns (SPARQL 1.1 §6): left outer joins AFTER the
+    # required block — a non-matching optional keeps the binding row
+    # and leaves its fresh variables NULL.  Each optional must share at
+    # least one variable with the required block (otherwise it would be
+    # an unbounded cross product of unrelated bindings).
+    for pat in optional:
+        nxt = frame(pat)
+        shared = sorted(set(order) & set(nxt.columns))
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL pattern {pat} shares no variable with the"
+                " required patterns"
+            )
+        out = out.join(nxt, shared, "left")
+        order += [c for c in nxt.columns if c not in order]
+    # joins reorder columns (shared keys float left); pin the binding
+    # order to variable first appearance so results are plan-independent
+    out = out.select(*order)
+    if select is not None:
+        out = out.select(*select)
+    return out
+
+
+#: obj tokens that denote entities (vs literals) in the synthetic KG
+#: store — single-letter-prefixed ids and part brands.
+ENTITY_RE = "^([CSNOR][0-9]+|Brand#[0-9]+)$"
+
+
+def to_ntriples(
+    triples: DataFrame,
+    entity_base: str = "http://example.org/e/",
+    pred_base: str = "http://example.org/p/",
+    entity_re: str = ENTITY_RE,
+) -> DataFrame:
+    """Serialize a (subj, pred, obj) store to RDF N-Triples 1.1 lines
+    → (subj, pred, obj, line).
+
+    The materialize-to-RDF step of a KG build (the reference keeps its
+    graph in SQLite tables; the interchange form at web scale is a
+    sharded ``.nt`` dump).  Pure string expressions, byte-deterministic:
+
+    * subj / pred → IRIs under the two base namespaces; the only
+      IRI-hostile bytes our ids carry (``#``, space) are
+      percent-encoded — ``Brand#12`` → ``<…/e/Brand%2312>``.
+    * obj → an IRI when it matches ``entity_re``, else a quoted
+      literal with the five mandatory N-Triples escapes applied in
+      the grammar's order: backslash FIRST, then ``"``, LF, CR, TAB.
+
+    Narrow per-row transform — no shuffle, whole-stage codegen; the
+    writer can emit ``line`` alone as a text sink partitioned however
+    the store already is.
+    """
+
+    def iri(col, base):
+        enc = F.expr(
+            f"replace(replace({col}, '#', '%23'), ' ', '%20')"
+        )
+        return F.concat(F.lit("<" + base), enc, F.lit(">"))
+
+    lit = F.col("obj")
+    for raw, esc in (
+        ("\\", "\\\\"),
+        ('"', '\\"'),
+        ("\n", "\\n"),
+        ("\r", "\\r"),
+        ("\t", "\\t"),
+    ):
+        lit = F.replace(lit, F.lit(raw), F.lit(esc))
+    obj_term = F.when(
+        F.col("obj").rlike(entity_re), iri("obj", entity_base)
+    ).otherwise(F.concat(F.lit('"'), lit, F.lit('"')))
+    return triples.select(
+        "subj",
+        "pred",
+        "obj",
+        F.concat(
+            iri("subj", entity_base),
+            F.lit(" "),
+            iri("pred", pred_base),
+            F.lit(" "),
+            obj_term,
+            F.lit(" ."),
+        ).alias("line"),
+    )
+
+
+def canonicalize_triples(
+    triples: DataFrame,
+    alias_edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """sameAs-closure canonicalization of a triple store → one row per
+    MERGED triple with provenance counts:
+    (subj, pred, obj, n_rows, n_subj_variants, n_obj_variants).
+
+    The entity-resolution step the north rule names ("entity linking
+    and canonicalization … connected-components to merge duplicate
+    nodes"): ``alias_edges`` is the undirected sameAs evidence (from
+    LSH blocking, dictionary aliases, redirect chains …); its
+    *transitive closure* — computed with the distributed
+    large-star/small-star :func:`~..components.connected_components`,
+    NOT pairwise — maps every surface form to the lexicographic-min
+    member of its equivalence class.  Subjects and objects are then
+    rewritten through that map (two left joins against the same
+    broadcast-or-shuffle canonical frame) and identical rewritten
+    triples collapse, keeping exact provenance: how many raw rows
+    merged, and how many distinct surface forms each endpoint had.
+
+    Scale shape: CC is the bounded-round iterate (its cost is the
+    alias graph, far smaller than the store); the two rewrite joins
+    hash on the mention string — the same key the store is bucketed
+    by — and the final groupBy is map-side combinable.
+    """
+    from .components import connected_components
+
+    canon = connected_components(alias_edges, src=src, dst=dst).select(
+        F.col("node"), F.col("component").alias("canon")
+    )
+    c1 = canon.select(
+        F.col("node").alias("subj"), F.col("canon").alias("subj_c")
+    )
+    c2 = canon.select(
+        F.col("node").alias("obj"), F.col("canon").alias("obj_c")
+    )
+    return (
+        triples.join(c1, "subj", "left")
+        .join(c2, "obj", "left")
+        .select(
+            F.coalesce("subj_c", "subj").alias("c_subj"),
+            "pred",
+            F.coalesce("obj_c", "obj").alias("c_obj"),
+            F.col("subj").alias("raw_subj"),
+            F.col("obj").alias("raw_obj"),
+        )
+        .groupBy(
+            F.col("c_subj").alias("subj"),
+            "pred",
+            F.col("c_obj").alias("obj"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("raw_subj").cast("long").alias(
+                "n_subj_variants"
+            ),
+            F.countDistinct("raw_obj").cast("long").alias(
+                "n_obj_variants"
+            ),
+        )
+    )
+
+
+def entity_type(col) -> F.Column:
+    """Deterministic entity-typing of the synthetic store's id scheme —
+    the prefix convention _kg_triples emits (C/S/N/R/O + digits,
+    Brand#n); anything else is a literal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(c.rlike("^C[0-9]+$"), "Customer")
+        .when(c.rlike("^S[0-9]+$"), "Supplier")
+        .when(c.rlike("^N[0-9]+$"), "Nation")
+        .when(c.rlike("^R[0-9]+$"), "Region")
+        .when(c.rlike("^O[0-9]+$"), "Order")
+        .when(c.rlike("^Brand#[0-9]+$"), "Brand")
+        .otherwise("Literal")
+    )
+
+
+def induce_schema(triples: DataFrame) -> DataFrame:
+    """Schema-graph induction over a raw triple store →
+    (subj_type, pred, obj_type, n_triples, n_subj, n_obj).
+
+    The TBox a KG builder reads off freshly-extracted ABox triples:
+    every typed relation signature with its support and endpoint
+    cardinalities.  A signature with tiny support next to a dominant
+    one for the same pred is the classic extraction-noise smell the
+    reference's hand-checked CSV step looks for.  One map-side
+    combinable groupBy over a narrow typed projection — no joins, the
+    type tags are pure regex expressions.
+    """
+    typed = triples.select(
+        entity_type("subj").alias("subj_type"),
+        "pred",
+        entity_type("obj").alias("obj_type"),
+        "subj",
+        "obj",
+    )
+    return typed.groupBy("subj_type", "pred", "obj_type").agg(
+        F.count("*").cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_subj"),
+        F.countDistinct("obj").cast("long").alias("n_obj"),
+    )
+
+
+def validate_shapes(
+    triples: DataFrame,
+    shapes: list[tuple[str, str, int, int | None]],
+) -> DataFrame:
+    """SHACL-style cardinality validation → one row per
+    (shape_idx, target_type, pred, status) with entity counts:
+    status ∈ conforming / violation_min / violation_max.
+
+    ``shapes`` is a list of (target_type, pred, min_count, max_count)
+    — sh:targetClass + sh:property/sh:minCount/sh:maxCount, the core
+    of the SHACL cardinality profile (W3C SHACL §4.2).  For every
+    entity of the target type (drawn from the store's subjects), the
+    out-degree on ``pred`` is checked against [min, max]; entities
+    with ZERO such triples still participate (the left join), which is
+    exactly what makes minCount violations detectable.
+
+    Scale shape: the shape list is a broadcast literal frame; degrees
+    are one map-side-combinable groupBy of the pred-filtered store;
+    entity universes come from the same store scan.  No windows.
+    """
+    spark = triples.sparkSession
+    shape_rows = [
+        (i, t, p, int(mn), (int(mx) if mx is not None else None))
+        for i, (t, p, mn, mx) in enumerate(shapes)
+    ]
+    shape_df = spark.createDataFrame(
+        shape_rows,
+        "shape_idx int, target_type string, pred string,"
+        " min_count int, max_count int",
+    )
+    entities = (
+        triples.select(
+            F.col("subj").alias("entity"),
+            entity_type("subj").alias("target_type"),
+        )
+        .filter(F.col("target_type") != "Literal")
+        .distinct()
+    )
+    degrees = triples.groupBy(
+        F.col("subj").alias("entity"), "pred"
+    ).agg(F.count("*").cast("long").alias("deg"))
+    checked = (
+        entities.join(F.broadcast(shape_df), "target_type")
+        .join(degrees, ["entity", "pred"], "left")
+        .withColumn("deg", F.coalesce("deg", F.lit(0).cast("long")))
+        .withColumn(
+            "status",
+            F.when(F.col("deg") < F.col("min_count"), "violation_min")
+            .when(
+                F.col("max_count").isNotNull()
+                & (F.col("deg") > F.col("max_count")),
+                "violation_max",
+            )
+            .otherwise("conforming"),
+        )
+    )
+    return checked.groupBy(
+        "shape_idx", "target_type", "pred", "status"
+    ).agg(
+        F.count("*").cast("long").alias("n_entities"),
+        F.sum("deg").cast("long").alias("n_triples"),
+    )
+
+
+def infer_types(
+    triples: DataFrame,
+    ontology: list[tuple[str, str | None, str | None]],
+) -> DataFrame:
+    """RDFS domain/range type inference (rdfs2/rdfs3 entailment) →
+    (entity, inferred_type, n_evidence, n_preds).
+
+    ``ontology`` maps each predicate to (rdfs:domain, rdfs:range):
+    every triple (s, P, o) with P's domain D entails (s, rdf:type, D);
+    with range R it entails (o, rdf:type, R) — the first inference
+    pass a KG runs after extraction, materialized with evidence
+    counts (how many triples and distinct predicates support each
+    typing).  The ontology is a broadcast literal; the entailment is
+    two projections of one store scan unioned and rolled up —
+    map-side combinable, no windows.
+    """
+    spark = triples.sparkSession
+    ont = spark.createDataFrame(
+        [(p, d, r) for p, d, r in ontology],
+        "pred string, domain string, range string",
+    )
+    with_ont = triples.join(F.broadcast(ont), "pred")
+    subj_types = with_ont.filter(F.col("domain").isNotNull()).select(
+        F.col("subj").alias("entity"),
+        F.col("domain").alias("inferred_type"),
+        "pred",
+    )
+    obj_types = with_ont.filter(F.col("range").isNotNull()).select(
+        F.col("obj").alias("entity"),
+        F.col("range").alias("inferred_type"),
+        "pred",
+    )
+    return (
+        subj_types.unionByName(obj_types)
+        .groupBy("entity", "inferred_type")
+        .agg(
+            F.count("*").cast("long").alias("n_evidence"),
+            F.countDistinct("pred").cast("long").alias("n_preds"),
+        )
+    )

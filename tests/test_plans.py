@@ -400,3 +400,42 @@ def test_semantic_dedup_seed_side_broadcasts(spark):
     df = entrymod.queries()["q148_semantic_dedup"](spark, SF)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ntriples_is_narrow_zero_exchange(spark):
+    df = entrymod.queries()["q166_ntriples"](spark, SF)
+    plan = _plan(df)
+    # pure per-row serialization over a union of scans: no shuffle at all
+    assert "Exchange" not in plan
+    assert "[codegen id :" in plan
+
+
+def test_bgp_match_no_cartesian(spark):
+    df = entrymod.queries()["q165_bgp_match"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bgp_optional_no_cartesian_left_join_survives(spark):
+    df = entrymod.queries()["q170_bgp_optional"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftOuter" in plan  # the OPTIONAL really is a left join
+
+
+def test_content_sniff_single_aggregation_exchange(spark):
+    df = entrymod.queries()["q171_content_sniff"](spark, SF)
+    plan = _plan(df)
+    # narrow synth + sniff, then ONE hash-agg shuffle (rendered twice
+    # by formatted explain)
+    assert plan.count("Exchange") <= 2
+    assert "partial_count" in plan.lower() or "partial_sum" in plan.lower()
+
+
+def test_exact_auc_window_is_partition_local(spark):
+    df = entrymod.queries()["q168_auc_eval"](spark, SF)
+    plan = _plan(df)
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert "global=false" in line, line
