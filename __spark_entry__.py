@@ -5082,6 +5082,55 @@ def _q176_type_inference(spark, sf):
     return infer_types(_kg_triples(spark, sf), _ONTOLOGY)
 
 
+def _q177_blocking_quality(spark, sf):
+    """Blocking-scheme evaluation (Christen's RR + PC): a 16-char
+    lowercase text-prefix blocking key scored against the exact
+    token-fingerprint duplicate pairs as gold — reduction ratio from
+    the block-size histogram, pairs completeness from each gold pair's
+    two keys; pure counting arithmetic, no pair materialization.
+    Replayed verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        blocking_quality,
+    )
+
+    d = _t(spark, sf, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.expr("lower(substr(text, 1, 16))").alias("blk"),
+    )
+    fp = d.select(
+        "doc_id",
+        F.md5(
+            F.expr(
+                f"array_join(regexp_extract_all(lower(text),"
+                f" '{TOKEN_RE}', 0), ' ')"
+            )
+        ).alias("f"),
+    )
+    gold = (
+        fp.select(F.col("doc_id").alias("a"), "f")
+        .join(fp.select(F.col("doc_id").alias("b"), "f"), "f")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    return blocking_quality(keyed, "blk", gold)
+
+
+def _q178_minhash_calibration(spark, sf):
+    """MinHash estimator calibration over the q24 LSH candidate set:
+    per matching-lane bucket, the m/16 Jaccard estimate next to the
+    EXACT shingle Jaccard and the mean absolute error, all floor-milli
+    BIGINTs — the audit that tells you whether 16 lanes are enough for
+    the corpus before trusting the dedup threshold.  Candidates,
+    signatures and the shared shingle intersection join are replayed
+    verbatim in the oracle."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        minhash_calibration,
+    )
+
+    return minhash_calibration(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -5262,6 +5311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_induce_schema": _q174_induce_schema,
         "q175_shape_validation": _q175_shape_validation,
         "q176_type_inference": _q176_type_inference,
+        "q177_blocking_quality": _q177_blocking_quality,
+        "q178_minhash_calibration": _q178_minhash_calibration,
     }
 
 
@@ -11033,5 +11084,130 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_evidence,
                    CAST(count(DISTINCT pred) AS BIGINT) AS n_preds
             FROM ev GROUP BY 1, 2
+        """,
+        "q177_blocking_quality": f"""
+            WITH keyed AS (
+                SELECT doc_id, lower(substr(text, 1, 16)) AS blk
+                FROM documents
+            ), sizes AS (
+                SELECT blk, CAST(count(*) AS BIGINT) AS n
+                FROM keyed GROUP BY 1
+            ), counts AS (
+                SELECT CAST(sum(n) AS BIGINT) AS n_records,
+                       CAST(sum(n * (n - 1) // 2) AS BIGINT)
+                           AS n_candidate_pairs
+                FROM sizes
+            ), fp AS (
+                SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS f
+                FROM documents
+            ), gold AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM fp a JOIN fp b
+                  ON a.f = b.f AND a.doc_id < b.doc_id
+            ), cov AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_gold,
+                       CAST(sum(CASE WHEN ka.blk = kb.blk THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_covered
+                FROM gold
+                JOIN keyed ka ON ka.doc_id = gold.a
+                JOIN keyed kb ON kb.doc_id = gold.b
+            )
+            SELECT n_records,
+                   CAST(n_records * (n_records - 1) // 2 AS BIGINT)
+                       AS n_total_pairs,
+                   n_candidate_pairs,
+                   n_gold,
+                   CAST(coalesce(n_covered, 0) AS BIGINT) AS n_covered,
+                   CASE WHEN n_records >= 2 THEN
+                       CAST((1000000 * ((n_records * (n_records - 1) // 2)
+                                        - n_candidate_pairs))
+                            // (n_records * (n_records - 1) // 2) AS BIGINT)
+                   END AS reduction_ratio_micro,
+                   CASE WHEN n_gold > 0 THEN
+                       CAST((1000000 * coalesce(n_covered, 0)) // n_gold
+                            AS BIGINT)
+                   END AS pairs_completeness_micro
+            FROM counts CROSS JOIN cov
+        """,
+        "q178_minhash_calibration": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                           '[a-z0-9]+(?:-[a-z0-9]+)*') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', t[i], t[i + 1]) AS shingle
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(1,
+                         greatest(len(t) - 1, 1))) AS i) g
+                WHERE len(t) > 0
+            ), hx AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h1,
+                       CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT) AS h2
+                FROM sh
+            ), mh AS (
+                SELECT doc_id, s.seed,
+                       min(xor(
+                           ((h1 & ((1::BIGINT << (60 - s.r)) - 1)) << s.r)
+                               | (h1 >> (60 - s.r)),
+                           ((h2 & ((1::BIGINT << (60 - s.r2)) - 1)) << s.r2)
+                               | (h2 >> (60 - s.r2))
+                       )) AS h
+                FROM hx CROSS JOIN
+                     (SELECT seed, (7 * seed + 3) % 60 AS r,
+                             (13 * seed + 5) % 60 AS r2
+                      FROM (SELECT unnest(generate_series(0, 15)) AS seed)) s
+                GROUP BY 1, 2
+            ), sig AS (
+                SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY 1
+            ), banded AS (
+                SELECT doc_id, b.band,
+                       array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2],
+                                       ':') AS bucket
+                FROM sig CROSS JOIN
+                     (SELECT unnest(generate_series(0, 7)) AS band) b
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ), pm AS (
+                SELECT c.doc_a, c.doc_b,
+                       CAST(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END)
+                            AS INT) AS m
+                FROM cand c
+                JOIN mh ma ON ma.doc_id = c.doc_a
+                JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+                GROUP BY 1, 2
+            ), sz AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), paired AS (
+                SELECT pm.m AS n_matching_lanes,
+                       (1000 * coalesce(i.c, 0))
+                           // (sa.n + sb.n - coalesce(i.c, 0)) AS exact_milli,
+                       (1000 * pm.m) // 16 AS est_milli
+                FROM pm
+                LEFT JOIN inter i
+                  ON i.doc_a = pm.doc_a AND i.doc_b = pm.doc_b
+                JOIN sz sa ON sa.doc_id = pm.doc_a
+                JOIN sz sb ON sb.doc_id = pm.doc_b
+            )
+            SELECT n_matching_lanes,
+                   CAST(min(est_milli) AS BIGINT) AS est_milli,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(exact_milli) // count(*) AS BIGINT)
+                       AS mean_exact_milli,
+                   CAST(sum(abs(est_milli - exact_milli)) // count(*)
+                        AS BIGINT) AS mean_abs_err_milli
+            FROM paired GROUP BY 1
         """,
     }

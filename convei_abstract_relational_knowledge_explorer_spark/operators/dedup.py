@@ -1820,3 +1820,76 @@ def edit_distance_join_qgram(
         .filter(F.col("dist") <= k)
     )
     return verified
+
+
+def minhash_calibration(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    num_hashes: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Sketch-vs-truth calibration of the MinHash estimator over the
+    banded-LSH candidate set → one row per matching-lane count m:
+    (n_matching_lanes, est_milli, n_pairs, mean_exact_milli,
+    mean_abs_err_milli).
+
+    The quality audit every sketch deployment owes itself: for each
+    LSH candidate pair, the MinHash Jaccard ESTIMATE (m/num_hashes,
+    the per-lane match rate) next to the EXACT shingle Jaccard, both
+    in floor-milli units, bucketed by m — so the output is the
+    estimator's empirical calibration curve plus its mean absolute
+    error per bucket, all BIGINT arithmetic.
+
+    Plan shape: the candidate set and signatures are the q24 pipeline
+    (portable md5 lanes); exact intersections reuse the q164 shared
+    shingle equi-join (counts only — no pair arrays); everything rolls
+    up to ≤ num_hashes+1 rows.
+    """
+    sh = shingles(docs, id_col, text_col, k=k)
+    sigs = minhash_signatures(sh, num_hashes=num_hashes, hash_fn="md5")
+    cands = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=rows_per_band, bucket_fn="concat"
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    m = cands.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "aggregate(zip_with(_sa, _sb,"
+            " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+            " 0, (acc, v) -> acc + v)"
+        ).alias("n_matching_lanes"),
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    paired = (
+        m.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0).cast("long")))
+        .join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "n_matching_lanes",
+            F.expr("(1000 * c) DIV (na + nb - c)").alias("_exact_milli"),
+            F.expr(
+                f"(1000 * n_matching_lanes) DIV {num_hashes}"
+            ).alias("_est_milli"),
+        )
+    )
+    return paired.groupBy("n_matching_lanes").agg(
+        F.first("_est_milli").alias("est_milli"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("sum(_exact_milli) DIV count(*)").alias("mean_exact_milli"),
+        F.expr(
+            "sum(abs(_est_milli - _exact_milli)) DIV count(*)"
+        ).alias("mean_abs_err_milli"),
+    )

@@ -286,3 +286,73 @@ def clustering_pair_metrics(
             ).otherwise(0).cast("long").alias("f1_micro"),
         )
     )
+
+
+def blocking_quality(
+    records: DataFrame,
+    block_col: str,
+    gold_pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocking-scheme evaluation → ONE row
+    (n_records, n_total_pairs, n_candidate_pairs, n_gold, n_covered,
+    reduction_ratio_micro, pairs_completeness_micro).
+
+    The two numbers every record-linkage blocking paper reports
+    (Christen, TKDE 2012): reduction ratio RR = 1 − candidates/total
+    (how much of the quadratic comparison space the blocks prune) and
+    pairs completeness PC = covered gold / gold (how many TRUE matches
+    survive the pruning).  ``block_col`` must assign each record to
+    EXACTLY ONE block (a partitioning scheme — sorted-neighborhood keys,
+    LSH needs the multi-block variant), so candidates = Σ_b C(n_b, 2)
+    needs no cross-block dedup; ``gold_pairs`` is (a, b) truth.
+
+    Everything is counting arithmetic on BIGINTs — total pairs C(n,2)
+    from one count, candidates from the block-size histogram, coverage
+    from joining each gold pair's two block keys — no pair
+    materialization anywhere, so a mega-block is one row's arithmetic.
+    Ratios in micro units by floor DIV.
+    """
+    keyed = records.select(
+        F.col(id_col).alias("_id"), F.col(block_col).alias("_blk")
+    )
+    sizes = keyed.groupBy("_blk").agg(F.count("*").cast("long").alias("n"))
+    counts = sizes.agg(
+        F.sum("n").cast("long").alias("n_records"),
+        F.sum(F.expr("n * (n - 1) DIV 2")).cast("long").alias(
+            "n_candidate_pairs"
+        ),
+    )
+    ka = keyed.select(
+        F.col("_id").alias("a"), F.col("_blk").alias("_blk_a")
+    )
+    kb = keyed.select(
+        F.col("_id").alias("b"), F.col("_blk").alias("_blk_b")
+    )
+    gold = gold_pairs.select("a", "b").distinct()
+    cov = (
+        gold.join(ka, "a")
+        .join(kb, "b")
+        .agg(
+            F.count("*").cast("long").alias("n_gold"),
+            F.sum((F.col("_blk_a") == F.col("_blk_b")).cast("long"))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return counts.crossJoin(cov).select(
+        "n_records",
+        F.expr("n_records * (n_records - 1) DIV 2").alias("n_total_pairs"),
+        "n_candidate_pairs",
+        "n_gold",
+        F.coalesce("n_covered", F.lit(0).cast("long")).alias("n_covered"),
+        F.expr(
+            "CASE WHEN n_records >= 2 THEN (1000000 * "
+            "((n_records * (n_records - 1) DIV 2) - n_candidate_pairs))"
+            " DIV (n_records * (n_records - 1) DIV 2) END"
+        ).alias("reduction_ratio_micro"),
+        F.expr(
+            "CASE WHEN n_gold > 0 THEN"
+            " (1000000 * coalesce(n_covered, 0)) DIV n_gold END"
+        ).alias("pairs_completeness_micro"),
+    )

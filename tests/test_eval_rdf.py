@@ -403,3 +403,42 @@ def test_induce_schema_signatures(spark):
         ("Customer", "IN_NATION", "Nation"): (2, 2, 1),
         ("Nation", "HAS_NAME", "Literal"): (1, 1, 1),
     }
+
+
+def test_blocking_quality_counts(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        blocking_quality,
+    )
+
+    # 4 records, blocks {b1: r1 r2 r3, b2: r4}: total C(4,2)=6, cand C(3,2)=3
+    recs = spark.createDataFrame(
+        [(1, "b1"), (2, "b1"), (3, "b1"), (4, "b2")],
+        "doc_id long, blk string",
+    )
+    # gold: (1,2) covered, (3,4) split across blocks
+    gold = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    r = blocking_quality(recs, "blk", gold).collect()[0]
+    assert (r.n_records, r.n_total_pairs, r.n_candidate_pairs) == (4, 6, 3)
+    assert (r.n_gold, r.n_covered) == (2, 1)
+    assert r.reduction_ratio_micro == (1_000_000 * 3) // 6
+    assert r.pairs_completeness_micro == 500_000
+
+
+def test_minhash_calibration_identical_docs_hit_16_lanes(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.dedup import (
+        minhash_calibration,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    rows = {r.n_matching_lanes: r for r in minhash_calibration(docs).collect()}
+    # the identical pair matches every lane and has exact jaccard 1000
+    assert 16 in rows
+    r = rows[16]
+    assert r.n_pairs == 1
+    assert r.est_milli == 1000
+    assert r.mean_exact_milli == 1000
+    assert r.mean_abs_err_milli == 0
