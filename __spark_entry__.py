@@ -4751,6 +4751,7 @@ def _q165_bgp_match(spark, sf):
             ("?n", "HAS_NAME", "?name"),
             ("?c", "FROM_REGION", "?r"),
         ],
+        optimize=True,
     )
     return b.groupBy(
         F.col("name").alias("nation_name"), F.col("r").alias("region")
@@ -5131,6 +5132,43 @@ def _q178_minhash_calibration(spark, sf):
     return minhash_calibration(_t(spark, sf, "documents"))
 
 
+def _q179_lsh_blocking_quality(spark, sf):
+    """RR/PC evaluation of the q24 LSH banding AS a blocking scheme
+    (the non-partitioning variant: candidates are an explicit distinct
+    pair list): reduction ratio from the distinct candidate count,
+    pairs completeness by a semi-join membership probe of the exact
+    token-fingerprint gold pairs — exact duplicates have identical
+    MinHash signatures, so banding must cover every gold pair (PC =
+    10^6) while pruning ~all of C(n,2).  Candidates, gold and both
+    ratios replayed verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        blocking_quality_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+    sh = dedup.shingles(d, "doc_id", "text", k=2)
+    sigs = dedup.minhash_signatures(sh, num_hashes=16, hash_fn="md5")
+    cands = dedup.lsh_candidate_pairs(
+        sigs, bands=8, rows_per_band=2, bucket_fn="concat"
+    )
+    fp = d.select(
+        "doc_id",
+        F.md5(
+            F.expr(
+                f"array_join(regexp_extract_all(lower(text),"
+                f" '{TOKEN_RE}', 0), ' ')"
+            )
+        ).alias("f"),
+    )
+    gold = (
+        fp.select(F.col("doc_id").alias("a"), "f")
+        .join(fp.select(F.col("doc_id").alias("b"), "f"), "f")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    return blocking_quality_pairs(cands, gold, d.count())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -5313,6 +5351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_type_inference": _q176_type_inference,
         "q177_blocking_quality": _q177_blocking_quality,
         "q178_minhash_calibration": _q178_minhash_calibration,
+        "q179_lsh_blocking_quality": _q179_lsh_blocking_quality,
     }
 
 
@@ -11209,5 +11248,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(abs(est_milli - exact_milli)) // count(*)
                         AS BIGINT) AS mean_abs_err_milli
             FROM paired GROUP BY 1
+        """,
+        "q179_lsh_blocking_quality": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                           '[a-z0-9]+(?:-[a-z0-9]+)*') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', t[i], t[i + 1]) AS shingle
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(1,
+                         greatest(len(t) - 1, 1))) AS i) g
+                WHERE len(t) > 0
+            ), hx AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h1,
+                       CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT) AS h2
+                FROM sh
+            ), mh AS (
+                SELECT doc_id, s.seed,
+                       min(xor(
+                           ((h1 & ((1::BIGINT << (60 - s.r)) - 1)) << s.r)
+                               | (h1 >> (60 - s.r)),
+                           ((h2 & ((1::BIGINT << (60 - s.r2)) - 1)) << s.r2)
+                               | (h2 >> (60 - s.r2))
+                       )) AS h
+                FROM hx CROSS JOIN
+                     (SELECT seed, (7 * seed + 3) % 60 AS r,
+                             (13 * seed + 5) % 60 AS r2
+                      FROM (SELECT unnest(generate_series(0, 15)) AS seed)) s
+                GROUP BY 1, 2
+            ), sig AS (
+                SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY 1
+            ), banded AS (
+                SELECT doc_id, b.band,
+                       array_to_string(sig[b.band * 2 + 1 : b.band * 2 + 2],
+                                       ':') AS bucket
+                FROM sig CROSS JOIN
+                     (SELECT unnest(generate_series(0, 7)) AS band) b
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ), fp AS (
+                SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS f
+                FROM documents
+            ), gold AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM fp a JOIN fp b
+                  ON a.f = b.f AND a.doc_id < b.doc_id
+            ), agg AS (
+                SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+                       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS c,
+                       (SELECT CAST(count(*) AS BIGINT) FROM gold) AS g,
+                       (SELECT CAST(count(*) AS BIGINT) FROM gold
+                        JOIN cand ON gold.a = cand.doc_a
+                                 AND gold.b = cand.doc_b) AS cov
+            )
+            SELECT n AS n_records,
+                   CAST(n * (n - 1) // 2 AS BIGINT) AS n_total_pairs,
+                   c AS n_candidate_pairs,
+                   g AS n_gold,
+                   cov AS n_covered,
+                   CASE WHEN n * (n - 1) // 2 >= 1 THEN
+                       CAST((1000000 * ((n * (n - 1) // 2) - c))
+                            // (n * (n - 1) // 2) AS BIGINT)
+                   END AS reduction_ratio_micro,
+                   CASE WHEN g > 0 THEN
+                       CAST((1000000 * cov) // g AS BIGINT)
+                   END AS pairs_completeness_micro
+            FROM agg
         """,
     }

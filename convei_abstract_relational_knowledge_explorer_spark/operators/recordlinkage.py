@@ -356,3 +356,51 @@ def blocking_quality(
             " (1000000 * coalesce(n_covered, 0)) DIV n_gold END"
         ).alias("pairs_completeness_micro"),
     )
+
+
+def blocking_quality_pairs(
+    candidate_pairs: DataFrame,
+    gold_pairs: DataFrame,
+    n_records: int,
+) -> DataFrame:
+    """RR/PC for a NON-partitioning blocking scheme (LSH bands,
+    multi-pass sorted neighborhood — anything emitting an explicit
+    distinct candidate-pair list) → the same one-row schema as
+    :func:`blocking_quality`.
+
+    ``candidate_pairs`` is the scheme's (doc_a, doc_b) output with
+    a < b (e.g. :func:`..dedup.lsh_candidate_pairs`); candidates are
+    counted distinct, coverage is a left-semi membership probe of the
+    gold pairs — one equi-join on the pair key, no enumeration of the
+    comparison space.  ``n_records`` supplies the C(n,2) denominator
+    (a count the caller already has).
+    """
+    cand = candidate_pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).distinct()
+    gold = gold_pairs.select("a", "b").distinct()
+    covered = gold.join(cand, ["a", "b"], "left_semi")
+    stats = cand.agg(
+        F.count("*").cast("long").alias("n_candidate_pairs")
+    ).crossJoin(
+        gold.agg(F.count("*").cast("long").alias("n_gold"))
+    ).crossJoin(
+        covered.agg(F.count("*").cast("long").alias("n_covered"))
+    )
+    n = int(n_records)
+    total = n * (n - 1) // 2
+    return stats.select(
+        F.lit(n).cast("long").alias("n_records"),
+        F.lit(total).cast("long").alias("n_total_pairs"),
+        "n_candidate_pairs",
+        "n_gold",
+        "n_covered",
+        F.expr(
+            f"CASE WHEN {total} >= 1 THEN"
+            f" (1000000 * ({total} - n_candidate_pairs)) DIV {total} END"
+        ).alias("reduction_ratio_micro"),
+        F.expr(
+            "CASE WHEN n_gold > 0 THEN"
+            " (1000000 * n_covered) DIV n_gold END"
+        ).alias("pairs_completeness_micro"),
+    )

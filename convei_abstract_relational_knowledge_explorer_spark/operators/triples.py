@@ -571,11 +571,80 @@ def truth_discovery(
     return trust.select("source", "n_claims", "trust_milli")
 
 
+def bgp_selectivity_order(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+) -> list[tuple[str, str, str]]:
+    """Statistics-driven BGP join ordering (the RDF planner heuristic of
+    Stocker et al., WWW'08): estimate each pattern's result cardinality
+    from ONE tiny per-predicate statistics aggregate, then greedily
+    order patterns cheapest-first under the constraint that every
+    pattern after the first shares a variable with the already-joined
+    prefix (no accidental cross products).
+
+    Estimates (n_t = store triple count, per-pred n_p / distinct subj
+    s_p / distinct obj o_p):
+      (s  P  o)  →  1
+      (?x P  o)  →  n_p / o_p          (avg fan-in of P)
+      (s  P ?y)  →  n_p / s_p          (avg fan-out of P)
+      (?x P ?y)  →  n_p
+      variable predicate → n_t (scan) — rare, ranked last.
+
+    The stats frame is bounded by the predicate vocabulary (tiny) and
+    collected once; Catalyst/AQE then refines the actual join strategy
+    at runtime — this ordering only fixes the join TREE, which AQE
+    cannot change.
+    """
+    stats = {
+        r["pred"]: (r["n"], r["ns"], r["no"])
+        for r in triples.groupBy("pred")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("subj").alias("ns"),
+            F.countDistinct("obj").alias("no"),
+        )
+        .collect()
+    }
+    n_total = sum(n for n, _, _ in stats.values()) or 1
+
+    def est(pat):
+        s, p, o = pat
+        sv, ov = s.startswith("?"), o.startswith("?")
+        if p.startswith("?"):
+            return float(n_total)
+        n, ns, no = stats.get(p, (0, 1, 1))
+        if not sv and not ov:
+            return 1.0
+        if sv and not ov:
+            return n / max(no, 1)
+        if not sv and ov:
+            return n / max(ns, 1)
+        return float(n)
+
+    def pat_vars(pat):
+        return {t[1:] for t in pat if t.startswith("?")}
+
+    remaining = list(patterns)
+    ordered: list[tuple[str, str, str]] = []
+    bound: set[str] = set()
+    while remaining:
+        connected = [
+            p for p in remaining if not ordered or pat_vars(p) & bound
+        ]
+        pool = connected or remaining  # disconnected BGP: cheapest next
+        best = min(pool, key=lambda p: (est(p), remaining.index(p)))
+        ordered.append(best)
+        bound |= pat_vars(best)
+        remaining.remove(best)
+    return ordered
+
+
 def bgp_match(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
     select: list[str] | None = None,
     optional: list[tuple[str, str, str]] | None = None,
+    optimize: bool = False,
 ) -> DataFrame:
     """SPARQL-style basic-graph-pattern matching over a (subj, pred,
     obj) store → one row per variable binding.
@@ -604,10 +673,17 @@ def bgp_match(
     ``select`` projects a subset of variables (names without ``?``)
     after matching; duplicate bindings are preserved (SPARQL bag
     semantics — wrap in ``.distinct()`` for set semantics).
+    ``optimize=True`` reorders the required patterns cheapest-first by
+    per-predicate statistics (:func:`bgp_selectivity_order`) before
+    building the join tree — binding-column order and results are
+    unchanged (first-appearance order is pinned on the ORIGINAL pattern
+    list).
     """
     if not patterns:
         raise ValueError("bgp_match needs at least one triple pattern")
     optional = optional or []
+    if optimize:
+        patterns = bgp_selectivity_order(triples, patterns)
 
     def frame(pat: tuple[str, str, str]) -> DataFrame:
         s, p, o = pat

@@ -442,3 +442,67 @@ def test_minhash_calibration_identical_docs_hit_16_lanes(spark):
     assert r.est_milli == 1000
     assert r.mean_exact_milli == 1000
     assert r.mean_abs_err_milli == 0
+
+
+def test_bgp_selectivity_order_cheapest_connected_first(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        bgp_match as bgp,
+        bgp_selectivity_order,
+    )
+
+    # HAS_NAME: 2 triples; KNOWS: 6 triples fan-out 2 — the constant-obj
+    # HAS_NAME pattern is cheapest, then the connected KNOWS pattern
+    rows = [
+        ("a", "KNOWS", "b"), ("a", "KNOWS", "c"), ("b", "KNOWS", "c"),
+        ("b", "KNOWS", "d"), ("c", "KNOWS", "d"), ("d", "KNOWS", "a"),
+        ("a", "HAS_NAME", "alice"), ("b", "HAS_NAME", "bob"),
+    ]
+    t = _triples(spark, rows)
+    pats = [("?x", "KNOWS", "?y"), ("?x", "HAS_NAME", "alice")]
+    ordered = bgp_selectivity_order(t, pats)
+    assert ordered[0] == ("?x", "HAS_NAME", "alice")
+    # results identical with and without optimize, same column order
+    plain = bgp(t, pats)
+    opt = bgp(t, pats, optimize=True)
+    assert plain.columns == opt.columns
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, opt.collect())
+    )
+
+
+def test_bgp_selectivity_order_avoids_cross_products(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        bgp_selectivity_order,
+    )
+
+    t = _triples(spark, [("a", "P", "b")] * 1 + [("x", "Q", "y")] * 1)
+    # Q-pattern is as cheap as P's, but after picking the first pattern
+    # the other shares no variable; ordering must still emit both, with
+    # connected ones preferred when available
+    pats = [
+        ("?x", "P", "?y"),
+        ("?y", "Q", "?z"),
+        ("?a", "Q", "?b"),  # disconnected from ?x/?y/?z? no — fresh vars
+    ]
+    ordered = bgp_selectivity_order(t, pats)
+    assert set(map(tuple, ordered)) == set(map(tuple, pats))
+    # the second position must be the pattern connected to the first
+    first_vars = {v[1:] for v in ordered[0] if v.startswith("?")}
+    second_vars = {v[1:] for v in ordered[1] if v.startswith("?")}
+    assert first_vars & second_vars
+
+
+def test_blocking_quality_pairs_lsh_style(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        blocking_quality_pairs,
+    )
+
+    cands = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 2)], "doc_a long, doc_b long"  # dup collapses
+    )
+    gold = spark.createDataFrame([(1, 2), (1, 4)], "a long, b long")
+    r = blocking_quality_pairs(cands, gold, 5).collect()[0]
+    assert (r.n_records, r.n_total_pairs, r.n_candidate_pairs) == (5, 10, 2)
+    assert (r.n_gold, r.n_covered) == (2, 1)
+    assert r.reduction_ratio_micro == (1_000_000 * 8) // 10
+    assert r.pairs_completeness_micro == 500_000
