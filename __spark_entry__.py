@@ -5169,6 +5169,51 @@ def _q179_lsh_blocking_quality(spark, sf):
     return blocking_quality_pairs(cands, gold, d.count())
 
 
+def _q180_bgp_values_filter(spark, sf):
+    """The rest of the SPARQL core over the same matcher: VALUES
+    (inline data → broadcast join restricting ?name to five nations)
+    and FILTER (an expression over a binding — even customer ids),
+    composed with the statistics-ordered BGP.  The oracle is the
+    equivalent IN-list + predicate SQL."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        bgp_match,
+    )
+
+    b = bgp_match(
+        _kg_triples(spark, sf),
+        [("?c", "IN_NATION", "?n"), ("?n", "HAS_NAME", "?name")],
+        values={
+            "name": ["FRANCE", "GERMANY", "CHINA", "BRAZIL", "CANADA"]
+        },
+        filters=["CAST(substr(c, 2, 18) AS BIGINT) % 2 = 0"],
+        optimize=True,
+    )
+    return b.groupBy("name").agg(
+        F.count("*").cast("long").alias("n_customers_even")
+    )
+
+
+def _q181_referential_integrity(spark, sf):
+    """Object-side referential-closure audit (the FK sweep of a KG
+    store): each typed object reference must have a defining subject
+    row (Customer ← IN_NATION, Nation ← IN_REGION); Region is mapped
+    to a predicate no stage emits, so every Region reference is
+    DANGLING by construction — the q175 shape pass checks subjects,
+    this is its inverse.  Replayed verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        referential_integrity,
+    )
+
+    return referential_integrity(
+        _kg_triples(spark, sf),
+        {
+            "Customer": "IN_NATION",
+            "Nation": "IN_REGION",
+            "Region": "REGION_DEF",
+        },
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -5352,6 +5397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_blocking_quality": _q177_blocking_quality,
         "q178_minhash_calibration": _q178_minhash_calibration,
         "q179_lsh_blocking_quality": _q179_lsh_blocking_quality,
+        "q180_bgp_values_filter": _q180_bgp_values_filter,
+        "q181_referential_integrity": _q181_referential_integrity,
     }
 
 
@@ -11321,5 +11368,56 @@ def oracle_sql() -> dict[str, str]:
                        CAST((1000000 * cov) // g AS BIGINT)
                    END AS pairs_completeness_micro
             FROM agg
+        """,
+        "q180_bgp_values_filter": f"""
+            WITH {_KG_TRIPLES_SQL}
+            SELECT t2.obj AS name,
+                   CAST(count(*) AS BIGINT) AS n_customers_even
+            FROM trip t1
+            JOIN trip t2 ON t2.pred = 'HAS_NAME' AND t2.subj = t1.obj
+            WHERE t1.pred = 'IN_NATION'
+              AND t2.obj IN ('FRANCE', 'GERMANY', 'CHINA', 'BRAZIL',
+                             'CANADA')
+              AND CAST(substr(t1.subj, 2, 18) AS BIGINT) % 2 = 0
+            GROUP BY 1
+        """,
+        "q181_referential_integrity": f"""
+            WITH {_KG_TRIPLES_SQL},
+            tp(obj_type, def_pred) AS (
+                VALUES ('Customer', 'IN_NATION'),
+                       ('Nation', 'IN_REGION'),
+                       ('Region', 'REGION_DEF')
+            ), defined AS (
+                SELECT DISTINCT tp.obj_type, t.subj AS entity
+                FROM trip t JOIN tp ON t.pred = tp.def_pred
+            ), refs AS (
+                SELECT t.pred, t.obj AS entity,
+                       CASE
+                         WHEN regexp_matches(t.obj, '^C[0-9]+$')
+                             THEN 'Customer'
+                         WHEN regexp_matches(t.obj, '^N[0-9]+$')
+                             THEN 'Nation'
+                         WHEN regexp_matches(t.obj, '^R[0-9]+$')
+                             THEN 'Region'
+                       END AS obj_type
+                FROM trip t
+            ), typed AS (
+                SELECT r.pred, r.entity, r.obj_type
+                FROM refs r JOIN tp ON r.obj_type = tp.obj_type
+            ), flagged AS (
+                SELECT t.pred, t.obj_type, t.entity,
+                       d.entity IS NULL AS dangling
+                FROM typed t
+                LEFT JOIN defined d
+                  ON d.obj_type = t.obj_type AND d.entity = t.entity
+            )
+            SELECT pred, obj_type,
+                   CAST(count(*) AS BIGINT) AS n_refs,
+                   CAST(count(DISTINCT entity) AS BIGINT) AS n_entities,
+                   CAST(count(DISTINCT CASE WHEN dangling THEN entity END)
+                        AS BIGINT) AS n_dangling_entities,
+                   CAST(sum(CASE WHEN dangling THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dangling_refs
+            FROM flagged GROUP BY 1, 2
         """,
     }

@@ -645,6 +645,8 @@ def bgp_match(
     select: list[str] | None = None,
     optional: list[tuple[str, str, str]] | None = None,
     optimize: bool = False,
+    values: dict[str, list] | None = None,
+    filters: list[str] | None = None,
 ) -> DataFrame:
     """SPARQL-style basic-graph-pattern matching over a (subj, pred,
     obj) store → one row per variable binding.
@@ -678,6 +680,14 @@ def bgp_match(
     building the join tree — binding-column order and results are
     unchanged (first-appearance order is pinned on the ORIGINAL pattern
     list).
+    ``values={var: [v1, v2, …]}`` is SPARQL 1.1 §10 VALUES: inline data
+    joined onto the bindings — realized as a BROADCAST inner join on a
+    literal frame, so it both restricts and (on Catalyst's side) seeds
+    runtime filters into the pattern scans.
+    ``filters=[sql_bool_expr, …]`` is FILTER: each expression (over the
+    variable columns) is applied after matching; in SPARQL semantics a
+    FILTER whose expression errors/NULLs drops the row, which is
+    exactly DataFrame ``filter`` semantics.
     """
     if not patterns:
         raise ValueError("bgp_match needs at least one triple pattern")
@@ -725,6 +735,15 @@ def bgp_match(
             )
         out = out.join(nxt, shared, "left")
         order += [c for c in nxt.columns if c not in order]
+    for var, vals in (values or {}).items():
+        if var not in order:
+            raise ValueError(f"VALUES variable ?{var} is not bound")
+        vdf = triples.sparkSession.createDataFrame(
+            [(v,) for v in vals], f"{var} string"
+        )
+        out = out.join(F.broadcast(vdf), var)
+    for expr in filters or []:
+        out = out.filter(F.expr(expr))
     # joins reorder columns (shared keys float left); pin the binding
     # order to variable first appearance so results are plan-independent
     out = out.select(*order)
@@ -1007,4 +1026,68 @@ def infer_types(
             F.count("*").cast("long").alias("n_evidence"),
             F.countDistinct("pred").cast("long").alias("n_preds"),
         )
+    )
+
+
+def referential_integrity(
+    triples: DataFrame,
+    defining_preds: dict[str, str],
+) -> DataFrame:
+    """Object-side referential-closure audit of a triple store →
+    (pred, obj_type, n_refs, n_entities, n_dangling_entities,
+    n_dangling_refs).
+
+    ``defining_preds`` maps an entity type to the predicate whose
+    SUBJECT position defines entities of that type (its "primary
+    table": Customer ← IN_NATION, Order ← PLACED_BY, …).  Every typed
+    object reference is then checked for a defining subject row — the
+    KG analogue of a foreign-key sweep, catching extraction that emits
+    edges to entities no stage ever materialized (the q175 shape pass
+    checks the SUBJECT side; this is its inverse).  Dangling counts are
+    per (pred, obj_type): distinct dangling entities AND raw dangling
+    reference rows.
+
+    Plan: one distinct defined-entity frame per type (union'd, still
+    bounded by the entity universe), one left anti-ish join realized as
+    left join + null flag so both covered and dangling tally in a
+    single groupBy.
+    """
+    spark = triples.sparkSession
+    type_pred = spark.createDataFrame(
+        list(defining_preds.items()), "obj_type string, def_pred string"
+    )
+    defined = (
+        triples.select("pred", F.col("subj").alias("entity"))
+        .join(
+            F.broadcast(
+                type_pred.select(
+                    F.col("def_pred").alias("pred"), "obj_type"
+                )
+            ),
+            "pred",
+        )
+        .select("obj_type", "entity")
+        .distinct()
+    )
+    refs = triples.select(
+        "pred",
+        F.col("obj").alias("entity"),
+        entity_type("obj").alias("obj_type"),
+    ).join(F.broadcast(type_pred.select("obj_type")), "obj_type")
+    flagged = refs.join(
+        defined.withColumn("_defined", F.lit(True)),
+        ["obj_type", "entity"],
+        "left",
+    ).withColumn("_dangling", F.col("_defined").isNull())
+    return flagged.groupBy("pred", "obj_type").agg(
+        F.count("*").cast("long").alias("n_refs"),
+        F.countDistinct("entity").cast("long").alias("n_entities"),
+        F.countDistinct(
+            F.when(F.col("_dangling"), F.col("entity"))
+        )
+        .cast("long")
+        .alias("n_dangling_entities"),
+        F.sum(F.col("_dangling").cast("long"))
+        .cast("long")
+        .alias("n_dangling_refs"),
     )

@@ -506,3 +506,62 @@ def test_blocking_quality_pairs_lsh_style(spark):
     assert (r.n_gold, r.n_covered) == (2, 1)
     assert r.reduction_ratio_micro == (1_000_000 * 8) // 10
     assert r.pairs_completeness_micro == 500_000
+
+
+def test_bgp_values_restricts_and_filters_drop_nulls(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        bgp_match as bgp,
+    )
+
+    t = _triples(
+        spark,
+        [("c2", "in", "n1"), ("c3", "in", "n1"), ("c4", "in", "n2")],
+    )
+    got = sorted(
+        r.c
+        for r in bgp(
+            t,
+            [("?c", "in", "?n")],
+            values={"n": ["n1"]},
+            filters=["CAST(substr(c, 2, 8) AS BIGINT) % 2 = 0"],
+        ).collect()
+    )
+    assert got == ["c2"]  # n2 excluded by VALUES, c3 by FILTER
+
+
+def test_bgp_values_unbound_variable_raises(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        bgp_match as bgp,
+    )
+
+    t = _triples(spark, [("a", "p", "b")])
+    with pytest.raises(ValueError, match="not bound"):
+        bgp(t, [("?x", "p", "?y")], values={"z": ["v"]})
+
+
+def test_referential_integrity_dangling_by_type(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        referential_integrity,
+    )
+
+    t = _triples(
+        spark,
+        [
+            ("C1", "IN_NATION", "N1"),     # defines C1; refs N1
+            ("N1", "IN_REGION", "R9"),     # defines N1; refs R9 (dangling)
+            ("O1", "PLACED_BY", "C1"),     # refs C1 (defined)
+            ("O2", "PLACED_BY", "C7"),     # refs C7 (dangling)
+        ],
+    )
+    got = {
+        (r.pred, r.obj_type): (r.n_refs, r.n_dangling_entities, r.n_dangling_refs)
+        for r in referential_integrity(
+            t, {"Customer": "IN_NATION", "Nation": "IN_REGION",
+                "Region": "REGION_DEF"}
+        ).collect()
+    }
+    assert got == {
+        ("IN_NATION", "Nation"): (1, 0, 0),
+        ("IN_REGION", "Region"): (1, 1, 1),
+        ("PLACED_BY", "Customer"): (2, 1, 1),
+    }
