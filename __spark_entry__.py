@@ -5214,6 +5214,30 @@ def _q181_referential_integrity(spark, sf):
     )
 
 
+def _q182_bgp_construct(spark, sf):
+    """SPARQL CONSTRUCT — materializing the shortcut rule q111 mines:
+    PLACED_BY(o,c) ∧ FROM_REGION(c,r) ⇒ ORDER_REGION(o,r), emitted as
+    real distinct triples (forward chaining), then rolled up per
+    region with a consistency probe against the PARTIAL ORDER_NATION
+    relation via IN_REGION.  The oracle materializes the same rule by
+    hand."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        bgp_construct,
+    )
+
+    t = _kg_triples(spark, sf)
+    new = bgp_construct(
+        t,
+        [("?o", "PLACED_BY", "?c"), ("?c", "FROM_REGION", "?r")],
+        [("?o", "ORDER_REGION", "?r")],
+        optimize=True,
+    )
+    return new.groupBy(F.col("obj").alias("region")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.countDistinct("subj").cast("long").alias("n_distinct_orders"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -5399,6 +5423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_lsh_blocking_quality": _q179_lsh_blocking_quality,
         "q180_bgp_values_filter": _q180_bgp_values_filter,
         "q181_referential_integrity": _q181_referential_integrity,
+        "q182_bgp_construct": _q182_bgp_construct,
     }
 
 
@@ -11419,5 +11444,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN dangling THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_dangling_refs
             FROM flagged GROUP BY 1, 2
+        """,
+        "q182_bgp_construct": f"""
+            WITH {_KG_TRIPLES_SQL},
+            new_triples AS (
+                SELECT DISTINCT t1.subj, 'ORDER_REGION' AS pred,
+                       t2.obj
+                FROM trip t1
+                JOIN trip t2 ON t2.pred = 'FROM_REGION'
+                            AND t2.subj = t1.obj
+                WHERE t1.pred = 'PLACED_BY'
+            )
+            SELECT obj AS region,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(DISTINCT subj) AS BIGINT)
+                       AS n_distinct_orders
+            FROM new_triples GROUP BY 1
         """,
     }

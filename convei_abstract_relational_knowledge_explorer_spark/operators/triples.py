@@ -1091,3 +1091,45 @@ def referential_integrity(
         .cast("long")
         .alias("n_dangling_refs"),
     )
+
+
+def bgp_construct(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    template: list[tuple[str, str, str]],
+    optimize: bool = False,
+) -> DataFrame:
+    """SPARQL CONSTRUCT / single Datalog rule application → the
+    DISTINCT set of new (subj, pred, obj) triples produced by
+    instantiating ``template`` for every BGP binding.
+
+    The forward-chaining step of KG enrichment (q111 MINES such rules;
+    this MATERIALIZES one): each template term is a variable (``?x``,
+    substituted from the binding) or a constant (copied through); the
+    result is a triple frame union-able straight back into the store.
+    CONSTRUCT's set semantics (a graph, not a bag) is the final
+    ``distinct`` — one map-side-combinable dedup on the emitted
+    triple, after a pure projection of the match output.
+    """
+    bound = bgp_match(triples, patterns, optimize=optimize)
+
+    def term(t):
+        if t.startswith("?"):
+            var = t[1:]
+            if var not in bound.columns:
+                raise ValueError(
+                    f"CONSTRUCT template variable ?{var} is not bound"
+                )
+            return F.col(var)
+        return F.lit(t)
+
+    frames = [
+        bound.select(
+            term(s).alias("subj"), term(p).alias("pred"), term(o).alias("obj")
+        )
+        for s, p, o in template
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.distinct()

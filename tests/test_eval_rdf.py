@@ -565,3 +565,44 @@ def test_referential_integrity_dangling_by_type(spark):
         ("IN_REGION", "Region"): (1, 1, 1),
         ("PLACED_BY", "Customer"): (2, 1, 1),
     }
+
+
+def test_bgp_construct_substitutes_and_dedupes(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        bgp_construct,
+    )
+
+    t = _triples(
+        spark,
+        [
+            ("o1", "by", "c1"),
+            ("o2", "by", "c1"),
+            ("c1", "in", "r1"),
+        ],
+    )
+    got = sorted(
+        map(
+            tuple,
+            bgp_construct(
+                t,
+                [("?o", "by", "?c"), ("?c", "in", "?r")],
+                [("?o", "IN_REGION", "?r"), ("?r", "HAS_ORDER", "?o")],
+            ).collect(),
+        )
+    )
+    assert got == [
+        ("o1", "IN_REGION", "r1"),
+        ("o2", "IN_REGION", "r1"),
+        ("r1", "HAS_ORDER", "o1"),
+        ("r1", "HAS_ORDER", "o2"),
+    ]
+
+
+def test_bgp_construct_unbound_template_raises(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        bgp_construct,
+    )
+
+    t = _triples(spark, [("a", "p", "b")])
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_construct(t, [("?x", "p", "?y")], [("?x", "q", "?z")])
