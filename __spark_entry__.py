@@ -5238,6 +5238,25 @@ def _q182_bgp_construct(spark, sf):
     )
 
 
+def _q183_describe_entities(spark, sf):
+    """DESCRIBE-style entity star profiles over the store, restricted
+    to the bounded-fan-out predicates the q110 cardinality profile
+    certifies (HAS_NAME / IN_REGION / IN_NATION / FROM_REGION —
+    never OFFERS' N:M side unguarded): per (subj, pred), distinct
+    fan-out and the sorted ';'-joined preview — the explorer's entity
+    page feed.  Replayed verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        describe_entities,
+    )
+
+    t = _kg_triples(spark, sf).filter(
+        F.col("pred").isin(
+            "HAS_NAME", "IN_REGION", "IN_NATION", "FROM_REGION"
+        )
+    )
+    return describe_entities(t, max_objs=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -5424,6 +5443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_bgp_values_filter": _q180_bgp_values_filter,
         "q181_referential_integrity": _q181_referential_integrity,
         "q182_bgp_construct": _q182_bgp_construct,
+        "q183_describe_entities": _q183_describe_entities,
     }
 
 
@@ -11460,5 +11480,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT subj) AS BIGINT)
                        AS n_distinct_orders
             FROM new_triples GROUP BY 1
+        """,
+        "q183_describe_entities": f"""
+            WITH {_KG_TRIPLES_SQL},
+            t AS (
+                SELECT subj, pred, obj FROM trip
+                WHERE pred IN ('HAS_NAME', 'IN_REGION', 'IN_NATION',
+                               'FROM_REGION')
+            )
+            SELECT subj, pred,
+                   CAST(count(DISTINCT obj) AS BIGINT) AS n_objs,
+                   array_to_string(
+                       (list(DISTINCT obj ORDER BY obj))[1:3], ';'
+                   ) AS objs_preview
+            FROM t GROUP BY 1, 2
         """,
     }

@@ -1133,3 +1133,33 @@ def bgp_construct(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.distinct()
+
+
+def describe_entities(
+    triples: DataFrame,
+    max_objs: int = 5,
+) -> DataFrame:
+    """SPARQL DESCRIBE-style entity profiles → one row per
+    (subj, pred): (subj, pred, n_objs, objs_preview).
+
+    The materialized star view an explorer renders for an entity page
+    (the reference's explorer.html fetches exactly this shape from its
+    report CSVs, one hand-written query per panel): every predicate's
+    fan-out with a deterministic bounded preview — the
+    lexicographically-first ``max_objs`` objects, ';'-joined.
+    ``sort_array(collect_set(...))`` is bounded per (subj, pred) by the
+    schema's fan-out, NOT by corpus size, and the q110 cardinality
+    profile is the guard that tells you which predicates are safe to
+    preview (never materialize a preview for a pred whose max fan-out
+    is unbounded — slice AFTER sort keeps the row small but the
+    collect itself is the cost).  One map-side-combinable groupBy.
+    """
+    return triples.groupBy("subj", "pred").agg(
+        F.countDistinct("obj").cast("long").alias("n_objs"),
+        F.array_join(
+            F.slice(
+                F.sort_array(F.collect_set("obj")), 1, max_objs
+            ),
+            ";",
+        ).alias("objs_preview"),
+    )

@@ -606,3 +606,23 @@ def test_bgp_construct_unbound_template_raises(spark):
     t = _triples(spark, [("a", "p", "b")])
     with pytest.raises(ValueError, match="not bound"):
         bgp_construct(t, [("?x", "p", "?y")], [("?x", "q", "?z")])
+
+
+def test_describe_entities_sorted_bounded_preview(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        describe_entities,
+    )
+
+    t = _triples(
+        spark,
+        [
+            ("e", "p", "zeta"),
+            ("e", "p", "alpha"),
+            ("e", "p", "beta"),
+            ("e", "p", "gamma"),
+            ("e", "p", "alpha"),  # duplicate collapses
+        ],
+    )
+    r = describe_entities(t, max_objs=2).collect()[0]
+    assert r.n_objs == 4
+    assert r.objs_preview == "alpha;beta"

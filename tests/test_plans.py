@@ -439,3 +439,30 @@ def test_exact_auc_window_is_partition_local(spark):
     for line in plan.splitlines():
         if "Sort [" in line:
             assert "global=false" in line, line
+
+
+def test_shape_validation_broadcasts_shape_frame(spark):
+    df = entrymod.queries()["q175_shape_validation"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_type_inference_broadcasts_ontology(spark):
+    df = entrymod.queries()["q176_type_inference"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bgp_construct_no_cartesian(spark):
+    df = entrymod.queries()["q182_bgp_construct"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bgp_values_is_broadcast_join(spark):
+    df = entrymod.queries()["q180_bgp_values_filter"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
