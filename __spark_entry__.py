@@ -5259,6 +5259,139 @@ def _q183_describe_entities(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q183_describe_entities": _q183_describe_entities,
+        "q182_bgp_construct": _q182_bgp_construct,
+        "q181_referential_integrity": _q181_referential_integrity,
+        "q180_bgp_values_filter": _q180_bgp_values_filter,
+        "q179_lsh_blocking_quality": _q179_lsh_blocking_quality,
+        "q178_minhash_calibration": _q178_minhash_calibration,
+        "q177_blocking_quality": _q177_blocking_quality,
+        "q176_type_inference": _q176_type_inference,
+        "q175_shape_validation": _q175_shape_validation,
+        "q174_induce_schema": _q174_induce_schema,
+        "q173_calibration": _q173_calibration,
+        "q172_krippendorff": _q172_krippendorff,
+        "q171_content_sniff": _q171_content_sniff,
+        "q170_bgp_optional": _q170_bgp_optional,
+        "q169_kappa": _q169_kappa,
+        "q168_auc_eval": _q168_auc_eval,
+        "q167_sameas_canonical": _q167_sameas_canonical,
+        "q166_ntriples": _q166_ntriples,
+        "q165_bgp_match": _q165_bgp_match,
+        "q164_cluster_metrics": _q164_cluster_metrics,
+        "q163_poisson_bootstrap": _q163_poisson_bootstrap,
+        "q162_core_numbers": _q162_core_numbers,
+        "q161_double_sweep": _q161_double_sweep,
+        "q160_dq_checks": _q160_dq_checks,
+        "q159_profile_table": _q159_profile_table,
+        "q158_consensus_clusters": _q158_consensus_clusters,
+        "q157_edit_join_qgram": _q157_edit_join_qgram,
+        "q156_ams_f2": _q156_ams_f2,
+        "q155_sprt_decisions": _q155_sprt_decisions,
+        "q154_katz_centrality": _q154_katz_centrality,
+        "q153_bh_fdr": _q153_bh_fdr,
+        "q152_covisitation": _q152_covisitation,
+        "q151_cusum_drift": _q151_cusum_drift,
+        "q150_leakage_safe_split": _q150_leakage_safe_split,
+        "q149_neyman_allocation": _q149_neyman_allocation,
+        "q148_semantic_dedup": _q148_semantic_dedup,
+        "q147_greedy_coloring": _q147_greedy_coloring,
+        "q146_k_anonymity": _q146_k_anonymity,
+        "q145_exactsubstr_removal": _q145_exactsubstr_removal,
+        "q144_frequent_itemsets": _q144_frequent_itemsets,
+        "q143_greedy_matching": _q143_greedy_matching,
+        "q142_weighted_sample": _q142_weighted_sample,
+        "q141_registered_domain": _q141_registered_domain,
+        "q140_hll_distinct": _q140_hll_distinct,
+        "q139_host_graph": _q139_host_graph,
+        "q138_anchor_names": _q138_anchor_names,
+        "q137_stress_centrality": _q137_stress_centrality,
+        "q136_taxonomy_lca": _q136_taxonomy_lca,
+        "q135_topo_layers": _q135_topo_layers,
+        "q134_stable_labels": _q134_stable_labels,
+        "q133_template_lines": _q133_template_lines,
+        "q132_wl_colors": _q132_wl_colors,
+        "q131_merge_mis": _q131_merge_mis,
+        "q130_robots_rules": _q130_robots_rules,
+        "q129_redirect_resolution": _q129_redirect_resolution,
+        "q128_sliding_distinct": _q128_sliding_distinct,
+        "q127_temporal_reachability": _q127_temporal_reachability,
+        "q126_butterflies": _q126_butterflies,
+        "q125_crawl_schedule": _q125_crawl_schedule,
+        "q124_meta_blocking": _q124_meta_blocking,
+        "q123_supernodes": _q123_supernodes,
+        "q122_scd2_intervals": _q122_scd2_intervals,
+        "q121_lm_score": _q121_lm_score,
+        "q120_positional_postings": _q120_positional_postings,
+        "q119_kmv_set_ops": _q119_kmv_set_ops,
+        "q118_random_projection": _q118_random_projection,
+        "q117_landmark_distances": _q117_landmark_distances,
+        "q116_lf_diagnostics": _q116_lf_diagnostics,
+        "q115_truth_discovery": _q115_truth_discovery,
+        "q114_hearst_pairs": _q114_hearst_pairs,
+        "q113_sorted_neighborhood": _q113_sorted_neighborhood,
+        "q112_ranking_eval": _q112_ranking_eval,
+        "q111_path_rules": _q111_path_rules,
+        "q110_relation_cardinality": _q110_relation_cardinality,
+        "q109_snapshot_diff": _q109_snapshot_diff,
+        "q108_degree_mixing": _q108_degree_mixing,
+        "q107_event_transitions": _q107_event_transitions,
+        "q106_coverage_selection": _q106_coverage_selection,
+        "q105_type_propagation": _q105_type_propagation,
+        "q104_entity_alignment": _q104_entity_alignment,
+        "q103_containment_pairs": _q103_containment_pairs,
+        "q102_nucleus_tokens": _q102_nucleus_tokens,
+        "q101_rendezvous_shards": _q101_rendezvous_shards,
+        "q100_single_linkage_noise": _q100_single_linkage_noise,
+        "q99_cdc_apply": _q99_cdc_apply,
+        "q98_incremental_agg_merge": _q98_incremental_agg_merge,
+        "q97_priority_pivot": _q97_priority_pivot,
+        "q96_metrics_unpivot": _q96_metrics_unpivot,
+        "q95_rolling_revenue": _q95_rolling_revenue,
+        "q94_mad_anomalies": _q94_mad_anomalies,
+        "q93_interval_join": _q93_interval_join,
+        "q92_ohlc_gapfill": _q92_ohlc_gapfill,
+        "q91_zorder_skipping": _q91_zorder_skipping,
+        "q90_bpe_encoding": _q90_bpe_encoding,
+        "q89_rrf_fusion": _q89_rrf_fusion,
+        "q88_event_funnel": _q88_event_funnel,
+        "q87_source_overlap": _q87_source_overlap,
+        "q86_quality_keepers": _q86_quality_keepers,
+        "q85_zipf_fit": _q85_zipf_fit,
+        "q84_skipgram_pairs": _q84_skipgram_pairs,
+        "q83_token_entropy": _q83_token_entropy,
+        "q82_dsir_selection": _q82_dsir_selection,
+        "q81_token_msf": _q81_token_msf,
+        "q80_pareto_selection": _q80_pareto_selection,
+        "q79_collocations": _q79_collocations,
+        "q78_sampled_neighborhoods": _q78_sampled_neighborhoods,
+        "q77_neighborhood_function": _q77_neighborhood_function,
+        "q76_hard_negatives": _q76_hard_negatives,
+        "q75_weighted_sssp": _q75_weighted_sssp,
+        "q74_token_hits": _q74_token_hits,
+        "q73_bpe_merges": _q73_bpe_merges,
+        "q72_document_chunks": _q72_document_chunks,
+        "q71_personalized_pagerank": _q71_personalized_pagerank,
+        "q70_token_ktruss": _q70_token_ktruss,
+        "q69_incremental_components": _q69_incremental_components,
+        "q68_edge_intervals": _q68_edge_intervals,
+        "q67_stratified_split": _q67_stratified_split,
+        "q66_jaccard_join": _q66_jaccard_join,
+        "q65_random_walks": _q65_random_walks,
+        "q64_negative_triples": _q64_negative_triples,
+        "q63_link_prediction": _q63_link_prediction,
+        "q62_token_scc": _q62_token_scc,
+        "q61_record_linkage": _q61_record_linkage,
+        "q60_segment_priority_cube": _q60_segment_priority_cube,
+        "q59_bigram_coherence": _q59_bigram_coherence,
+        "q58_bloom_pruned_join": _q58_bloom_pruned_join,
+        "q57_revenue_rollup": _q57_revenue_rollup,
+        "q56_histogram_quantiles": _q56_histogram_quantiles,
+        "q55_count_min": _q55_count_min,
+        "q54_kmv_distinct": _q54_kmv_distinct,
+        "q53_temperature_sample": _q53_temperature_sample,
+        "q52_sequence_packing": _q52_sequence_packing,
+        "q51_pii_redaction": _q51_pii_redaction,
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_top_customers_per_nation": _q02_top_customers_per_nation,
         "q03_brand_cooccurrence": _q03_brand_cooccurrence,
@@ -5311,139 +5444,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_token_kcore": _q48_token_kcore,
         "q49_edit_distance_pairs": _q49_edit_distance_pairs,
         "q50_repeated_substrings": _q50_repeated_substrings,
-        "q51_pii_redaction": _q51_pii_redaction,
-        "q52_sequence_packing": _q52_sequence_packing,
-        "q53_temperature_sample": _q53_temperature_sample,
-        "q54_kmv_distinct": _q54_kmv_distinct,
-        "q55_count_min": _q55_count_min,
-        "q56_histogram_quantiles": _q56_histogram_quantiles,
-        "q57_revenue_rollup": _q57_revenue_rollup,
-        "q58_bloom_pruned_join": _q58_bloom_pruned_join,
-        "q59_bigram_coherence": _q59_bigram_coherence,
-        "q60_segment_priority_cube": _q60_segment_priority_cube,
-        "q61_record_linkage": _q61_record_linkage,
-        "q62_token_scc": _q62_token_scc,
-        "q63_link_prediction": _q63_link_prediction,
-        "q64_negative_triples": _q64_negative_triples,
-        "q65_random_walks": _q65_random_walks,
-        "q66_jaccard_join": _q66_jaccard_join,
-        "q67_stratified_split": _q67_stratified_split,
-        "q68_edge_intervals": _q68_edge_intervals,
-        "q69_incremental_components": _q69_incremental_components,
-        "q70_token_ktruss": _q70_token_ktruss,
-        "q71_personalized_pagerank": _q71_personalized_pagerank,
-        "q72_document_chunks": _q72_document_chunks,
-        "q73_bpe_merges": _q73_bpe_merges,
-        "q74_token_hits": _q74_token_hits,
-        "q75_weighted_sssp": _q75_weighted_sssp,
-        "q76_hard_negatives": _q76_hard_negatives,
-        "q77_neighborhood_function": _q77_neighborhood_function,
-        "q78_sampled_neighborhoods": _q78_sampled_neighborhoods,
-        "q79_collocations": _q79_collocations,
-        "q80_pareto_selection": _q80_pareto_selection,
-        "q81_token_msf": _q81_token_msf,
-        "q82_dsir_selection": _q82_dsir_selection,
-        "q83_token_entropy": _q83_token_entropy,
-        "q84_skipgram_pairs": _q84_skipgram_pairs,
-        "q85_zipf_fit": _q85_zipf_fit,
-        "q86_quality_keepers": _q86_quality_keepers,
-        "q87_source_overlap": _q87_source_overlap,
-        "q88_event_funnel": _q88_event_funnel,
-        "q89_rrf_fusion": _q89_rrf_fusion,
-        "q90_bpe_encoding": _q90_bpe_encoding,
-        "q91_zorder_skipping": _q91_zorder_skipping,
-        "q92_ohlc_gapfill": _q92_ohlc_gapfill,
-        "q93_interval_join": _q93_interval_join,
-        "q94_mad_anomalies": _q94_mad_anomalies,
-        "q95_rolling_revenue": _q95_rolling_revenue,
-        "q96_metrics_unpivot": _q96_metrics_unpivot,
-        "q97_priority_pivot": _q97_priority_pivot,
-        "q98_incremental_agg_merge": _q98_incremental_agg_merge,
-        "q99_cdc_apply": _q99_cdc_apply,
-        "q100_single_linkage_noise": _q100_single_linkage_noise,
-        "q101_rendezvous_shards": _q101_rendezvous_shards,
-        "q102_nucleus_tokens": _q102_nucleus_tokens,
-        "q103_containment_pairs": _q103_containment_pairs,
-        "q104_entity_alignment": _q104_entity_alignment,
-        "q105_type_propagation": _q105_type_propagation,
-        "q106_coverage_selection": _q106_coverage_selection,
-        "q107_event_transitions": _q107_event_transitions,
-        "q108_degree_mixing": _q108_degree_mixing,
-        "q109_snapshot_diff": _q109_snapshot_diff,
-        "q110_relation_cardinality": _q110_relation_cardinality,
-        "q111_path_rules": _q111_path_rules,
-        "q112_ranking_eval": _q112_ranking_eval,
-        "q113_sorted_neighborhood": _q113_sorted_neighborhood,
-        "q114_hearst_pairs": _q114_hearst_pairs,
-        "q115_truth_discovery": _q115_truth_discovery,
-        "q116_lf_diagnostics": _q116_lf_diagnostics,
-        "q117_landmark_distances": _q117_landmark_distances,
-        "q118_random_projection": _q118_random_projection,
-        "q119_kmv_set_ops": _q119_kmv_set_ops,
-        "q120_positional_postings": _q120_positional_postings,
-        "q121_lm_score": _q121_lm_score,
-        "q122_scd2_intervals": _q122_scd2_intervals,
-        "q123_supernodes": _q123_supernodes,
-        "q124_meta_blocking": _q124_meta_blocking,
-        "q125_crawl_schedule": _q125_crawl_schedule,
-        "q126_butterflies": _q126_butterflies,
-        "q127_temporal_reachability": _q127_temporal_reachability,
-        "q128_sliding_distinct": _q128_sliding_distinct,
-        "q129_redirect_resolution": _q129_redirect_resolution,
-        "q130_robots_rules": _q130_robots_rules,
-        "q131_merge_mis": _q131_merge_mis,
-        "q132_wl_colors": _q132_wl_colors,
-        "q133_template_lines": _q133_template_lines,
-        "q134_stable_labels": _q134_stable_labels,
-        "q135_topo_layers": _q135_topo_layers,
-        "q136_taxonomy_lca": _q136_taxonomy_lca,
-        "q137_stress_centrality": _q137_stress_centrality,
-        "q138_anchor_names": _q138_anchor_names,
-        "q139_host_graph": _q139_host_graph,
-        "q140_hll_distinct": _q140_hll_distinct,
-        "q141_registered_domain": _q141_registered_domain,
-        "q142_weighted_sample": _q142_weighted_sample,
-        "q143_greedy_matching": _q143_greedy_matching,
-        "q144_frequent_itemsets": _q144_frequent_itemsets,
-        "q145_exactsubstr_removal": _q145_exactsubstr_removal,
-        "q146_k_anonymity": _q146_k_anonymity,
-        "q147_greedy_coloring": _q147_greedy_coloring,
-        "q148_semantic_dedup": _q148_semantic_dedup,
-        "q149_neyman_allocation": _q149_neyman_allocation,
-        "q150_leakage_safe_split": _q150_leakage_safe_split,
-        "q151_cusum_drift": _q151_cusum_drift,
-        "q152_covisitation": _q152_covisitation,
-        "q153_bh_fdr": _q153_bh_fdr,
-        "q154_katz_centrality": _q154_katz_centrality,
-        "q155_sprt_decisions": _q155_sprt_decisions,
-        "q156_ams_f2": _q156_ams_f2,
-        "q157_edit_join_qgram": _q157_edit_join_qgram,
-        "q158_consensus_clusters": _q158_consensus_clusters,
-        "q159_profile_table": _q159_profile_table,
-        "q160_dq_checks": _q160_dq_checks,
-        "q161_double_sweep": _q161_double_sweep,
-        "q162_core_numbers": _q162_core_numbers,
-        "q163_poisson_bootstrap": _q163_poisson_bootstrap,
-        "q164_cluster_metrics": _q164_cluster_metrics,
-        "q165_bgp_match": _q165_bgp_match,
-        "q166_ntriples": _q166_ntriples,
-        "q167_sameas_canonical": _q167_sameas_canonical,
-        "q168_auc_eval": _q168_auc_eval,
-        "q169_kappa": _q169_kappa,
-        "q170_bgp_optional": _q170_bgp_optional,
-        "q171_content_sniff": _q171_content_sniff,
-        "q172_krippendorff": _q172_krippendorff,
-        "q173_calibration": _q173_calibration,
-        "q174_induce_schema": _q174_induce_schema,
-        "q175_shape_validation": _q175_shape_validation,
-        "q176_type_inference": _q176_type_inference,
-        "q177_blocking_quality": _q177_blocking_quality,
-        "q178_minhash_calibration": _q178_minhash_calibration,
-        "q179_lsh_blocking_quality": _q179_lsh_blocking_quality,
-        "q180_bgp_values_filter": _q180_bgp_values_filter,
-        "q181_referential_integrity": _q181_referential_integrity,
-        "q182_bgp_construct": _q182_bgp_construct,
-        "q183_describe_entities": _q183_describe_entities,
     }
 
 
@@ -11225,8 +11225,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM keyed GROUP BY 1
             ), counts AS (
                 SELECT CAST(sum(n) AS BIGINT) AS n_records,
-                       CAST(sum(n * (n - 1) // 2) AS BIGINT)
-                           AS n_candidate_pairs
+                       CAST(sum(CASE WHEN blk IS NOT NULL
+                                     THEN n * (n - 1) // 2 ELSE 0 END)
+                            AS BIGINT) AS n_candidate_pairs
                 FROM sizes
             ), fp AS (
                 SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS f

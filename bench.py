@@ -1,8 +1,11 @@
 """Benchmark harness — headline queries + KG pipeline throughput.
 
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines:
+  line 1 (full):    {"metric": ..., "queries": {all 185}, "pipeline": ...}
+  last line (compact, <2 KB so a tail capture stays parseable):
+                    {"metric": ..., "queries": {20 slowest}, ...}
+The full line is also written to BENCH/bench_last_full.json.
 
 Extra keys (informational): docs_per_hour for the end-to-end KG pipeline
 over a synthetic web_pages corpus, per-query seconds.
@@ -75,6 +78,54 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def _max_job_id(spark) -> int:
+    """Highest jobId in the AppStatusStore (window marker), -1 if none."""
+    store = spark._jsparkSession.sparkContext().statusStore()
+    jobs = store.jobsList(None)
+    mx = -1
+    for i in range(jobs.size()):
+        mx = max(mx, jobs.apply(i).jobId())
+    return mx
+
+
+def _task_time_by_group(spark, min_job_exclusive: int) -> dict[str, int]:
+    """Executor task-time (ms) per jobGroup for jobs AFTER the marker.
+
+    Sound decomposition under the FAIR-pool concurrent chains (r4
+    VERDICT "what's wrong" #1): wall-span subtraction double-credits
+    overlapped chains, but executor task-time is additive — each stage
+    is attributed exactly once (to its earliest submitting job; skipped
+    stages have no attempt and no task time, their work was counted at
+    the original attempt).  Jobs without a group tag land in
+    "ungrouped" (documents scan, nodes/edges downstream)."""
+    store = spark._jsparkSession.sparkContext().statusStore()
+    jobs = store.jobsList(None)
+    rows = []
+    for i in range(jobs.size()):
+        j = jobs.apply(i)
+        if j.jobId() <= min_job_exclusive:
+            continue
+        grp = j.jobGroup()
+        g = grp.get() if grp.isDefined() else "ungrouped"
+        sids = j.stageIds()
+        rows.append(
+            (j.jobId(), g, [sids.apply(k) for k in range(sids.size())])
+        )
+    seen: set[int] = set()
+    out: dict[str, int] = {}
+    for _jid, g, sids in sorted(rows):
+        for sid in sids:
+            if sid in seen:
+                continue
+            seen.add(sid)
+            try:
+                ms = store.lastStageAttempt(sid).executorRunTime()
+            except Exception:
+                continue
+            out[g] = out.get(g, 0) + ms
+    return out
+
+
 def run_pipeline(spark, n_docs: int) -> dict[str, float]:
     """End-to-end KG build on a generated corpus; returns docs/hour."""
     import os
@@ -93,22 +144,34 @@ def run_pipeline(spark, n_docs: int) -> dict[str, float]:
     out = tempfile.mkdtemp(prefix="convei_bench_", dir=tmp_root)
     try:
         pages = web_pages(spark, n_docs)
+        job_marker = _max_job_id(spark)
         start = time.time()
         tables = build_graph(spark, pages, out, with_topics=True)
         n_triples = tables["triples"].count()
         seconds = time.time() - start
         # cost of the r02-added affiliation stages recorded separately so
-        # docs/hour trends stay comparable across rounds (VERDICT r02 #9)
+        # docs/hour trends stay comparable across rounds (VERDICT r02 #9).
+        # r5 (r4 VERDICT #1): the chains run CONCURRENTLY in FAIR pools,
+        # so the affiliation share comes from additive executor
+        # TASK-TIME per job group, not wall-span subtraction — core
+        # wall-equivalent = total wall x core task-time fraction, and
+        # the decomposition sums to exactly the total by construction.
+        chain_ms = _task_time_by_group(spark, job_marker)
+        affil_ms = chain_ms.get("build-affiliations", 0)
+        total_ms = sum(chain_ms.values())
+        core_frac = 1.0 - (affil_ms / total_ms) if total_ms > 0 else 1.0
+        core = seconds * core_frac
+        # ledger wall-SPAN of the affiliation stages (overlapped with
+        # sibling chains — informational only, NOT a subtractable cost)
         metrics = json.loads(
             (__import__("pathlib").Path(out) / "_metrics.json").read_text()
         )
-        affil_seconds = sum(
+        affil_span_seconds = sum(
             m["seconds"]
             for m in metrics
             if m["stage"]
             in ("cleaned_affiliations", "affiliation_type_distances")
         )
-        core = seconds - affil_seconds
 
         # incremental increment: +10% new pages folded into the finished
         # graph via the at-scale path (frozen-idf topics, HLL sketch
@@ -138,7 +201,11 @@ def run_pipeline(spark, n_docs: int) -> dict[str, float]:
         return {
             "pipeline_seconds": round(seconds, 3),
             "pipeline_seconds_core": round(core, 3),
-            "affiliation_stage_seconds": round(affil_seconds, 3),
+            "affiliation_stage_span_seconds": round(affil_span_seconds, 3),
+            "chain_task_time_ms": {k: int(v) for k, v in chain_ms.items()},
+            "affiliation_task_time_frac_milli": (
+                int(1000 * affil_ms / total_ms) if total_ms > 0 else 0
+            ),
             "docs_per_hour": round(n_docs / seconds * 3600.0, 1),
             "docs_per_hour_core": round(n_docs / core * 3600.0, 1),
             "n_triples": n_triples,
@@ -174,24 +241,66 @@ def main() -> None:
     pipe = run_pipeline(spark, N_BENCH_DOCS)
     total = round(time.time() - t0, 3)
     calib_after = _calibrate()
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "pipeline": pipe,
-                # host-window indicator: the same fixed single-thread burn
-                # before/after (clean window ~0.4s; throttled 0.6-1.0s+).
-                # Compare query timings across rounds ONLY at similar
-                # calib values — see BENCH/ clean-window references.
-                "calib_seconds": [calib_before, calib_after],
-                "trials": max(N_TRIALS, 1),
-            }
-        )
+    full = {
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pipeline": pipe,
+        # host-window indicator: the same fixed single-thread burn
+        # before/after (clean window ~0.4s; throttled 0.6-1.0s+).
+        # Compare query timings across rounds ONLY at similar
+        # calib values — see BENCH/ clean-window references.
+        "calib_seconds": [calib_before, calib_after],
+        "trials": max(N_TRIALS, 1),
+    }
+    # FIRST line: the full per-query JSON (r4 VERDICT #7) — and a durable
+    # copy in BENCH/ for the cross-round record.
+    print(json.dumps(full))
+    try:
+        import pathlib
+
+        bench_dir = pathlib.Path(__file__).resolve().parent / "BENCH"
+        bench_dir.mkdir(exist_ok=True)
+        (bench_dir / "bench_last_full.json").write_text(json.dumps(full))
+    except OSError:
+        pass
+    # LAST line: a compact summary guaranteed to fit the driver's 2000-char
+    # tail buffer (the 185-query map is ~7 KB, which front-truncated the
+    # r4 tail mid-JSON): top-20 slowest queries + pipeline headline.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
     )
+    compact = {
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries_total_seconds": round(sum(timings.values()), 3),
+        "queries": slowest,
+        "pipeline": {
+            k: pipe[k]
+            for k in (
+                "pipeline_seconds",
+                "pipeline_seconds_core",
+                "docs_per_hour",
+                "docs_per_hour_core",
+                "n_triples",
+                "incr_docs_per_hour",
+            )
+            if k in pipe
+        },
+        "calib_seconds": [calib_before, calib_after],
+        "trials": max(N_TRIALS, 1),
+        "queries_full": "line 1 of stdout; BENCH/bench_last_full.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: shrink below the tail buffer
+        compact["queries"] = dict(list(slowest.items())[:8])
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -48,8 +48,13 @@ def exact_auc(
     metric is undefined), with the class counts still emitted.
 
     One exploded-free plan: groupBy (by, score) with two conditional
-    counts, a per-group cumulative window ordered by score (local
-    sort, partitioned by ``by``), one final per-group sum.
+    counts, a per-group cumulative window ordered by score, one final
+    per-group sum.  With ``by`` the window is per-group local; with
+    ``by=None`` the cumulative window necessarily runs on a SINGLE
+    partition — but only AFTER the per-score pre-aggregation, so the
+    single-partition row count is bounded by the number of distinct
+    scores, not by |df| (fixed-point scores keep this small at any
+    corpus size; the heavy reduction already happened map-side).
     """
     by = by or []
     per_score = df.groupBy(
@@ -58,10 +63,13 @@ def exact_auc(
         F.sum(F.col(label_col).cast("long")).alias("_np"),
         F.sum((~F.col(label_col)).cast("long")).alias("_nn"),
     )
+    # ungrouped path: explicit constant partition key — same physical
+    # single-partition sort, but deliberate (and warning-free) rather
+    # than an accidental global Window.orderBy
     w = (
         Window.partitionBy(*by).orderBy("_score")
         if by
-        else Window.orderBy("_score")
+        else Window.partitionBy(F.lit(0)).orderBy("_score")
     )
     cum = per_score.withColumn(
         "_cum_neg_before",
@@ -107,7 +115,12 @@ def cohens_kappa(
     p_e = Σ_k a_k·b_k / n² — cleared to one exact integer ratio:
 
         kappa_milli = 1000 · (n·agree − Σ a_k b_k)
-                      DIV (n² − Σ a_k b_k)            (floor)
+                      DIV (n² − Σ a_k b_k)
+
+    where DIV is integer division TRUNCATING TOWARD ZERO (Spark's
+    ``DIV``, identical to DuckDB's integer ``//``) — for negative κ
+    the fixed-point value rounds toward zero, not down; this is the
+    deliberate cross-engine convention, not floor.
 
     where ``chance2 = Σ_k a_k·b_k`` (the marginal cross product) is
     also emitted so the oracle and downstream CIs can rebuild p_e.
@@ -185,7 +198,11 @@ def krippendorff_alpha(
         de   = n² − Σ_c n_c²               (expected-disagreement mass,
                                             n_c pooled value counts)
         α    = 1 − (n−1)·do2 / de
-        alpha_milli = 1000 · (de − (n−1)·do2) DIV de    (floor)
+        alpha_milli = 1000 · (de − (n−1)·do2) DIV de
+
+    (DIV truncates toward zero — same cross-engine convention as
+    :func:`cohens_kappa`'s kappa_milli; negative α rounds toward
+    zero, matching DuckDB's integer ``//``.)
 
     Groups where de = 0 (a single pooled category — observed
     disagreement impossible) report NULL alpha_milli.

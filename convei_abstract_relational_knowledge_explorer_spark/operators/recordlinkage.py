@@ -312,6 +312,13 @@ def blocking_quality(
     from joining each gold pair's two block keys — no pair
     materialization anywhere, so a mega-block is one row's arithmetic.
     Ratios in micro units by floor DIV.
+
+    NULL block keys mean "record assigned to NO block": such records
+    stay in ``n_records`` (they are part of the quadratic comparison
+    space RR prunes) but contribute ZERO candidate pairs and can never
+    cover a gold pair — consistent on both sides, because the coverage
+    predicate ``_blk_a == _blk_b`` is NULL (false) for them and the
+    candidate count below excludes the NULL size-group explicitly.
     """
     keyed = records.select(
         F.col(id_col).alias("_id"), F.col(block_col).alias("_blk")
@@ -319,9 +326,12 @@ def blocking_quality(
     sizes = keyed.groupBy("_blk").agg(F.count("*").cast("long").alias("n"))
     counts = sizes.agg(
         F.sum("n").cast("long").alias("n_records"),
-        F.sum(F.expr("n * (n - 1) DIV 2")).cast("long").alias(
-            "n_candidate_pairs"
-        ),
+        F.sum(
+            F.when(F.col("_blk").isNotNull(), F.expr("n * (n - 1) DIV 2"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_candidate_pairs"),
     )
     ka = keyed.select(
         F.col("_id").alias("a"), F.col("_blk").alias("_blk_a")

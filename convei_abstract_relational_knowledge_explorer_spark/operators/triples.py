@@ -692,6 +692,14 @@ def bgp_match(
     if not patterns:
         raise ValueError("bgp_match needs at least one triple pattern")
     optional = optional or []
+    # first-appearance variable order over the ORIGINAL pattern list —
+    # captured BEFORE any statistics-driven reorder so the result
+    # schema is data-independent (optimize=True must not change it)
+    order: list[str] = []
+    for pat in patterns:
+        for term in pat:
+            if term.startswith("?") and term[1:] not in order:
+                order.append(term[1:])
     if optimize:
         patterns = bgp_selectivity_order(triples, patterns)
 
@@ -709,17 +717,23 @@ def bgp_match(
                     cols[var] = pos
             else:
                 df = df.filter(F.col(pos) == F.lit(term))
-        return df.select(
+        out = df.select(
             *[F.col(pos).alias(var) for var, pos in cols.items()]
         )
+        if not cols:
+            # variable-free pattern: a pure existence guard.  A graph is
+            # a SET of triples, so matching must contribute each
+            # solution exactly once — limit(1) keeps "≥1 match → keep
+            # all bindings, 0 matches → empty", and a duplicate-bearing
+            # store can no longer multiply the bag via the crossJoin.
+            out = out.limit(1)
+        return out
 
     out = frame(patterns[0])
-    order = list(out.columns)  # first-appearance variable order
     for pat in patterns[1:]:
         nxt = frame(pat)
         shared = sorted(set(out.columns) & set(nxt.columns))
         out = out.join(nxt, shared) if shared else out.crossJoin(nxt)
-        order += [c for c in nxt.columns if c not in order]
     # OPTIONAL patterns (SPARQL 1.1 §6): left outer joins AFTER the
     # required block — a non-matching optional keeps the binding row
     # and leaves its fresh variables NULL.  Each optional must share at

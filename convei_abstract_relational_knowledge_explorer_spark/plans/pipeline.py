@@ -1116,6 +1116,12 @@ def build_graph(
         spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", "build-triples"
         )
+        # job-group tag: lets the bench attribute per-chain EXECUTOR
+        # TASK TIME (AppStatusStore) instead of wall-span subtraction,
+        # which double-credits overlap under concurrent chains
+        spark.sparkContext.setLocalProperty(
+            "spark.jobGroup.id", "build-triples"
+        )
         if triples_granularity == "year":
             years = [
                 r["year"] for r in docs.select("year").distinct().collect()
@@ -1138,6 +1144,12 @@ def build_graph(
         spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", "build-topics"
         )
+        # job-group tag: lets the bench attribute per-chain EXECUTOR
+        # TASK TIME (AppStatusStore) instead of wall-span subtraction,
+        # which double-credits overlap under concurrent chains
+        spark.sparkContext.setLocalProperty(
+            "spark.jobGroup.id", "build-topics"
+        )
         # within-doc fuzzy dedup BEFORE emitting HAS_TOPIC, matching the
         # reference (topic_discovery_pipeline.py:421-472 dedup_token_set
         # runs on the per-doc candidate list before DB insert); the
@@ -1154,6 +1166,12 @@ def build_graph(
     def _chain_affiliations() -> None:
         spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", "build-affiliations"
+        )
+        # job-group tag: lets the bench attribute per-chain EXECUTOR
+        # TASK TIME (AppStatusStore) instead of wall-span subtraction,
+        # which double-credits overlap under concurrent chains
+        spark.sparkContext.setLocalProperty(
+            "spark.jobGroup.id", "build-affiliations"
         )
         cleaned = ck.run(
             "cleaned_affiliations",
@@ -1180,6 +1198,11 @@ def build_graph(
     else:
         for chain in chains:
             chain()
+        # sequential path runs the chains on THIS thread — clear the
+        # chain tags so downstream stages (nodes/edges) aren't
+        # misattributed to the last chain's job group
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
     triples = results["triples"]
     all_triples = (

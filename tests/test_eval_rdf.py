@@ -626,3 +626,75 @@ def test_describe_entities_sorted_bounded_preview(spark):
     r = describe_entities(t, max_objs=2).collect()[0]
     assert r.n_objs == 4
     assert r.objs_preview == "alpha;beta"
+
+
+def test_blocking_quality_null_keys_no_candidates_no_coverage(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.recordlinkage import (
+        blocking_quality,
+    )
+
+    # 3 NULL-keyed records form NO block: 0 candidate pairs from them,
+    # and the NULL-keyed gold pair (4,5) counts as uncovered — the two
+    # sides of the metric agree (ADVICE r4: NULL-block consistency)
+    recs = spark.createDataFrame(
+        [(1, "b1"), (2, "b1"), (3, None), (4, None), (5, None)],
+        "doc_id long, blk string",
+    )
+    gold = spark.createDataFrame([(1, 2), (4, 5)], "a long, b long")
+    r = blocking_quality(recs, "blk", gold).collect()[0]
+    assert (r.n_records, r.n_total_pairs) == (5, 10)
+    assert r.n_candidate_pairs == 1  # C(2,2 in b1)=1, NULL trio excluded
+    assert (r.n_gold, r.n_covered) == (2, 1)
+    assert r.reduction_ratio_micro == (1_000_000 * 9) // 10
+    assert r.pairs_completeness_micro == 500_000
+
+
+def test_bgp_constant_pattern_is_existence_guard(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        bgp_match as bgp,
+    )
+
+    # store carries the guard triple TWICE: graph set semantics demand
+    # each solution appear once, not doubled (ADVICE r4)
+    t = _triples(
+        spark,
+        [
+            ("c1", "in", "n1"),
+            ("c2", "in", "n1"),
+            ("sys", "status", "ready"),
+            ("sys", "status", "ready"),
+        ],
+    )
+    pats = [("?c", "in", "n1"), ("sys", "status", "ready")]
+    got = sorted(r.c for r in bgp(t, pats).collect())
+    assert got == ["c1", "c2"]
+    # absent guard -> empty result
+    pats_miss = [("?c", "in", "n1"), ("sys", "status", "offline")]
+    assert bgp(t, pats_miss).count() == 0
+
+
+def test_bgp_optimize_pins_column_order_to_original_patterns(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        bgp_match as bgp,
+        bgp_selectivity_order,
+    )
+
+    # KNOWS fans out (6 triples), HAS_NAME is cheap (1 triple): the
+    # optimizer reorders HAS_NAME first, whose natural column order
+    # would be [y, x] — the result schema must stay the ORIGINAL
+    # first-appearance order [x, y] regardless (ADVICE r4 determinism)
+    rows = [
+        ("a", "KNOWS", "b"), ("a", "KNOWS", "c"), ("b", "KNOWS", "c"),
+        ("b", "KNOWS", "d"), ("c", "KNOWS", "d"), ("d", "KNOWS", "a"),
+        ("b", "HAS_NAME", "bob"),
+    ]
+    t = _triples(spark, rows)
+    pats = [("?x", "KNOWS", "?y"), ("?y", "HAS_NAME", "bob")]
+    assert bgp_selectivity_order(t, pats)[0] == ("?y", "HAS_NAME", "bob")
+    plain = bgp(t, pats)
+    opt = bgp(t, pats, optimize=True)
+    assert plain.columns == ["x", "y"]
+    assert opt.columns == ["x", "y"]
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, opt.collect())
+    )
