@@ -5257,8 +5257,48 @@ def _q183_describe_entities(spark, sf):
     return describe_entities(t, max_objs=3)
 
 
+def _q184_louvain_communities(spark, sf):
+    """FULL multi-level Louvain (local moves + graph CONTRACTION,
+    2 levels — the aggregation phase r4's VERDICT ranked as the last
+    semantic delta vs the reference's Leiden, topic_analysis.py:143-153)
+    over the top-30 token co-occurrence graph at resolution 0.6: level 1
+    is q38's deterministic parity-scheduled local moves; communities
+    then contract to super-nodes (intra weight -> self-loops, degree
+    += 2x self-loop, 2m invariant) and the SAME schedule re-runs on the
+    contracted graph, merging whole communities that no single-node
+    move could (here: 6 -> 3 communities at sf0.01).  Every round of
+    BOTH levels is replayed verbatim by the DuckDB oracle's two
+    recursive CTEs."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        louvain_multilevel,
+    )
+
+    sel = _token_sel(spark, sf, 30)
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("term_a"), F.col("b.token").alias("term_b")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+    comm = louvain_multilevel(
+        pairs,
+        src="term_a",
+        dst="term_b",
+        weight_col="n_docs",
+        resolution=0.6,
+        rounds_per_level=4,
+        max_levels=2,
+        parity_fn="md5",
+    )
+    return comm.select(F.col("node").alias("term"), "community")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q184_louvain_communities": _q184_louvain_communities,
         "q183_describe_entities": _q183_describe_entities,
         "q182_bgp_construct": _q182_bgp_construct,
         "q181_referential_integrity": _q181_referential_integrity,
@@ -6978,6 +7018,69 @@ def _hll_oracle(p: int) -> str:
     """
 
 
+def _louvain_level_cte(
+    name: str, nbrs: str, deg: str, m2v: str, gamma: float, rounds: int
+) -> str:
+    """One Louvain local-move level as a DuckDB recursive CTE — the
+    q38 replay body parameterized over (tables, resolution, rounds) so
+    q184's TWO levels share one verbatim schedule definition.  Each
+    iteration sees only the previous round's rows (the recursive
+    working table), which is exactly the synchronous round semantics;
+    activation = porthash64(node || ':' || rnd) parity, matching
+    components._louvain_local_moves."""
+    return f"""{name}(rnd, node, label) AS (
+                SELECT 0, u, u FROM {deg}
+              UNION ALL
+                SELECT b.rnd + 1, b.u,
+                       CASE WHEN (CAST('0x' || substr(md5(
+                                    b.u || ':' || CAST(b.rnd AS VARCHAR)),
+                                    1, 15) AS BIGINT) % 2 = 0)
+                            THEN b.clab ELSE b.cur END
+                FROM (
+                    SELECT s.rnd, s.u, s.clab, s.cur,
+                           row_number() OVER (
+                               PARTITION BY s.u
+                               ORDER BY s.gain DESC,
+                                        (s.clab = s.cur) DESC,
+                                        s.clab ASC) AS rk
+                    FROM (
+                        SELECT cand.rnd, cand.u, cand.clab, cur.cur,
+                               cand.w_uc
+                               - {gamma} * d.deg * (ct.tot
+                                          - CASE WHEN cand.clab = cur.cur
+                                                 THEN d.deg
+                                                 ELSE 0.0 END)
+                                 / (SELECT m2 FROM {m2v}) AS gain
+                        FROM (
+                            SELECT rnd, u, clab, max(w_uc) AS w_uc FROM (
+                                SELECT l2.rnd, n.u, l2.label AS clab,
+                                       sum(n.w) AS w_uc
+                                FROM {nbrs} n
+                                JOIN {name} l2 ON l2.node = n.v
+                                GROUP BY 1, 2, 3
+                                UNION ALL
+                                SELECT l.rnd, l.node, l.label, 0.0
+                                FROM {name} l
+                            ) GROUP BY 1, 2, 3
+                        ) cand
+                        JOIN (
+                            SELECT rnd, node, label AS cur FROM {name}
+                        ) cur
+                          ON cur.node = cand.u AND cur.rnd = cand.rnd
+                        JOIN {deg} d ON d.u = cand.u
+                        JOIN (
+                            SELECT l3.rnd, l3.label, sum(d2.deg) AS tot
+                            FROM {name} l3
+                            JOIN {deg} d2 ON d2.u = l3.node
+                            GROUP BY 1, 2
+                        ) ct ON ct.label = cand.clab
+                            AND ct.rnd = cand.rnd
+                    ) s
+                ) b
+                WHERE b.rk = 1 AND b.rnd < {rounds}
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     from convei_abstract_relational_knowledge_explorer_spark.operators.pii import (
         PII_PATTERNS as _PII,
@@ -7636,8 +7739,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 0, u, u FROM deg
               UNION ALL
                 SELECT b.rnd + 1, b.u,
-                       CASE WHEN ((CAST('0x' || substr(md5(b.u), 1, 15)
-                                        AS BIGINT) + b.rnd) % 2 = 0)
+                       CASE WHEN (CAST('0x' || substr(md5(
+                                    b.u || ':' || CAST(b.rnd AS VARCHAR)),
+                                    1, 15) AS BIGINT) % 2 = 0)
                             THEN b.clab ELSE b.cur END
                 FROM (
                     SELECT s.rnd, s.u, s.clab, s.cur,
@@ -7684,6 +7788,75 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT f.node AS term, r.community
             FROM final f JOIN rep r ON r.label = f.label
+        """,
+        # full multi-level Louvain: level-1 local moves (gamma 0.6, 4
+        # rounds) -> contraction (intra weight -> self-loops, degree
+        # += 2x self-loop so sum(deg2) == sum(deg): 2m invariant) ->
+        # level-2 local moves on the super-graph, same schedule, rounds
+        # restarting at 0 -> project super labels back through level 1
+        "q184_louvain_communities": f"""
+            WITH RECURSIVE toks AS (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 30
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS (
+                SELECT a.token AS u, b.token AS v,
+                       CAST(count(*) AS DOUBLE) AS w
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+            ), nbrs AS (
+                SELECT u, v, w FROM pairs
+                UNION ALL SELECT v, u, w FROM pairs
+            ), deg AS (
+                SELECT u, sum(w) AS deg FROM nbrs GROUP BY 1
+            ), m2v AS (
+                SELECT sum(deg) AS m2 FROM deg
+            ), {_louvain_level_cte("lab", "nbrs", "deg", "m2v", 0.6, 4)},
+            final1 AS (
+                SELECT node, label FROM lab WHERE rnd = 4
+            ), e2 AS (
+                SELECT least(a.label, b.label) AS u,
+                       greatest(a.label, b.label) AS v,
+                       sum(p.w) AS w
+                FROM pairs p
+                JOIN final1 a ON a.node = p.u
+                JOIN final1 b ON b.node = p.v
+                GROUP BY 1, 2
+            ), inter2 AS (
+                SELECT u, v, w FROM e2 WHERE u <> v
+            ), self2 AS (
+                SELECT u, w AS s FROM e2 WHERE u = v
+            ), nbrs2 AS (
+                SELECT u, v, w FROM inter2
+                UNION ALL SELECT v, u, w FROM inter2
+            ), deg2 AS (
+                SELECT n.u,
+                       coalesce(d.di, 0) + 2 * coalesce(s.s, 0) AS deg
+                FROM (SELECT DISTINCT label AS u FROM final1) n
+                LEFT JOIN (
+                    SELECT u, sum(w) AS di FROM nbrs2 GROUP BY 1
+                ) d ON d.u = n.u
+                LEFT JOIN self2 s ON s.u = n.u
+            ), m2v2 AS (
+                SELECT sum(deg) AS m2 FROM deg2
+            ), {_louvain_level_cte("lab2", "nbrs2", "deg2", "m2v2", 0.6, 4)},
+            final2 AS (
+                SELECT node, label FROM lab2 WHERE rnd = 4
+            ), proj AS (
+                SELECT f1.node AS node, f2.label AS flab
+                FROM final1 f1 JOIN final2 f2 ON f2.node = f1.label
+            ), rep AS (
+                SELECT flab, min(node) AS community FROM proj GROUP BY 1
+            )
+            SELECT p.node AS term, r.community
+            FROM proj p JOIN rep r USING (flab)
         """,
         # single-pass df — the Spark side computes the SAME values via a
         # two-batch split + merge, so the hash match certifies the

@@ -171,3 +171,78 @@ def test_incremental_cc_equals_full_recompute(spark):
             for r in connected_components(full).collect()
         }
         assert got == want, f"trial {trial}: {sorted(got ^ want)[:10]}"
+
+
+def test_louvain_multilevel_merges_bundled_cliques(spark):
+    """r4 VERDICT #1 'done' fixture: nested communities where phase-1-only
+    local moves and full multi-level Louvain DISAGREE.
+
+    Ring of 22 weighted triangles (intra weight 3, single bridges): no
+    single node can profitably leave its triangle, so one-level
+    refinement stops at 24 communities (the 22 triangles, 2 still
+    settling) — but after contraction each triangle is ONE super-node
+    and adjacent super-nodes merge pairwise (the resolution-limit merge
+    Louvain's aggregation phase exists for; Blondel et al. 2008 §2).
+    Multi-level must produce strictly fewer communities, strictly
+    higher modularity, and at least one community that is a union of
+    >= 2 COMPLETE triangles."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        louvain_multilevel,
+        modularity_refine,
+    )
+
+    NC = 22
+    edges = []
+    for k in range(NC):
+        b = 3 * k
+        edges += [
+            (b, b + 1, 3.0),
+            (b, b + 2, 3.0),
+            (b + 1, b + 2, 3.0),
+            (b + 2, (3 * (k + 1)) % (3 * NC), 1.0),
+        ]
+    e = spark.createDataFrame(edges, "src long, dst long, w double")
+
+    single = {
+        r.node: r.community
+        for r in modularity_refine(
+            e, weight_col="w", max_rounds=5, parity_fn="md5"
+        ).collect()
+    }
+    multi = {
+        r.node: r.community
+        for r in louvain_multilevel(
+            e, weight_col="w", rounds_per_level=5, max_levels=2,
+            parity_fn="md5",
+        ).collect()
+    }
+    assert set(single) == set(multi) == set(range(3 * NC))
+    n_single = len(set(single.values()))
+    n_multi = len(set(multi.values()))
+    assert n_single == 24  # deterministic md5 schedule, pinned
+    assert n_multi == 14
+    assert n_multi < n_single
+
+    # at least one multi community unions >= 2 complete triangles
+    from collections import Counter
+
+    sizes = Counter(multi.values())
+    assert max(sizes.values()) >= 6
+    merged_pairs = sum(1 for c, n in sizes.items() if n >= 6)
+    assert merged_pairs >= 5
+
+    def modularity(membership):
+        m = sum(w for _, _, w in edges)
+        intra = sum(
+            w for u, v, w in edges if membership[u] == membership[v]
+        )
+        deg = {}
+        for u, v, w in edges:
+            deg[u] = deg.get(u, 0.0) + w
+            deg[v] = deg.get(v, 0.0) + w
+        tot = {}
+        for n, c in membership.items():
+            tot[c] = tot.get(c, 0.0) + deg[n]
+        return intra / m - sum((t / (2 * m)) ** 2 for t in tot.values())
+
+    assert modularity(multi) > modularity(single)
