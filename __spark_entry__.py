@@ -5296,8 +5296,26 @@ def _q184_louvain_communities(spark, sf):
     return comm.select(F.col("node").alias("term"), "community")
 
 
+def _q185_dbscan_clusters(spark, sf):
+    """Distributed DBSCAN over the embeddings table (the proper
+    density-clustering closure of the reference's HDBSCAN delta,
+    multitopic_tracer.py:111-128): exact eps-graph (d2 rounded to 6
+    decimals, eps_sq 1.4), cores at min_pts 5 (neighborhood including
+    self), clusters = CC over core-core edges, borders to the MIN
+    core-neighbor cluster (the deterministic parallel-DBSCAN rule),
+    noise = -1.  Oracle replays pairs/degrees/core filter, the
+    transitive closure, and the border join verbatim."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.ml import (
+        dbscan_clusters,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return dbscan_clusters(emb, eps_sq=1.4, min_pts=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q185_dbscan_clusters": _q185_dbscan_clusters,
         "q184_louvain_communities": _q184_louvain_communities,
         "q183_describe_entities": _q183_describe_entities,
         "q182_bgp_construct": _q182_bgp_construct,
@@ -7857,6 +7875,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p.node AS term, r.community
             FROM proj p JOIN rep r USING (flab)
+        """,
+        # DBSCAN replay: exact eps-pairs (round-6 double d2), degree >=
+        # min_pts-1 core filter, transitive closure over core-core
+        # edges (min reachable id = cluster), border = min core
+        # neighbor's cluster, noise = -1
+        "q185_dbscan_clusters": """
+            WITH RECURSIVE v AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ), p AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM v a JOIN v b ON a.vec_id < b.vec_id
+                WHERE round(list_sum(list_transform(
+                          range(1, len(a.e) + 1),
+                          k -> (a.e[k] - b.e[k]) * (a.e[k] - b.e[k]))),
+                      6) <= 1.4
+            ), sym AS (
+                SELECT a, b FROM p UNION ALL SELECT b, a FROM p
+            ), deg AS (
+                SELECT a AS node, count(*) AS d FROM sym GROUP BY 1
+            ), core AS (
+                SELECT node FROM deg WHERE d >= 4
+            ), ce AS (
+                SELECT p.a, p.b FROM p
+                JOIN core ca ON ca.node = p.a
+                JOIN core cb ON cb.node = p.b
+            ), cesym AS (
+                SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce
+            ), reach(node, r) AS (
+                SELECT node, node FROM core
+                UNION
+                SELECT s.b, reach.r
+                FROM reach JOIN cesym s ON reach.node = s.a
+            ), core_lab AS (
+                SELECT node, min(r) AS cluster FROM reach GROUP BY 1
+            ), border AS (
+                SELECT s.a AS node, min(cl.cluster) AS bcluster
+                FROM sym s JOIN core_lab cl ON cl.node = s.b
+                WHERE s.a NOT IN (SELECT node FROM core)
+                GROUP BY 1
+            )
+            SELECT v.vec_id AS node,
+                   CAST(coalesce(cl.cluster, border.bcluster, -1)
+                        AS BIGINT) AS cluster,
+                   cl.node IS NOT NULL AS is_core,
+                   (cl.node IS NULL AND border.node IS NULL) AS is_noise
+            FROM v
+            LEFT JOIN core_lab cl ON cl.node = v.vec_id
+            LEFT JOIN border ON border.node = v.vec_id
         """,
         # single-pass df — the Spark side computes the SAME values via a
         # two-batch split + merge, so the hash match certifies the

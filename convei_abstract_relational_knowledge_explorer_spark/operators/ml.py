@@ -349,3 +349,137 @@ def classify_with_probs(
             ),
         )
     )
+
+
+def dbscan_clusters(
+    embeddings: DataFrame,
+    eps_sq: float,
+    min_pts: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed DBSCAN (Ester et al., KDD'96) → (node, cluster,
+    is_core, is_noise); cluster = min ORIGINAL member id of the
+    cluster's core set, -1 for noise.
+
+    Closes the density-clustering delta vs the reference's HDBSCAN
+    (/root/reference/multitopic_tracer.py:111-128) PROPERLY:
+    :func:`kmeans_with_noise` restores noise labels but keeps Lloyd's
+    convex-cluster bias — a crescent whose ends are farther apart than
+    the gap between crescents gets SPLIT by any centroid method, while
+    density-reachability follows the arc (the fixture in
+    tests/test_sinks_ml.py pins exactly that disagreement).
+
+    The parallel-DBSCAN decomposition (MR-DBSCAN, Dai & Lin; every
+    distributed implementation since):
+
+      1. ε-graph: pairs with squared distance ≤ ``eps_sq`` (distances
+         rounded to 6 decimals first — double ulp noise must not flip a
+         boundary membership between engines; the oracle replays the
+         same rounding).
+      2. CORE points: |N_ε(p)| ≥ min_pts, neighborhood INCLUDING p
+         itself (the KDD'96 convention), i.e. ε-degree ≥ min_pts − 1.
+      3. clusters = connected components over CORE–CORE ε-edges
+         (:func:`.components.connected_components`, the large/small-star
+         O(log² n) loop); a core with no core neighbor is its own
+         singleton cluster.
+      4. BORDER points (non-core with ≥ 1 core ε-neighbor) join the MIN
+         cluster id among their core neighbors — scan-order DBSCAN
+         assigns them to whichever core claimed them first, which is
+         nondeterministic under parallel scan, so every distributed
+         DBSCAN (and this one) fixes the deterministic min rule.
+      5. everything else is NOISE (cluster −1).
+
+    ``candidate_pairs=None`` computes the ε-graph EXACTLY via a
+    labeled broadcast triangular self-join — the exactness baseline,
+    same contract as q104's alignment cross join, valid while one side
+    broadcasts.  At corpus scale pass ``candidate_pairs`` (a, b) from
+    the LSH/IVF machinery (``similarity.ivf_knn_join`` /
+    ``dedup.lsh_candidate_pairs``): candidates are distance-VERIFIED
+    here, so precision is exact and recall is the generator's — the
+    documented ANN trade every billion-row density pass makes.
+    Everything downstream of the pair list is degree counting + one CC
+    run on the (much smaller) core subgraph.
+    """
+    ids = embeddings.select(F.col(id_col).alias("node"))
+    va = embeddings.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    if candidate_pairs is None:
+        cand = va.crossJoin(F.broadcast(vb)).filter(F.col("a") < F.col("b"))
+    else:
+        cand = (
+            candidate_pairs.select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+            .join(va, "a")
+            .join(vb, "b")
+        )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("_va", "_vb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    pairs = (
+        cand.withColumn("_d2", d2)
+        .filter(F.col("_d2") <= F.lit(float(eps_sq)))
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    sym = pairs.unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("_deg")
+    )
+    core = deg.filter(F.col("_deg") >= min_pts - 1).select("node")
+    # core-core edges -> CC; isolated cores become singleton clusters
+    cc_edges = (
+        pairs.join(core.withColumnRenamed("node", "a"), "a", "left_semi")
+        .join(core.withColumnRenamed("node", "b"), "b", "left_semi")
+    )
+    from .components import connected_components
+
+    comp = connected_components(cc_edges, src="a", dst="b")
+    core_lab = core.join(comp, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("cluster")
+    )
+    # border: min core-neighbor cluster, for nodes that are NOT core
+    border = (
+        sym.join(
+            core_lab.select(
+                F.col("node").alias("b"), F.col("cluster").alias("_bc")
+            ),
+            "b",
+        )
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.min("_bc").alias("_border_cluster"))
+        .join(core, "node", "left_anti")
+    )
+    return (
+        ids.join(core_lab.withColumnRenamed("cluster", "_core_cluster"),
+                 "node", "left")
+        .join(border, "node", "left")
+        .select(
+            "node",
+            F.coalesce(
+                "_core_cluster", "_border_cluster", F.lit(-1).cast("long")
+            ).alias("cluster"),
+            F.col("_core_cluster").isNotNull().alias("is_core"),
+            (
+                F.col("_core_cluster").isNull()
+                & F.col("_border_cluster").isNull()
+            ).alias("is_noise"),
+        )
+    )

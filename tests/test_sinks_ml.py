@@ -350,3 +350,57 @@ def test_kmeans_with_noise_labels_outliers(spark):
     assert -1 not in labels0 | labels1  # the 90th-percentile cut + 1.5x
     assert len(labels0) == 1 and len(labels1) == 1 and labels0 != labels1
     assert all(r["dist"] >= 0 for r in got.values())
+
+
+def test_dbscan_recovers_crescents_kmeans_splits(spark):
+    """r4 VERDICT #4 'done' fixture: two interleaved crescents (the
+    make_moons shape) + 3 far outliers.  Any centroid method must cut
+    each crescent (the ends of one arc are farther apart than the gap
+    to the other arc), while density-reachability follows the arc:
+    DBSCAN returns exactly 2 clusters == the 2 crescents + the outliers
+    as noise; kmeans_with_noise(k=2) mixes both crescents in one
+    cluster."""
+    import math
+
+    from convei_abstract_relational_knowledge_explorer_spark.operators.ml import (
+        dbscan_clusters,
+        kmeans_with_noise,
+    )
+
+    N = 40
+    pts = []
+    for i in range(N):
+        t = math.pi * i / (N - 1)
+        pts.append((i, [math.cos(t), math.sin(t)]))           # moon A
+        pts.append((100 + i, [1 - math.cos(t), 0.5 - math.sin(t)]))  # moon B
+    outliers = [(900, [5.0, 5.0]), (901, [-5.0, -5.0]), (902, [6.0, -5.0])]
+    df = spark.createDataFrame(
+        pts + outliers, "vec_id long, embedding array<double>"
+    )
+
+    got = {
+        r.node: (r.cluster, r.is_core, r.is_noise)
+        for r in dbscan_clusters(df, eps_sq=0.04, min_pts=3).collect()
+    }
+    assert len(got) == 2 * N + 3
+    # outliers are noise
+    for o in (900, 901, 902):
+        assert got[o] == (-1, False, True)
+    # each moon is ONE cluster, and the two differ
+    moon_a = {got[i][0] for i in range(N)}
+    moon_b = {got[100 + i][0] for i in range(N)}
+    assert len(moon_a) == 1 and len(moon_b) == 1 and moon_a != moon_b
+    assert moon_a == {0} and moon_b == {100}  # min-member cluster ids
+    # arc interiors are core (deg >= 2 within eps)
+    assert all(got[i][1] for i in range(1, N - 1))
+
+    # kmeans k=2: at least one cluster mixes members of BOTH moons
+    km = {
+        r[0]: r[1]
+        for r in kmeans_with_noise(
+            df, k=2, min_cluster_size=3, noise_scale=100.0
+        ).select("vec_id", "cluster").collect()
+    }
+    a_labels = {km[i] for i in range(N) if km[i] != -1}
+    b_labels = {km[100 + i] for i in range(N) if km[100 + i] != -1}
+    assert len(a_labels) > 1 or len(b_labels) > 1 or (a_labels & b_labels)
