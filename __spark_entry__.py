@@ -5313,8 +5313,89 @@ def _q185_dbscan_clusters(spark, sf):
     return dbscan_clusters(emb, eps_sq=1.4, min_pts=5)
 
 
+def _q186_order_chain_closure(spark, sf):
+    """SPARQL property path `NEXT_ORDER+` (W3C 1.1 §9 OneOrMorePath,
+    reachability semantics) over a derived per-customer order-succession
+    chain: NEXT_ORDER links each order to the customer's next order by
+    date (window lead), and the + closure — pointer doubling, O(log
+    chain-depth) joins, not one per hop — reaches every LATER order of
+    the same customer.  Emitted per source order as (n_reach, min_obj,
+    max_obj) so the surface is closure-complete yet compact.  The
+    DuckDB oracle replays the closure as a recursive CTE."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        property_path_pairs,
+    )
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = (
+        o.select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("_nk", F.lead("o_orderkey").over(w))
+        .filter(F.col("_nk").isNotNull())
+    )
+    store = nxt.select(
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("NEXT_ORDER").alias("pred"),
+        F.concat(F.lit("O"), F.col("_nk").cast("string")).alias("obj"),
+    )
+    pairs = property_path_pairs(store, "NEXT_ORDER+")
+    return pairs.groupBy("subj").agg(
+        F.count("*").cast("long").alias("n_reach"),
+        F.min("obj").alias("min_obj"),
+        F.max("obj").alias("max_obj"),
+    )
+
+
+def _q187_path_alt_inverse(spark, sf):
+    """SPARQL property path `^IN_NATION/^PLACED_BY|^ORDER_NATION` over
+    the KG store: inverse steps compose nation -> its customers ->
+    their orders, and the alternation unions the partial ORDER_NATION
+    shortcut — which is a SUBSET of the sequence branch by
+    construction, so path set semantics (distinct union) must absorb
+    it without changing the pair set: the oracle certifies both the
+    composition and the dedup."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        property_path_pairs,
+    )
+
+    t = _kg_triples(spark, sf)
+    return property_path_pairs(t, "^IN_NATION/^PLACED_BY|^ORDER_NATION")
+
+
+def _q188_bgp_aggregate(spark, sf):
+    """SPARQL GROUP BY aggregation over BGP bindings (W3C 1.1 §11) —
+    the declarative replacement for the reference explorer's
+    fetch-then-count client loops: the 2-pattern BGP (order PLACED_BY
+    customer, customer IN_NATION nation) grouped per nation with
+    COUNT(*) solutions, COUNT(DISTINCT customer) and the min/max order
+    id, one statistics-ordered join tree + one hash aggregate."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        bgp_aggregate,
+    )
+
+    t = _kg_triples(spark, sf)
+    return bgp_aggregate(
+        t,
+        [("?o", "PLACED_BY", "?c"), ("?c", "IN_NATION", "?n")],
+        group_vars=["n"],
+        aggs=[
+            ("count", None, "n_orders"),
+            ("count_distinct", "c", "n_customers"),
+            ("min", "o", "first_order"),
+            ("max", "o", "last_order"),
+        ],
+        optimize=True,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q188_bgp_aggregate": _q188_bgp_aggregate,
+        "q187_path_alt_inverse": _q187_path_alt_inverse,
+        "q186_order_chain_closure": _q186_order_chain_closure,
         "q185_dbscan_clusters": _q185_dbscan_clusters,
         "q184_louvain_communities": _q184_louvain_communities,
         "q183_describe_entities": _q183_describe_entities,
@@ -7926,6 +8007,59 @@ def oracle_sql() -> dict[str, str]:
             FROM v
             LEFT JOIN core_lab cl ON cl.node = v.vec_id
             LEFT JOIN border ON border.node = v.vec_id
+        """,
+        # property-path + closure as a recursive CTE over the derived
+        # NEXT_ORDER chain (lead over (custkey, date, key))
+        "q186_order_chain_closure": """
+            WITH RECURSIVE nxt AS (
+                SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS a,
+                       'O' || CAST(lead(o_orderkey) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                       ) AS VARCHAR) AS b
+                FROM orders
+            ), e AS (
+                SELECT a, b FROM nxt WHERE b IS NOT NULL
+            ), reach(a, b) AS (
+                SELECT a, b FROM e
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+            )
+            SELECT a AS subj, CAST(count(*) AS BIGINT) AS n_reach,
+                   min(b) AS min_obj, max(b) AS max_obj
+            FROM reach GROUP BY 1
+        """,
+        # inverse-step sequence ∪ shortcut predicate, distinct union
+        "q187_path_alt_inverse": f"""
+            WITH {_KG_TRIPLES_SQL},
+            inv1 AS (
+                SELECT obj AS a, subj AS b FROM trip
+                WHERE pred = 'IN_NATION'
+            ), inv2 AS (
+                SELECT obj AS a, subj AS b FROM trip
+                WHERE pred = 'PLACED_BY'
+            ), seq AS (
+                SELECT i1.a, i2.b FROM inv1 i1
+                JOIN inv2 i2 ON i2.a = i1.b
+            ), alt AS (
+                SELECT a, b FROM seq
+                UNION
+                SELECT obj, subj FROM trip WHERE pred = 'ORDER_NATION'
+            )
+            SELECT DISTINCT a AS subj, b AS obj FROM alt
+        """,
+        # BGP bindings (bag semantics) then one GROUP BY — SPARQL §11
+        "q188_bgp_aggregate": f"""
+            WITH {_KG_TRIPLES_SQL}
+            SELECT t2.obj AS n,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(DISTINCT t1.obj) AS BIGINT) AS n_customers,
+                   min(t1.subj) AS first_order,
+                   max(t1.subj) AS last_order
+            FROM trip t1
+            JOIN trip t2 ON t2.subj = t1.obj AND t2.pred = 'IN_NATION'
+            WHERE t1.pred = 'PLACED_BY'
+            GROUP BY 1
         """,
         # single-pass df — the Spark side computes the SAME values via a
         # two-batch split + merge, so the hash match certifies the

@@ -1177,3 +1177,156 @@ def describe_entities(
             ";",
         ).alias("objs_preview"),
     )
+
+
+def _path_closure(pairs: DataFrame, max_iters: int) -> DataFrame:
+    """Transitive closure of an edge frame (a, b) by POINTER DOUBLING:
+    R_1 = E, R_{2k} = R_k ∪ R_k∘R_k — after i rounds every path of
+    length ≤ 2^i is covered, so the loop runs O(log diameter) joins,
+    not O(diameter) (the reference explorer's client-side hop loop and
+    a naive semi-naive evaluation are both linear in depth).  Each
+    round is one hash equi-join + distinct, localCheckpoint (lineage
+    cut), one scalar count for the fixpoint test."""
+    cur = pairs.distinct().localCheckpoint(eager=True)
+    n = cur.count()
+    for _ in range(max_iters):
+        left = cur.select(F.col("a"), F.col("b").alias("_mid"))
+        right = cur.select(F.col("a").alias("_mid"), F.col("b"))
+        hop = left.join(right, "_mid").select("a", "b")
+        nxt = cur.unionByName(hop).distinct().localCheckpoint(eager=True)
+        m = nxt.count()
+        if m == n:
+            break
+        cur, n = nxt, m
+    return cur
+
+
+def property_path_pairs(
+    triples: DataFrame,
+    path: str,
+    max_iters: int = 30,
+) -> DataFrame:
+    """SPARQL 1.1 §9 property-path evaluation over a (subj, pred, obj)
+    store → DISTINCT (subj, obj) — the piece of the SPARQL core left
+    open after BGP/OPTIONAL/VALUES/FILTER/CONSTRUCT/DESCRIBE
+    (triples.py history; reference explorer walks hierarchies with
+    client-side hop loops, build_reports.py one lookup per level).
+
+    Grammar (the W3C §9.1 operators minus grouping):
+
+        path  :=  seq ('|' seq)*          alternation  — set union
+        seq   :=  step ('/' step)*        sequence     — relation compose
+        step  :=  ['^'] pred ['+' | '*']  inverse / closures
+
+    Per the spec's arbitrary-length semantics, ``p+`` / ``p*`` are
+    REACHABILITY (no duplicate solutions, W3C 1.1 §9.3 note on cyclic
+    graphs), evaluated here by :func:`_path_closure`'s pointer
+    doubling; ``p*`` adds the zero-length pairs (x, x) for EVERY term
+    of the graph (subjects ∪ objects — the spec's nodes(G), not just
+    p-incident terms).  Alternation is a distinct union; sequence is a
+    hash equi-join composing the step relations left to right.
+
+    Scale: each step relation is one predicate-pruned scan (partition
+    pruning when the store is partitioned by pred); closures emit at
+    most |reachable pairs| rows — quadratic in component size in the
+    worst case, which is the OUTPUT's size, not overhead (callers at
+    corpus scale bound the source set first, the standard reachability
+    contract).
+    """
+    alts = [seq.strip() for seq in path.split("|") if seq.strip()]
+    if not alts:
+        raise ValueError("empty property path")
+    out = None
+    for seq in alts:
+        seq_rel = None
+        for raw in (s.strip() for s in seq.split("/")):
+            inverse = raw.startswith("^")
+            if inverse:
+                raw = raw[1:]
+            mod = None
+            if raw and raw[-1] in "+*":
+                mod = raw[-1]
+                raw = raw[:-1]
+            if not raw:
+                raise ValueError(f"bad step in path: {seq!r}")
+            step = triples.filter(F.col("pred") == raw).select(
+                F.col("obj" if inverse else "subj").alias("a"),
+                F.col("subj" if inverse else "obj").alias("b"),
+            )
+            if mod is not None:
+                step = _path_closure(step, max_iters)
+            if mod == "*":
+                nodes = (
+                    triples.select(F.col("subj").alias("a"))
+                    .unionAll(triples.select(F.col("obj").alias("a")))
+                    .distinct()
+                )
+                step = step.unionByName(
+                    nodes.select("a", F.col("a").alias("b"))
+                ).distinct()
+            if seq_rel is None:
+                seq_rel = step
+            else:
+                seq_rel = (
+                    seq_rel.select("a", F.col("b").alias("_mid"))
+                    .join(
+                        step.select(
+                            F.col("a").alias("_mid"), F.col("b")
+                        ),
+                        "_mid",
+                    )
+                    .select("a", "b")
+                )
+        out = seq_rel if out is None else out.unionByName(seq_rel)
+    return out.distinct().select(
+        F.col("a").alias("subj"), F.col("b").alias("obj")
+    )
+
+
+def bgp_aggregate(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    group_vars: list[str],
+    aggs: list[tuple[str, str | None, str]],
+    **bgp_kwargs,
+) -> DataFrame:
+    """SPARQL 1.1 §11 aggregation (GROUP BY + COUNT / SUM / MIN / MAX /
+    COUNT DISTINCT) over basic-graph-pattern solution bindings — the
+    thin declarative layer over :func:`bgp_match` that replaces the
+    reference explorer's fetch-all-then-count client loops
+    (build_reports.py tallies per-entity rows in Python after one
+    lookup per conjunction).
+
+    ``aggs`` is a list of (fn, var, alias): fn ∈ {"count",
+    "count_distinct", "sum", "min", "max"}; var None means COUNT(*)
+    (SPARQL's COUNT(*) counts solutions, bag semantics — exactly the
+    binding rows bgp_match emits).  ``sum`` try_casts the variable to
+    long (the store keeps literals as strings; non-numeric values
+    become NULL and drop out of the sum, mirroring SPARQL's
+    error-ignoring aggregate semantics over mistyped literals — ANSI
+    cast would instead fail the job on the first bad literal).
+
+    One hash aggregate over the BGP join tree — partial map-side
+    combine, no window; Catalyst pushes the grouping through the
+    binding projection, and every optimization bgp_match makes
+    (statistics-driven join order, broadcast VALUES) composes freely.
+    """
+    bindings = bgp_match(triples, patterns, **bgp_kwargs)
+    exprs = []
+    for fn, var, alias in aggs:
+        if fn == "count":
+            e = F.count("*") if var is None else F.count(var)
+        elif fn == "count_distinct":
+            e = F.countDistinct(var)
+        elif fn == "sum":
+            e = F.sum(F.col(var).try_cast("long"))
+        elif fn == "min":
+            e = F.min(var)
+        elif fn == "max":
+            e = F.max(var)
+        else:
+            raise ValueError(f"unsupported aggregate: {fn}")
+        exprs.append(e.cast("long").alias(alias) if fn in (
+            "count", "count_distinct", "sum"
+        ) else e.alias(alias))
+    return bindings.groupBy(*group_vars).agg(*exprs)

@@ -698,3 +698,117 @@ def test_bgp_optimize_pins_column_order_to_original_patterns(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, opt.collect())
     )
+
+
+def test_property_path_plus_cycle_and_star_nodes(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        property_path_pairs,
+    )
+
+    # chain a->b->c->d plus a 2-cycle x<->y, plus an unrelated HAS_NAME
+    t = _triples(
+        spark,
+        [
+            ("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d"),
+            ("x", "next", "y"), ("y", "next", "x"),
+            ("q", "HAS_NAME", "quux"),
+        ],
+    )
+    plus = sorted(
+        map(tuple, property_path_pairs(t, "next+").collect())
+    )
+    assert plus == sorted(
+        [
+            ("a", "b"), ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"), ("c", "d"),
+            # cycle: reachability WITHOUT duplicates, self-pairs included
+            ("x", "y"), ("y", "x"), ("x", "x"), ("y", "y"),
+        ]
+    )
+    star = {
+        tuple(r) for r in property_path_pairs(t, "next*").collect()
+    }
+    # zero-length pairs for EVERY term of the graph (nodes(G)),
+    # including the ones not touching 'next'
+    for n in ("a", "b", "c", "d", "x", "y", "q", "quux"):
+        assert (n, n) in star
+    assert star.issuperset(set(plus))
+    assert len(star) == len(plus) + 8 - 2  # x,x / y,y already in plus
+
+
+def test_property_path_sequence_inverse_alternation(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        property_path_pairs,
+    )
+
+    t = _triples(
+        spark,
+        [
+            ("o1", "PLACED_BY", "c1"), ("o2", "PLACED_BY", "c2"),
+            ("c1", "IN_NATION", "n1"), ("c2", "IN_NATION", "n2"),
+            ("o2", "ORDER_NATION", "n2"),
+        ],
+    )
+    seq = sorted(
+        map(tuple, property_path_pairs(t, "PLACED_BY/IN_NATION").collect())
+    )
+    assert seq == [("o1", "n1"), ("o2", "n2")]
+    # alternation is a set union: ORDER_NATION adds no NEW pair here
+    alt = sorted(
+        map(
+            tuple,
+            property_path_pairs(
+                t, "PLACED_BY/IN_NATION|ORDER_NATION"
+            ).collect(),
+        )
+    )
+    assert alt == seq
+    inv = sorted(
+        map(tuple, property_path_pairs(t, "^IN_NATION").collect())
+    )
+    assert inv == [("n1", "c1"), ("n2", "c2")]
+    # inverse inside a sequence: nation -> its customers' orders
+    back = sorted(
+        map(
+            tuple,
+            property_path_pairs(t, "^IN_NATION/^PLACED_BY").collect(),
+        )
+    )
+    assert back == [("n1", "o1"), ("n2", "o2")]
+
+
+def test_bgp_aggregate_counts_and_sum_casts(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
+        bgp_aggregate,
+    )
+
+    t = _triples(
+        spark,
+        [
+            ("o1", "PLACED_BY", "c1"), ("o2", "PLACED_BY", "c1"),
+            ("o3", "PLACED_BY", "c2"),
+            ("c1", "IN_NATION", "n1"), ("c2", "IN_NATION", "n1"),
+            ("o1", "HAS_TOTAL", "10"), ("o2", "HAS_TOTAL", "25"),
+            ("o3", "HAS_TOTAL", "oops"),  # mistyped literal drops from SUM
+        ],
+    )
+    rows = bgp_aggregate(
+        t,
+        [
+            ("?o", "PLACED_BY", "?c"),
+            ("?c", "IN_NATION", "?n"),
+            ("?o", "HAS_TOTAL", "?v"),
+        ],
+        group_vars=["n"],
+        aggs=[
+            ("count", None, "n_orders"),
+            ("count_distinct", "c", "n_customers"),
+            ("sum", "v", "total"),
+            ("min", "o", "first_order"),
+        ],
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n, r.n_orders, r.n_customers, r.total, r.first_order) == (
+        "n1", 3, 2, 35, "o1"
+    )
