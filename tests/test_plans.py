@@ -466,3 +466,27 @@ def test_bgp_values_is_broadcast_join(spark):
     df = entrymod.queries()["q180_bgp_values_filter"](spark, SF)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bgp_aggregate_no_cartesian_partial_agg(spark):
+    df = entrymod.queries()["q188_bgp_aggregate"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the GROUP BY really partial-aggregates before the shuffle
+    assert "partial_count" in plan.lower() or "partial_min" in plan.lower()
+
+
+def test_path_alt_inverse_no_cartesian(spark):
+    df = entrymod.queries()["q187_path_alt_inverse"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dbscan_border_join_no_single_partition_window(spark):
+    df = entrymod.queries()["q185_dbscan_clusters"](spark, SF)
+    plan = _plan(df)
+    # degree counting + CC + border joins: hash aggregates and equi
+    # joins only — no window at all, so nothing can single-partition
+    assert "SinglePartition" not in plan
