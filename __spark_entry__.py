@@ -5391,8 +5391,48 @@ def _q188_bgp_aggregate(spark, sf):
     )
 
 
+def _q189_leiden_refined(spark, sf):
+    """q184's multi-level Louvain with Leiden's CONNECTIVITY REFINEMENT
+    on (Traag et al. 2019 §2.2): after each level's local moves every
+    community is split into the connected components of its
+    intra-community edges before contraction, and a final pass over
+    the original edges guarantees the returned communities are
+    internally connected — the property plain Louvain lacks (the
+    fixture in tests/test_components_random.py pins a stranded
+    disconnected community).  The oracle replays both levels' move
+    schedules AND all three refinement closures verbatim (five
+    recursive CTEs)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        louvain_multilevel,
+    )
+
+    sel = _token_sel(spark, sf, 30)
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("term_a"), F.col("b.token").alias("term_b")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+    comm = louvain_multilevel(
+        pairs,
+        src="term_a",
+        dst="term_b",
+        weight_col="n_docs",
+        resolution=0.6,
+        rounds_per_level=4,
+        max_levels=2,
+        parity_fn="md5",
+        refine=True,
+    )
+    return comm.select(F.col("node").alias("term"), "community")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q189_leiden_refined": _q189_leiden_refined,
         "q188_bgp_aggregate": _q188_bgp_aggregate,
         "q187_path_alt_inverse": _q187_path_alt_inverse,
         "q186_order_chain_closure": _q186_order_chain_closure,
@@ -8047,6 +8087,119 @@ def oracle_sql() -> dict[str, str]:
                 SELECT obj, subj FROM trip WHERE pred = 'ORDER_NATION'
             )
             SELECT DISTINCT a AS subj, b AS obj FROM alt
+        """,
+        # q184 + Leiden refinement: same two move schedules, plus a
+        # same-label-constrained reachability closure after EACH level
+        # (split disconnected communities before contraction) and once
+        # more on the original edges (final connectivity guarantee)
+        "q189_leiden_refined": f"""
+            WITH RECURSIVE toks AS MATERIALIZED (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 30
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS MATERIALIZED (
+                SELECT a.token AS u, b.token AS v,
+                       CAST(count(*) AS DOUBLE) AS w
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+            ), nbrs AS (
+                SELECT u, v, w FROM pairs
+                UNION ALL SELECT v, u, w FROM pairs
+            ), deg AS (
+                SELECT u, sum(w) AS deg FROM nbrs GROUP BY 1
+            ), m2v AS (
+                SELECT sum(deg) AS m2 FROM deg
+            ), {_louvain_level_cte("lab", "nbrs", "deg", "m2v", 0.6, 4)},
+            final1 AS (
+                SELECT node, label FROM lab WHERE rnd = 4
+            ), intra1 AS (
+                SELECT p.u, p.v FROM pairs p
+                JOIN final1 a ON a.node = p.u
+                JOIN final1 b ON b.node = p.v
+                WHERE a.label = b.label
+            ), isym1 AS (
+                SELECT u, v FROM intra1
+                UNION ALL SELECT v, u FROM intra1
+            ), rreach1(node, r) AS (
+                SELECT node, node FROM final1
+                UNION
+                SELECT s.v, rreach1.r
+                FROM rreach1 JOIN isym1 s ON rreach1.node = s.u
+            ), ref1 AS MATERIALIZED (
+                SELECT node, min(r) AS label FROM rreach1 GROUP BY 1
+            ), e2 AS (
+                SELECT least(a.label, b.label) AS u,
+                       greatest(a.label, b.label) AS v,
+                       sum(p.w) AS w
+                FROM pairs p
+                JOIN ref1 a ON a.node = p.u
+                JOIN ref1 b ON b.node = p.v
+                GROUP BY 1, 2
+            ), inter2 AS MATERIALIZED (
+                SELECT u, v, w FROM e2 WHERE u <> v
+            ), self2 AS (
+                SELECT u, w AS s FROM e2 WHERE u = v
+            ), nbrs2 AS (
+                SELECT u, v, w FROM inter2
+                UNION ALL SELECT v, u, w FROM inter2
+            ), deg2 AS (
+                SELECT n.u,
+                       coalesce(d.di, 0) + 2 * coalesce(s.s, 0) AS deg
+                FROM (SELECT DISTINCT label AS u FROM ref1) n
+                LEFT JOIN (
+                    SELECT u, sum(w) AS di FROM nbrs2 GROUP BY 1
+                ) d ON d.u = n.u
+                LEFT JOIN self2 s ON s.u = n.u
+            ), m2v2 AS (
+                SELECT sum(deg) AS m2 FROM deg2
+            ), {_louvain_level_cte("lab2", "nbrs2", "deg2", "m2v2", 0.6, 4)},
+            final2 AS (
+                SELECT node, label FROM lab2 WHERE rnd = 4
+            ), intra2 AS (
+                SELECT i.u, i.v FROM inter2 i
+                JOIN final2 a ON a.node = i.u
+                JOIN final2 b ON b.node = i.v
+                WHERE a.label = b.label
+            ), isym2 AS (
+                SELECT u, v FROM intra2
+                UNION ALL SELECT v, u FROM intra2
+            ), rreach2(node, r) AS (
+                SELECT node, node FROM final2
+                UNION
+                SELECT s.v, rreach2.r
+                FROM rreach2 JOIN isym2 s ON rreach2.node = s.u
+            ), ref2 AS (
+                SELECT node, min(r) AS label FROM rreach2 GROUP BY 1
+            ), proj AS MATERIALIZED (
+                SELECT r1.node AS node, r2.label AS flab
+                FROM ref1 r1 JOIN ref2 r2 ON r2.node = r1.label
+            ), intraf AS (
+                SELECT p.u, p.v FROM pairs p
+                JOIN proj a ON a.node = p.u
+                JOIN proj b ON b.node = p.v
+                WHERE a.flab = b.flab
+            ), fsym AS (
+                SELECT u, v FROM intraf
+                UNION ALL SELECT v, u FROM intraf
+            ), freach(node, r) AS (
+                SELECT node, node FROM proj
+                UNION
+                SELECT s.v, freach.r
+                FROM freach JOIN fsym s ON freach.node = s.u
+            ), reff AS (
+                SELECT node, min(r) AS flab2 FROM freach GROUP BY 1
+            ), rep AS (
+                SELECT flab2, min(node) AS community FROM reff GROUP BY 1
+            )
+            SELECT rf.node AS term, rep.community
+            FROM reff rf JOIN rep USING (flab2)
         """,
         # BGP bindings (bag semantics) then one GROUP BY — SPARQL §11
         "q188_bgp_aggregate": f"""

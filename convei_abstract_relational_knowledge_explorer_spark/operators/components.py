@@ -339,6 +339,33 @@ def _louvain_local_moves(
     return labels, total_moves
 
 
+def _refine_connected(labels: DataFrame, e: DataFrame) -> DataFrame:
+    """Leiden's subpartition-connectivity refinement (Traag et al.,
+    Sci. Rep. 2019, §2.2 / Theorem 3's invariant), deterministic form:
+    split every community into the CONNECTED COMPONENTS of its induced
+    intra-community edge set, new label = min member per part.  Louvain
+    local moves can strand a community disconnected (a cut-vertex
+    departs for a heavier community and leaves its old neighbors
+    split — the paper's headline pathology); refining BEFORE each
+    contraction guarantees every contracted super-node is internally
+    connected, and one final pass over the ORIGINAL edge set
+    guarantees the returned communities are too.  Cost: one CC run
+    over intra edges only (components cannot bridge communities, so
+    all communities resolve in the same O(log² n) loop)."""
+    lu = labels.select(F.col("node").alias("u"), F.col("label").alias("_lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("label").alias("_lv"))
+    intra = (
+        e.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("_lu") == F.col("_lv"))
+        .select("u", "v")
+    )
+    comp = connected_components(intra, src="u", dst="v")
+    return labels.join(comp, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("label")
+    )
+
+
 def louvain_multilevel(
     edges: DataFrame,
     src: str = "src",
@@ -348,6 +375,7 @@ def louvain_multilevel(
     rounds_per_level: int = 4,
     max_levels: int = 3,
     parity_fn: str = "xxhash64",
+    refine: bool = False,
 ) -> DataFrame:
     """Full multi-level Louvain — local moves + GRAPH CONTRACTION,
     iterated — → (node, community), community = min ORIGINAL member id.
@@ -383,6 +411,13 @@ def louvain_multilevel(
     graph — so the loop exits early, which an unrolled fixed-level
     oracle replays as no-op levels.  Labels localCheckpoint per round,
     edges per level (lineage cut).
+
+    ``refine=True`` adds Leiden's refinement (:func:`_refine_connected`)
+    after every level's local moves AND once more on the final
+    partition over the original edges — the returned communities are
+    then GUARANTEED internally connected, the property Louvain lacks
+    (Traag et al. 2019 §2.2; the q189 oracle replays each refinement
+    as a same-label-constrained reachability closure).
     """
     w_expr = (
         F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
@@ -402,6 +437,7 @@ def louvain_multilevel(
     if e.limit(1).count() == 0:
         return spark.createDataFrame([], "node long, community long")
 
+    e_base = e  # original normalized edges, for the final refinement
     # original node -> current super-node (level-graph node id)
     node_map = (
         e.select(F.col("u").alias("node"))
@@ -437,6 +473,10 @@ def louvain_multilevel(
         labels, n_moves = _louvain_local_moves(
             nbrs, deg, m2, resolution, rounds_per_level, parity_fn
         )
+        if refine:
+            # split disconnected communities BEFORE they contract into
+            # (and fuse inside) a single super-node
+            labels = _refine_connected(labels, e)
         # fold this level's membership into the original-node mapping
         node_map = (
             node_map.join(
@@ -486,6 +526,13 @@ def louvain_multilevel(
             eager=True
         )
 
+    if refine:
+        # final guarantee pass on the ORIGINAL edge set: a cut-vertex
+        # departure at the last level can still strand a community
+        final = _refine_connected(
+            node_map.select("node", F.col("cur").alias("label")), e_base
+        )
+        node_map = final.select("node", F.col("label").alias("cur"))
     # deterministic community ids: min ORIGINAL member per final label
     rep = node_map.groupBy("cur").agg(F.min("node").alias("community"))
     return node_map.join(rep, "cur").select("node", "community")

@@ -246,3 +246,67 @@ def test_louvain_multilevel_merges_bundled_cliques(spark):
         return intra / m - sum((t / (2 * m)) ** 2 for t in tot.values())
 
     assert modularity(multi) > modularity(single)
+
+
+def test_louvain_refinement_guarantees_connected_communities(spark):
+    """The Leiden §2.2 pathology pinned: hub node 0 bridges leaf pairs
+    (1,2) and (3,4) and is heavily tied to a 5-clique; during local
+    moves the hub departs for the clique and strands {1,4} as ONE
+    community with NO edge between them (found by deterministic search
+    over the md5 schedule).  refine=True must return only communities
+    whose induced subgraph is connected — Louvain lacks exactly this
+    guarantee (Traag et al. 2019)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        louvain_multilevel,
+        modularity_refine,
+    )
+
+    edges = [
+        (10, 11, 2.0), (10, 12, 2.0), (10, 13, 2.0), (10, 14, 2.0),
+        (11, 12, 2.0), (11, 13, 2.0), (11, 14, 3.0), (12, 13, 3.0),
+        (12, 14, 2.0), (13, 14, 2.0),
+        (0, 1, 1.0), (0, 2, 2.0), (0, 3, 2.0), (0, 4, 1.0),
+        (1, 2, 1.0), (3, 4, 1.0),
+        (0, 10, 3.0), (0, 11, 3.0), (0, 12, 3.0),
+    ]
+    adj = {}
+    for u, v, _ in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def disconnected(membership):
+        comms = {}
+        for n, c in membership.items():
+            comms.setdefault(c, set()).add(n)
+        bad = []
+        for c, m in comms.items():
+            seen, stack = set(), [min(m)]
+            while stack:
+                x = stack.pop()
+                if x in seen:
+                    continue
+                seen.add(x)
+                stack += [y for y in adj.get(x, ()) if y in m]
+            if seen != m:
+                bad.append(c)
+        return bad
+
+    e = spark.createDataFrame(edges, "src long, dst long, w double")
+    plain = {
+        r.node: r.community
+        for r in modularity_refine(
+            e, weight_col="w", max_rounds=6, parity_fn="md5"
+        ).collect()
+    }
+    assert disconnected(plain), "fixture must exhibit the pathology"
+    assert plain[1] == plain[4] and 4 not in adj[1]
+
+    refined = {
+        r.node: r.community
+        for r in louvain_multilevel(
+            e, weight_col="w", rounds_per_level=6, max_levels=2,
+            parity_fn="md5", refine=True,
+        ).collect()
+    }
+    assert set(refined) == set(plain)
+    assert disconnected(refined) == []
