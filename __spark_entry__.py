@@ -5430,8 +5430,39 @@ def _q189_leiden_refined(spark, sf):
     return comm.select(F.col("node").alias("term"), "community")
 
 
+def _q190_ndcg_retrieval(spark, sf):
+    """NDCG@20 of an integer retrieval ranking (Järvelin & Kekäläinen
+    TOIS'02; the search-eval sibling of q41's BM25 and q89's RRF):
+    docs matching the 4-term query ranked by total query-term tf
+    (integer — no float rank boundary to drift across engines), graded
+    relevance = distinct query terms present (0-4), discounts as
+    shared Q20 literals from evaluation.ndcg_discounts_q20 — the SAME
+    constants are inlined into the oracle, so dcg/idcg/ndcg are exact
+    integers end to end."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.evaluation import (
+        ndcg_at_k,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("token"),
+    )
+    qt = toks.filter(
+        F.col("token").isin("join", "merge", "stream", "window")
+    )
+    per_doc = qt.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("score"),
+        F.countDistinct("token").cast("long").alias("rel"),
+    )
+    return ndcg_at_k(per_doc, "score", "rel", "doc_id", k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q190_ndcg_retrieval": _q190_ndcg_retrieval,
         "q189_leiden_refined": _q189_leiden_refined,
         "q188_bgp_aggregate": _q188_bgp_aggregate,
         "q187_path_alt_inverse": _q187_path_alt_inverse,
@@ -5634,6 +5665,14 @@ _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+(?:-[a-z0-9]+)*')"
 
 # DuckDB twin of _kg_triples — the shared mixed-cardinality triple store
 # of q110/q111 (8 relations over the TPC-H graph; ORDER_NATION partial).
+_NDCG_VALUES = ", ".join(
+    f"({i}, {d})"
+    for i, d in __import__(
+        "convei_abstract_relational_knowledge_explorer_spark.operators.evaluation",
+        fromlist=["ndcg_discounts_q20"],
+    ).ndcg_discounts_q20(20)
+)
+
 _KG_TRIPLES_SQL = """trip AS (
                 SELECT 'C' || CAST(c_custkey AS VARCHAR) AS subj,
                        'IN_NATION' AS pred,
@@ -8087,6 +8126,43 @@ def oracle_sql() -> dict[str, str]:
                 SELECT obj, subj FROM trip WHERE pred = 'ORDER_NATION'
             )
             SELECT DISTINCT a AS subj, b AS obj FROM alt
+        """,
+        # integer retrieval ranking + shared Q20 discount literals
+        "q190_ndcg_retrieval": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOK}) AS token FROM documents
+            ), qt AS (
+                SELECT doc_id, token FROM toks
+                WHERE token IN ('join', 'merge', 'stream', 'window')
+            ), per_doc AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS score,
+                       CAST(count(DISTINCT token) AS BIGINT) AS rel
+                FROM qt GROUP BY 1
+            ), disc(rank, d) AS (
+                VALUES {_NDCG_VALUES}
+            ), ranked AS (
+                SELECT doc_id, rel,
+                       row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) AS rnk,
+                       row_number() OVER (
+                           ORDER BY rel DESC, doc_id ASC) AS irnk
+                FROM per_doc
+            ), agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+                       CAST(coalesce(sum(CASE WHEN rnk <= 20
+                                THEN rel * dr.d ELSE 0 END), 0)
+                            AS BIGINT) AS dcg_q20,
+                       CAST(coalesce(sum(CASE WHEN irnk <= 20
+                                THEN rel * di.d ELSE 0 END), 0)
+                            AS BIGINT) AS idcg_q20
+                FROM ranked
+                LEFT JOIN disc dr ON dr.rank = ranked.rnk
+                LEFT JOIN disc di ON di.rank = ranked.irnk
+            )
+            SELECT n_ranked, dcg_q20, idcg_q20,
+                   CASE WHEN idcg_q20 > 0
+                        THEN (1000 * dcg_q20) // idcg_q20 END AS ndcg_milli
+            FROM agg
         """,
         # q184 + Leiden refinement: same two move schedules, plus a
         # same-label-constrained reachability closure after EACH level

@@ -340,3 +340,104 @@ def calibration_bins(
         "sum_conf_micro",
         F.expr("_err DIV _n_total").alias("ece_micro"),
     )
+
+
+def ndcg_discounts_q20(k: int) -> list[tuple[int, int]]:
+    """[(rank, round(2^20 / log2(rank+1)))] for rank 1..k — the NDCG
+    discount table as EXACT shared integer constants.  Ranks are tiny
+    (k ≤ 100s), so the discounts are computed once driver-side and
+    inlined as literals into BOTH the Spark plan and the DuckDB oracle
+    (__spark_entry__ imports this function) — no runtime log machinery,
+    no cross-engine float drift by construction."""
+    import math
+
+    return [(i, int(round((1 << 20) / math.log2(i + 1)))) for i in
+            range(1, k + 1)]
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    by: list[str] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k (Järvelin & Kekäläinen, TOIS'02) in exact integers →
+    (by…, n_ranked, dcg_q20, idcg_q20, ndcg_milli) per group.
+
+    Linear gain (Burges et al. '05 variant — exponential 2^rel−1 is a
+    caller-side substitution on ``rel_col`` if wanted):
+
+        dcg_q20  = Σ_{rank i ≤ k} rel_i · D(i),  D(i) = ⌊2^20/log2(i+1)⌉
+        idcg_q20 = the same over the IDEAL ranking (rel desc)
+        ndcg_milli = (1000 · dcg_q20) DIV idcg_q20   (NULL when idcg=0)
+
+    Ranking is (score desc, id asc) — the deterministic tiebreak every
+    fixed-point query in this repo uses; the ideal ranking tie-breaks
+    the same way, which cannot change idcg (equal-rel swaps preserve
+    the sum).  Plan: two per-group row_number windows over the same
+    partitioning (one sort each, both group-local), one hash aggregate;
+    the discount table joins as a broadcast literal frame.
+    """
+    by = by or []
+    spark = df.sparkSession
+    disc = spark.createDataFrame(
+        ndcg_discounts_q20(k), "rank int, d_q20 long"
+    )
+    w_rank = Window.partitionBy(*by).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    w_ideal = Window.partitionBy(*by).orderBy(
+        F.desc(rel_col), F.asc(id_col)
+    )
+    ranked = df.select(
+        *by,
+        F.col(rel_col).cast("long").alias("_rel"),
+        F.row_number().over(w_rank).alias("_rank"),
+        F.row_number().over(w_ideal).alias("_irank"),
+    )
+    gains = (
+        ranked.join(
+            F.broadcast(disc), ranked["_rank"] == disc["rank"], "left"
+        )
+        .withColumnRenamed("d_q20", "_d_rank")
+        .drop("rank")
+        .join(
+            F.broadcast(
+                disc.select(
+                    F.col("rank").alias("_ir"),
+                    F.col("d_q20").alias("_d_ideal"),
+                )
+            ),
+            F.col("_irank") == F.col("_ir"),
+            "left",
+        )
+    )
+    agg = gains.groupBy(*by).agg(
+        F.count("*").cast("long").alias("n_ranked"),
+        F.sum(
+            F.when(
+                F.col("_rank") <= k, F.col("_rel") * F.col("_d_rank")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dcg_q20"),
+        F.sum(
+            F.when(
+                F.col("_irank") <= k, F.col("_rel") * F.col("_d_ideal")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("idcg_q20"),
+    )
+    return agg.select(
+        *by,
+        "n_ranked",
+        "dcg_q20",
+        "idcg_q20",
+        F.when(
+            F.col("idcg_q20") > 0,
+            F.expr("(1000 * dcg_q20) DIV idcg_q20"),
+        ).alias("ndcg_milli"),
+    )

@@ -812,3 +812,33 @@ def test_bgp_aggregate_counts_and_sum_casts(spark):
     assert (r.n, r.n_orders, r.n_customers, r.total, r.first_order) == (
         "n1", 3, 2, 35, "o1"
     )
+
+
+def test_ndcg_at_k_hand_case(spark):
+    from convei_abstract_relational_knowledge_explorer_spark.operators.evaluation import (
+        ndcg_at_k,
+        ndcg_discounts_q20,
+    )
+
+    # scores rank docs d1..d4; rel 3,0,2,1 -> dcg uses rank order,
+    # idcg uses rel desc (3,2,1,0)
+    df = spark.createDataFrame(
+        [("q", "d1", 90, 3), ("q", "d2", 80, 0),
+         ("q", "d3", 70, 2), ("q", "d4", 60, 1)],
+        "qid string, doc string, score long, rel long",
+    )
+    d = dict(ndcg_discounts_q20(3))
+    exp_dcg = 3 * d[1] + 0 * d[2] + 2 * d[3]      # rank cut k=3
+    exp_idcg = 3 * d[1] + 2 * d[2] + 1 * d[3]
+    r = ndcg_at_k(
+        df, "score", "rel", "doc", by=["qid"], k=3
+    ).collect()[0]
+    assert (r.qid, r.n_ranked) == ("q", 4)
+    assert (r.dcg_q20, r.idcg_q20) == (exp_dcg, exp_idcg)
+    assert r.ndcg_milli == (1000 * exp_dcg) // exp_idcg
+    # all-zero rel -> NULL ndcg
+    z = spark.createDataFrame(
+        [("q", "d1", 5, 0)], "qid string, doc string, score long, rel long"
+    )
+    rz = ndcg_at_k(z, "score", "rel", "doc", by=["qid"], k=3).collect()[0]
+    assert rz.ndcg_milli is None
