@@ -5460,8 +5460,36 @@ def _q190_ndcg_retrieval(spark, sf):
     return ndcg_at_k(per_doc, "score", "rel", "doc_id", k=20)
 
 
+def _q191_warc_roundtrip(spark, sf):
+    """WARC source layer round-trip (ISO 28500 record framing, the
+    web-scale sibling of the reference's tagged-TSV source): documents
+    synthesize into per-batch WARC/1.0 archives (sorted concat, pure
+    JVM strings) and parse back via header-boundary split + named
+    header extraction, with Content-Length framing VERIFIED per record
+    (length_ok).  The result is the parsed records keyed by record id
+    with an md5 of the recovered payload — the oracle states the
+    round-trip identity directly from the documents table, so ANY
+    parser corruption (boundary collision, off-by-one framing, header
+    bleed) hash-mismatches."""
+    from convei_abstract_relational_knowledge_explorer_spark.sources.warc import (
+        parse_warc,
+        synthesize_warc,
+    )
+
+    d = _t(spark, sf, "documents")
+    parsed = parse_warc(synthesize_warc(d))
+    return parsed.select(
+        "record_id",
+        "uri",
+        "content_length",
+        "length_ok",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q191_warc_roundtrip": _q191_warc_roundtrip,
         "q190_ndcg_retrieval": _q190_ndcg_retrieval,
         "q189_leiden_refined": _q189_leiden_refined,
         "q188_bgp_aggregate": _q188_bgp_aggregate,
@@ -8126,6 +8154,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT obj, subj FROM trip WHERE pred = 'ORDER_NATION'
             )
             SELECT DISTINCT a AS subj, b AS obj FROM alt
+        """,
+        # round-trip identity: the parsed records must equal the
+        # documents table verbatim (uri/id/length/payload-md5)
+        "q191_warc_roundtrip": """
+            SELECT doc_id AS record_id,
+                   'http://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                       AS uri,
+                   CAST(strlen(text) AS BIGINT) AS content_length,
+                   true AS length_ok,
+                   md5(text) AS payload_md5
+            FROM documents
         """,
         # integer retrieval ranking + shared Q20 discount literals
         "q190_ndcg_retrieval": f"""
