@@ -5487,8 +5487,44 @@ def _q191_warc_roundtrip(spark, sf):
     )
 
 
+def _q192_node2vec_walks(spark, sf):
+    """node2vec second-order biased walks (Grover & Leskovec KDD'16)
+    over the top-20 token co-occurrence graph: integer milli weights
+    (p=0.5 -> return weight 2000, q=2 -> move-out weight 500), each
+    hop a seeded-hash residue landing in a candidate's
+    cumulative-weight slot — DeepWalk's q65 corpus upgraded with the
+    BFS<->DFS search bias, every hop replayed verbatim by the
+    unrolled-CTE oracle (candidates, CASE weights, window cumsum, hash
+    pick)."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        node2vec_walks,
+    )
+
+    sel = _token_sel(spark, sf, 20)
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .select(
+            F.col("a.token").alias("term_a"), F.col("b.token").alias("term_b")
+        )
+        .distinct()
+    )
+    return node2vec_walks(
+        pairs,
+        walk_len=3,
+        walks_per_node=1,
+        p_milli=500,
+        q_milli=2000,
+        seed="n2v",
+        src="term_a",
+        dst="term_b",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q192_node2vec_walks": _q192_node2vec_walks,
         "q191_warc_roundtrip": _q191_warc_roundtrip,
         "q190_ndcg_retrieval": _q190_ndcg_retrieval,
         "q189_leiden_refined": _q189_leiden_refined,
@@ -7224,6 +7260,38 @@ def _hll_oracle(p: int) -> str:
     """
 
 
+def _n2v_step_cte(k: int) -> str:
+    """One unrolled node2vec hop for the q192 oracle: candidates from
+    the frontier's neighbors, integer CASE weights (return 2000 / near
+    1000 / out 500 — p=0.5, q=2 in milli), per-walker window cumsum,
+    and the seeded-hash residue slot pick — verbatim
+    components.node2vec_walks step ``k``."""
+    return f"""cand{k} AS (
+                SELECT f.start, f.walk, f.prev, f.node, a.v AS x,
+                       CAST(CASE WHEN a.v = f.prev THEN 2000
+                                 WHEN pn.u IS NOT NULL THEN 1000
+                                 ELSE 500 END AS BIGINT) AS w
+                FROM f{k-1} f
+                JOIN nbrs a ON a.u = f.node
+                LEFT JOIN nbrs pn ON pn.u = f.prev AND pn.v = a.v
+            ), cum{k} AS (
+                SELECT *,
+                       sum(w) OVER (PARTITION BY start, walk ORDER BY x
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+                       sum(w) OVER (PARTITION BY start, walk) AS tw
+                FROM cand{k}
+            ), f{k} AS (
+                SELECT start, walk, node AS prev, x AS node
+                FROM cum{k}
+                WHERE CAST('0x' || substr(md5(
+                          start || chr(31) || CAST(walk AS VARCHAR)
+                          || chr(31) || '{k}' || chr(31) || prev
+                          || chr(31) || node || chr(31) || 'n2v'),
+                      1, 15) AS BIGINT) % tw
+                      BETWEEN cw - w AND cw - 1
+            ), """
+
+
 def _louvain_level_cte(
     name: str, nbrs: str, deg: str, m2v: str, gamma: float, rounds: int
 ) -> str:
@@ -8154,6 +8222,59 @@ def oracle_sql() -> dict[str, str]:
                 SELECT obj, subj FROM trip WHERE pred = 'ORDER_NATION'
             )
             SELECT DISTINCT a AS subj, b AS obj FROM alt
+        """,
+        # unrolled node2vec replay: first-order step 1 (rank pick),
+        # then per-step candidate/weight/cumsum/hash-slot selection
+        "q192_node2vec_walks": f"""
+            WITH toks AS MATERIALIZED (
+                SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                FROM documents
+            ), top AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS df FROM toks GROUP BY 1
+                    ORDER BY df DESC, token ASC LIMIT 20
+                )
+            ), sel AS (
+                SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)
+            ), pairs AS MATERIALIZED (
+                SELECT DISTINCT a.token AS u, b.token AS v
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+            ), nbrs AS MATERIALIZED (
+                SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+            ), ranked AS (
+                SELECT u AS node, v AS nxt,
+                       CAST(row_number() OVER (
+                           PARTITION BY u ORDER BY v
+                       ) - 1 AS BIGINT) AS rank
+                FROM nbrs
+            ), degs AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM ranked GROUP BY 1
+            ), w0 AS (
+                SELECT node AS start, 0 AS walk FROM degs
+            ), f1 AS MATERIALIZED (
+                SELECT w0.start, w0.walk, w0.start AS prev, r.nxt AS node
+                FROM w0
+                JOIN degs d ON d.node = w0.start
+                JOIN ranked r ON r.node = w0.start
+                 AND r.rank = CAST('0x' || substr(md5(
+                         w0.start || chr(31) || CAST(w0.walk AS VARCHAR)
+                         || chr(31) || '1' || chr(31) || w0.start
+                         || chr(31) || 'n2v'), 1, 15)
+                     AS BIGINT) % d.deg
+            ), {_n2v_step_cte(2)}{_n2v_step_cte(3)}walkout AS (
+                SELECT start, walk, 0 AS step, start AS node FROM w0
+                UNION ALL
+                SELECT start, walk, 1, node FROM f1
+                UNION ALL
+                SELECT start, walk, 2, node FROM f2
+                UNION ALL
+                SELECT start, walk, 3, node FROM f3
+            )
+            SELECT start, CAST(walk AS INT) AS walk,
+                   CAST(step AS INT) AS step, node
+            FROM walkout
         """,
         # round-trip identity: the parsed records must equal the
         # documents table verbatim (uri/id/length/payload-md5)

@@ -3104,3 +3104,176 @@ def core_numbers(
             .localCheckpoint(eager=True)
         )
     return cur
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 1,
+    p_milli: int = 1000,
+    q_milli: int = 1000,
+    seed: str = "n2v",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic node2vec SECOND-ORDER biased walks (Grover &
+    Leskovec, KDD'16) → (start, walk, step, node), steps 0..walk_len.
+
+    :func:`random_walks` is DeepWalk (first-order, uniform); node2vec's
+    search bias conditions each hop on the PREVIOUS node: from prev p
+    standing at c, candidate x weighs α = 1/p_return if x = p (return),
+    1 if x ∈ N(p) (stay near), 1/q_inout otherwise (move out) — the
+    BFS↔DFS interpolation that made node2vec embeddings structural.
+    Here the weights are exact integers (milli units: 10^6 DIV p_milli
+    etc.), and "random" is the same seeded-hash scheme as
+    :func:`random_walks`: the walker's residue
+    ``porthash64(start⊕walk⊕step⊕prev⊕node, seed) mod Σw`` lands in
+    exactly one candidate's cumulative-weight slot — bit-identical
+    across engines/partitionings, unrolled-CTE replayable (q192).
+    Step 1 has no prev and is the first-order uniform pick.
+
+    Shape per hop: one equi-join frontier×N(c), one LEFT probe of the
+    edge set for the x ∈ N(p) flag, one per-walker window (partition
+    (start, walk) — group size ≤ deg, never global) for the cumulative
+    slots, one filter.  walk_len joins total — the Pregel discipline;
+    frontier localCheckpoints per hop.
+    """
+    from .dedup import porthash64
+
+    w_ret = 1_000_000 // p_milli
+    w_far = 1_000_000 // q_milli
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nbrs = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    ranked = nbrs.select(
+        F.col("u").alias("node"),
+        F.col("v").alias("nxt"),
+        (F.row_number().over(Window.partitionBy("u").orderBy("v")) - 1)
+        .cast("long")
+        .alias("rank"),
+    ).localCheckpoint(eager=True)
+    degs = ranked.groupBy("node").agg(
+        F.count("*").cast("long").alias("deg")
+    )
+
+    walkers = degs.select(F.col("node").alias("start")).select(
+        "start",
+        F.explode(
+            F.array(*[F.lit(w) for w in range(walks_per_node)])
+        ).alias("walk"),
+    )
+    out = walkers.select(
+        "start", "walk", F.lit(0).alias("step"), F.col("start").alias("node")
+    )
+    # step 1: first-order uniform (no prev to condition on)
+    pick1 = walkers.join(
+        degs, walkers["start"] == degs["node"]
+    ).select(
+        "start",
+        "walk",
+        F.pmod(
+            porthash64(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("start").cast("string"),
+                    F.col("walk").cast("string"),
+                    F.lit("1"),
+                    F.col("start").cast("string"),
+                ),
+                seed,
+            ),
+            F.col("deg"),
+        ).alias("_r"),
+    )
+    frontier = (
+        pick1.join(
+            ranked,
+            (pick1["start"] == ranked["node"])
+            & (pick1["_r"] == ranked["rank"]),
+        )
+        .select(
+            "start", "walk", F.col("node").alias("prev"),
+            F.col("nxt").alias("node"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = out.unionByName(
+        frontier.select("start", "walk", F.lit(1).alias("step"), "node")
+    )
+    for step in range(2, walk_len + 1):
+        cand = (
+            frontier.join(
+                nbrs.select(F.col("u").alias("node"), F.col("v").alias("x")),
+                "node",
+            )
+            .join(
+                nbrs.select(
+                    F.col("u").alias("prev"),
+                    F.col("v").alias("x"),
+                    F.lit(True).alias("_near"),
+                ),
+                ["prev", "x"],
+                "left",
+            )
+            .select(
+                "start",
+                "walk",
+                "prev",
+                "node",
+                "x",
+                F.when(F.col("x") == F.col("prev"), F.lit(w_ret))
+                .when(F.col("_near"), F.lit(1000))
+                .otherwise(F.lit(w_far))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        wwin = Window.partitionBy("start", "walk").orderBy("x")
+        cum = cand.select(
+            "*",
+            F.sum("w")
+            .over(wwin.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("_cw"),
+            F.sum("w")
+            .over(
+                wwin.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("_tw"),
+        )
+        r = F.pmod(
+            porthash64(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("start").cast("string"),
+                    F.col("walk").cast("string"),
+                    F.lit(str(step)),
+                    F.col("prev").cast("string"),
+                    F.col("node").cast("string"),
+                ),
+                seed,
+            ),
+            F.col("_tw"),
+        )
+        frontier = (
+            cum.filter(
+                (r >= F.col("_cw") - F.col("w")) & (r < F.col("_cw"))
+            )
+            .select(
+                "start", "walk", F.col("node").alias("prev"),
+                F.col("x").alias("node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            frontier.select(
+                "start", "walk", F.lit(step).alias("step"), "node"
+            )
+        )
+    return out

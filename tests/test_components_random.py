@@ -310,3 +310,45 @@ def test_louvain_refinement_guarantees_connected_communities(spark):
     }
     assert set(refined) == set(plain)
     assert disconnected(refined) == []
+
+
+def test_node2vec_walks_validity_and_bias(spark):
+    """node2vec second-order bias observable end-to-end: on a 60-cycle
+    every step-2 candidate set is {return-to-prev, move-on}; with
+    p_milli=1 (return weight 10^6 vs 500) nearly every walker
+    oscillates back to its start, with p_milli=10^6 (weight 1 vs 500)
+    most walk on.  Also: every hop follows an edge, every walker emits
+    steps 0..walk_len, and the corpus is bit-stable across runs."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators.components import (
+        node2vec_walks,
+    )
+
+    N = 60
+    edges = [(i, (i + 1) % N) for i in range(N)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    eset = {(u, v) for u, v in edges} | {(v, u) for u, v in edges}
+
+    def run(p_milli):
+        rows = node2vec_walks(
+            e, walk_len=2, p_milli=p_milli, q_milli=2000, seed="t"
+        ).collect()
+        walks = {}
+        for r in rows:
+            walks.setdefault((r.start, r.walk), {})[r.step] = r.node
+        return walks
+
+    ret = run(1)
+    for (s, _w), steps in ret.items():
+        assert set(steps) == {0, 1, 2}
+        assert steps[0] == s
+        assert (steps[0], steps[1]) in eset
+        assert (steps[1], steps[2]) in eset
+    n_return = sum(1 for (s, _), st in ret.items() if st[2] == s)
+    assert n_return >= 55  # w_ret = 10^6 vs w_far = 500
+
+    fwd = run(1_000_000)
+    n_return_fwd = sum(1 for (s, _), st in fwd.items() if st[2] == s)
+    assert n_return_fwd <= 30  # w_ret = 1 vs w_far = 500
+
+    again = run(1)
+    assert again == ret  # seeded-hash determinism
