@@ -54,8 +54,15 @@ def _token_sel(spark, sf, top_n, with_top=False):
     token co-occurrence graph query (q44, q46-q48, q63, q65, q69, q70).
     Pair/weight/direction shaping stays per-query; this is only the
     scan → distinct-explode → df-rank → semi-restrict common prefix."""
+    from convei_abstract_relational_knowledge_explorer_spark.operators._parallel import (
+        ensure_parallel_scan,
+    )
+
     d = _t(spark, sf, "documents")
-    toks = d.select(
+    # r6: the documents table scans as one parquet split at small SFs,
+    # serializing tokenization for every co-occurrence query; spread the
+    # narrow (doc_id, text) projection first (no-op on wide scans)
+    toks = ensure_parallel_scan(d.select("doc_id", "text"), per_core=1).select(
         "doc_id",
         F.explode(
             F.array_distinct(

@@ -450,7 +450,11 @@ def louvain_multilevel(
         .localCheckpoint(eager=False)
     )
     spark = e.sparkSession
-    if e.limit(1).count() == 0:
+    # full count (not limit(1)): materializes the lazy checkpoint in ONE
+    # job — a limit would leave it partially cached and concurrent AQE
+    # stages of the first level would each recompute the (possibly
+    # expensive) edge derivation for the remaining partitions
+    if e.count() == 0:
         return spark.createDataFrame([], "node long, community long")
 
     e_base = e  # original normalized edges, for the final refinement
@@ -3165,6 +3169,19 @@ def node2vec_walks(
     """
     from .dedup import porthash64
 
+    if p_milli < 1 or q_milli < 1:
+        # 0 would divide by zero below; negatives would flip the slot
+        # arithmetic (ADVICE r5 #3)
+        raise ValueError(
+            f"p_milli and q_milli must be >= 1 (got {p_milli}, {q_milli})"
+        )
+    if p_milli > 1_000_000 or q_milli > 1_000_000:
+        # integer milli weights floor to 0 above 10^6 — the candidate
+        # would get a zero-width cumulative slot and never be picked
+        raise ValueError(
+            "p_milli/q_milli above 1_000_000 floor the integer bias"
+            f" weight to 0 (got {p_milli}, {q_milli})"
+        )
     w_ret = 1_000_000 // p_milli
     w_far = 1_000_000 // q_milli
     e = (
@@ -3174,14 +3191,14 @@ def node2vec_walks(
     )
     nbrs = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
     ranked = nbrs.select(
         F.col("u").alias("node"),
         F.col("v").alias("nxt"),
         (F.row_number().over(Window.partitionBy("u").orderBy("v")) - 1)
         .cast("long")
         .alias("rank"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     degs = ranked.groupBy("node").agg(
         F.count("*").cast("long").alias("deg")
     )

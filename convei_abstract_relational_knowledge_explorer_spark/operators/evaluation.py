@@ -385,52 +385,59 @@ def ndcg_at_k(
     disc = spark.createDataFrame(
         ndcg_discounts_q20(k), "rank int, d_q20 long"
     )
+    # r6 (ADVICE r5 #2): rows beyond rank k contribute 0 to both sums,
+    # so rank and PRE-PRUNE each ranking to its top-k BEFORE the gains
+    # join — the rank<=k filter right above a row_number window compiles
+    # to WindowGroupLimit, which keeps only k rows per partition ahead
+    # of the final sort, so the ``by=[]`` single-partition window (q190)
+    # sorts a k-bounded set instead of the full input.  n_ranked comes
+    # from a plain hash aggregate (no sort at all).  Results identical.
     w_rank = Window.partitionBy(*by).orderBy(
-        F.desc(score_col), F.asc(id_col)
+        F.desc("_score"), F.asc("_id")
     )
     w_ideal = Window.partitionBy(*by).orderBy(
-        F.desc(rel_col), F.asc(id_col)
+        F.desc("_rel"), F.asc("_id")
     )
-    ranked = df.select(
+    base = df.select(
         *by,
+        F.col(score_col).alias("_score"),
+        F.col(id_col).alias("_id"),
         F.col(rel_col).cast("long").alias("_rel"),
-        F.row_number().over(w_rank).alias("_rank"),
-        F.row_number().over(w_ideal).alias("_irank"),
     )
-    gains = (
-        ranked.join(
-            F.broadcast(disc), ranked["_rank"] == disc["rank"], "left"
-        )
-        .withColumnRenamed("d_q20", "_d_rank")
-        .drop("rank")
-        .join(
-            F.broadcast(
-                disc.select(
-                    F.col("rank").alias("_ir"),
-                    F.col("d_q20").alias("_d_ideal"),
-                )
-            ),
-            F.col("_irank") == F.col("_ir"),
-            "left",
+    cnt = base.groupBy(*by).agg(F.count("*").cast("long").alias("n_ranked"))
+    top = (
+        base.withColumn("_rank", F.row_number().over(w_rank))
+        .filter(F.col("_rank") <= k)
+        .join(F.broadcast(disc), F.col("_rank") == F.col("rank"))
+        .groupBy(*by)
+        .agg(
+            F.sum(F.col("_rel") * F.col("d_q20"))
+            .cast("long")
+            .alias("dcg_q20")
         )
     )
-    agg = gains.groupBy(*by).agg(
-        F.count("*").cast("long").alias("n_ranked"),
-        F.sum(
-            F.when(
-                F.col("_rank") <= k, F.col("_rel") * F.col("_d_rank")
-            ).otherwise(F.lit(0))
+    ideal = (
+        base.withColumn("_irank", F.row_number().over(w_ideal))
+        .filter(F.col("_irank") <= k)
+        .join(F.broadcast(disc), F.col("_irank") == F.col("rank"))
+        .groupBy(*by)
+        .agg(
+            F.sum(F.col("_rel") * F.col("d_q20"))
+            .cast("long")
+            .alias("idcg_q20")
         )
-        .cast("long")
-        .alias("dcg_q20"),
-        F.sum(
-            F.when(
-                F.col("_irank") <= k, F.col("_rel") * F.col("_d_ideal")
-            ).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("idcg_q20"),
     )
+    # left joins so the by=[] empty-input case keeps the old one-row
+    # (n_ranked=0, NULL sums) shape of the former single aggregate
+    if by:
+        agg = cnt.join(top, by, "left").join(ideal, by, "left")
+    else:
+        agg = (
+            cnt.withColumn("_k", F.lit(1))
+            .join(top.withColumn("_k", F.lit(1)), "_k", "left")
+            .join(ideal.withColumn("_k", F.lit(1)), "_k", "left")
+            .drop("_k")
+        )
     return agg.select(
         *by,
         "n_ranked",

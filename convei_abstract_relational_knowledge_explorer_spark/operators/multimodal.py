@@ -23,29 +23,41 @@ MEDIA_SCHEMA = (
 
 
 def synthetic_media(spark: SparkSession, n: int) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+    """Deterministic fake media table (payload = seeded bytes).
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            rows = []
-            for i in batch["id"]:
-                i = int(i)
-                payload = hashlib.sha256(f"media:{i}".encode()).digest() * 8
-                kind = ["image", "audio", "video"][i % 3]
-                rows.append(
-                    (
-                        i,
-                        kind,
-                        payload,
-                        (64 + i % 512, 64 + (i * 7) % 512, 1000 + i % 60000,
-                         "fake/v1"),
-                    )
-                )
-            yield pd.DataFrame(
-                rows, columns=["media_id", "kind", "payload", "meta"]
-            )
-
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    r6: generated with pure JVM expressions — ``unhex(sha2(...))``
+    repeated 8× is byte-identical to the former per-row Python
+    ``hashlib.sha256(...).digest() * 8`` — so synthesis no longer
+    spins up a Python worker per partition (guide §4.1; the measured
+    cost was pandas imports in 32 forked workers, not the hashing).
+    Partition count is sized from ``n`` (bounded by the cluster's
+    parallelism) instead of inheriting ``spark.range``'s default, so a
+    small synthetic table does not fan out into dozens of near-empty
+    tasks."""
+    par = max(1, min(spark.sparkContext.defaultParallelism, n // 64 or 1))
+    base = spark.range(0, n, 1, par)
+    digest = F.unhex(
+        F.sha2(
+            F.concat(F.lit("media:"), F.col("id").cast("string")), 256
+        )
+    )
+    payload = F.concat(*([digest] * 8))
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("id") % 3 + 1).cast("int"),
+    )
+    meta = F.struct(
+        (F.col("id") % 512 + 64).cast("int").alias("width"),
+        ((F.col("id") * 7) % 512 + 64).cast("int").alias("height"),
+        (F.col("id") % 60000 + 1000).cast("int").alias("duration_ms"),
+        F.lit("fake/v1").alias("codec"),
+    )
+    return base.select(
+        F.col("id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )
 
 
 _FEATURE_SCHEMA = "media_id long, feature array<float>, n_bytes int"
