@@ -109,15 +109,8 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         f"array_distinct(transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)),"
         f" i -> concat_ws(' ', slice(_toks, i, {k}))))"
     )
-    from ._parallel import ensure_parallel_scan
-
     return (
-        ensure_parallel_scan(docs.select(F.col(id_col).alias("doc_id"),
-                                         F.col(text_col).alias("_t")),
-                             per_core=1)
-        .select("doc_id", F.expr(
-            f"regexp_extract_all(lower(_t), '[a-z0-9]+(?:-[a-z0-9]+)*', 0)"
-        ).alias("_toks"))
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
         .filter(F.size("_toks") > 0)
         .select("doc_id", F.explode(grams).alias("shingle"))
     )
@@ -333,18 +326,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     tests, groupBy(doc) sums, reassemble the sign bits.  ``hash_fn="md5"``
     (use with ``bits<=60``) swaps in :func:`porthash64` for oracle parity.
     """
-    from ._parallel import ensure_parallel_scan
-
     toks = F.expr(
-        "regexp_extract_all(lower(_t), '[a-z0-9]+(?:-[a-z0-9]+)*', 0)"
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+(?:-[a-z0-9]+)*', 0)"
     )
-    # r6: a small corpus scans as ONE parquet split, serializing the
-    # tokenize + 60-bit voting projection; spread it first (no-op when
-    # the scan is already wide — guide §6)
-    tok_df = ensure_parallel_scan(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")),
-        per_core=1,
-    ).select("doc_id", F.explode(toks).alias("tok"))
+    tok_df = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
     # pre-aggregate to (doc, token, cnt): token repetition within a doc is
     # Zipf-heavy, so this shrinks the wide per-bit projection and the hash
     # computation by the repetition factor (2.3x on the sf0.1 corpus)
