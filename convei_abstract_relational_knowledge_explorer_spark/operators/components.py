@@ -825,9 +825,12 @@ def hits(
         F.col("u").alias("node"), F.lit(scale).cast("long").alias("sc")
     )
     auths = None
+    # r6: lazy checkpoints — each half-step references the previous one
+    # exactly once, so the chain materializes in the caller's single
+    # action instead of 2·iterations eager checkpoint jobs
     for _ in range(iterations):
-        auths = _half_step(hubs, "u", "v").localCheckpoint(eager=True)
-        hubs = _half_step(auths, "v", "u").localCheckpoint(eager=True)
+        auths = _half_step(hubs, "u", "v").localCheckpoint(eager=False)
+        hubs = _half_step(auths, "v", "u").localCheckpoint(eager=False)
     return (
         hubs.select("node", F.col("sc").alias("hub_scaled"))
         .join(
@@ -915,14 +918,17 @@ def bfs_distances(
     nbrs = (
         e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     settled = (
         seeds.select(F.col(seed_col).alias("seed"))
         .distinct()
         .select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # ONE action per depth (r6): the emptiness count materializes the
+    # frontier's lazy checkpoint; `settled` stays a lazy union of the
+    # (≤ max_depth) materialized frontiers — no per-round re-checkpoint.
     frontier = settled
     for depth in range(1, max_depth + 1):
         grown = (
@@ -930,11 +936,11 @@ def bfs_distances(
             .select("seed", F.col("v").alias("node"), F.lit(depth).alias("dist"))
             .distinct()
             .join(settled, ["seed", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if grown.isEmpty():
+        if grown.count() == 0:
             break
-        settled = settled.unionAll(grown).localCheckpoint(eager=True)
+        settled = settled.unionAll(grown)
         frontier = grown
     return settled
 
@@ -1140,14 +1146,18 @@ def shortest_paths(
         )
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dist = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .select("node", F.lit(0).cast("long").alias("dist"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # ONE action per round (r6): the emptiness count materializes the
+    # improved-frontier checkpoint; the merged dist table checkpoints
+    # lazily and is materialized by the NEXT round's count (it sits
+    # upstream of that round's frontier).
     frontier = dist
     for _ in range(max_rounds):
         cand = (
@@ -1165,15 +1175,15 @@ def shortest_paths(
             )
             .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
             .select("node", "dist")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if improved.isEmpty():
+        if improved.count() == 0:
             break
         dist = (
             dist.unionAll(improved)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = improved
     return dist
@@ -1203,13 +1213,13 @@ def k_core(
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nbrs = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    alive = nbrs.select("u").distinct().localCheckpoint(eager=True)
-    n_prev = alive.count()
+    ).localCheckpoint(eager=False)
+    alive = nbrs.select("u").distinct().localCheckpoint(eager=False)
+    n_prev = alive.count()  # materializes e/nbrs/alive in one job (r6)
     for _ in range(max_rounds):
         deg = (
             nbrs.join(alive, "u", "left_semi")
@@ -1218,9 +1228,11 @@ def k_core(
             .agg(F.count("*").alias("d"))
         )
         alive = (
-            deg.filter(F.col("d") >= k).select("u").localCheckpoint(eager=True)
+            deg.filter(F.col("d") >= k)
+            .select("u")
+            .localCheckpoint(eager=False)
         )
-        n_now = alive.count()
+        n_now = alive.count()  # one action per peeling round (r6)
         if n_now == n_prev:
             break
         n_prev = n_now
@@ -1281,8 +1293,9 @@ def _min_reach_labels(
             hopped.unionAll(shortcut)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # one action per round: the convergence hash materializes lab2
         stats = lab2.agg(
             F.expr("bit_xor(xxhash64(node, lab))").alias("h")
         ).collect()[0]
@@ -1331,12 +1344,17 @@ def strongly_connected_components(
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     result = None
     active_nodes, active_edges = nodes, e
+    # r6: one explicit action per peel round — the active-node count
+    # materializes the lazy lab/active checkpoints; `result` stays a
+    # lazy union of done-frames over materialized inputs (≤ max_outer
+    # terms, bounded plan depth)
+    n_active = active_nodes.count()
     for _ in range(max_outer):
-        if active_nodes.isEmpty():
+        if n_active == 0:
             break
         f = _min_reach_labels(active_nodes, active_edges, True, max_prop)
         b = _min_reach_labels(active_nodes, active_edges, False, max_prop)
@@ -1344,17 +1362,13 @@ def strongly_connected_components(
             f.join(
                 b.select("node", F.col("lab").alias("_b")), "node"
             ).select("node", F.col("lab").alias("_f"), "_b")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         done = lab.filter(F.col("_f") == F.col("_b")).select(
             "node", F.col("_f").alias("scc_id")
         )
-        result = (
-            done
-            if result is None
-            else result.unionAll(done).localCheckpoint(eager=True)
-        )
+        result = done if result is None else result.unionAll(done)
         remaining = lab.filter(F.col("_f") != F.col("_b"))
-        active_nodes = remaining.select("node").localCheckpoint(eager=True)
+        active_nodes = remaining.select("node").localCheckpoint(eager=False)
         active_edges = (
             active_edges.join(
                 remaining.select(
@@ -1376,8 +1390,9 @@ def strongly_connected_components(
                 (F.col("_fu") == F.col("_fv")) & (F.col("_bu") == F.col("_bv"))
             )
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        n_active = active_nodes.count()
     else:
         raise RuntimeError(
             f"SCC peeling did not converge in {max_outer} rounds"
@@ -1539,7 +1554,7 @@ def random_walks(
                 F.lit(step).alias("step"),
                 F.col("nxt").alias("node"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out = out.unionAll(frontier)
     return out
@@ -1652,9 +1667,9 @@ def k_truss(
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    prev = e.count()
+    prev = e.count()  # materializes the canonical edge checkpoint (r6)
     for _ in range(rounds):
         nbrs = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         na = nbrs.select(F.col("u").alias("_eu"), F.col("v").alias("_w"))
@@ -1666,9 +1681,9 @@ def k_truss(
             .agg(F.count("*").alias("_sup"))
             .filter(F.col("_sup") >= k - 2)
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        cur = survived.count()
+        cur = survived.count()  # one action per peel round (r6)
         e = survived
         if cur == prev:
             break
@@ -1716,16 +1731,19 @@ def minimum_spanning_forest(
         .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     lbl = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     picked = []
+    # r6 job-count discipline: the cross-edge count is the ONE explicit
+    # action per round (materializes e/lbl/cross); sel and the updated
+    # lbl checkpoint lazily and ride the CC run / next round's count.
     for _ in range(max_rounds):
         la = lbl.select(F.col("node").alias("a"), F.col("label").alias("_la"))
         lb = lbl.select(F.col("node").alias("b"), F.col("label").alias("_lb"))
@@ -1733,9 +1751,9 @@ def minimum_spanning_forest(
             e.join(la, "a")
             .join(lb, "b")
             .filter(F.col("_la") != F.col("_lb"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if cross.limit(1).count() == 0:
+        if cross.count() == 0:
             break
         s = F.struct("w", "a", "b").alias("_s")
         sel = (
@@ -1745,7 +1763,7 @@ def minimum_spanning_forest(
             .agg(F.min("_s").alias("_s"))
             .select("_s.w", "_s.a", "_s.b")
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         picked.append(sel)
         lg = (
@@ -1761,7 +1779,7 @@ def minimum_spanning_forest(
             .select(
                 "node", F.coalesce("component", "label").alias("label")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     if not picked:
         out = e.filter(F.lit(False))
@@ -1875,14 +1893,14 @@ def propagate_labels(
         .filter(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sd = (
         seeds.select(
             F.col(node_col).alias("node"), F.col(label_col).alias("label")
         )
         .dropDuplicates(["node"])
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cur = sd
     wv = Window.partitionBy("dst_node").orderBy(
@@ -1900,7 +1918,7 @@ def propagate_labels(
             .select(F.col("dst_node").alias("node"), "label")
             .join(sd.select("node"), "node", "left_anti")
         )
-        cur = sd.unionByName(picked).localCheckpoint(eager=True)
+        cur = sd.unionByName(picked).localCheckpoint(eager=False)
     return cur.join(
         sd.select("node", F.lit(True).alias("is_seed")), "node", "left"
     ).select(
@@ -2135,13 +2153,13 @@ def maximal_independent_set(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     undecided = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     decided = None  # (node, status, round)
     for r in range(1, rounds + 1):
@@ -2178,18 +2196,22 @@ def maximal_independent_set(
                 F.lit(r).alias("round"),
             )
         )
-        batch = winners.unionAll(losers).localCheckpoint(eager=True)
+        batch = winners.unionAll(losers).localCheckpoint(eager=False)
         decided = batch if decided is None else decided.unionAll(batch)
         gone = batch.select("node")
         undecided = undecided.join(gone, "node", "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
         e = (
             e.join(gone.withColumnRenamed("node", "u"), "u", "left_anti")
             .join(gone.withColumnRenamed("node", "v"), "v", "left_anti")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # one action per round: materializes batch -> live-edge residue
+        # (and, transitively, the round's winner/loser evidence) before
+        # the next round fans out multiple references to them
+        e.count()
     leftovers = undecided.select(
         "node",
         F.lit("undecided").alias("status"),
@@ -2404,16 +2426,19 @@ def topo_layers(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     und = (
         e0.select(F.col("u").alias("node"))
         .unionAll(e0.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     live = e0
     out = None
+    # r6: one action per peel round — the emptiness count materializes
+    # the peel checkpoint; und/live checkpoint lazily and ride the next
+    # round's count (they sit upstream of the next peel)
     for r in range(max_rounds):
         peel = (
             und.join(
@@ -2422,15 +2447,15 @@ def topo_layers(
                 "left_anti",
             )
             .select("node", F.lit(r).cast("int").alias("layer"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if peel.isEmpty():
+        if peel.count() == 0:
             break
         out = peel if out is None else out.unionAll(peel)
-        und = und.join(peel, "node", "left_anti").localCheckpoint(eager=True)
+        und = und.join(peel, "node", "left_anti").localCheckpoint(eager=False)
         live = live.join(
             peel.select(F.col("node").alias("u")), "u", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     layered = (
         out.select("node", "layer", F.lit("layered").alias("status"))
         if out is not None
@@ -2477,8 +2502,9 @@ def ancestor_closure(
         .filter(F.col("anc").isNotNull() & (F.col("anc") != F.col("node")))
         .withColumn("up", F.lit(1).cast("int"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    n_prev = c.count()  # materializes the base closure (r6)
     for _ in range(doubling_rounds):
         hop = (
             c.alias("a")
@@ -2491,11 +2517,13 @@ def ancestor_closure(
                 (F.col("a.up") + F.col("b.up")).cast("int").alias("up"),
             )
         )
-        grown = c.unionAll(hop).distinct().localCheckpoint(eager=True)
-        if grown.count() == c.count():
+        grown = c.unionAll(hop).distinct().localCheckpoint(eager=False)
+        n_now = grown.count()  # one action per doubling round (r6)
+        if n_now == n_prev:
             c = grown
             break
         c = grown
+        n_prev = n_now
     return c
 
 
@@ -2639,6 +2667,8 @@ def stress_centrality(
     )
     levels = [settled]
     frontier = settled
+    # r6: one action per BFS level (count materializes the level's
+    # checkpoint); settled stays a lazy union of materialized levels
     for depth in range(1, max_depth + 1):
         grown = (
             frontier.join(nbrs, frontier["node"] == nbrs["u"])
@@ -2651,11 +2681,11 @@ def stress_centrality(
             .select(
                 "seed", "node", F.lit(depth).alias("dist"), "sigma"
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if grown.isEmpty():
+        if grown.count() == 0:
             break
-        settled = settled.unionAll(grown).localCheckpoint(eager=True)
+        settled = settled.unionAll(grown)
         levels.append(grown)
         frontier = grown
     # shortest-path DAG: neighbor steps that advance dist by exactly 1
@@ -2691,7 +2721,7 @@ def stress_centrality(
                 "node",
                 F.coalesce("tau", F.lit(0)).cast("long").alias("tau"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         acc = acc.unionAll(tau)
     stress = (
@@ -2756,12 +2786,16 @@ def greedy_weighted_matching(
         .filter(F.col(src) != F.col(dst))
         .groupBy("u", "v")
         .agg(F.max("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    spark = edges.sparkSession
-    out = spark.createDataFrame([], "u long, v long, w long, rnd int")
+    # empty accumulator derived from e (a limit-0 slice is cheaper than
+    # a 32-partition createDataFrame RDD in every downstream job) — r6
+    out = e.limit(0).select(
+        "u", "v", "w", F.lit(0).cast("int").alias("rnd")
+    )
+    n_e = e.count()  # materializes the canonical edge checkpoint (r6)
     for r in range(1, rounds + 1):
-        if not e.take(1):
+        if n_e == 0:
             break
         inc = e.select(F.col("u").alias("node"), "u", "v", "w").unionAll(
             e.select(F.col("v").alias("node"), "u", "v", "w")
@@ -2779,7 +2813,7 @@ def greedy_weighted_matching(
             .agg(F.count("*").alias("_votes"))
             .filter(F.col("_votes") == 2)
             .select("u", "v", "w")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         gone = matched.select(F.col("u").alias("node")).unionAll(
             matched.select("v")
@@ -2790,8 +2824,9 @@ def greedy_weighted_matching(
         e = (
             e.join(gone, e["u"] == gone["node"], "left_anti")
             .join(gone, F.col("v") == gone["node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        n_e = e.count()  # one action per round; materializes matched too
     return out
 
 
@@ -2980,7 +3015,7 @@ def katz_centrality(
                 ).alias("katz_q20"),
             )
         )
-        p = p.localCheckpoint(eager=True)
+        p = p.localCheckpoint(eager=False)
     return total.select("node", F.col("katz_q20").cast("long").alias("katz_q20"))
 
 
@@ -3242,7 +3277,7 @@ def node2vec_walks(
             "start", "walk", F.col("node").alias("prev"),
             F.col("nxt").alias("node"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     out = out.unionByName(
         frontier.select("start", "walk", F.lit(1).alias("step"), "node")
@@ -3311,7 +3346,7 @@ def node2vec_walks(
                 "start", "walk", F.col("node").alias("prev"),
                 F.col("x").alias("node"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(
             frontier.select(

@@ -467,7 +467,7 @@ def temporal_reachability(
         )
         .filter(F.col("_es") != F.col("_ed"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     arrival = (
         seeds.select(F.col(seed_col).alias("seed"))
@@ -477,7 +477,7 @@ def temporal_reachability(
             F.col("seed").alias("node"),
             F.lit(0).cast("long").alias("arrival"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = arrival
     for _ in range(max_hops):
@@ -494,14 +494,14 @@ def temporal_reachability(
                 | (F.col("cand") < F.col("arrival"))
             )
             .select("seed", "node", F.col("cand").alias("arrival"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if merged.isEmpty():
+        if merged.count() == 0:  # one action per hop (r6)
             break
         arrival = (
             arrival.join(merged, ["seed", "node"], "left_anti")
             .unionByName(merged)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = merged
     return arrival.filter(F.col("node") != F.col("seed"))

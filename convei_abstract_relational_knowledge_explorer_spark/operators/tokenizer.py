@@ -130,7 +130,13 @@ def learn_bpe(
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
     spark = docs.sparkSession
-    words = _spaced_words(docs, text_col).localCheckpoint(eager=True)
+    # r6: ONE action per merge round — the argmax collect materializes
+    # the lazily-checkpointed words frame.  The previous generation is
+    # unpersisted only after the NEXT generation has materialized from
+    # it (localCheckpoint truncates lineage, so blocks must outlive
+    # their one consumer).
+    words = _spaced_words(docs, text_col).localCheckpoint(eager=False)
+    prev = None
     merges: list[tuple[int, str, str, str, int]] = []
     try:
         for rank in range(1, n_merges + 1):
@@ -140,16 +146,20 @@ def learn_bpe(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best:
                 break
             a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
             merges.append((rank, a, b, a + b, cnt))
             nxt = words.select(merge_expr(a, b).alias("s"), "freq")
-            nxt = nxt.localCheckpoint(eager=True)
-            words.unpersist()
-            words = nxt
+            nxt = nxt.localCheckpoint(eager=False)
+            prev, words = words, nxt
     finally:
         words.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return spark.createDataFrame(
         merges,
         "merge_rank int, lhs string, rhs string, merged string,"
