@@ -2742,6 +2742,11 @@ def _kg_triples(spark, sf):
                 ("N", "c_nationkey"),
             )
         )
+        # r6: materialize the synthesized store once — the KG queries
+        # (q110/q111/q165/.../q188) reference it 2-6x per plan (BGP
+        # joins, rule bodies, shape degrees), and each reference would
+        # otherwise replan + re-execute all eight union branches
+        .localCheckpoint(eager=True)
     )
 
 

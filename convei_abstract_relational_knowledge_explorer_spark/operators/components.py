@@ -72,13 +72,12 @@ def connected_components(
         # e1 is referenced twice by small-star; both references share one
         # canonical subplan, so the exchanges under it are computed once
         # (ReusedExchange / AQE stage reuse) — no checkpoint job needed.
-        e1 = (
-            large.filter(F.col("u2") != F.col("v2"))
-            .select(
-                F.least("u2", "v2").alias("u"),
-                F.greatest("u2", "v2").alias("v"),
-            )
-            .distinct()
+        # No mid-round distinct either (r6): small-star is duplicate-
+        # tolerant — mins1 is a MIN (dup-insensitive) and e2 ends in its
+        # own distinct — so deduping here would only add an exchange.
+        e1 = large.filter(F.col("u2") != F.col("v2")).select(
+            F.least("u2", "v2").alias("u"),
+            F.greatest("u2", "v2").alias("v"),
         )
 
         # --- small-star ---

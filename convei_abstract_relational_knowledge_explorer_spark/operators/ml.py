@@ -351,6 +351,127 @@ def classify_with_probs(
     )
 
 
+def _eps_pairs_arrow(
+    embeddings: DataFrame, id_col: str, vec_col: str, eps_sq: float
+):
+    """Exact ε-graph candidate pairs (a < b, raw squared distance) via a
+    NumPy ``mapInArrow`` kernel → (a, b, _d2), or ``None`` when the
+    preconditions fail (ragged/NULL vectors, non-integral ids) and the
+    caller must use the JVM higher-order-function path.
+
+    Bit-exactness contract (r6, guide §4.2): the JVM path computes
+    ``aggregate(zip_with(va, vb, (x,y) -> (x-y)*(x-y)), 0.0, acc+x)`` —
+    a strict left-to-right float64 accumulation.  ``np.cumsum`` along
+    the dim axis performs the identical sequence of IEEE additions
+    (cumsum is inherently sequential — unlike ``np.sum``'s pairwise
+    tree), and ``0.0 + t0 == t0`` exactly, so the returned ``_d2`` is
+    bit-identical to the JVM value; the caller still applies the SAME
+    ``round(_d2, 6) <= eps_sq`` filter in the JVM.  The kernel only
+    pre-filters with a slack of 1e-6 (any pair whose rounded distance
+    could pass is emitted), so the final pair set is unchanged.
+
+    The probe side streams as Arrow batches; the build side rides a
+    Spark broadcast variable — the same bounded-broadcast contract as
+    the JVM path's ``crossJoin(F.broadcast(vb))``, which equally stages
+    the build side through the driver.  Per-batch memory is bounded by
+    chunking the probe rows so the (chunk × m × dim) difference block
+    stays ~32 MB.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    id_type = dict(embeddings.dtypes).get(id_col)
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        return None
+    pre = embeddings.agg(
+        F.min(F.size(vec_col)).alias("lo"),
+        F.max(F.size(vec_col)).alias("hi"),
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col(vec_col).isNull(), 1).otherwise(0)).alias(
+            "n_null"
+        ),
+        F.max(
+            F.exists(F.col(vec_col), lambda x: x.isNull()).cast("int")
+        ).alias("elem_null"),
+    ).first()
+    if (
+        pre is None
+        or not pre["n"]
+        or pre["n_null"]
+        or pre["elem_null"]
+        or pre["lo"] is None
+        or pre["lo"] != pre["hi"]
+        or pre["lo"] <= 0
+        or pre["n"] > 500_000  # broadcast-side bound (exactness contract)
+    ):
+        return None
+    dim = int(pre["lo"])
+    rows = (
+        embeddings.select(
+            F.col(id_col).cast("long").alias("b"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .collect()
+    )
+    b_ids = np.array([r["b"] for r in rows], dtype=np.int64)
+    b_mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    order = np.argsort(b_ids, kind="stable")
+    b_ids, b_mat = b_ids[order], b_mat[order]
+    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+    slack = float(eps_sq) + 1e-6
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        ids_b, mat_b = bc.value
+        m = len(ids_b)
+        chunk = max(1, (1 << 25) // max(1, m * dim * 8))
+        for batch in batches:
+            a_ids = batch.column(0).to_numpy(zero_copy_only=False)
+            lst = batch.column(1)
+            vals = lst.flatten().to_numpy(zero_copy_only=False)
+            a_mat = np.asarray(vals, dtype=np.float64).reshape(-1, dim)
+            outs = []
+            for s in range(0, len(a_ids), chunk):
+                A = a_mat[s : s + chunk]
+                diff = A[:, None, :] - mat_b[None, :, :]
+                np.multiply(diff, diff, out=diff)
+                d2 = np.cumsum(diff, axis=2)[:, :, -1]
+                mask = (d2 <= slack) & (
+                    a_ids[s : s + chunk, None] < ids_b[None, :]
+                )
+                ai, bj = np.nonzero(mask)
+                if len(ai):
+                    outs.append(
+                        (a_ids[s + ai], ids_b[bj], d2[ai, bj])
+                    )
+            if outs:
+                aa = np.concatenate([o[0] for o in outs])
+                bb = np.concatenate([o[1] for o in outs])
+                dd = np.concatenate([o[2] for o in outs])
+            else:
+                aa = np.array([], dtype=np.int64)
+                bb = np.array([], dtype=np.int64)
+                dd = np.array([], dtype=np.float64)
+            yield pa.record_batch(
+                [pa.array(aa), pa.array(bb), pa.array(dd)],
+                names=["a", "b", "_d2"],
+            )
+
+    va = embeddings.select(
+        F.col(id_col).cast("long").alias("a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    try:
+        if va.rdd.getNumPartitions() < par:
+            va = va.repartition(par)
+    except Exception:
+        pass
+    return va.mapInArrow(fn, "a long, b long, _d2 double")
+
+
 def _sq_dist(embeddings, vec_col: str, a_col: str, b_col: str):
     """Squared euclidean distance between two array<double> columns with
     left-to-right accumulation (``F.aggregate(zip_with(...), 0.0,
@@ -427,11 +548,25 @@ def dbscan_clusters(
         F.col(vec_col).cast("array<double>").alias("_vb"),
     )
     if candidate_pairs is None:
-        # r6: spread the probe side over the cluster before the
-        # broadcast cross join — a single-file parquet scan is ONE
-        # partition, which would serialize the whole O(n²) distance
+        # r6: the exact ε-graph pass runs as a NumPy mapInArrow kernel
+        # when the data qualifies (bit-identical distances — see
+        # _eps_pairs_arrow; guide §4.2 "hand whole batches to
+        # vectorized native libraries").  The JVM higher-order-function
+        # fallback keeps the same arithmetic for ragged/typed inputs;
+        # its probe side is spread first — a single-file parquet scan is
+        # ONE partition, which would serialize the whole O(n²) distance
         # pass onto one core (guide §2.6/§6; repartition is round-robin
         # and the downstream is set-algebra, so results are unchanged).
+        arrow_pairs = _eps_pairs_arrow(embeddings, id_col, vec_col, eps_sq)
+        if arrow_pairs is not None:
+            pairs = (
+                arrow_pairs.filter(
+                    F.round("_d2", 6) <= F.lit(float(eps_sq))
+                )
+                .select("a", "b")
+                .localCheckpoint(eager=False)
+            )
+            return _dbscan_from_pairs(ids, pairs, min_pts)
         par = va.sparkSession.sparkContext.defaultParallelism
         cand = (
             va.repartition(par)
@@ -455,6 +590,16 @@ def dbscan_clusters(
         .select("a", "b")
         .localCheckpoint(eager=True)
     )
+    return _dbscan_from_pairs(ids, pairs, min_pts)
+
+
+def _dbscan_from_pairs(
+    ids: DataFrame, pairs: DataFrame, min_pts: int
+) -> DataFrame:
+    """Shared DBSCAN closure downstream of a verified ε-pair list
+    (a < b): degrees → cores → CC over core-core edges → deterministic
+    min-rule borders → noise.  Factored out so the Arrow and JVM
+    ε-graph paths feed the identical algebra (r6)."""
     sym = pairs.unionAll(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )

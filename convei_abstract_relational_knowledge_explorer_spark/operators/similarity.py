@@ -454,6 +454,102 @@ def knn_graph(
     )
 
 
+def _best_match_arrow(
+    probe: DataFrame, build: DataFrame, probe_id: str, build_id: str
+):
+    """Per-probe argmax of the exact int64 quantized dot against a
+    broadcast build side → (probe_id, build_id, qdot), or ``None`` when
+    preconditions fail (non-integral ids, ragged/NULL q-vectors,
+    build side above the broadcast-exactness bound).
+
+    Tie-break: max qdot, then MIN build id — the build side is sorted
+    by id ascending and ``np.argmax`` returns the first maximum, which
+    is exactly the JVM ``min(struct(-qdot, id))`` total order.  All
+    arithmetic is integer, so there is no accumulation-order concern
+    (r6, guide §4.2).
+    """
+    import numpy as np
+
+    qcol_p, qcol_b = f"{probe_id}_q", f"{build_id}_q"
+    for df, idc in ((probe, probe_id), (build, build_id)):
+        if dict(df.dtypes).get(idc) not in (
+            "bigint",
+            "int",
+            "smallint",
+            "tinyint",
+        ):
+            return None
+    pre = build.agg(
+        F.min(F.size(qcol_b)).alias("lo"),
+        F.max(F.size(qcol_b)).alias("hi"),
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col(qcol_b).isNull(), 1).otherwise(0)
+        ).alias("n_null"),
+    ).first()
+    if (
+        pre is None
+        or not pre["n"]
+        or pre["n_null"]
+        or pre["lo"] is None
+        or pre["lo"] != pre["hi"]
+        or pre["lo"] <= 0
+        or pre["n"] > 500_000
+    ):
+        return None
+    dim = int(pre["lo"])
+    rows = build.select(
+        F.col(build_id).cast("long").alias("b"), F.col(qcol_b).alias("v")
+    ).collect()
+    if any(r["v"] is None or len(r["v"]) != dim for r in rows):
+        return None
+    b_ids = np.array([r["b"] for r in rows], dtype=np.int64)
+    b_mat = np.array([r["v"] for r in rows], dtype=np.int64)
+    order = np.argsort(b_ids, kind="stable")
+    b_ids, b_mat = b_ids[order], b_mat[order]
+    spark = probe.sparkSession
+    bc = spark.sparkContext.broadcast((b_ids, b_mat.T.copy()))
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        ids_b, mat_bt = bc.value
+        for batch in batches:
+            p_ids = batch.column(0).to_numpy(zero_copy_only=False)
+            lst = batch.column(1)
+            vals = lst.flatten().to_numpy(zero_copy_only=False)
+            p_mat = np.asarray(vals, dtype=np.int64).reshape(-1, dim)
+            if len(p_ids):
+                scores = p_mat @ mat_bt  # exact int64
+                idx = np.argmax(scores, axis=1)  # first max = min id
+                best_ids = ids_b[idx]
+                best_q = scores[np.arange(len(p_ids)), idx]
+            else:
+                best_ids = np.array([], dtype=np.int64)
+                best_q = np.array([], dtype=np.int64)
+            yield pa.record_batch(
+                [
+                    pa.array(np.asarray(p_ids, dtype=np.int64)),
+                    pa.array(best_ids),
+                    pa.array(best_q),
+                ],
+                names=[probe_id, build_id, "qdot"],
+            )
+
+    pv = probe.select(
+        F.col(probe_id).cast("long").alias(probe_id), F.col(qcol_p)
+    ).filter(F.col(qcol_p).isNotNull() & (F.size(qcol_p) == dim))
+    # rows failing the dim/null guard would crash the kernel; their
+    # absence from the JVM argmax semantics: a NULL/ragged probe q-vec
+    # cannot produce a qdot in the zip_with path either (null dot), so
+    # dropping them preserves the pair set.
+    pv = _spread(pv)
+    return pv.mapInArrow(
+        fn, f"{probe_id} long, {build_id} long, qdot long"
+    )
+
+
 def mutual_best_match(
     left: DataFrame,
     right: DataFrame,
@@ -517,6 +613,16 @@ def mutual_best_match(
 
     lq = _quant(left, "left_id")
     rq = _quant(right, "right_id")
+    # r6 (guide §4.2): when both quantized sides qualify, the argmax
+    # halves run as NumPy mapInArrow kernels — int64 matmul + first-max
+    # argmax is EXACT integer arithmetic (order-free), so the result is
+    # bit-identical to the JVM zip_with dot + min(struct) aggregate.
+    bl = _best_match_arrow(lq, rq, "left_id", "right_id")
+    br = _best_match_arrow(rq, lq, "right_id", "left_id")
+    if bl is not None and br is not None:
+        best_l = bl.select("left_id", "right_id", "qdot")
+        best_r = br.select("right_id", "left_id")
+        return best_l.join(best_r, ["left_id", "right_id"], "left_semi")
     scored = _spread(lq).crossJoin(F.broadcast(rq)).select(
         "left_id",
         "right_id",
