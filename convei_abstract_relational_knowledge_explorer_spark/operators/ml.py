@@ -463,7 +463,12 @@ def _eps_pairs_arrow(
         F.col(id_col).cast("long").alias("a"),
         F.col(vec_col).cast("array<double>").alias("_va"),
     )
-    par = spark.sparkContext.defaultParallelism
+    # kernel partitions capped at 8 when the input is under-partitioned:
+    # the vectorized pass needs little parallelism, and a cold Python
+    # worker pool pays one numpy/pandas import per NEW worker (measured
+    # dominant over the compute on the first Python stage of a session);
+    # wide inputs keep their own partitioning.
+    par = min(spark.sparkContext.defaultParallelism, 8)
     try:
         if va.rdd.getNumPartitions() < par:
             va = va.repartition(par)

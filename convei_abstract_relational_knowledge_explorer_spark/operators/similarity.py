@@ -543,8 +543,15 @@ def _best_match_arrow(
     # rows failing the dim/null guard would crash the kernel; their
     # absence from the JVM argmax semantics: a NULL/ragged probe q-vec
     # cannot produce a qdot in the zip_with path either (null dot), so
-    # dropping them preserves the pair set.
-    pv = _spread(pv)
+    # dropping them preserves the pair set.  Partitions capped at 8 when
+    # under-partitioned — cold Python workers pay one numpy import each,
+    # which dominates the (vectorized, sub-second) compute.
+    try:
+        cap = min(pv.sparkSession.sparkContext.defaultParallelism, 8)
+        if pv.rdd.getNumPartitions() < cap:
+            pv = pv.repartition(cap)
+    except Exception:
+        pass
     return pv.mapInArrow(
         fn, f"{probe_id} long, {build_id} long, qdot long"
     )
