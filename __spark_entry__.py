@@ -5558,55 +5558,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # instead of inflating a sub-second query's ratio.
     return {
         "q104_entity_alignment": _q104_entity_alignment,
-        "q142_weighted_sample": _q142_weighted_sample,
-        "q141_registered_domain": _q141_registered_domain,
-        "q140_hll_distinct": _q140_hll_distinct,
-        "q139_host_graph": _q139_host_graph,
-        "q138_anchor_names": _q138_anchor_names,
-        "q137_stress_centrality": _q137_stress_centrality,
-        "q136_taxonomy_lca": _q136_taxonomy_lca,
-        "q135_topo_layers": _q135_topo_layers,
-        "q134_stable_labels": _q134_stable_labels,
-        "q133_template_lines": _q133_template_lines,
-        "q132_wl_colors": _q132_wl_colors,
-        "q131_merge_mis": _q131_merge_mis,
-        "q130_robots_rules": _q130_robots_rules,
-        "q129_redirect_resolution": _q129_redirect_resolution,
-        "q128_sliding_distinct": _q128_sliding_distinct,
-        "q127_temporal_reachability": _q127_temporal_reachability,
-        "q126_butterflies": _q126_butterflies,
-        "q125_crawl_schedule": _q125_crawl_schedule,
-        "q124_meta_blocking": _q124_meta_blocking,
-        "q123_supernodes": _q123_supernodes,
-        "q122_scd2_intervals": _q122_scd2_intervals,
-        "q121_lm_score": _q121_lm_score,
-        "q120_positional_postings": _q120_positional_postings,
-        "q119_kmv_set_ops": _q119_kmv_set_ops,
-        "q118_random_projection": _q118_random_projection,
-        "q117_landmark_distances": _q117_landmark_distances,
-        "q116_lf_diagnostics": _q116_lf_diagnostics,
-        "q115_truth_discovery": _q115_truth_discovery,
-        "q114_hearst_pairs": _q114_hearst_pairs,
-        "q113_sorted_neighborhood": _q113_sorted_neighborhood,
-        "q112_ranking_eval": _q112_ranking_eval,
-        "q111_path_rules": _q111_path_rules,
-        "q110_relation_cardinality": _q110_relation_cardinality,
-        "q109_snapshot_diff": _q109_snapshot_diff,
-        "q108_degree_mixing": _q108_degree_mixing,
-        "q107_event_transitions": _q107_event_transitions,
-        "q106_coverage_selection": _q106_coverage_selection,
-        "q105_type_propagation": _q105_type_propagation,
-        "q103_containment_pairs": _q103_containment_pairs,
-        "q102_nucleus_tokens": _q102_nucleus_tokens,
-        "q101_rendezvous_shards": _q101_rendezvous_shards,
         "q100_single_linkage_noise": _q100_single_linkage_noise,
-        "q99_cdc_apply": _q99_cdc_apply,
-        "q98_incremental_agg_merge": _q98_incremental_agg_merge,
-        "q97_priority_pivot": _q97_priority_pivot,
-        "q96_metrics_unpivot": _q96_metrics_unpivot,
-        "q95_rolling_revenue": _q95_rolling_revenue,
+        "q103_containment_pairs": _q103_containment_pairs,
+        "q118_random_projection": _q118_random_projection,
+        "q111_path_rules": _q111_path_rules,
+        "q117_landmark_distances": _q117_landmark_distances,
+        "q137_stress_centrality": _q137_stress_centrality,
+        "q135_topo_layers": _q135_topo_layers,
+        "q105_type_propagation": _q105_type_propagation,
+        "q121_lm_score": _q121_lm_score,
+        "q127_temporal_reachability": _q127_temporal_reachability,
+        "q131_merge_mis": _q131_merge_mis,
+        "q136_taxonomy_lca": _q136_taxonomy_lca,
+        "q119_kmv_set_ops": _q119_kmv_set_ops,
+        "q108_degree_mixing": _q108_degree_mixing,
         "q94_mad_anomalies": _q94_mad_anomalies,
+        "q123_supernodes": _q123_supernodes,
+        "q106_coverage_selection": _q106_coverage_selection,
+        "q138_anchor_names": _q138_anchor_names,
         "q93_interval_join": _q93_interval_join,
+        "q132_wl_colors": _q132_wl_colors,
+        "q115_truth_discovery": _q115_truth_discovery,
+        "q126_butterflies": _q126_butterflies,
+        "q139_host_graph": _q139_host_graph,
+        "q110_relation_cardinality": _q110_relation_cardinality,
+        "q120_positional_postings": _q120_positional_postings,
+        "q128_sliding_distinct": _q128_sliding_distinct,
+        "q124_meta_blocking": _q124_meta_blocking,
+        "q141_registered_domain": _q141_registered_domain,
+        "q114_hearst_pairs": _q114_hearst_pairs,
+        "q130_robots_rules": _q130_robots_rules,
+        "q99_cdc_apply": _q99_cdc_apply,
+        "q107_event_transitions": _q107_event_transitions,
+        "q129_redirect_resolution": _q129_redirect_resolution,
+        "q122_scd2_intervals": _q122_scd2_intervals,
+        "q134_stable_labels": _q134_stable_labels,
+        "q112_ranking_eval": _q112_ranking_eval,
+        "q101_rendezvous_shards": _q101_rendezvous_shards,
+        "q116_lf_diagnostics": _q116_lf_diagnostics,
+        "q96_metrics_unpivot": _q96_metrics_unpivot,
+        "q133_template_lines": _q133_template_lines,
+        "q142_weighted_sample": _q142_weighted_sample,
+        "q109_snapshot_diff": _q109_snapshot_diff,
+        "q113_sorted_neighborhood": _q113_sorted_neighborhood,
+        "q95_rolling_revenue": _q95_rolling_revenue,
+        "q98_incremental_agg_merge": _q98_incremental_agg_merge,
+        "q140_hll_distinct": _q140_hll_distinct,
+        "q102_nucleus_tokens": _q102_nucleus_tokens,
+        "q97_priority_pivot": _q97_priority_pivot,
+        "q125_crawl_schedule": _q125_crawl_schedule,
         "q192_node2vec_walks": _q192_node2vec_walks,
         "q191_warc_roundtrip": _q191_warc_roundtrip,
         "q190_ndcg_retrieval": _q190_ndcg_retrieval,

@@ -2720,7 +2720,10 @@ def stress_centrality(
                 "node",
                 F.coalesce("tau", F.lit(0)).cast("long").alias("tau"),
             )
-            .localCheckpoint(eager=False)
+            # eager: tau is referenced by BOTH the next level's contrib
+            # and the final accumulator — lazy checkpoints here let the
+            # final job's concurrent stages compute each level twice
+            .localCheckpoint(eager=True)
         )
         acc = acc.unionAll(tau)
     stress = (
