@@ -152,6 +152,140 @@ def hard_negatives(
     )
 
 
+def _knn_rows_arrow(
+    embeddings: DataFrame, k: int, id_col: str, vec_col: str
+):
+    """Per-source exact-cosine top-k rows (src, dst, weight) via a NumPy
+    ``mapInArrow`` kernel, or ``None`` when preconditions fail and the
+    caller must use the JVM crossJoin path.
+
+    Bit-exactness (r6, guide §4.2): dot products and squared norms are
+    ``np.cumsum`` reductions — the identical left-to-right IEEE float64
+    addition sequence as the JVM ``aggregate``/``zip_with`` forms — and
+    ``sqrt``/``*``/``/`` are correctly-rounded single ops in both
+    engines, so every cosine is bit-identical.  The per-source top-k is
+    selected under the same (weight desc, dst asc) total order as the
+    JVM ``row_number`` window (``np.lexsort`` with (-weight, dst));
+    zero-norm vectors are dropped on both sides exactly as ``_normed``
+    does.  Build side rides a Spark broadcast variable — the same
+    bounded contract as ``crossJoin(F.broadcast(...))``.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    if dict(embeddings.dtypes).get(id_col) not in (
+        "bigint",
+        "int",
+        "smallint",
+        "tinyint",
+    ):
+        return None
+    pre = embeddings.agg(
+        F.min(F.size(vec_col)).alias("lo"),
+        F.max(F.size(vec_col)).alias("hi"),
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col(vec_col).isNull(), 1).otherwise(0)).alias(
+            "n_null"
+        ),
+        F.max(
+            F.exists(F.col(vec_col), lambda x: x.isNull()).cast("int")
+        ).alias("elem_null"),
+    ).first()
+    if (
+        pre is None
+        or not pre["n"]
+        or pre["n_null"]
+        or pre["elem_null"]
+        or pre["lo"] is None
+        or pre["lo"] != pre["hi"]
+        or pre["lo"] <= 0
+        or pre["n"] > 500_000
+    ):
+        return None
+    dim = int(pre["lo"])
+    rows = embeddings.select(
+        F.col(id_col).cast("long").alias("b"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).collect()
+    b_ids = np.array([r["b"] for r in rows], dtype=np.int64)
+    b_mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    order = np.argsort(b_ids, kind="stable")
+    b_ids, b_mat = b_ids[order], b_mat[order]
+    # norms exactly as _norm: cumsum of squares, then sqrt
+    b_norm = np.sqrt(np.cumsum(b_mat * b_mat, axis=1)[:, -1])
+    keep = b_norm > 0
+    b_ids, b_mat, b_norm = b_ids[keep], b_mat[keep], b_norm[keep]
+    if len(b_ids) == 0:
+        return None
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_norm))
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        ids_b, mat_b, norm_b = bc.value
+        m = len(ids_b)
+        kk = min(k, m)
+        chunk = max(1, (1 << 25) // max(1, m * dim * 8))
+        for batch in batches:
+            a_ids = batch.column(0).to_numpy(zero_copy_only=False)
+            vals = batch.column(1).flatten().to_numpy(
+                zero_copy_only=False
+            )
+            a_mat = np.asarray(vals, dtype=np.float64).reshape(-1, dim)
+            a_norm = np.sqrt(np.cumsum(a_mat * a_mat, axis=1)[:, -1])
+            src_o, dst_o, w_o = [], [], []
+            for s in range(0, len(a_ids), chunk):
+                A = a_mat[s : s + chunk]
+                ai = a_ids[s : s + chunk]
+                an = a_norm[s : s + chunk]
+                live = an > 0
+                dots = np.cumsum(
+                    A[:, None, :] * mat_b[None, :, :], axis=2
+                )[:, :, -1]
+                w = dots / (an[:, None] * norm_b[None, :])
+                selfmask = ai[:, None] == ids_b[None, :]
+                for i in range(len(ai)):
+                    if not live[i]:
+                        continue
+                    wi = w[i]
+                    ok = ~selfmask[i]
+                    cand_w = wi[ok]
+                    cand_d = ids_b[ok]
+                    if len(cand_w) == 0:
+                        continue
+                    # total order (weight desc, dst asc) == the JVM
+                    # row_number window ordering
+                    sel = np.lexsort((cand_d, -cand_w))[:kk]
+                    src_o.append(np.full(len(sel), ai[i], dtype=np.int64))
+                    dst_o.append(cand_d[sel])
+                    w_o.append(cand_w[sel])
+            if src_o:
+                aa = np.concatenate(src_o)
+                bb = np.concatenate(dst_o)
+                ww = np.concatenate(w_o)
+            else:
+                aa = np.array([], dtype=np.int64)
+                bb = np.array([], dtype=np.int64)
+                ww = np.array([], dtype=np.float64)
+            yield pa.record_batch(
+                [pa.array(aa), pa.array(bb), pa.array(ww)],
+                names=["src", "dst", "weight"],
+            )
+
+    va = embeddings.select(
+        F.col(id_col).cast("long").alias("src"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    try:
+        cap = min(spark.sparkContext.defaultParallelism, 8)
+        if va.rdd.getNumPartitions() < cap:
+            va = va.repartition(cap)
+    except Exception:
+        pass
+    return va.mapInArrow(fn, "src long, dst long, weight double")
+
+
 def brute_force_knn_graph(
     embeddings: DataFrame,
     k: int = 5,
@@ -162,27 +296,37 @@ def brute_force_knn_graph(
 
     O(n²) crossJoin(broadcast) — the correctness baseline that oracles the
     IVF :func:`knn_graph`; only for bounded slices (the caller filters ids).
+    r6: the pair scoring + per-source top-k runs as a NumPy mapInArrow
+    kernel when inputs qualify (:func:`_knn_rows_arrow`, bit-identical
+    cosines and ordering); the JVM crossJoin path is the fallback.
     """
-    vecs = _normed(embeddings, id_col, vec_col, "vec_id")
-    a = vecs.select(
-        F.col("vec_id").alias("src"), F.col("vec").alias("avec"),
-        F.col("norm").alias("anorm"),
-    )
-    b = vecs.select(
-        F.col("vec_id").alias("dst"), F.col("vec").alias("bvec"),
-        F.col("norm").alias("bnorm"),
-    )
-    sim = (
-        _spread(a).crossJoin(F.broadcast(b))
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            (_dot(F.col("avec"), F.col("bvec")) / (F.col("anorm") * F.col("bnorm"))).alias("weight"),
+    knn = _knn_rows_arrow(embeddings, k, id_col, vec_col)
+    if knn is None:
+        vecs = _normed(embeddings, id_col, vec_col, "vec_id")
+        a = vecs.select(
+            F.col("vec_id").alias("src"), F.col("vec").alias("avec"),
+            F.col("norm").alias("anorm"),
         )
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
-    knn = sim.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+        b = vecs.select(
+            F.col("vec_id").alias("dst"), F.col("vec").alias("bvec"),
+            F.col("norm").alias("bnorm"),
+        )
+        sim = (
+            _spread(a).crossJoin(F.broadcast(b))
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                "src",
+                "dst",
+                (_dot(F.col("avec"), F.col("bvec")) / (F.col("anorm") * F.col("bnorm"))).alias("weight"),
+            )
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.desc("weight"), F.asc("dst")
+        )
+        knn = (
+            sim.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+        )
     return (
         knn.select(
             F.least("src", "dst").alias("src"),

@@ -81,3 +81,20 @@ def test_mutual_best_match_arrow_parity(spark, monkeypatch):
     jvm_out = _rows(similarity.mutual_best_match(left, right))
     assert arrow_out == jvm_out
     assert len(arrow_out) > 0
+
+
+def test_knn_graph_arrow_parity(spark, monkeypatch):
+    from convei_abstract_relational_knowledge_explorer_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).filter(F.col("vec_id") < 300)
+    arrow_out = _rows(similarity.brute_force_knn_graph(emb, k=5))
+    monkeypatch.setattr(
+        similarity, "_knn_rows_arrow", lambda *a, **k: None
+    )
+    jvm_out = _rows(similarity.brute_force_knn_graph(emb, k=5))
+    assert arrow_out == jvm_out
+    assert len(arrow_out) > 0
