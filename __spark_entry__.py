@@ -4120,7 +4120,13 @@ def _consensus_cc(spark, sf, tau_millis):
         .filter(F.col("doc_id") != F.col("k"))
         .select(F.col("doc_id").alias("a"), F.col("k").alias("b"))
     )
-    sh = dedup.shingles(d, "doc_id", "text", k=3)
+    # r6: materialize the shingle frame once — it feeds the size
+    # aggregate and BOTH sides of the intersection self-join, and each
+    # reference would otherwise re-tokenize the corpus (the _token_sel
+    # multi-reference lesson)
+    sh = dedup.shingles(d, "doc_id", "text", k=3).localCheckpoint(
+        eager=True
+    )
     sz = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     it = (
         sh.select(F.col("doc_id").alias("a"), "shingle")
@@ -4292,7 +4298,13 @@ def _q164_cluster_metrics(spark, sf):
         .select(F.col("doc_id").alias("a"), F.col("k").alias("b"))
         .localCheckpoint(eager=True)
     )
-    sh = dedup.shingles(d, "doc_id", "text", k=3)
+    # r6: materialize the shingle frame once — it feeds the size
+    # aggregate and BOTH sides of the intersection self-join, and each
+    # reference would otherwise re-tokenize the corpus (the _token_sel
+    # multi-reference lesson)
+    sh = dedup.shingles(d, "doc_id", "text", k=3).localCheckpoint(
+        eager=True
+    )
     sz = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     it = (
         sh.select(F.col("doc_id").alias("a"), "shingle")
